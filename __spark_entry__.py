@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin shim over ``odc_product_docker_images_spark.registry``: every operator
+from SURVEY.md §2 registers a ``(spark, sf_dir) -> DataFrame`` callable plus
+(when SQL-expressible) a DuckDB oracle string.  The driver's verify runs
+``entry(spark)`` as a smoke check, runs each ``queries()[name]`` at sf=0.01
+and compares it against ``oracle_sql()[name]`` via DuckDB (row-count +
+schema + order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
@@ -13,26 +14,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from odc_product_docker_images_spark import registry
+from odc_product_docker_images_spark.session import prep
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (`agg_multi_stat`, SURVEY §2.4 A7) on sf0.001."""
+    prep(spark)
+    from odc_product_docker_images_spark.operators.aggregates import agg_multi_stat
+
+    return agg_multi_stat(spark, "/root/testdata/sf0.001")
+
+
+def _wrap(fn: registry.QueryFn) -> registry.QueryFn:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prep(spark)  # UTC + Arrow + AQE on whatever session the driver hands us
+        return fn(spark, sf_dir)
+
+    run.__doc__ = fn.__doc__
+    run.__name__ = getattr(fn, "__name__", "query")
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {k: _wrap(fn) for k, fn in registry.queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL twin for each hash-checkable query key."""
+    return registry.oracle_sql()

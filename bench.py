@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line ``{"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}``.
+
+Execution is forced with the ``noop`` sink (full plan runs, nothing
+written) so column pruning can't optimize the measured work away.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# Headline set: one per operator family, preferring the scale-relevant ones.
+HEADLINE = [
+    "agg_multi_stat",
+    "agg_mean",
+    "agg_max_by",
+    "agg_median",
+    "join_inner",
+    "join_broadcast",
+    "join_asof",
+    "window_rank",
+    "window_rolling",
+    "agg_geomedian",
+    "dedup_exact_hash",
+    "dedup_minhash",
+    "sim_topk_cosine",
+    "explode_tokens",
+    "stream_session",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from odc_product_docker_images_spark.registry import queries
+    from odc_product_docker_images_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = queries()
+    keys = [k for k in HEADLINE if k in qs]
+
+    # warm up the JVM/scan path once (excluded from timings)
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for key in keys:
+        t0 = time.time()
+        qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+        dt = round(time.time() - t0, 3)
+        timings[key] = dt
+        total += dt
+        print(f"# {key}: {dt:.3f}s", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,40 @@
+"""Parquet scan/sink helpers (SURVEY.md §2.1 S1-S5).
+
+Reference analog: ``Datacube.load`` = Postgres index lookup (spatiotemporal
+predicate pushdown) + GDAL band reads (column pruning).  Parquet gives the
+same two properties natively: Catalyst pushes filters into row-group
+min/max skipping and prunes unread columns, so the engine's "scan" is just
+``spark.read.parquet`` + declarative ``where``/``select`` — keep predicates
+declarative and NEVER materialize before filtering.
+
+Scale notes (100 TB): real deployments should write the fact tables
+partitioned by a time key (``partitionBy('ship_month')``-style) so static +
+dynamic partition pruning replace the reference's Postgres extent index;
+``maxPartitionBytes`` governs split sizing; no ``collect()`` on any path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schemas
+
+
+def load(spark: SparkSession, sf_dir: str, table: str, validate: bool = False) -> DataFrame:
+    """Scan one fixture table. Declared-schema validation optional (cheap,
+    footer-only) per the fixed-schema policy (schemas.py)."""
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if validate:
+        schemas.validate(df.schema, table)
+    return df
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite") -> None:
+    """Partitioned parquet sink (S4 COG/S3-sink analog).
+
+    Reference: per-band GeoTIFF written under a deterministic key prefix and
+    uploaded to S3; idempotency via key naming.  Spark analog: directory
+    layout IS the index (partition values become pruning predicates for
+    readers), ``mode=overwrite`` gives the same idempotent-by-key semantics.
+    """
+    df.write.partitionBy(*partition_cols).mode(mode).parquet(path)

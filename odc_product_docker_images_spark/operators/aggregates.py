@@ -1,0 +1,378 @@
+"""Grouped aggregations (SURVEY.md §2.4 A1-A13) — the heart of the engine.
+
+Reference analog: every EO composite/summary is a grouped aggregation over
+the time axis per pixel ``(y, x)`` — ``dc_mosaic.py``'s mean/median/max-NDVI/
+most-recent mosaics and ``dc_utilities.perform_timeseries_analysis``.  The
+fixture mapping (FIXTURES.md) uses ``lineitem`` as the pixel-observation
+table: group keys (``l_suppkey`` / flag+status) stand in for pixel ids,
+numeric columns for bands, ``l_shipdate`` for the time axis.
+
+Scale notes: all of these are hash aggregations with map-side partial
+aggregation — one shuffle on the group key, no driver materialization.
+``max_by``-style argmax composites avoid the window-sort alternative
+(cheaper: partial aggregation works; a window would sort every partition).
+Deterministic tie-breaks (struct orderings including unique keys) keep
+results stable under any partitioning — required both for the DuckDB
+oracle hash and for reproducible production runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..io import load
+from ..registry import register
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "agg_multi_stat",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum("l_quantity", "sum_qty")},
+               {sql_dsum("l_extendedprice", "sum_base_price")},
+               {sql_dsum(_DISC_PRICE, "sum_disc_price")},
+               {sql_dsum(f"({_DISC_PRICE}) * (1 + l_tax)", "sum_charge")},
+               {sql_davg("l_quantity", "avg_qty")},
+               {sql_davg("l_extendedprice", "avg_price")},
+               {sql_davg("l_discount", "avg_disc")},
+               ROUND(STDDEV_SAMP(l_quantity), 4) AS std_qty,
+               MIN(l_quantity) AS min_qty,
+               MAX(l_quantity) AS max_qty,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_multi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 flagship (TPC-H-Q1-shaped): one-pass min/max/mean/std/count
+    per-pixel summary — ``perform_timeseries_analysis``.  Single hash-agg
+    pass; decimal-cast sums for order-insensitive float determinism."""
+    lf = load(spark, sf_dir, "lineitem")
+    dp = _disc_price()
+    return (
+        lf.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(dp, "sum_disc_price"),
+            dsum(dp * (1 + F.col("l_tax")), "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+            F.min("l_quantity").alias("min_qty"),
+            F.max("l_quantity").alias("max_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_mean",
+    oracle=f"""
+        SELECT l_suppkey,
+               {sql_davg(_DISC_PRICE, "mean_disc_price")},
+               COUNT(*) AS n_obs
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+)
+def agg_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: mean mosaic — per-pixel mean over observations
+    (``dc_mosaic.create_mean_mosaic``)."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_suppkey").agg(
+        davg(_disc_price(), "mean_disc_price"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "agg_median",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(MEDIAN(l_quantity), 6) AS median_qty,
+               ROUND(MEDIAN(l_extendedprice), 6) AS median_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: median mosaic — exact per-pixel median
+    (``dc_mosaic.create_median_mosaic`` / np.nanmedian).  ``F.median`` is
+    exact (sort-based holistic agg); ``percentile_approx`` is the documented
+    fast path at 100 TB where exactness isn't required."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 6).alias("median_qty"),
+        F.round(F.median("l_extendedprice"), 6).alias("median_price"),
+    )
+
+
+@register(
+    "agg_max_by",
+    oracle="""
+        SELECT l_suppkey, best_price, max_qty FROM (
+            SELECT l_suppkey,
+                   l_extendedprice AS best_price,
+                   MAX(l_quantity) OVER (PARTITION BY l_suppkey) AS max_qty,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_quantity DESC, l_orderkey DESC, l_linenumber DESC
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+)
+def agg_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: max-NDVI mosaic — per-pixel argmax: keep the band value of the
+    observation maximizing a quality metric (``create_max_ndvi_mosaic``).
+    ``max_by`` with a struct ordering gives a deterministic tie-break and
+    (unlike the window form) still partial-aggregates map-side."""
+    lf = load(spark, sf_dir, "lineitem")
+    order = F.struct("l_quantity", "l_orderkey", "l_linenumber")
+    return lf.groupBy("l_suppkey").agg(
+        F.max_by(F.col("l_extendedprice"), order).alias("best_price"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "agg_most_recent",
+    oracle="""
+        SELECT l_suppkey, latest_price, latest_qty, latest_ship FROM (
+            SELECT l_suppkey,
+                   l_extendedprice AS latest_price,
+                   l_quantity AS latest_qty,
+                   MAX(l_shipdate) OVER (PARTITION BY l_suppkey) AS latest_ship,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY l_shipdate DESC, l_orderkey DESC, l_linenumber DESC
+                   ) AS rn
+            FROM lineitem
+        ) WHERE rn = 1
+    """,
+)
+def agg_most_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: most-recent mosaic — per-pixel latest valid observation wins
+    (``dc_mosaic.create_mosaic`` first-valid iteration, reversed)."""
+    lf = load(spark, sf_dir, "lineitem")
+    order = F.struct("l_shipdate", "l_orderkey", "l_linenumber")
+    picked = F.max_by(
+        F.struct(
+            F.col("l_extendedprice").alias("p"),
+            F.col("l_quantity").alias("q"),
+        ),
+        order,
+    )
+    return (
+        lf.groupBy("l_suppkey")
+        .agg(picked.alias("w"), F.max("l_shipdate").alias("latest_ship"))
+        .select(
+            "l_suppkey",
+            F.col("w.p").alias("latest_price"),
+            F.col("w.q").alias("latest_qty"),
+            "latest_ship",
+        )
+    )
+
+
+@register(
+    "agg_conditional_ratio",
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END)
+                 AS wet_count,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS clear_count,
+               ROUND(COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END)
+                 / NULLIF(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END), 0), 6) AS pct_wet
+        FROM lineitem
+        GROUP BY l_suppkey
+    """,
+)
+def agg_conditional_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: WOfS-style water summary — per-pixel wet/clear counts and
+    permanency ratio (``perform_timeseries_analysis`` → water_permanency
+    product)."""
+    lf = load(spark, sf_dir, "lineitem")
+    wet = F.count(F.when((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"), 1))
+    clear = F.count(F.when(F.col("l_linestatus") == "F", 1))
+    return lf.groupBy("l_suppkey").agg(
+        wet.alias("wet_count"),
+        clear.alias("clear_count"),
+        F.round(wet / F.nullif(clear, F.lit(0)), 6).alias("pct_wet"),
+    )
+
+
+@register(
+    "agg_count_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_parts,
+               COUNT(DISTINCT l_suppkey) AS n_supps,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 exact: distinct scenes/platforms per tile (ledger stats)."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register("agg_approx_distinct")  # ⊘oracle: HLL sketch can't hash-match exact SQL
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 approx: HyperLogLog ``approx_count_distinct`` — the 100 TB tier
+    where exact distinct would shuffle every key.  Rows-only check (driver);
+    bounded-error asserted in tests."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_linear_trend",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(REGR_SLOPE(l_extendedprice,
+                     DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))), 6)
+                 AS slope,
+               ROUND(REGR_INTERCEPT(l_extendedprice,
+                     DATE_DIFF('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))), 4)
+                 AS intercept,
+               COUNT(*) AS n_obs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9: per-pixel linear trend of a band vs time (vegetation trend
+    analysis).  ``regr_slope``/``regr_intercept`` are single-pass built-ins;
+    x = days since epoch start keeps magnitudes tame for rounding parity."""
+    lf = load(spark, sf_dir, "lineitem")
+    x = F.datediff(F.col("l_shipdate").cast("date"), F.lit("1995-01-01").cast("date")).cast(
+        "double"
+    )
+    y = F.col("l_extendedprice")
+    return lf.groupBy("l_returnflag").agg(
+        F.round(F.regr_slope(y, x), 6).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               {sql_dsum(_DISC_PRICE, "revenue")}
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: multi-granularity summary in ONE pass (per-tile, per-region,
+    global) — the reference runs these as separate jobs; ``rollup`` fuses
+    them into a single shuffle."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum(_disc_price(), "revenue"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle=f"""
+        SELECT l_linestatus, CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+               COUNT(*) AS n,
+               {sql_dsum("l_quantity", "sum_qty")}
+        FROM lineitem
+        GROUP BY CUBE (l_linestatus, CAST(YEAR(l_shipdate) AS INTEGER))
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: full cube over (status, year) — all 4 grouping sets, one pass."""
+    lf = load(spark, sf_dir, "lineitem")
+    year = F.year("l_shipdate").cast("int").alias("ship_year")
+    return lf.cube(F.col("l_linestatus"), year).agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sum_qty"),
+    )
+
+
+@register(
+    "dedup_distinct",
+    oracle="""
+        SELECT DISTINCT l_suppkey, l_returnflag, l_linestatus FROM lineitem
+    """,
+)
+def dedup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: distinct — duplicate-dataset elimination (index uniqueness /
+    job idempotency ledger)."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.select("l_suppkey", "l_returnflag", "l_linestatus").distinct()
+
+
+@register(
+    "agg_pivot",
+    oracle="""
+        SELECT l_returnflag,
+               COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS cnt_f,
+               COUNT(CASE WHEN l_linestatus = 'O' THEN 1 END) AS cnt_o
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: pivot — obs-count matrix (platform × month reports).  Explicit
+    pivot values avoid the extra distinct-collection job at scale."""
+    lf = load(spark, sf_dir, "lineitem")
+    return (
+        lf.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("cnt_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("cnt_o"),
+        )
+    )
+
+
+@register(
+    "agg_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(l_quantity / 5) AS BIGINT) AS bucket,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY CAST(FLOOR(l_quantity / 5) AS BIGINT)
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13: value-frequency histogram (land-cover class counts; np.bincount
+    analog).  Fixed-width binning = floor-divide grouping key — this is
+    also the regrid/grid-binning primitive (GeoBox cell ids are
+    ``floor(coord/res)``)."""
+    lf = load(spark, sf_dir, "lineitem")
+    bucket = F.floor(F.col("l_quantity") / 5).cast("bigint").alias("bucket")
+    return lf.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))

@@ -1,0 +1,87 @@
+"""Query-key registry — the driver contract's backing store.
+
+Every operator from SURVEY.md §2 registers here with a callable
+``(spark, sf_dir) -> DataFrame`` and (when SQL-expressible) a DuckDB oracle
+string.  ``__spark_entry__.py`` re-exports ``queries()`` / ``oracle_sql()``
+from this module.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class Query:
+    key: str
+    fn: QueryFn
+    oracle: str | None
+    doc: str
+
+
+_REGISTRY: dict[str, Query] = {}
+
+# Modules that register queries on import (order = SURVEY §2 sections).
+_MODULES = [
+    "odc_product_docker_images_spark.operators.scans",
+    "odc_product_docker_images_spark.operators.projections",
+    "odc_product_docker_images_spark.operators.joins",
+    "odc_product_docker_images_spark.operators.aggregates",
+    "odc_product_docker_images_spark.operators.windows",
+    "odc_product_docker_images_spark.operators.setops",
+    "odc_product_docker_images_spark.functions.scalars",
+    "odc_product_docker_images_spark.kernels.wofs",
+    "odc_product_docker_images_spark.kernels.geomedian",
+    "odc_product_docker_images_spark.kernels.frac_cover",
+    "odc_product_docker_images_spark.streaming.batch_forms",
+    "odc_product_docker_images_spark.textvec.dedup",
+    "odc_product_docker_images_spark.textvec.similarity",
+    "odc_product_docker_images_spark.textvec.text_analysis",
+    "odc_product_docker_images_spark.multimodal.columns",
+]
+
+_loaded = False
+
+
+def register(key: str, oracle: str | None = None, doc: str = "") -> Callable[[QueryFn], QueryFn]:
+    """Decorator: register a query-key implementation (+ optional oracle)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if key in _REGISTRY:
+            raise ValueError(f"duplicate query key {key!r}")
+        _REGISTRY[key] = Query(key, fn, oracle, doc or (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+def _ensure_loaded() -> None:
+    global _loaded
+    if _loaded:
+        return
+    for mod in _MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError:
+            # module not built yet (incremental rounds) — registry stays partial
+            pass
+    _loaded = True
+
+
+def all_queries() -> dict[str, Query]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {k: q.fn for k, q in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: q.oracle for k, q in all_queries().items() if q.oracle is not None}
