@@ -1,0 +1,216 @@
+"""Scalar function families (SURVEY.md §2.7 F1-F9).
+
+Reference analogs: band arithmetic and log/sqrt stretches (F1), scene-id /
+path parsing in the workers (F2), solar-day grouping and epoch bucketing
+(F3, ``group_by='solar_day'``), JSON job specs and STAC-ish metadata docs
+(F5), measurement dicts (F7), QA bitfields (F8, in projections.py), and
+UUID/content addressing of datasets (F9).
+
+All of these are built-in Column expressions — JVM-side, whole-stage
+codegen, zero Python in the row path.  libm-backed functions (pow/ln) are
+rounded to 6 dp for oracle parity (JVM vs C++ last-ulp); algebraic ops and
+sqrt are IEEE-exact and left unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "scalar_math",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_quantity - 25) AS abs_dev,
+               l_extendedprice / l_quantity AS unit_price,
+               SQRT(l_extendedprice) AS root_price,
+               ROUND(POW(l_quantity, 1.5), 6) AS qty_pow,
+               ROUND(LN(l_extendedprice), 6) AS log_price,
+               LEAST(l_quantity, 100 * l_discount) AS lo,
+               GREATEST(l_quantity, 100 * l_discount) AS hi
+        FROM lineitem
+    """,
+)
+def scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: math family — band stretches (log/sqrt), clipping (least/
+    greatest), unit normalization."""
+    lf = load(spark, sf_dir, "lineitem")
+    q, p, d = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+    return lf.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(q - 25).alias("abs_dev"),
+        # raw quotient, not ROUND(x, 2): IEEE division is engine-identical, but
+        # decimal rounding of values with short exact decimal forms hits
+        # half-up(JVM) vs scaled-double(DuckDB) boundary disagreements
+        (p / q).alias("unit_price"),
+        F.sqrt(p).alias("root_price"),
+        F.round(F.pow(q, 1.5), 6).alias("qty_pow"),
+        F.round(F.log(p), 6).alias("log_price"),
+        F.least(q, 100 * d).alias("lo"),
+        F.greatest(q, 100 * d).alias("hi"),
+    )
+
+
+@register(
+    "scalar_string",
+    oracle="""
+        SELECT c_custkey,
+               UPPER(c_name) AS name_upper,
+               SUBSTR(c_name, 1, 8) AS name_prefix,
+               CONCAT(c_mktsegment, '#', CAST(c_custkey AS VARCHAR)) AS seg_key,
+               CAST(LENGTH(c_name) AS INTEGER) AS name_len,
+               REGEXP_EXTRACT(c_name, '([0-9]+)', 1) AS id_digits,
+               LPAD(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+               REPLACE(c_name, 'Customer', 'Cust') AS name_short
+        FROM customer
+    """,
+)
+def scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: string family — scene-id parsing / output-path templating
+    (worker naming code)."""
+    cu = load(spark, sf_dir, "customer")
+    return cu.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("c_mktsegment"), F.lit("#"), F.col("c_custkey").cast("string")).alias(
+            "seg_key"
+        ),
+        F.length("c_name").alias("name_len"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("id_digits"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+    )
+
+
+@register(
+    "scalar_date",
+    oracle="""
+        SELECT o_orderkey,
+               CAST(YEAR(o_orderdate) AS INTEGER) AS yr,
+               CAST(MONTH(o_orderdate) AS INTEGER) AS mo,
+               CAST(DAY(o_orderdate) AS INTEGER) AS dom,
+               CAST(QUARTER(o_orderdate) AS INTEGER) AS qtr,
+               DATE_TRUNC('month', o_orderdate) AS month_start,
+               CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER)
+                 AS days_since_epoch,
+               CAST(EPOCH(o_orderdate) AS BIGINT) AS unix_sec,
+               CAST(LAST_DAY(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS month_end,
+               CAST(DAYOFWEEK(o_orderdate) + 1 AS INTEGER) AS dow
+        FROM orders
+    """,
+)
+def scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: date/time family — solar-day grouping key, epoch bucketing,
+    month/season keys.  (DuckDB's DAYOFWEEK is 0=Sunday vs Spark's
+    1=Sunday — the oracle shifts to match.)"""
+    od = load(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return od.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.datediff(d.cast("date"), F.lit("1995-01-01").cast("date")).alias("days_since_epoch"),
+        F.unix_timestamp(d).alias("unix_sec"),
+        F.last_day(d).cast("timestamp").alias("month_end"),
+        F.dayofweek(d).alias("dow"),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+        SELECT event_id,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_val,
+               CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) * 2 AS k_doubled,
+               CAST(JSON_EXTRACT_STRING(props, '$.missing') AS BIGINT) AS k_missing
+        FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: JSON family — job-spec / metadata-doc field extraction (the
+    Redis job payload parse in every worker)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_val"),
+        (F.get_json_object("props", "$.k").cast("bigint") * 2).alias("k_doubled"),
+        F.get_json_object("props", "$.missing").cast("bigint").alias("k_missing"),
+    )
+
+
+@register(
+    "scalar_array",
+    oracle="""
+        SELECT vec_id,
+               CAST(LEN(embedding) AS INTEGER) AS dim,
+               embedding[1] AS first_val,
+               ROUND(LIST_SUM(LIST_TRANSFORM(embedding,
+                     x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS sq_norm,
+               LIST_MAX(embedding) AS max_val
+        FROM embeddings
+    """,
+)
+def scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: array family — per-pixel band vectors / embeddings.  Fold-based
+    sum-of-squares (``F.aggregate``) is the JVM-side pattern the cosine
+    kernel builds on; 64-element folds round(6)-stable."""
+    em = load(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
+    )
+    return em.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_val"),
+        F.round(sq, 6).alias("sq_norm"),
+        F.array_max("embedding").alias("max_val"),
+    )
+
+
+@register("scalar_map")  # ⊘oracle: DuckDB MAP literal/serialization differs — rows-only
+def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7: map family — measurement-name→value dicts (metadata docs).
+    Build a map per row, read it back via element_at/map_keys."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+    )
+    return ev.select(
+        "event_id",
+        m.alias("meta"),
+        F.element_at(m, F.lit("type")).alias("meta_type"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+    )
+
+
+@register(
+    "scalar_hash",
+    oracle="""
+        SELECT doc_id,
+               MD5(text) AS text_md5,
+               SHA256(text) AS text_sha256
+        FROM documents
+    """,
+)
+def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F9: hash family — dataset UUID/content addressing.  md5/sha256 are
+    oracle-matched; ``xxhash64`` (no DuckDB twin) is the engine's fast path
+    for 100 TB content keys — used in dedup_exact_hash."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        F.md5("text").alias("text_md5"),
+        F.sha2("text", 256).alias("text_sha256"),
+    )

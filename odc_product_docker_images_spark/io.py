@@ -16,14 +16,28 @@ dynamic partition pruning replace the reference's Postgres extent index;
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import schemas
+
+# Tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
+# vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read the
+# physical int64 via the legacy nanos-as-long conf and truncate to micros
+# (Spark's native timestamp precision) declaratively — still one codegen'd
+# scan, no Python in the path.
+_NANOS_TS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str, validate: bool = False) -> DataFrame:
     """Scan one fixture table. Declared-schema validation optional (cheap,
     footer-only) per the fixed-schema policy (schemas.py)."""
+    nanos_cols = _NANOS_TS.get(table, [])
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for c in nanos_cols:
+        # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if validate:
         schemas.validate(df.schema, table)
     return df

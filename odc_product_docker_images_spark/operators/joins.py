@@ -1,0 +1,302 @@
+"""Join surface (SURVEY.md §2.3 J1-J9).
+
+Reference analogs: the ODC pipelines never say "join", but three patterns
+are joins — epoch combination (NDVI anomaly: baseline composite ⋈ analysis
+scene on pixel key), dimension enrichment (platform/zone metadata), and
+ledger diffs (scenes indexed but never processed).  The engine exposes the
+full Spark join surface.
+
+Scale notes (100 TB): big⋈big equi-joins shuffle both sides on the key —
+Catalyst picks sort-merge; AQE converts to broadcast when a side turns out
+small and splits skewed partitions.  Dimension joins are explicitly
+``broadcast()`` (no shuffle of the fact table).  The range join keeps the
+interval side broadcast so the fact side streams through a nested-loop
+against a handful of intervals; at scale, bucketize the time axis and
+equi-join on the bucket instead.  The as-of join avoids a per-row
+subquery: union both sides, one window pass with ``last(ignorenulls)`` —
+a single shuffle on (key, time).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..io import load
+from ..registry import register
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "join_inner",
+    oracle=f"""
+        SELECT o_orderpriority,
+               {sql_dsum(_DISC_PRICE, "revenue")},
+               COUNT(*) AS n_items,
+               COUNT(DISTINCT o_orderkey) AS n_orders
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority
+    """,
+)
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: big⋈big inner equi-join on the fact key (baseline ⋈ analysis on
+    pixel id).  Catalyst picks SMJ/SHJ; AQE may flip to broadcast."""
+    lf = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    return (
+        lf.join(od, lf.l_orderkey == od.o_orderkey, "inner")
+        .groupBy("o_orderpriority")
+        .agg(
+            dsum(_disc_price(), "revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "join_broadcast",
+    oracle=f"""
+        SELECT r_name,
+               COUNT(*) AS n_cust,
+               {sql_davg("c_acctbal", "avg_bal")}
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2: fact ⋈ broadcast dims (platform/zone metadata).  Explicit
+    ``broadcast()`` — zero shuffle of the fact side at any scale."""
+    cu = load(spark, sf_dir, "customer")
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    return (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_cust"), davg("c_acctbal", "avg_bal"))
+    )
+
+
+@register(
+    "join_left",
+    oracle=f"""
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               {sql_dsum("o_totalprice", "total_spent")}
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+)
+def join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3: left outer — keep all pixels, attach optional observations
+    (xarray align/merge semantics).  Customers with no orders keep
+    n_orders=0 / NULL spend."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"), dsum("o_totalprice", "total_spent"))
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4: left semi — existence filter ("pixels with >=1 clear obs")."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "join_anti",
+    oracle="""
+        SELECT c_custkey, c_mktsegment FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: left anti — ledger diff ("scenes indexed but never processed")."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders")
+    return cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+_EPOCHS = [
+    ("e1", _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 11)),
+    ("e2", _dt.datetime(2024, 1, 11), _dt.datetime(2024, 1, 21)),
+    ("e3", _dt.datetime(2024, 1, 21), _dt.datetime(2024, 1, 31)),
+    ("all", _dt.datetime(2024, 1, 1), _dt.datetime(2024, 1, 31)),  # overlaps e1-e3
+]
+_EPOCH_VALUES = ", ".join(
+    f"('{n}', TIMESTAMP '{t0:%Y-%m-%d}', TIMESTAMP '{t1:%Y-%m-%d}')" for n, t0, t1 in _EPOCHS
+)
+
+
+@register(
+    "join_range",
+    oracle=f"""
+        SELECT e.epoch, COUNT(*) AS n_events, {sql_dsum("ev.value", "sum_value")}
+        FROM events ev
+        JOIN (VALUES {_EPOCH_VALUES}) AS e(epoch, t0, t1)
+          ON ev.ts >= e.t0 AND ev.ts < e.t1
+        GROUP BY e.epoch
+    """,
+)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: range/theta join — observation-to-epoch interval membership
+    (baseline vs analysis period bucketing in ``dc_ndvi_anomaly``).  The
+    interval side is tiny → broadcast nested-loop; events stream through.
+    Epochs overlap deliberately (an obs can land in several)."""
+    ev = load(spark, sf_dir, "events")
+    epochs = F.broadcast(
+        spark.createDataFrame(_EPOCHS, "epoch string, t0 timestamp, t1 timestamp")
+    )
+    return (
+        ev.join(epochs, (ev.ts >= epochs.t0) & (ev.ts < epochs.t1))
+        .groupBy("epoch")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
+
+
+@register(
+    "join_asof",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(value) AS click_value
+            FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+        ), purchases AS (
+            SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               c.click_value AS asof_click_value
+        FROM purchases p
+        ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: as-of join — "most recent composite at/before scene time"
+    (most-recent-mosaic fill-forward).  No native DataFrame primitive, so:
+    union both sides tagged, one window pass per (key, time) carrying
+    ``last(click, ignorenulls)`` forward, keep right-side rows with a
+    match.  Single shuffle; no per-row subquery.  Clicks are pre-deduped
+    per (user, ts) with MAX so ties are deterministic on both engines."""
+    ev = load(spark, sf_dir, "events")
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("click_value"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    u = purchases.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "value",
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("is_p"),
+    ).unionByName(
+        clicks.select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("bigint").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+            "click_value",
+            F.lit(0).alias("is_p"),
+        )
+    )
+    # click (is_p=0) sorts before a purchase at the same ts → ">=" as-of semantics
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_click_value", F.last("click_value", ignorenulls=True).over(w))
+        .where((F.col("is_p") == 1) & F.col("asof_click_value").isNotNull())
+        .select("event_id", "user_id", "ts", "value", "asof_click_value")
+    )
+
+
+@register(
+    "join_self_change",
+    oracle=f"""
+        WITH e96 AS (
+            SELECT l_partkey, {sql_dsum(_DISC_PRICE, "rev")}
+            FROM lineitem WHERE YEAR(l_shipdate) = 1996 GROUP BY l_partkey
+        ), e97 AS (
+            SELECT l_partkey, {sql_dsum(_DISC_PRICE, "rev")}
+            FROM lineitem WHERE YEAR(l_shipdate) = 1997 GROUP BY l_partkey
+        )
+        SELECT l_partkey, e96.rev AS rev_1996, e97.rev AS rev_1997,
+               ROUND(e97.rev - e96.rev, 6) AS delta
+        FROM e96 JOIN e97 USING (l_partkey)
+    """,
+)
+def join_self_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: two-epoch self-join — land/vegetation change detection: epoch1 ⋈
+    epoch2 on pixel key, difference the composites (``vegetation_change``
+    worker).  Aggregate-then-join keeps the join inputs one row per key."""
+    lf = load(spark, sf_dir, "lineitem")
+
+    def epoch(year: int) -> DataFrame:
+        return (
+            lf.where(F.year("l_shipdate") == year)
+            .groupBy("l_partkey")
+            .agg(dsum(_disc_price(), "rev"))
+        )
+
+    e96, e97 = epoch(1996), epoch(1997)
+    return (
+        e96.alias("a")
+        .join(e97.alias("b"), "l_partkey")
+        .select(
+            "l_partkey",
+            F.col("a.rev").alias("rev_1996"),
+            F.col("b.rev").alias("rev_1997"),
+            F.round(F.col("b.rev") - F.col("a.rev"), 6).alias("delta"),
+        )
+    )
+
+
+_ENDMEMBERS = [("pv", 0.5), ("npv", 0.3), ("soil", 0.2)]
+_EM_VALUES = ", ".join(f"('{n}', {w})" for n, w in _ENDMEMBERS)
+
+
+@register(
+    "join_cross",
+    oracle=f"""
+        SELECT r_name, endmember, weight
+        FROM region CROSS JOIN (VALUES {_EM_VALUES}) AS em(endmember, weight)
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: cross join with a constant matrix — fractional-cover endmember
+    application (``frac_coverage_classify`` applies a fixed 3×N matrix to
+    every pixel).  Tiny side broadcast → no shuffle."""
+    re = load(spark, sf_dir, "region")
+    em = F.broadcast(spark.createDataFrame(_ENDMEMBERS, "endmember string, weight double"))
+    return re.crossJoin(em).select("r_name", "endmember", "weight")

@@ -1,0 +1,199 @@
+"""Window functions (SURVEY.md §2.5 W1-W6).
+
+Reference analogs: per-pixel time-series ops — pick best-N clearest
+observations (ranking), Δband between consecutive obs (change detection),
+xarray ``rolling(time=k).mean()`` smoothing, cumulative clear-obs counts,
+and the percentile contrast stretch in ``odc-algo to_rgba``.
+
+Determinism: every ordering includes a unique tie-break column
+(``event_id``); windowed float sums go through the decimal cast so frame
+evaluation order (running-sum vs segment-tree) can't change the result.
+
+Scale notes: a window = one shuffle on partition key + per-partition sort.
+Partition keys here (user_id / pixel id) are high-cardinality, so
+partitions stay small; never window over an empty ``partitionBy`` at scale
+(single-task sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_DEC = "decimal(30,10)"
+
+
+@register(
+    "window_rank",
+    oracle="""
+        SELECT * FROM (
+            SELECT user_id, event_id, value,
+                   ROW_NUMBER() OVER w AS rn,
+                   RANK() OVER w AS rnk,
+                   DENSE_RANK() OVER w AS drnk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        ) WHERE rn <= 3
+    """,
+)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1: ranking — best-3 clearest obs per pixel."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.asc("event_id"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            "value",
+            F.row_number().over(w).cast("bigint").alias("rn"),
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle="""
+        SELECT event_id, user_id, ts, value,
+               LAG(value) OVER w AS prev_value,
+               value - LAG(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: lag/lead delta — Δband between consecutive observations
+    (two-epoch change generalized to every step).  Per-row subtraction is
+    IEEE-exact, no rounding needed."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        prev.alias("prev_value"),
+        (F.col("value") - prev).alias("delta"),
+    )
+
+
+@register(
+    "window_rolling",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
+                     / COUNT(value) OVER w, 6) AS rolling_avg,
+               COUNT(value) OVER w AS n_in_frame
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3: rolling mean over the last 5 obs — xarray ``rolling(time=5)``
+    smoothing.  Decimal-cast framed sum → engine-independent."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    cnt = F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(dec_sum / cnt, 6).alias("rolling_avg"),
+        cnt.alias("n_in_frame"),
+    )
+
+
+@register(
+    "window_cumsum",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE), 6)
+                 AS cum_value,
+               COUNT(*) OVER w AS cum_n
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: running total — cumulative clear-obs count over the time axis."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6).alias("cum_value"),
+        F.count(F.lit(1)).over(w).alias("cum_n"),
+    )
+
+
+@register(
+    "window_topk_group",
+    oracle="""
+        SELECT event_id, user_id, ts, event_type FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn <= 2
+    """,
+)
+def window_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: top-k per group — the k most-recent scenes per tile."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("event_id", "user_id", "ts", "event_type")
+    )
+
+
+@register(
+    "window_ntile",
+    oracle="""
+        SELECT event_id, event_type, value,
+               NTILE(4) OVER w AS quartile,
+               PERCENT_RANK() OVER w AS pct_rank,
+               CUME_DIST() OVER w AS cume,
+               NTH_VALUE(value, 1) OVER (PARTITION BY event_type
+                                         ORDER BY value, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                                  AND UNBOUNDED FOLLOWING) AS min_value
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6: distribution functions — percentile stretch for visualization
+    (``odc-algo to_rgba`` contrast stretch).  percent_rank/cume_dist are
+    exact integer ratios → engine-identical doubles."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("value", 1).over(wfull).alias("min_value"),
+    )

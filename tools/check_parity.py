@@ -72,8 +72,9 @@ def compare(key: str, spark_df: pd.DataFrame, duck_df: pd.DataFrame) -> list[str
         problems.append(f"rowcount: spark={len(spark_df)} duck={len(duck_df)}")
     a, b = canon_rows(spark_df), canon_rows(duck_df)
     if a != b:
-        diff_a = [r for r in a if r not in set(b)][:3]
-        diff_b = [r for r in b if r not in set(a)][:3]
+        sa, sb = set(a), set(b)
+        diff_a = [r for r in a if r not in sb][:3]
+        diff_b = [r for r in b if r not in sa][:3]
         problems.append(f"values differ; spark-only={diff_a} duck-only={diff_b}")
     return problems
 
