@@ -1,0 +1,170 @@
+"""Batch-expressible forms of the streaming surface (SURVEY.md §2.9 T1-T3,
+T5, T7).
+
+Reference analog: the ODC stack has NO event-time streaming — its Redis
+queue is an at-least-once task stream (one job per new scene) with no
+watermarks or windows.  The engine upgrades that to Structured Streaming
+(streams.py); these batch twins pin the WINDOW SEMANTICS to DuckDB oracles,
+because the same ``window``/``session_window`` expressions drive both the
+batch and streaming plans in Spark — verifying the batch form verifies the
+aggregation logic the stream runs incrementally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dsum, sql_dsum
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "stream_tumbling",
+    oracle=f"""
+        SELECT DATE_TRUNC('hour', ts) AS w_start,
+               DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS w_end,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+        GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1: tumbling 1-hour windows — the scene-cadence rollup the reference
+    approximates with per-job time chunks."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_sliding",
+    oracle=f"""
+        SELECT TIME_BUCKET(INTERVAL '15 minutes', ts) - k.off * INTERVAL '15 minutes'
+                 AS w_start,
+               TIME_BUCKET(INTERVAL '15 minutes', ts) - k.off * INTERVAL '15 minutes'
+                 + INTERVAL 1 HOUR AS w_end,
+               event_type,
+               COUNT(*) AS n,
+               {sql_dsum("value", "sum_value")}
+        FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) AS k(off)
+        GROUP BY 1, 2, event_type
+    """,
+)
+def stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2: sliding windows (1 h length, 15 min slide) — each event lands in
+    exactly 4 epoch-aligned windows; the oracle reconstructs them by
+    offsetting the 15-minute bucket."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_session",
+    oracle=f"""
+        WITH lagged AS (
+            SELECT user_id, ts, value,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+            FROM events
+        ), flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN prev_ts IS NULL
+                             OR ts - prev_ts >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_s
+            FROM lagged
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flagged
+        )
+        SELECT MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+               user_id,
+               COUNT(*) AS n,
+               {sql_dsum("value", "sum_value")}
+        FROM sessions
+        GROUP BY user_id, sid
+    """,
+)
+def stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3: session windows (30 min gap) per user.  Spark merges events whose
+    ``[ts, ts+gap)`` windows OVERLAP — a gap of exactly 30 min starts a new
+    session, which the oracle mirrors with ``>= INTERVAL 30 MINUTE``
+    (SURVEY §7 hard-part 4)."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("s_start"),
+            F.col("w.end").alias("s_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "stream_dedup",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_unique
+        FROM (SELECT DISTINCT event_id, event_type FROM events)
+        GROUP BY event_type
+    """,
+)
+def stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 batch twin: exactly-once by event id — the streaming form is
+    ``dropDuplicatesWithinWatermark(['event_id'])`` (streams.py, tested with
+    a MemorySink); the batch form pins the id-dedup semantics."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+
+
+@register(
+    "stream_static_join",
+    oracle=f"""
+        SELECT c_mktsegment, COUNT(*) AS n_events, {sql_dsum("value", "sum_value")}
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    """,
+)
+def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 batch twin: enrich the event stream with a static dimension —
+    in streaming this is stream⋈static (broadcast, no state); semantics
+    identical to the batch join."""
+    ev = load(spark, sf_dir, "events")
+    cu = load(spark, sf_dir, "customer")
+    return (
+        ev.join(F.broadcast(cu), ev.user_id == cu.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+    )
