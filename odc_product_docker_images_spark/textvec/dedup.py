@@ -1,0 +1,216 @@
+"""Deduplication family (SURVEY.md §2.10 X1/X2 + training-pipeline extras).
+
+Not in the EO reference (its only dedup is index uniqueness of dataset
+UUIDs, A11) — this is the LLM-training-data surface the north star adds:
+exact hash dedup, MinHash/LSH near-dup, exact n-gram Jaccard, SimHash.
+
+Scale notes (100 TB):
+- Exact: one hash-aggregate on a 64-bit content key (``xxhash64`` in
+  production; md5 here because the DuckDB oracle lacks xxhash). Shuffle
+  carries (hash, doc_id) only — never the text.
+- MinHash/LSH: banding turns O(n²) similarity into equi-join on band
+  buckets; candidate pairs only are verified.  ``approxSimilarityJoin``
+  does exactly this under the hood.
+- Exact n-gram Jaccard: explode shingles → self-equi-join on shingle →
+  count intersections.  Shuffle volume = total shingle count, not n².
+  Feasible when shingle frequency is bounded; the LSH path replaces it
+  when hot shingles would blow up the join (document frequency cap).
+- SimHash: 64-bit sketch per doc (one map pass), near-dups = small
+  Hamming distance; bucket by bit-bands for candidate generation.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "dedup_exact_hash",
+    oracle="""
+        SELECT MD5(text) AS text_hash,
+               MIN(doc_id) AS keeper_id,
+               COUNT(*) AS dup_cnt
+        FROM documents
+        GROUP BY MD5(text)
+    """,
+)
+def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact dedup — content-hash groupBy, min doc_id survives.
+    Production key is ``xxhash64(text)`` (8-byte shuffle key, no crypto
+    cost); md5 here for oracle parity."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count(F.lit(1)).alias("dup_cnt"),
+    )
+
+
+def _shingles(col: str = "text", k: int = 3) -> F.Column:
+    """Distinct k-word shingles as an array column (pure exprs)."""
+    toks = F.split(F.col(col), " ")
+    n = F.size(toks)
+    seq = F.sequence(F.lit(1), n - (k - 1))
+    make = F.transform(
+        seq,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    # guard: sequence(1, x<1) would generate a DESCENDING sequence in Spark
+    return F.when(n >= k, F.array_distinct(make)).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+            FROM toks WHERE LEN(t) >= 3
+        ), ex AS (
+            SELECT doc_id, UNNEST(shs) AS sh FROM sh
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               ROUND(i / (sa.n + sb.n - i), 6) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i / (sa.n + sb.n - i) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-exact: 3-gram shingle Jaccard >= 0.5 near-dup pairs via
+    explode + shingle equi-join (no cross join anywhere)."""
+    dc = load(spark, sf_dir, "documents")
+    ex = dc.select("doc_id", F.explode(_shingles()).alias("sh"))
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@register("dedup_minhash")  # ⊘oracle: banded LSH is approximate by construction
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-dup candidates — shingle → HashingTF sparse
+    vector → seeded MinHashLSH → banded ``approxSimilarityJoin``.  The
+    scale path: candidates come from band-bucket equi-joins, verified
+    pairs only are returned.  Recall vs the exact Jaccard key is asserted
+    in tests/test_textvec.py."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    dc = load(spark, sf_dir, "documents")
+    sh = dc.select("doc_id", _shingles().alias("shs")).where(F.size("shs") > 0)
+    tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18, binary=True)
+    feats = tf.transform(sh)
+    lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
+    return (
+        pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+
+def _simhash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        out = np.empty(len(pdf), dtype=np.int64)
+        for row_i, text in enumerate(pdf["text"]):
+            acc = np.zeros(64, dtype=np.int64)
+            for tok in set(text.split(" ")):
+                h = hashlib.md5(tok.encode()).digest()[:8]
+                bits = np.unpackbits(np.frombuffer(h, dtype=np.uint8), bitorder="little")
+                acc += 2 * bits.astype(np.int64) - 1
+            sig = np.packbits((acc > 0), bitorder="little").view(np.int64)[0]
+            out[row_i] = sig
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "simhash": out})
+
+
+@register("dedup_simhash")  # ⊘oracle: sketch; Hamming-neighbor property tested in pytest
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2-alt: 64-bit SimHash signature per document (deterministic md5
+    token hashes) via mapInPandas — one map pass, no shuffle; near-dup
+    candidates = band-bucketed small-Hamming pairs downstream."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.select("doc_id", "text").mapInPandas(
+        _simhash_batches, schema="doc_id long, simhash long"
+    )
+
+
+@register(
+    "dedup_embedding",
+    oracle="""
+        WITH n AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                     i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.vec_id < b.vec_id
+        WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+              i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+    """,
+)
+def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos >= 0.4).  Brute-force pair join
+    at fixture scale; at 100 TB the LSH bucket join (sim_ann_lsh) generates
+    the candidates and this predicate verifies them."""
+    em = load(spark, sf_dir, "embeddings")
+    dot = lambda l, r: F.aggregate(  # noqa: E731
+        F.zip_with(l, r, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    n = em.select(
+        "vec_id",
+        "embedding",
+        F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(cos >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

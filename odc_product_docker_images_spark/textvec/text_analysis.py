@@ -1,0 +1,210 @@
+"""Text analysis (SURVEY.md §2.10 X4 + training-pipeline extras).
+
+Tokenization (U5 generator/explode), corpus stats, n-gram-heuristic
+language ID, quality scoring, token counting, and document fingerprinting.
+All pure Column expressions — at 100 TB these run inside the scan's
+codegen stage; the only shuffles are the final small aggregations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import davg, sql_davg
+from ..io import load
+from ..registry import register
+
+
+def _toks(col: str = "text") -> Column:
+    return F.split(F.col(col), " ")
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+        SELECT w AS token, COUNT(*) AS n
+        FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+        GROUP BY w
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5/X4: document → token stream (generator) + top-20 word count —
+    the canonical explode/UDTF shape."""
+    dc = load(spark, sf_dir, "documents")
+    return (
+        dc.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@register(
+    "text_lang_stats",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_docs,
+               {sql_davg("n_chars", "avg_chars")},
+               {sql_davg("LEN(STRING_SPLIT(text, ' '))", "avg_tokens")},
+               COUNT(DISTINCT source) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+)
+def text_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-language corpus profile."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg("n_chars", "avg_chars"),
+        davg(F.size(_toks()).cast("double"), "avg_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# Tiny per-language marker lists (the n-gram/stopword heuristic shape; the
+# fixture vocab is shared across langs, so scores — not ground truth — are
+# the point of the operator).
+_MARKERS = {
+    "en": ["the", "a", "value", "table"],
+    "de": ["der", "die", "und", "batch"],
+    "es": ["el", "la", "query", "fast"],
+}
+_LANG_ORDER = ["en", "de", "es"]
+
+
+def _marker_score(lang: str) -> Column:
+    lits = F.array(*[F.lit(w) for w in _MARKERS[lang]])
+    return F.size(F.array_intersect(F.array_distinct(_toks()), lits))
+
+
+def _marker_score_sql(lang: str) -> str:
+    lst = ", ".join(f"'{w}'" for w in _MARKERS[lang])
+    return (
+        f"LEN(LIST_INTERSECT(LIST_DISTINCT(STRING_SPLIT(text, ' ')), [{lst}]))"
+    )
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_marker_score_sql('en')} AS INTEGER) AS score_en,
+               CAST({_marker_score_sql('de')} AS INTEGER) AS score_de,
+               CAST({_marker_score_sql('es')} AS INTEGER) AS score_es,
+               CASE
+                 WHEN {_marker_score_sql('en')} >= {_marker_score_sql('de')}
+                  AND {_marker_score_sql('en')} >= {_marker_score_sql('es')} THEN 'en'
+                 WHEN {_marker_score_sql('de')} >= {_marker_score_sql('es')} THEN 'de'
+                 ELSE 'es'
+               END AS predicted_lang
+        FROM documents
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: marker-overlap language ID — score per language = distinct-token
+    overlap with a marker list; argmax with a fixed tie order (en>de>es)."""
+    dc = load(spark, sf_dir, "documents")
+    s = {lang: _marker_score(lang) for lang in _LANG_ORDER}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]), "en")
+        .when(s["de"] >= s["es"], "de")
+        .otherwise("es")
+    )
+    return dc.select(
+        "doc_id",
+        s["en"].cast("int").alias("score_en"),
+        s["de"].cast("int").alias("score_de"),
+        s["es"].cast("int").alias("score_es"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+        SELECT doc_id,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tokens,
+               ROUND(LIST_SUM(LIST_TRANSFORM(STRING_SPLIT(text, ' '),
+                     t -> CAST(LEN(t) AS DOUBLE))) / LEN(STRING_SPLIT(text, ' ')), 6)
+                 AS avg_token_len,
+               ROUND(LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                     / LEN(STRING_SPLIT(text, ' ')), 6) AS ttr,
+               CAST(LEN(STRING_SPLIT(text, ' ')) BETWEEN 20 AND 200
+                    AND LEN(LIST_DISTINCT(STRING_SPLIT(text, ' ')))
+                        / LEN(STRING_SPLIT(text, ' ')) > 0.2 AS INTEGER) AS passes
+        FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: quality scoring — length band, mean token length, type-token
+    ratio, pass/fail gate (the C4-style heuristic filter shape)."""
+    dc = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    avg_len = (
+        F.aggregate(
+            F.transform(toks, lambda t: F.length(t).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / n_tok
+    )
+    ttr = F.size(F.array_distinct(toks)) / n_tok
+    passes = (n_tok.between(20, 200) & (ttr > 0.2)).cast("int")
+    return dc.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+        F.round(ttr, 6).alias("ttr"),
+        passes.alias("passes"),
+    )
+
+
+@register(
+    "text_token_count",
+    oracle="""
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS ws_tokens,
+               CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9]+')) AS BIGINT) AS re_tokens,
+               CAST(CEIL(n_chars / 4.0) AS BIGINT) AS bpe_estimate
+        FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token counting three ways — whitespace, regex word-ish tokens,
+    and the chars/4 BPE estimate used for quick budget math."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        F.size(_toks()).cast("bigint").alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).cast("bigint").alias(
+            "re_tokens"
+        ),
+        F.ceil(F.col("n_chars") / 4.0).cast("bigint").alias("bpe_estimate"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(STRING_SPLIT(text, ' '))), ' '))
+                 AS fingerprint
+        FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: canonical-form fingerprint — hash of the sorted distinct token
+    set (catches reorderings/shuffles exact-hash misses)."""
+    dc = load(spark, sf_dir, "documents")
+    return dc.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " ")).alias("fingerprint"),
+    )
