@@ -22,6 +22,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 # Headline set: one per operator family, preferring the scale-relevant ones.
 HEADLINE = [
+    "scan_pushdown",
     "agg_multi_stat",
     "agg_mean",
     "agg_max_by",
@@ -31,11 +32,14 @@ HEADLINE = [
     "join_asof",
     "window_rank",
     "window_rolling",
+    "udf_wofs_summary",
     "agg_geomedian",
     "dedup_exact_hash",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
     "sim_topk_cosine",
     "explode_tokens",
+    "text_quality",
     "stream_session",
 ]
 

@@ -12,10 +12,12 @@ when the table is laid out ``partitionBy(time_key)``.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, write_partitioned
 from ..registry import register
 
 
@@ -59,3 +61,58 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
         & F.col("l_partkey").between(100, 500)
     ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+
+
+@register("source_tile_scan")  # ⊘oracle: custom DataSource generates its own rows
+def source_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: the Datacube.load pipeline on the custom Python DataSource —
+    per-tile parallel read → NDVI band math → regrid (floor-divide grid
+    binning, the GeoBox cell-id trick) → per-cell composite.  One shuffle
+    (the regrid groupBy); tile reads are independent executor tasks."""
+    from ..sources.tile_source import register_tile_source
+
+    register_tile_source(spark)
+    px = (
+        spark.read.format("synthetic_tiles")
+        .option("tiles", "4")
+        .option("tile_size", "32")
+        .load()
+    )
+    ndvi = (px["nir"] - px["red"]) / (px["nir"] + px["red"] + F.lit(1e-9))
+    cell = [(F.col("y") / 16).cast("long").alias("cell_y"),
+            (F.col("x") / 16).cast("long").alias("cell_x")]
+    return (
+        px.select(*cell, ndvi.alias("ndvi"))
+        .groupBy("cell_y", "cell_x")
+        .agg(
+            F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
+            F.count(F.lit(1)).alias("n_px"),
+        )
+    )
+
+
+@register(
+    "sink_partitioned_write",
+    oracle="""
+        SELECT CAST(YEAR(l_shipdate) AS INTEGER) AS ship_year,
+               COUNT(*) AS n,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+        FROM lineitem
+        GROUP BY 1
+    """,
+)
+def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: partitioned sink round-trip — the COG/S3 writer analog.  Writes
+    lineitem partitioned by ship_year (directory layout = the pruning
+    index, mode=overwrite = idempotent-by-key) then RE-READS and aggregates
+    per partition, so the oracle checks the full write→read path."""
+    out = Path(__file__).resolve().parents[2] / ".tmp" / "sink_demo"
+    lf = load(spark, sf_dir, "lineitem").withColumn(
+        "ship_year", F.year("l_shipdate").cast("int")
+    )
+    write_partitioned(lf, str(out), ["ship_year"])
+    back = spark.read.parquet(str(out))
+    return back.groupBy("ship_year").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )

@@ -119,17 +119,81 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MH_K = 64  # minhash functions
+_MH_B, _MH_R = 16, 4  # bands × rows: s-curve threshold (1/B)^(1/R) = 0.5
+
+
 @register("dedup_minhash")  # ⊘oracle: banded LSH is approximate by construction
 def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash+LSH near-dup candidates — shingle → HashingTF sparse
-    vector → seeded MinHashLSH → banded ``approxSimilarityJoin``.  The
-    scale path: candidates come from band-bucket equi-joins, verified
-    pairs only are returned.  Recall vs the exact Jaccard key is asserted
-    in tests/test_textvec.py."""
+    """X2: MinHash+LSH near-dup pairs, the scale-ready banded design:
+    explode shingles → K=64 seeded xxhash64 per shingle ROW → minhash =
+    64 MIN aggregates per doc (one hash-agg) → 16 band signatures of 4
+    rows → explode bands → bucket equi-join for candidates → verify with
+    EXACT set Jaccard (array_intersect) → filter.
+
+    Two deliberate shapes:
+    - Row-wise hashing then MIN-aggregate, NOT array_min over 64 nested
+      transforms: projection collapse would inline the shingle-builder
+      into each of the 64 lambdas — a pathological expression tree
+      (measured 60s; this form ~2s).
+    - Banding with R=4 rows: candidate probability 1-(1-j⁴)¹⁶, a steep
+      s-curve at j≈0.5.  ``ml.MinHashLSH``'s single-hash bands make
+      candidate probability equal RAW Jaccard — floods the verifier on a
+      high-base-similarity corpus (dedup_minhash_ml, kept for contrast).
+    At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
+    dc = load(spark, sf_dir, "documents")
+    ex = (
+        dc.select("doc_id", F.explode(_shingles()).alias("sh"))
+        .repartition(32, "doc_id")
+    )
+    hashed = ex.select(
+        "doc_id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(_MH_K)]
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(_MH_K)]
+    )
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)])
+            for b in range(_MH_B)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "sig"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = ex.groupBy("doc_id").agg(F.collect_set("sh").alias("shs"))
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shs").alias("shs_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shs").alias("shs_b"))
+    inter = F.size(F.array_intersect("shs_a", "shs_b"))
+    union = F.size("shs_a") + F.size("shs_b") - inter
+    jac = inter / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("est_jaccard"))
+    )
+
+
+@register("dedup_minhash_ml")  # ⊘oracle: spark.ml MinHashLSH integration variant
+def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 via spark.ml: HashingTF sparse vectors → seeded MinHashLSH →
+    ``approxSimilarityJoin``.  Kept as the MLlib-integration surface; the
+    banded expr implementation above is the production path (see its
+    docstring for why)."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     dc = load(spark, sf_dir, "documents")
-    sh = dc.select("doc_id", _shingles().alias("shs")).where(F.size("shs") > 0)
+    sh = dc.repartition(32).select("doc_id", _shingles().alias("shs")).where(F.size("shs") > 0)
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)
@@ -203,7 +267,7 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         F.sqrt(dot(F.col("embedding"), F.col("embedding"))).alias("nrm"),
     )
-    a, b = n.alias("a"), n.alias("b")
+    a, b = n.repartition(32).alias("a"), F.broadcast(n).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))

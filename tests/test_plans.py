@@ -1,0 +1,123 @@
+"""Physical-plan invariants (SURVEY.md §4) — plan regressions ARE perf
+regressions at 100 TB, so the pushdown/broadcast/codegen properties the
+engine relies on are pinned as tests."""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from odc_product_docker_images_spark.plans import checks as C
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_pushdown_reaches_parquet(spark):
+    from odc_product_docker_images_spark.operators.scans import scan_pushdown
+
+    df = scan_pushdown(spark, SF)
+    C.assert_filter_pushed(df, "l_shipdate")
+    C.assert_filter_pushed(df, "l_quantity")
+    C.assert_columns_pruned(df, {"l_orderkey", "l_quantity", "l_shipdate"})
+
+
+def test_band_math_prunes_to_used_bands(spark):
+    from odc_product_docker_images_spark.operators.projections import proj_band_math
+
+    df = proj_band_math(spark, SF)
+    C.assert_columns_pruned(
+        df,
+        {"l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax", "l_quantity"},
+    )
+
+
+def test_dim_join_broadcasts(spark):
+    from odc_product_docker_images_spark.operators.joins import join_broadcast
+
+    C.assert_broadcast_join(join_broadcast(spark, SF))
+
+
+def test_range_join_broadcasts_interval_side(spark):
+    from odc_product_docker_images_spark.operators.joins import join_range
+
+    plan = C.formatted_plan(join_range(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_wofs_tree_is_pure_codegen(spark):
+    from odc_product_docker_images_spark.kernels.wofs import udf_wofs_tree
+
+    df = udf_wofs_tree(spark, SF)
+    C.assert_no_python_row_path(df)
+    assert C.codegen_stage_count(df) >= 1
+    assert C.exchange_count(df) == 0  # classification is shuffle-free
+
+
+def test_single_shuffle_aggregation(spark):
+    from odc_product_docker_images_spark.operators.aggregates import agg_mean
+
+    # partial + final hash agg around exactly one exchange
+    assert C.exchange_count(agg_mean(spark, SF)) == 1
+
+
+def test_payload_column_pruned_on_metadata_rollup(spark):
+    """Binary payload columns must not be read by metadata-only queries —
+    the multimodal design's core pruning claim, checked on a real parquet
+    file with a binary column."""
+    scratch = Path(__file__).resolve().parent.parent / ".tmp" / f"media_{uuid.uuid4().hex[:6]}"
+    try:
+        from odc_product_docker_images_spark.io import load
+
+        media = load(spark, SF, "documents").select(
+            "doc_id",
+            F.encode("text", "utf-8").alias("payload"),
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("content_length"),
+        )
+        media.write.mode("overwrite").parquet(str(scratch))
+        rollup = (
+            spark.read.parquet(str(scratch))
+            .groupBy("origin")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("content_length").alias("bytes"))
+        )
+        got = C.read_schema_columns(rollup)
+        assert "payload" not in got, f"metadata rollup reads payload bytes: {got}"
+        assert rollup.count() > 0
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+def test_approx_distinct_within_error(spark):
+    from odc_product_docker_images_spark.operators.aggregates import (
+        agg_approx_distinct,
+        agg_count_distinct,
+    )
+
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in agg_count_distinct(spark, SF).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["approx_parts"]
+        for r in agg_approx_distinct(spark, SF).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / v < 0.1
+
+
+def test_tile_source_partition_parallelism(spark):
+    from odc_product_docker_images_spark.sources.tile_source import register_tile_source
+
+    register_tile_source(spark)
+    px = (
+        spark.read.format("synthetic_tiles")
+        .option("tiles", "3")
+        .option("tile_size", "8")
+        .load()
+    )
+    assert px.rdd.getNumPartitions() == 9  # one task per tile
+    assert px.count() == 9 * 64
