@@ -1,0 +1,109 @@
+"""Remaining UDF/UDTF surface (SURVEY.md §2.8 U5/U6).
+
+U6 — iterator pandas UDF: the chunked-model-scoring shape.  The reference
+loads a classifier once per worker process and streams chunks through it
+(dask blockwise with a closure).  Spark analog: ``Iterator[pd.Series]``
+pandas UDF — per-partition init amortized across Arrow batches, which is
+exactly what you want when 'init' is loading model weights.  The stub
+'model' is a fixed linear unmix so the whole thing stays oracle-checkable
+(per-row double arithmetic is engine-exact).
+
+U5 — UDTF: PySpark 4 ``udtf`` generator — one input row → many output
+rows with per-row Python state.  Chunking documents into fixed token
+windows (the training-data tokenize-and-pack shape).  Oracle: DuckDB
+range + list slicing reproduces the same chunks.
+
+NB: the ``pandas_udf``/``udtf`` decorators parse their DDL return types
+EAGERLY and need an active SparkSession — they are constructed inside the
+query functions, never at module import.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# fixed 'model weights' (a linear water-index stand-in)
+_W = {"bias": 0.125, "qty": 0.02, "disc": -1.5, "tax": 0.75}
+
+
+@register(
+    "udf_iter_score",
+    oracle=f"""
+        SELECT l_orderkey, l_linenumber,
+               {_W['bias']} + {_W['qty']} * l_quantity
+                 + ({_W['disc']}) * l_discount + {_W['tax']} * l_tax AS score
+        FROM lineitem
+    """,
+)
+def udf_iter_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6: iterator pandas UDF model scoring — Arrow-batched, init
+    amortized across batches; linear stub keeps it bit-exact vs SQL."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def score_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Series]:
+        # expensive init happens ONCE per partition, not per batch/row
+        w = dict(_W)
+        for pdf in batches:
+            yield (
+                w["bias"]
+                + w["qty"] * pdf["l_quantity"]
+                + w["disc"] * pdf["l_discount"]
+                + w["tax"] * pdf["l_tax"]
+            )
+
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.select(
+        "l_orderkey",
+        "l_linenumber",
+        score_iter(F.struct("l_quantity", "l_discount", "l_tax")).alias("score"),
+    )
+
+
+class ChunkText:
+    """U5 UDTF body: split a document into fixed-size token windows."""
+
+    def eval(self, doc_id: int, text: str, window: int):  # noqa: D102
+        toks = text.split(" ")
+        for i in range(0, len(toks), window):
+            piece = toks[i : i + window]
+            yield doc_id, i // window, " ".join(piece), len(piece)
+
+
+@register(
+    "udtf_chunk_text",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS toks FROM documents
+        )
+        SELECT doc_id,
+               CAST(k AS INTEGER) AS chunk_idx,
+               ARRAY_TO_STRING(toks[k * 32 + 1 : LEAST((k + 1) * 32, LEN(toks))], ' ')
+                 AS chunk,
+               CAST(LEAST((k + 1) * 32, LEN(toks)) - k * 32 AS INTEGER) AS n_chunk_tokens
+        FROM t, RANGE(0, 1000) r(k)
+        WHERE k * 32 < LEN(toks)
+    """,
+)
+def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5: tokenize-and-pack — each doc explodes into 32-token windows via
+    a Python UDTF (the generator shape ``explode`` can't express when
+    per-row state or ragged logic is involved)."""
+    from pyspark.sql.functions import udtf
+
+    chunker = udtf(
+        ChunkText,
+        returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_chunk_tokens: int",
+    )
+    spark.udtf.register("chunk_text", chunker)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT c.* FROM documents_v, LATERAL chunk_text(doc_id, text, 32) c"
+    )

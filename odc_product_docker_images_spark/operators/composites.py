@@ -1,0 +1,231 @@
+"""Composite / scale-pattern operators: skew-salted aggregation, full
+multi-join analytical queries, catalog enumeration, and the registered
+streaming-watermark demonstration.
+
+These are the patterns a 100 TB deployment leans on daily:
+- Salting: hot keys (3 return flags over 600 M rows) would put one
+  reducer on the critical path; salt → partial-aggregate → re-aggregate
+  splits each hot key across N reducers.  Because the engine's sums are
+  decimal-exact (det.py), the two-phase result is BIT-IDENTICAL to the
+  direct aggregation — the oracle is simply the unsalted query.
+- The TPC-H-shaped composites exercise multi-join + agg + top-k plans the
+  way real product queries do (the per-product pipelines in the reference
+  are exactly scan→join-epochs→aggregate→rank chains).
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dsum, sql_dsum
+from ..io import load
+from ..registry import register
+
+_DISC_PRICE = "l_extendedprice * (1 - l_discount)"
+
+
+def _disc_price() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@register(
+    "agg_salted_twophase",
+    oracle=f"""
+        SELECT l_returnflag,
+               {sql_dsum(_DISC_PRICE, "revenue")},
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew mitigation: deterministic salt (hash of the row key, NOT rand()
+    — reruns/retries must agg identically) splits each hot group key 16
+    ways; phase 1 partial-aggregates per (key, salt), phase 2 merges.
+    Decimal sums are associative, so the result equals the direct
+    aggregation exactly — which is what the oracle checks."""
+    lf = load(spark, sf_dir, "lineitem")
+    salt = F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(16)).alias("salt")
+    phase1 = (
+        lf.withColumn("salt", salt)
+        .groupBy("l_returnflag", "salt")
+        .agg(
+            F.sum(_disc_price().cast("decimal(30,10)")).alias("rev_part"),
+            F.count(F.lit(1)).alias("n_part"),
+        )
+    )
+    return phase1.groupBy("l_returnflag").agg(
+        F.round(F.sum("rev_part").cast("double"), 6).alias("revenue"),
+        F.sum("n_part").alias("n"),
+    )
+
+
+@register(
+    "composite_q3_shape",
+    oracle=f"""
+        SELECT l_orderkey, o_orderdate,
+               {sql_dsum(_DISC_PRICE, "revenue")}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15'
+          AND l_shipdate  > TIMESTAMP '1998-03-15'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+)
+def composite_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: segment filter → 3-way join → revenue per order →
+    top-10.  The per-product 'which scenes to process next' ranking query
+    in engine terms.  Dims filter BEFORE the join (Catalyst pushes the
+    segment predicate below the join); top-k is TakeOrdered, no full sort."""
+    cu = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
+    )
+    lf = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-03-15").cast("timestamp")
+    )
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(lf, lf.l_orderkey == od.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dsum(_disc_price(), "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "composite_q5_shape",
+    oracle=f"""
+        SELECT n_name, {sql_dsum(_DISC_PRICE, "revenue")}
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+)
+def composite_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 6-way join (2 broadcast dims) + local-supplier
+    predicate + grouped revenue — the zonal-statistics query shape
+    (pixels ⋈ zone polygons ⋈ platform metadata)."""
+    cu = load(spark, sf_dir, "customer")
+    od = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    lf = load(spark, sf_dir, "lineitem")
+    su = load(spark, sf_dir, "supplier")
+    na = F.broadcast(load(spark, sf_dir, "nation"))
+    re = F.broadcast(load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA"))
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey)
+        .join(lf, lf.l_orderkey == od.o_orderkey)
+        .join(su, (lf.l_suppkey == su.s_suppkey) & (su.s_nationkey == cu.c_nationkey))
+        .join(na, cu.c_nationkey == na.n_nationkey)
+        .join(re, na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(_disc_price(), "revenue"))
+    )
+
+
+@register("catalog_tables")  # ⊘oracle: engine catalog metadata, not fixture data
+def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: dataset/product enumeration — ``dc.list_products`` /
+    ``list_measurements``.  The declared schema registry IS the catalog;
+    each row = (table, n_columns, has time axis, n band-ish columns)."""
+    from .. import schemas
+
+    rows = []
+    for name in sorted(schemas.TABLES):
+        st = schemas.TABLES[name]
+        n_ts = sum(1 for f in st.fields if f.dataType.typeName() == "timestamp")
+        n_num = sum(
+            1 for f in st.fields if f.dataType.typeName() in ("double", "float")
+        )
+        rows.append((name, len(st.fields), n_ts > 0, n_num))
+    return spark.createDataFrame(
+        rows, "table_name string, n_columns int, has_time_axis boolean, n_numeric_bands int"
+    )
+
+
+@register("stream_watermark")  # ⊘oracle: true event-time semantics, not batch-expressible
+def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: the watermark late-drop demonstration as a registered key — runs
+    a REAL watermarked streaming query over a 3-batch staged feed (on-time
+    events, a late straggler, a watermark-advancing event) and returns the
+    append-mode sink: exactly the on-time window survives.
+
+    Deterministic: the straggler's window closed before it arrived, so the
+    emitted row set is fixed regardless of timing."""
+    import datetime as dt
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..streaming import streams as S
+
+    feed = Path(__file__).resolve().parents[2] / ".tmp" / f"wm_{uuid.uuid4().hex[:8]}"
+    feed.mkdir(parents=True, exist_ok=True)
+
+    def write(idx: int, rows: list[tuple[int, str, float]]) -> None:
+        # written with pyarrow + explicit mtimes: FileStreamSource orders
+        # batches by modification time, and sub-second Spark writes can
+        # land out of order — utime pins the replay order deterministically
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [
+                        int(dt.datetime.fromisoformat(r[1]).timestamp() * 1_000_000_000)
+                        for r in rows
+                    ],
+                    pa.int64(),
+                ),
+                "user_id": pa.array([1] * len(rows), pa.int64()),
+                "event_type": pa.array(["click"] * len(rows)),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        path = feed / f"{idx:02d}.parquet"
+        pq.write_table(tbl, path)
+        os.utime(path, (1_700_000_000 + idx * 3600, 1_700_000_000 + idx * 3600))
+
+    stream = S.events_stream(spark, str(feed))
+    agg = S.tumbling_counts(stream, watermark="10 minutes")
+    name = "wm_key_" + uuid.uuid4().hex[:6]
+    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
+    # files must ARRIVE while the query runs: pre-discovered files are
+    # planned against the initial (epoch-0) watermark, so a 'late' row in
+    # a pre-existing file is NOT dropped — real arrival order is what the
+    # watermark semantics key off (verified empirically; see git history)
+    write(
+        0,
+        [
+            (1, "2024-01-01T10:00:00", 1.0),
+            (2, "2024-01-01T10:20:00", 2.0),
+            (3, "2024-01-01T10:40:00", 3.0),
+        ],
+    )
+    q.processAllAvailable()  # watermark → 10:30
+    write(1, [(4, "2024-01-01T09:00:00", 99.0)])  # late: its window closed at 10:30
+    q.processAllAvailable()  # dropped
+    write(2, [(5, "2024-01-01T12:30:00", 1.0)])  # watermark → 12:20
+    q.processAllAvailable()  # closes [10:00,11:00) — the only emitted row
+    q.stop()
+    return spark.table(name).select("w_start", "event_type", "n", "sum_value")

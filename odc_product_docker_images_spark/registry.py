@@ -35,8 +35,10 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.aggregates",
     "odc_product_docker_images_spark.operators.windows",
     "odc_product_docker_images_spark.operators.setops",
+    "odc_product_docker_images_spark.operators.composites",
     "odc_product_docker_images_spark.functions.scalars",
     "odc_product_docker_images_spark.kernels.wofs",
+    "odc_product_docker_images_spark.kernels.udfs",
     "odc_product_docker_images_spark.kernels.geomedian",
     "odc_product_docker_images_spark.kernels.frac_cover",
     "odc_product_docker_images_spark.streaming.batch_forms",

@@ -56,4 +56,9 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # a default-200-partition host session runs 200-task stages for every
+    # tiny stateful micro-batch; size to the local core budget instead
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+    )
     return spark
