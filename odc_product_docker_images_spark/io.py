@@ -35,9 +35,13 @@ def load(spark: SparkSession, sf_dir: str, table: str, validate: bool = False) -
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    types = dict(df.dtypes)
     for c in nanos_cols:
-        # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        # only when the file really carries int64 nanos — a re-materialized
+        # copy of the table may already be timestamp-typed
+        if types.get(c) == "bigint":
+            # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     if validate:
         schemas.validate(df.schema, table)
     return df

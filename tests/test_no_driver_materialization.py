@@ -1,0 +1,28 @@
+"""Guard: no driver-side materialization on operator data paths
+(SURVEY §7 hard-part 6 — 100 TB design discipline).
+
+``collect()``/``toPandas()`` in an operator module means the 'distributed'
+operator isn't.  The one sanctioned exception is building a broadcast
+index (sim_topk_cosine's vector matrix — the broadcast-join build side in
+disguise), which is explicitly annotated.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "odc_product_docker_images_spark"
+
+# file -> allowed occurrences (documented broadcast-index builds)
+ALLOWED = {"textvec/similarity.py": 1}
+
+
+def test_no_collect_on_data_paths():
+    bad: list[str] = []
+    for py in PKG.rglob("*.py"):
+        rel = str(py.relative_to(PKG))
+        hits = len(re.findall(r"\.(collect|toPandas|toLocalIterator)\(", py.read_text()))
+        if hits > ALLOWED.get(rel, 0):
+            bad.append(f"{rel}: {hits} driver-materialization calls")
+    assert not bad, bad
