@@ -190,3 +190,31 @@ def foreach_batch_sink(stream: DataFrame, out_path: str, checkpoint: str):
     )
     q.awaitTermination()
     return q
+
+
+def stream_stream_join(
+    clicks: DataFrame, purchases: DataFrame, within: str = "30 minutes"
+) -> DataFrame:
+    """T7+: stream-stream interval join — attribute each purchase to clicks
+    by the same user within the preceding window.  Both sides carry
+    watermarks so the join state is bounded: a click older than
+    (watermark - interval) can never match again and is evicted.  This is
+    the scene⋈scene epoch-correlation pattern with real streaming state."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("click_value"),
+    ).withWatermark("c_ts", "10 minutes")
+    p = purchases.select(
+        F.col("event_id").alias("p_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", "10 minutes")
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts BETWEEN p_ts - INTERVAL {within} AND p_ts"
+        ),
+        "inner",
+    )

@@ -1,0 +1,56 @@
+"""Hypothesis fuzz: the determinism helpers must hash-match DuckDB on
+ARBITRARY finite doubles, not just the fixture distribution (SURVEY §5.4).
+
+Each example builds the same little table in Spark and DuckDB and compares
+grouped dsum/davg/count canonically — the exact comparison the driver
+gate performs, under adversarial values (subnormals, huge magnitude
+spreads, negative zeros)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from odc_product_docker_images_spark.functions.det import dsum, davg, sql_dsum, sql_davg
+from tools.check_parity import canon_rows
+
+finite = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    min_value=-1e9,
+    max_value=1e9,
+    allow_subnormal=False,
+)
+rows_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), finite), min_size=1, max_size=60
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(rows=rows_strategy)
+def test_dsum_davg_match_duckdb(spark_global, rows):
+    spark = spark_global
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (
+        sdf.groupBy("k")
+        .agg(dsum("v", "s"), davg("v", "a"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT k, {sql_dsum('v', 's')}, {sql_davg('v', 'a')}, COUNT(*) AS n FROM t GROUP BY k"
+    ).df()
+    con.close()
+    assert canon_rows(got) == canon_rows(want)
+
+
+@pytest.fixture(scope="module")
+def spark_global(spark):
+    return spark

@@ -205,3 +205,32 @@ def test_stream_matches_batch_form(spark, scratch, sf_dir):
     from odc_product_docker_images_spark.io import load
 
     assert got == load(spark, sf_dir, "events").count()
+
+
+def test_stream_stream_interval_join(spark, scratch):
+    src = scratch / "src"
+    _write_file(
+        spark,
+        src,
+        [
+            (1, "2024-01-01T10:00:00", 1, "click", 5.0),
+            (2, "2024-01-01T10:10:00", 1, "purchase", 100.0),  # matches click@10:00
+            (3, "2024-01-01T11:30:00", 1, "purchase", 50.0),   # no click within 30m
+            (4, "2024-01-01T10:05:00", 2, "click", 7.0),
+            (5, "2024-01-01T10:06:00", 2, "purchase", 70.0),   # matches click@10:05
+        ],
+    )
+    stream = S.events_stream(spark, str(src))
+    joined = S.stream_stream_join(
+        stream.where(F.col("event_type") == "click"),
+        stream.where(F.col("event_type") == "purchase"),
+    )
+    name = "sj_" + uuid.uuid4().hex[:6]
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+        out = spark.table(name).toPandas().sort_values("p_id")
+    finally:
+        q.stop()
+    assert out["p_id"].tolist() == [2, 5]
+    assert out["click_value"].tolist() == [5.0, 7.0]
