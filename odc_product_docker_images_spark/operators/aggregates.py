@@ -376,3 +376,19 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lf = load(spark, sf_dir, "lineitem")
     bucket = F.floor(F.col("l_quantity") / 5).cast("bigint").alias("bucket")
     return lf.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
+
+
+@register("agg_approx_percentile")  # ⊘oracle: sketch-based, can't hash-match exact SQL
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale path: ``percentile_approx`` (KLL-style sketch) — the
+    mergeable, partial-aggregatable alternative to the exact median for the
+    100 TB tier (exact median is holistic: full sort per group).  Bounded
+    error vs the exact median asserted in tests/test_plans.py."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
+        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
+            "price_quartiles"
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )

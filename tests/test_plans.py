@@ -121,3 +121,15 @@ def test_tile_source_partition_parallelism(spark):
     )
     assert px.rdd.getNumPartitions() == 9  # one task per tile
     assert px.count() == 9 * 64
+
+
+def test_approx_percentile_within_error(spark):
+    from odc_product_docker_images_spark.operators.aggregates import (
+        agg_approx_percentile,
+        agg_median,
+    )
+
+    exact = {r["l_returnflag"]: r["median_qty"] for r in agg_median(spark, SF).collect()}
+    approx = {r["l_returnflag"]: r["p50_qty"] for r in agg_approx_percentile(spark, SF).collect()}
+    for k, med in exact.items():
+        assert abs(approx[k] - med) <= 1.0, (k, approx[k], med)
