@@ -142,12 +142,20 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       high-base-similarity corpus (dedup_minhash_ml, kept for contrast).
     At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
     dc = load(spark, sf_dir, "documents")
+    # the repartition Exchange below is REUSED by both consumers of `ex`
+    # (hashing and the verification sets), so the expensive shingle-builder
+    # projection runs once — do NOT replace this with checkpoint/persist
+    # (measured slower: checkpoint I/O loses to ReusedExchange)
     ex = (
         dc.select("doc_id", F.explode(_shingles()).alias("sh"))
         .repartition(32, "doc_id")
     )
+    # hash the shingle STRING once; the K hash functions are int mixes of
+    # that base hash — ~64x less string hashing for identical LSH quality
     hashed = ex.select(
-        "doc_id", *[F.xxhash64(F.lit(i), "sh").alias(f"h{i}") for i in range(_MH_K)]
+        "doc_id", F.xxhash64("sh").alias("hs")
+    ).select(
+        "doc_id", *[F.xxhash64(F.lit(i), "hs").alias(f"h{i}") for i in range(_MH_K)]
     )
     sig = hashed.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"mh{i}") for i in range(_MH_K)]
