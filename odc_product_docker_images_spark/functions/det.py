@@ -32,23 +32,64 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
+    """Exact decimal sum rounded half-up at ``nd`` dp, cast to double EXACTLY.
+
+    Two cross-engine traps make the naive ``ROUND(CAST(sum AS DOUBLE), nd)``
+    non-deterministic (found by tests/test_fuzz_parity.py):
+
+    1. ROUND on a DOUBLE uses HALF_UP on the decimal rendering in Spark but
+       half-even scaled-double math in DuckDB — midpoints diverge.
+    2. DuckDB's decimal→double cast computes ``int128 / 10^scale`` in double
+       (two roundings) while the JVM correctly rounds once — they disagree by
+       1 ulp on ~20% of values whose unscaled form exceeds 2^53 (measured).
+
+    Fix: round in DECIMAL (half-up, away-from-zero in BOTH engines), then
+    route the cast through the exact integer ``value·10^nd`` as BIGINT.
+    int64→double is round-to-nearest-even in both the JVM and C++, and the
+    final ``/ 10^nd`` is one IEEE division both sides — bit-identical.
+    Deterministic for |sum| < 1e17 (decimal(24,6) / int64 headroom).
+    """
+    s6 = F.round(F.sum(_c(col).cast(DEC)), nd)
+    big = (s6.cast("decimal(24,6)") * F.lit(10**nd).cast("decimal(8,0)")).cast("long")
+    return big.cast("double") / F.lit(float(10**nd))
+
+
+def _sql_exact_rounded_sum(expr: str, nd: int) -> str:
+    # The VARCHAR hop is load-bearing: DuckDB's direct double→decimal cast
+    # multiplies the binary value by 10^scale in double arithmetic, which
+    # diverges from the JVM's shortest-repr parse for |x| > 2^53/10^scale.
+    # Both engines round the SHORTEST DECIMAL REPR half-up (verified on
+    # midpoints, subnormals, ±0.0) — so parse the repr on both sides.
+    return (
+        f"CAST(CAST(CAST(ROUND(SUM(CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})), {nd})"
+        f" AS DECIMAL(24,6))"
+        f" * CAST({10**nd} AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / {float(10**nd)!r}"
+    )
+
+
 def dsum(col: Column | str, alias: str, nd: int = 6) -> Column:
     """Order-insensitive exact sum of a double expression → double, round(nd)."""
-    return F.round(F.sum(_c(col).cast(DEC)).cast("double"), nd).alias(alias)
+    return _exact_rounded_sum(col, nd).alias(alias)
 
 
 def davg(col: Column | str, alias: str, nd: int = 6) -> Column:
-    """Deterministic average: exact decimal sum / non-null count → double."""
+    """Deterministic average: bit-identical rounded sum / count, one IEEE divide.
+
+    The quotient itself is NOT re-rounded: numerator and denominator are
+    bit-identical doubles on both engines, so the IEEE division result is
+    too — re-rounding it would only reintroduce the midpoint-rule trap.
+    """
     c = _c(col)
-    return F.round(F.sum(c.cast(DEC)).cast("double") / F.count(c), nd).alias(alias)
+    return (_exact_rounded_sum(c, nd) / F.count(c).cast("double")).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, nd: int = 6) -> str:
-    return f"ROUND(CAST(SUM(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE), {nd}) AS {alias}"
+    return f"{_sql_exact_rounded_sum(expr, nd)} AS {alias}"
 
 
 def sql_davg(expr: str, alias: str, nd: int = 6) -> str:
     return (
-        f"ROUND(CAST(SUM(CAST(({expr}) AS {SQL_DEC})) AS DOUBLE)"
-        f" / COUNT({expr}), {nd}) AS {alias}"
+        f"{_sql_exact_rounded_sum(expr, nd)}"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )

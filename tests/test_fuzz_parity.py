@@ -29,7 +29,7 @@ rows_strategy = st.lists(
 )
 
 
-@settings(max_examples=25, deadline=None)
+@settings(max_examples=120, deadline=None)
 @given(rows=rows_strategy)
 def test_dsum_davg_match_duckdb(spark_global, rows):
     spark = spark_global
