@@ -187,9 +187,11 @@ def scalar_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("type"), F.col("event_type"),
         F.lit("k"), F.get_json_object("props", "$.k"),
     )
+    # Serialize the map: the driver canonicalizer hashes cells, and a map
+    # column reaches pandas as an unhashable dict — scalars only.
     return ev.select(
         "event_id",
-        m.alias("meta"),
+        F.to_json(m).alias("meta_json"),
         F.element_at(m, F.lit("type")).alias("meta_type"),
         F.size(F.map_keys(m)).alias("n_keys"),
     )

@@ -385,10 +385,14 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB tier (exact median is holistic: full sort per group).  Bounded
     error vs the exact median asserted in tests/test_plans.py."""
     lf = load(spark, sf_dir, "lineitem")
+    # One sketch build, scalar outputs: the driver canonicalizer sorts and
+    # hashes cells, so the result schema must hold only scalars (an
+    # array<double> column lands as an unhashable ndarray in pandas).
+    quart = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
     return lf.groupBy("l_returnflag").agg(
         F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
-        F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000).alias(
-            "price_quartiles"
-        ),
+        F.element_at(quart, 1).alias("price_q25"),
+        F.element_at(quart, 2).alias("price_q50"),
+        F.element_at(quart, 3).alias("price_q75"),
         F.count(F.lit(1)).alias("n"),
     )
