@@ -170,12 +170,7 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Deterministic: the straggler's window closed before it arrived, so the
     emitted row set is fixed regardless of timing."""
-    import datetime as dt
-    import os
     from pathlib import Path
-
-    import pyarrow as pa
-    import pyarrow.parquet as pq
 
     from ..streaming import streams as S
 
@@ -183,28 +178,11 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.mkdir(parents=True, exist_ok=True)
 
     def write(idx: int, rows: list[tuple[int, str, float]]) -> None:
-        # written with pyarrow + explicit mtimes: FileStreamSource orders
-        # batches by modification time, and sub-second Spark writes can
-        # land out of order — utime pins the replay order deterministically
-        tbl = pa.table(
-            {
-                "event_id": pa.array([r[0] for r in rows], pa.int64()),
-                "ts": pa.array(
-                    [
-                        int(dt.datetime.fromisoformat(r[1]).timestamp() * 1_000_000_000)
-                        for r in rows
-                    ],
-                    pa.int64(),
-                ),
-                "user_id": pa.array([1] * len(rows), pa.int64()),
-                "event_type": pa.array(["click"] * len(rows)),
-                "value": pa.array([r[2] for r in rows], pa.float64()),
-                "props": pa.array(["{}"] * len(rows)),
-            }
+        # shared atomic writer: pinned mtimes fix replay order; temp+rename
+        # keeps the running source from listing a half-written footer
+        S.write_feed_file(
+            str(feed), idx, [(r[0], 1, r[1], "click", r[2]) for r in rows]
         )
-        path = feed / f"{idx:02d}.parquet"
-        pq.write_table(tbl, path)
-        os.utime(path, (1_700_000_000 + idx * 3600, 1_700_000_000 + idx * 3600))
 
     stream = S.events_stream(spark, str(feed))
     agg = S.tumbling_counts(stream, watermark="10 minutes")

@@ -17,6 +17,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import davg, sql_davg
 from ..io import load, write_partitioned
 from ..registry import register
 
@@ -88,6 +89,35 @@ def source_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
             F.count(F.lit(1)).alias("n_px"),
         )
+    )
+
+
+@register(
+    "regrid_bin",
+    oracle=f"""
+        SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS cell_x,
+               CAST(FLOOR(user_id / 100.0) AS BIGINT) AS cell_y,
+               COUNT(*) AS n_obs,
+               {sql_davg("value", "mean_value")},
+               CAST(MAX(event_id) AS BIGINT) AS latest_event
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def regrid_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regrid as a first-class operator: the reference re-loads with a new
+    ``output_crs``/``resolution`` (GeoBox), which is exactly fixed-width
+    grid binning — cell id = ``floor(coord / res)`` — followed by a
+    per-cell composite.  One shuffle (the cell groupBy, partial-aggregated
+    map-side); at 100 TB the cell key doubles as the write-partitioning
+    key so downstream tile reads prune by directory."""
+    ev = load(spark, sf_dir, "events")
+    cell_x = F.floor(F.col("value") / F.lit(25.0)).cast("bigint").alias("cell_x")
+    cell_y = F.floor(F.col("user_id") / F.lit(100.0)).cast("bigint").alias("cell_y")
+    return ev.groupBy(cell_x, cell_y).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        davg("value", "mean_value"),
+        F.max("event_id").cast("bigint").alias("latest_event"),
     )
 
 

@@ -168,3 +168,90 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
     )
+
+
+@register("stream_stateful_ledger")  # ⊘oracle: arbitrary streaming state, not batch-expressible
+def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 as a registered key: ``applyInPandasWithState`` per-user running
+    ledger (streams.py:stateful_running_totals) driven over a two-batch
+    deterministic feed.  Update mode emits each touched user's state per
+    micro-batch: batch 1 touches users 1,2 → 2 rows; batch 2 touches users
+    1,3 → 2 rows (user 1's ledger now accumulated across batches) — exactly
+    4 rows with fixed values, regardless of timing."""
+    import uuid
+    from pathlib import Path
+
+    from . import streams as S
+
+    feed = Path(__file__).resolve().parents[2] / ".tmp" / f"ledger_{uuid.uuid4().hex[:8]}"
+    feed.mkdir(parents=True, exist_ok=True)  # source dir must exist at plan time
+    name = "ledger_" + uuid.uuid4().hex[:6]
+    totals = S.stateful_running_totals(S.events_stream(spark, str(feed)))
+    q = (
+        totals.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .start()
+    )
+    # files must ARRIVE between processAllAvailable calls to pin the
+    # micro-batch boundaries (pre-existing files plan as one batch)
+    S.write_feed_file(
+        str(feed),
+        0,
+        [
+            (1, 1, "2024-01-01T10:00:00", "click", 1.0),
+            (2, 1, "2024-01-01T10:05:00", "click", 2.0),
+            (3, 2, "2024-01-01T10:10:00", "view", 5.0),
+        ],
+    )
+    q.processAllAvailable()
+    S.write_feed_file(
+        str(feed),
+        1,
+        [
+            (4, 1, "2024-01-01T11:00:00", "click", 1.0),
+            (5, 3, "2024-01-01T11:05:00", "purchase", 7.0),
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.table(name).select("user_id", "n_events", "total_value")
+
+
+@register("stream_foreach_batch")  # ⊘oracle: sink-side effect, checked via read-back
+def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 as a registered key: ``foreachBatch`` idempotent partitioned sink
+    (streams.py:foreach_batch_sink — the COG/S3 upload analog).  A fixed
+    three-day feed is driven through the sink with an availableNow trigger,
+    then the date-partitioned parquet output is read back and rolled up —
+    one row per date with fixed counts/sums proves the writes landed."""
+    import uuid
+    from pathlib import Path
+
+    from . import streams as S
+
+    base = Path(__file__).resolve().parents[2] / ".tmp" / f"fbs_{uuid.uuid4().hex[:8]}"
+    feed, out, ckpt = base / "feed", base / "out", base / "ckpt"
+    S.write_feed_file(
+        str(feed),
+        0,
+        [
+            (1, 1, "2024-01-01T10:00:00", "click", 1.0),
+            (2, 2, "2024-01-01T11:00:00", "view", 2.0),
+            (3, 1, "2024-01-02T10:00:00", "click", 3.0),
+        ],
+    )
+    S.write_feed_file(
+        str(feed),
+        1,
+        [
+            (4, 3, "2024-01-02T12:00:00", "purchase", 4.0),
+            (5, 2, "2024-01-03T09:00:00", "click", 5.0),
+        ],
+    )
+    S.foreach_batch_sink(S.events_stream(spark, str(feed)), str(out), str(ckpt))
+    sunk = spark.read.parquet(str(out))
+    return (
+        sunk.groupBy(F.col("date").cast("string").alias("date"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("value", "sum_value"))
+    )

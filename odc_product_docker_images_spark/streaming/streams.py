@@ -65,6 +65,48 @@ def stage_events_dir(
     return out_dir
 
 
+def write_feed_file(
+    feed_dir: str, idx: int, rows: list[tuple[int, int, str, str, float]]
+) -> None:
+    """Write one deterministic feed file of (event_id, user_id, iso_ts,
+    event_type, value) rows with a PINNED mtime: FileStreamSource orders
+    batches by modification time and sub-second writes can land out of
+    order — ``os.utime`` makes replay order reproducible."""
+    import datetime as dt
+    import os
+    from pathlib import Path
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    Path(feed_dir).mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [
+                    int(dt.datetime.fromisoformat(r[2]).timestamp() * 1_000_000_000)
+                    for r in rows
+                ],
+                pa.int64(),
+            ),
+            "user_id": pa.array([r[1] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }
+    )
+    # write under a temp name, pin mtime, THEN rename: the running
+    # FileStreamSource lists the directory concurrently and must never see
+    # a half-written footer (".tmp"-suffixed files it would also pick up,
+    # so the temp name carries no parquet extension and a leading dot)
+    path = Path(feed_dir) / f"{idx:02d}.parquet"
+    tmp = Path(feed_dir) / f".{idx:02d}.inprogress"
+    pq.write_table(tbl, tmp)
+    os.utime(tmp, (1_700_000_000 + idx * 3600, 1_700_000_000 + idx * 3600))
+    os.rename(tmp, path)
+
+
 def events_stream(
     spark: SparkSession, src_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:

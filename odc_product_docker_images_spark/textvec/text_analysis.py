@@ -192,6 +192,107 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_tfidf",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS term FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        dfs AS (SELECT term, COUNT(*) AS df_n FROM tf GROUP BY term),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT doc_id, term, tf, df_n, tfidf, rank FROM (
+            SELECT tf.doc_id, tf.term, tf.tf, dfs.df_n,
+                   CAST(tf.tf AS DOUBLE)
+                     * ROUND(LN(CAST(n.n_docs AS DOUBLE) / CAST(dfs.df_n AS DOUBLE)), 6)
+                     AS tfidf,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY tf.doc_id
+                       ORDER BY CAST(tf.tf AS DOUBLE)
+                         * ROUND(LN(CAST(n.n_docs AS DOUBLE) / CAST(dfs.df_n AS DOUBLE)), 6)
+                         DESC, tf.term
+                   ) AS rank
+            FROM tf JOIN dfs USING (term) CROSS JOIN n
+        ) WHERE rank <= 5
+    """,
+)
+def text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: tf-idf featurization, expr form — top-5 terms per document.
+
+    The ``ml.feature.HashingTF``/``IDF`` pipeline computes the same scores
+    into an opaque Vector column; here the whole thing is three relational
+    stages (tf group, df group, broadcast of the 1-row corpus count), so it
+    stays inside codegen, partial-aggregates map-side, and emits hashable
+    scalars.  idf = ln(N/df) rounded 6 dp (libm convention); the tf·idf
+    product is then IEEE-exact on both engines — re-rounding it would hit
+    the short-decimal midpoint trap."""
+    dc = load(spark, sf_dir, "documents")
+    tf = (
+        dc.select("doc_id", F.explode(_toks()).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_n"))
+    n = dc.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(F.log(F.col("n_docs").cast("double") / F.col("df_n").cast("double")), 6)
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", F.col("tf").cast("double") * idf)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "term", "tf", "df_n", "tfidf", "rank")
+    )
+
+
+@register(
+    "text_ngrams",
+    oracle="""
+        SELECT bigram, COUNT(*) AS n FROM (
+            SELECT doc_id,
+                   UNNEST(LIST_TRANSFORM(
+                       RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                       i -> STRING_SPLIT(text, ' ')[i] || ' ' || STRING_SPLIT(text, ' ')[i+1]
+                   )) AS bigram
+            FROM documents
+        )
+        GROUP BY bigram
+        ORDER BY n DESC, bigram
+        LIMIT 20
+    """,
+)
+def text_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: word-bigram generation (``ml.feature.NGram`` semantics as a pure
+    expression: zip the token array with its shift) + top-20 corpus counts.
+    Guarded for docs with <2 tokens — Spark's negative-length ``slice``
+    would otherwise wrap (same trap as ``sequence``; see SNIPPETS)."""
+    dc = load(spark, sf_dir, "documents")
+    toks = _toks()
+    n_tok = F.size(toks)
+    bigrams = F.when(
+        n_tok >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n_tok - 1),
+            F.slice(toks, 2, n_tok - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        dc.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
         SELECT doc_id,
