@@ -2,9 +2,9 @@
 (SURVEY §7 hard-part 6 — 100 TB design discipline).
 
 ``collect()``/``toPandas()`` in an operator module means the 'distributed'
-operator isn't.  The one sanctioned exception is building a broadcast
-index (sim_topk_cosine's vector matrix — the broadcast-join build side in
-disguise), which is explicitly annotated.
+operator isn't.  No exceptions remain: the last one (sim_topk_cosine's
+driver-built broadcast index) was replaced by a cogroup block matmul in
+round 2.
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ from pathlib import Path
 
 PKG = Path(__file__).resolve().parent.parent / "odc_product_docker_images_spark"
 
-# file -> allowed occurrences (documented broadcast-index builds)
-ALLOWED = {"textvec/similarity.py": 1}
+# file -> allowed occurrences (none; add ONLY with a documented rationale)
+ALLOWED: dict[str, int] = {}
 
 
 def test_no_collect_on_data_paths():
