@@ -32,10 +32,10 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
-    """Exact decimal sum rounded half-up at ``nd`` dp, cast to double EXACTLY.
+def exact_double(dec_col: Column, nd: int = 6) -> Column:
+    """DECIMAL expression → double, bit-identical across engines.
 
-    Two cross-engine traps make the naive ``ROUND(CAST(sum AS DOUBLE), nd)``
+    Two cross-engine traps make the naive ``ROUND(CAST(x AS DOUBLE), nd)``
     non-deterministic (found by tests/test_fuzz_parity.py):
 
     1. ROUND on a DOUBLE uses HALF_UP on the decimal rendering in Spark but
@@ -48,24 +48,40 @@ def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
     route the cast through the exact integer ``value·10^nd`` as BIGINT.
     int64→double is round-to-nearest-even in both the JVM and C++, and the
     final ``/ 10^nd`` is one IEEE division both sides — bit-identical.
-    Deterministic for |sum| < 1e17 (decimal(24,6) / int64 headroom).
+    Deterministic for |value| < 1e17 (decimal(24,6) / int64 headroom).
     """
-    s6 = F.round(F.sum(_c(col).cast(DEC)), nd)
+    s6 = F.round(dec_col, nd)
     big = (s6.cast("decimal(24,6)") * F.lit(10**nd).cast("decimal(8,0)")).cast("long")
     return big.cast("double") / F.lit(float(10**nd))
 
 
-def _sql_exact_rounded_sum(expr: str, nd: int) -> str:
-    # The VARCHAR hop is load-bearing: DuckDB's direct double→decimal cast
-    # multiplies the binary value by 10^scale in double arithmetic, which
-    # diverges from the JVM's shortest-repr parse for |x| > 2^53/10^scale.
-    # Both engines round the SHORTEST DECIMAL REPR half-up (verified on
-    # midpoints, subnormals, ±0.0) — so parse the repr on both sides.
+def sql_exact_double(dec_expr: str, nd: int = 6) -> str:
+    """DuckDB twin of :func:`exact_double` — takes a DECIMAL-typed SQL expr."""
     return (
-        f"CAST(CAST(CAST(ROUND(SUM(CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})), {nd})"
+        f"CAST(CAST(CAST(ROUND(({dec_expr}), {nd})"
         f" AS DECIMAL(24,6))"
         f" * CAST({10**nd} AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / {float(10**nd)!r}"
     )
+
+
+def sql_dec_cast(expr: str) -> str:
+    """double expr → DECIMAL(30,10) the way the JVM does it.
+
+    The VARCHAR hop is load-bearing: DuckDB's direct double→decimal cast
+    multiplies the binary value by 10^scale in double arithmetic, which
+    diverges from the JVM's shortest-repr parse for |x| > 2^53/10^scale.
+    Both engines round the SHORTEST DECIMAL REPR half-up (verified on
+    midpoints, subnormals, ±0.0) — so parse the repr on both sides.
+    """
+    return f"CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})"
+
+
+def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
+    return exact_double(F.sum(_c(col).cast(DEC)), nd)
+
+
+def _sql_exact_rounded_sum(expr: str, nd: int) -> str:
+    return sql_exact_double(f"SUM({sql_dec_cast(expr)})", nd)
 
 
 def dsum(col: Column | str, alias: str, nd: int = 6) -> Column:

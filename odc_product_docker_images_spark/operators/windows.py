@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import exact_double, sql_dec_cast, sql_exact_double
 from ..io import load
 from ..registry import register
 
@@ -85,10 +86,10 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_rolling",
-    oracle="""
+    oracle=f"""
         SELECT event_id, user_id, ts,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE)
-                     / COUNT(value) OVER w, 6) AS rolling_avg,
+               {sql_exact_double(f"SUM({sql_dec_cast('value')}) OVER w")}
+                 / CAST(COUNT(value) OVER w AS DOUBLE) AS rolling_avg,
                COUNT(value) OVER w AS n_in_frame
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -97,30 +98,31 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3: rolling mean over the last 5 obs — xarray ``rolling(time=5)``
-    smoothing.  Decimal-cast framed sum → engine-independent."""
+    smoothing.  Framed decimal sum through the exact-cast path (det.py),
+    then one IEEE division — engine-independent regardless of whether the
+    frame is evaluated running-sum or segment-tree style."""
     ev = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
         .orderBy("ts", "event_id")
         .rowsBetween(-4, Window.currentRow)
     )
-    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w).cast("double")
+    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w)
     cnt = F.count("value").over(w)
     return ev.select(
         "event_id",
         "user_id",
         "ts",
-        F.round(dec_sum / cnt, 6).alias("rolling_avg"),
+        (exact_double(dec_sum) / cnt.cast("double")).alias("rolling_avg"),
         cnt.alias("n_in_frame"),
     )
 
 
 @register(
     "window_cumsum",
-    oracle="""
+    oracle=f"""
         SELECT event_id, user_id, ts,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(30,10))) OVER w AS DOUBLE), 6)
-                 AS cum_value,
+               {sql_exact_double(f"SUM({sql_dec_cast('value')}) OVER w")} AS cum_value,
                COUNT(*) OVER w AS cum_n
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -139,7 +141,7 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.round(F.sum(F.col("value").cast(_DEC)).over(w).cast("double"), 6).alias("cum_value"),
+        exact_double(F.sum(F.col("value").cast(_DEC)).over(w)).alias("cum_value"),
         F.count(F.lit(1)).over(w).alias("cum_n"),
     )
 

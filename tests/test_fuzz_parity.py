@@ -51,6 +51,41 @@ def test_dsum_davg_match_duckdb(spark_global, rows):
     assert canon_rows(got) == canon_rows(want)
 
 
+@settings(max_examples=60, deadline=None)
+@given(rows=rows_strategy)
+def test_windowed_exact_sum_matches_duckdb(spark_global, rows):
+    """The window twin of the aggregate contract: a framed decimal sum
+    through the exact-cast path must hash-match however each engine
+    evaluates the frame (running sum vs segment tree)."""
+    spark = spark_global
+    pdf = pd.DataFrame(
+        [(i, k, v) for i, (k, v) in enumerate(rows)], columns=["i", "k", "v"]
+    )
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from odc_product_docker_images_spark.functions.det import (
+        exact_double,
+        sql_dec_cast,
+        sql_exact_double,
+    )
+
+    w = Window.partitionBy("k").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+    got = sdf.select(
+        "i", "k", exact_double(F.sum(F.col("v").cast("decimal(30,10)")).over(w)).alias("c")
+    ).toPandas()
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"""SELECT i, k, {sql_exact_double(f"SUM({sql_dec_cast('v')}) OVER w")} AS c
+            FROM t WINDOW w AS (PARTITION BY k ORDER BY i
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    ).df()
+    con.close()
+    assert canon_rows(got) == canon_rows(want)
+
+
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
