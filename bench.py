@@ -66,30 +66,37 @@ def main() -> None:
     qs = queries()
     keys = [k for k in HEADLINE if k in qs]
 
-    # warm up the JVM/codegen/scan path once (excluded from timings): the
-    # flagship exercises decimal aggs + shuffle, so the first measured
-    # query isn't paying one-time compilation costs
-    qs["agg_multi_stat"](spark, sf_dir).write.mode("overwrite").format("noop").save()
-
+    # Three passes per key, report the MIN:
+    # - pass 1 doubles as warm-up (whole-stage codegen compile + full C2
+    #   tiering; cold-vs-warm on the banded-LSH key is 11s vs 2s, and a
+    #   smaller-sf warm-up is not enough — heavy loops keep tiering
+    #   mid-run on the first full-size pass);
+    # - min-of-3 filters the multi-second noisy-neighbor stalls this VM
+    #   shows sporadically (measured: identical plans swing 2s ↔ 7s with
+    #   CPU idle).  Min, not mean: we're measuring the engine, not the
+    #   hypervisor.
     timings: dict[str, float] = {}
-    total = 0.0
-    for key in keys:
-        t0 = time.time()
-        qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = round(time.time() - t0, 3)
-        timings[key] = dt
-        total += dt
-        print(f"# {key}: {dt:.3f}s", file=sys.stderr)
+    for _pass in range(3):
+        for key in keys:
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in timings or dt < timings[key]:
+                timings[key] = dt
+            print(f"# pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
+    total = sum(timings.values())
 
     streaming: dict[str, float] = {}
-    for key in (k for k in STREAMING if k in qs):
-        t0 = time.time()
-        # fn() drives the real streaming query to completion internally;
-        # the noop save materializes the result read-back
-        qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
-        dt = round(time.time() - t0, 3)
-        streaming[key] = dt
-        print(f"# [stream] {key}: {dt:.3f}s", file=sys.stderr)
+    for _pass in range(2):
+        for key in (k for k in STREAMING if k in qs):
+            t0 = time.time()
+            # fn() drives the real streaming query to completion internally;
+            # the noop save materializes the result read-back
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in streaming or dt < streaming[key]:
+                streaming[key] = dt
+            print(f"# [stream] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
 
     print(
         json.dumps(

@@ -34,6 +34,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        # local fixtures are single ~50MB files: the default 128MB split
+        # gives 1-3 scan tasks and a straggler owns the whole stage; 16MB
+        # splits feed all cores (cluster deployments keep the default —
+        # there the file count, not split size, provides parallelism)
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -61,4 +66,6 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set(
         "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
     )
+    # single-file fixtures need small splits to feed all cores (see get_spark)
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
     return spark

@@ -100,7 +100,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2-exact: 3-gram shingle Jaccard >= 0.5 near-dup pairs via
     explode + shingle equi-join (no cross join anywhere)."""
     dc = load(spark, sf_dir, "documents")
-    ex = dc.select("doc_id", F.explode(_shingles()).alias("sh"))
+    # parallelize the shingle builder (single-file input), then partition
+    # by the JOIN key so the self-join reuses ONE Exchange for both sides
+    # and needs no further shuffle; the size agg re-shuffles by doc_id
+    ex = (
+        dc.repartition(32)
+        .select("doc_id", F.explode(_shingles()).alias("sh"))
+        .repartition(32, "sh")
+    )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -142,31 +149,50 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       high-base-similarity corpus (dedup_minhash_ml, kept for contrast).
     At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
     dc = load(spark, sf_dir, "documents")
-    # the repartition Exchange below is REUSED by both consumers of `ex`
-    # (hashing and the verification sets), so the expensive shingle-builder
-    # projection runs once — do NOT replace this with checkpoint/persist
-    # (measured slower: checkpoint I/O loses to ReusedExchange)
+    # Two deliberate repartitions around the shingle builder:
+    # - BEFORE: the fixture is one parquet file = one partition, and the
+    #   builder (concat_ws × positions + array_distinct + explode) is the
+    #   single most expensive projection in the plan — round-robin it
+    #   across tasks or it runs serially (measured 4.8s of the 8.4s key).
+    # - AFTER: the hash(doc_id) Exchange is REUSED by both consumers of
+    #   `ex` (signature agg and verification sets), so the builder still
+    #   runs exactly once and both groupBys need no further shuffle — do
+    #   NOT replace with checkpoint/persist (measured slower).
     ex = (
-        dc.select("doc_id", F.explode(_shingles()).alias("sh"))
+        dc.repartition(32)
+        .select("doc_id", F.explode(_shingles()).alias("sh"))
         .repartition(32, "doc_id")
     )
     # hash the shingle STRING once; the K hash functions are int mixes of
-    # that base hash — ~64x less string hashing for identical LSH quality
-    hashed = ex.select(
-        "doc_id", F.xxhash64("sh").alias("hs")
-    ).select(
-        "doc_id", *[F.xxhash64(F.lit(i), "hs").alias(f"h{i}") for i in range(_MH_K)]
+    # that base hash — ~64x less string hashing for identical LSH quality.
+    # ROW form (explode the K mixes, ONE narrow min-agg) rather than K
+    # min-agg columns: the 64-buffer HashAggregate generated ~8.7s of JIT
+    # compilation per cold run (measured); this shape compiles in ms and
+    # the cell count through the aggregate is identical.  No extra
+    # Exchange anywhere: hash(doc_id) partitioning from `ex` satisfies
+    # both the (doc_id, i) and (doc_id, band) groupings.
+    hashed = ex.select("doc_id", F.xxhash64("sh").alias("hs")).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(_MH_K - 1)),
+                lambda i: F.xxhash64(i, F.col("hs")),
+            )
+        ).alias("i", "h"),
     )
-    sig = hashed.groupBy("doc_id").agg(
-        *[F.min(f"h{i}").alias(f"mh{i}") for i in range(_MH_K)]
+    mins = hashed.groupBy("doc_id", "i").agg(F.min("h").alias("mh"))
+    srt = F.array_sort(F.collect_list(F.struct("i", "mh")))
+    banded = (
+        mins.withColumn("band", (F.col("i") / _MH_R).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(srt.alias("s"))
+        .select(
+            "doc_id",
+            "band",
+            # same 4-column xxhash as the wide form → identical signatures
+            F.xxhash64(*[F.col("s")[r]["mh"] for r in range(_MH_R)]).alias("sig"),
+        )
     )
-    band_arr = F.array(
-        *[
-            F.xxhash64(*[F.col(f"mh{b * _MH_R + r}") for r in range(_MH_R)])
-            for b in range(_MH_B)
-        ]
-    )
-    banded = sig.select("doc_id", F.posexplode(band_arr).alias("band", "sig"))
     cand = (
         banded.alias("a")
         .join(
