@@ -52,6 +52,8 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.setops",
     "odc_product_docker_images_spark.operators.composites",
     "odc_product_docker_images_spark.sources.versioned",
+    "odc_product_docker_images_spark.textvec.pipeline",
+    "odc_product_docker_images_spark.textvec.similarity_ivf",
 ]
 
 _loaded = False

@@ -43,6 +43,28 @@ def test_ann_lsh_recall_vs_brute_force(spark, sf_dir):
     assert (abs(merged["cosine"] - merged["est_cosine"]) < 1e-4).all()
 
 
+def test_ann_ivf_recall_and_precision(spark, sf_dir):
+    """IVF candidates are exact-verified → precision 1.0 vs brute force.
+    The fixture's exact pairs all sit at cos 0.40-0.48 (nearly orthogonal
+    — the WORST band for coarse quantization; there is no high-cosine
+    tail to hide in), so the recall bound here is the honest hard-case
+    floor for symmetric nprobe=3, not the near-dup figure."""
+    from odc_product_docker_images_spark.textvec.dedup import dedup_embedding
+    from odc_product_docker_images_spark.textvec.similarity_ivf import sim_ann_ivf
+
+    exact = dedup_embedding(spark, sf_dir).toPandas()
+    approx = sim_ann_ivf(spark, sf_dir).toPandas()
+    exact_pairs = {(r.vec_a, r.vec_b) for r in exact.itertuples()}
+    got = {(r.vec_a, r.vec_b) for r in approx.itertuples()}
+    assert exact_pairs, "threshold should select a nonempty tail"
+    assert got <= exact_pairs, "exact verification forbids false positives"
+    recall = len(exact_pairs & got) / len(exact_pairs)
+    assert recall >= 0.7, f"IVF hard-band recall too low: {recall:.2f}"
+    # estimates agree with the exact cosine on common pairs
+    merged = exact.merge(approx, on=["vec_a", "vec_b"])
+    assert (abs(merged["cosine"] - merged["est_cosine"]) < 1e-4).all()
+
+
 def test_simhash_is_deterministic_and_locality_sensitive(spark, sf_dir):
     from odc_product_docker_images_spark.textvec.dedup import dedup_simhash
 
