@@ -58,6 +58,12 @@ def exchange_count(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange ")
 
 
+def scan_count(df: DataFrame) -> int:
+    """Number of DISTINCT parquet scans (formatted plans print each node
+    twice: once in the tree, once in the details section)."""
+    return len(set(re.findall(r"\((\d+)\) Scan parquet", formatted_plan(df))))
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     ids = re.findall(r"\[codegen id : (\d+)\]", formatted_plan(df))
     return len(set(ids))

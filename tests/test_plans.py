@@ -123,6 +123,39 @@ def test_tile_source_partition_parallelism(spark):
     assert px.count() == 9 * 64
 
 
+def test_regrid_prunes_and_partial_aggregates(spark):
+    from odc_product_docker_images_spark.operators.scans import regrid_bin
+
+    df = regrid_bin(spark, SF)
+    C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
+    # one shuffle (the cell groupBy), partial agg on the map side
+    assert C.exchange_count(df) == 1
+    plan = C.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_tfidf_broadcasts_corpus_count(spark):
+    from odc_product_docker_images_spark.textvec.text_analysis import text_tfidf
+
+    plan = C.formatted_plan(text_tfidf(spark, SF))
+    assert "Broadcast" in plan  # 1-row corpus count never shuffles the tf table
+    C.assert_no_python_row_path(text_tfidf(spark, SF))
+
+
+def test_sim_topk_is_cogrouped_not_driver_built(spark):
+    from odc_product_docker_images_spark.textvec.similarity import sim_topk_cosine
+
+    plan = C.formatted_plan(sim_topk_cosine(spark, SF))
+    assert "FlatMapCoGroupsInPandas" in plan  # the block matmul runs on executors
+    assert "BatchEvalPython" not in plan
+
+
+def test_filter_pipeline_single_scan(spark):
+    from odc_product_docker_images_spark.textvec.pipeline import filter_pipeline
+
+    assert C.scan_count(filter_pipeline(spark, SF)) == 1  # one pass over the corpus
+
+
 def test_approx_percentile_within_error(spark):
     from odc_product_docker_images_spark.operators.aggregates import (
         agg_approx_percentile,
