@@ -184,7 +184,13 @@ def _running_per_user(
 def stateful_running_totals(stream: DataFrame) -> DataFrame:
     """T6: arbitrary stateful processing (``applyInPandasWithState``) — a
     per-user running ledger, the generalization the reference's Redis
-    counters would need.  State lives in the store, sharded by key."""
+    counters would need.  State lives in the store, sharded by key.
+
+    Spark 4's successor API (``transformWithStateInPandas`` +
+    ``StatefulProcessor`` ValueState) was prototyped and works identically
+    here, but its driver worker needs ``google.protobuf``, which this
+    container lacks — so the stable applyInPandasWithState form is the
+    registered surface."""
     return (
         stream.select("user_id", "value")
         .groupBy("user_id")

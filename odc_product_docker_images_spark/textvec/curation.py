@@ -1,0 +1,336 @@
+"""Corpus-curation operators (SURVEY.md §2.10 X4 applied — the pretraining
+curation surface beyond filtering: repetition scoring, benchmark
+decontamination, domain mixing, shard packing, and duplicate clustering).
+
+Not in the EO reference — these are the training-data operators the north
+star adds on top of the dedup/similarity families.  Scale shapes:
+
+- Repetition: one codegen'd map pass per document, no shuffle.
+- Decontamination: shingle explode + equi-join on the shingle — the same
+  no-n² shape as exact n-gram dedup; the eval side is tiny by definition
+  and broadcasts.
+- Domain mixing: deterministic hash gate, pure map + one rollup.
+- Shard packing: the distributed prefix-sum — range partition, parallel
+  within-partition cumsum, tiny per-partition offset table joined back.
+  No global single-task window anywhere.
+- Duplicate clustering: min-label propagation over the near-dup edge
+  list (the Hash-to-Min connected-components shape); rounds bounded by
+  component diameter, each round one equi-join + one hash-agg.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+from .dedup import _shingles
+from .pipeline import _KNUTH, _bucket, _sql_bucket
+
+# DuckDB twin of _shingles(k=8): positions 1..len-7, 8 terms concatenated
+_SQL_SH8 = (
+    "LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 6), i -> "
+    + " || ' ' || ".join([f"t[i+{j}]" if j else "t[i]" for j in range(8)])
+    + "))"
+)
+
+
+@register(
+    "text_repetition",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, source,
+                   LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shs
+            FROM toks WHERE LEN(t) >= 3
+        )
+        SELECT doc_id, source,
+               LEN(shs) AS n_shingles,
+               CAST(LEN(shs) - LEN(LIST_DISTINCT(shs)) AS BIGINT) AS n_dup,
+               (LEN(shs) - LEN(LIST_DISTINCT(shs))) / LEN(shs) AS dup_frac
+        FROM sh
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: intra-document repetition score — the Gopher-style duplicate
+    n-gram fraction (templated/boilerplate text shows a high share of
+    repeated 3-grams).  One map pass, no shuffle; the per-row double
+    division is a single IEEE op so it stays unrounded."""
+    dc = load(spark, sf_dir, "documents")
+    shs = _shingles(k=3, distinct=False)
+    out = dc.select("doc_id", "source", shs.alias("shs")).where(F.size("shs") > 0)
+    n = F.size("shs").cast("bigint")
+    nd = (F.size("shs") - F.size(F.array_distinct("shs"))).cast("bigint")
+    return out.select(
+        "doc_id",
+        "source",
+        F.size("shs").alias("n_shingles"),
+        nd.alias("n_dup"),
+        (nd / n).alias("dup_frac"),
+    )
+
+
+@register(
+    "text_contamination",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, source, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id, source, {_SQL_SH8} AS shs
+            FROM toks WHERE LEN(t) >= 8
+        ), ex AS (
+            SELECT doc_id, source, {_sql_bucket()} < 5 AS is_eval, UNNEST(shs) AS sh
+            FROM sh
+        )
+        SELECT tr.doc_id, tr.source,
+               COUNT(DISTINCT tr.sh) AS n_shared_shingles,
+               COUNT(DISTINCT ev.doc_id) AS n_eval_docs_hit
+        FROM ex tr JOIN ex ev ON tr.sh = ev.sh
+        WHERE NOT tr.is_eval AND ev.is_eval
+        GROUP BY tr.doc_id, tr.source
+    """,
+)
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: benchmark decontamination — flag training documents sharing any
+    8-gram with the held-out eval slice (the deterministic ~5% hash
+    bucket ``sample_split`` carves out).  Candidate generation is a
+    shingle equi-join (no n² anywhere); the eval side is a few percent of
+    the corpus by construction, so at 100 TB it broadcasts and the train
+    side never shuffles."""
+    dc = load(spark, sf_dir, "documents")
+    ex = dc.repartition(32).select(
+        "doc_id",
+        "source",
+        (_bucket() < 5).alias("is_eval"),
+        F.explode(_shingles(k=8)).alias("sh"),
+    )
+    train = ex.where(~F.col("is_eval"))
+    ev = F.broadcast(
+        ex.where("is_eval").select(F.col("doc_id").alias("eval_id"), "sh")
+    )
+    return (
+        train.join(ev, "sh")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count_distinct("sh").alias("n_shared_shingles"),
+            F.count_distinct("eval_id").alias("n_eval_docs_hit"),
+        )
+    )
+
+
+@register(
+    "data_mix_sample",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, source, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   CASE CAST(SUBSTR(source, 4) AS INTEGER) % 4
+                        WHEN 0 THEN 100 WHEN 1 THEN 50 WHEN 2 THEN 25
+                        ELSE 10 END AS keep_pct
+            FROM documents
+        )
+        SELECT source, MIN(keep_pct) AS keep_pct,
+               COUNT(*) AS n_total,
+               CAST(SUM(CASE WHEN {_sql_bucket()} < keep_pct THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_kept,
+               CAST(SUM(CASE WHEN {_sql_bucket()} < keep_pct THEN n_tokens
+                             ELSE 0 END) AS BIGINT) AS tok_kept
+        FROM w GROUP BY source
+    """,
+)
+def data_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: domain mixing — per-source sampling rates (the data-mixture
+    weights a pretraining run tunes), applied as the same deterministic
+    multiplicative-hash gate as ``sample_split``: reproducible across
+    runs, engines, and partitionings, no ``rand()``.  Pure map + one
+    rollup; the mixture table here is derived from the source id (a real
+    run broadcasts a weights dim instead)."""
+    dc = load(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("int")
+    keep_pct = (
+        F.when(src_num % 4 == 0, 100)
+        .when(src_num % 4 == 1, 50)
+        .when(src_num % 4 == 2, 25)
+        .otherwise(10)
+    )
+    keep = _bucket() < keep_pct
+    n_tokens = F.size(F.split(F.col("text"), " "))
+    return (
+        dc.select("doc_id", "source", n_tokens.alias("n_tokens"), keep_pct.alias("kp"), keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.min("kp").alias("keep_pct"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.col("keep").cast("int")).cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep"), F.col("n_tokens")).otherwise(0)).cast("bigint").alias("tok_kept"),
+        )
+    )
+
+
+_SHARD_TOKENS = 2000  # shard budget; fixture docs are ~25-60 tokens
+
+
+@register(
+    "shard_pack",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+            FROM w
+        )
+        SELECT CAST(start_tok // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY 1
+    """,
+)
+def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: token-budget shard packing — assign documents (in stable doc_id
+    order) to ~2000-token output shards by their starting offset in the
+    global token stream: the tokenizer-sharding step between curation and
+    training.
+
+    The global prefix sum is computed DISTRIBUTED, never as a
+    single-task global window: range-partition by doc_id, cumsum within
+    each partition in parallel, then add per-partition offsets from a
+    partition-count-sized rollup (broadcast join).  The oracle's plain
+    global window is the semantic twin; partition boundaries cannot
+    change the result."""
+    dc = load(spark, sf_dir, "documents")
+    w = dc.select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    ).repartitionByRange(32, "doc_id")
+    w = w.withColumn("pid", F.spark_partition_id())
+    within = Window.partitionBy("pid").orderBy("doc_id")
+    w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
+    # per-partition totals → exclusive prefix over the (≤32-row) table
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        w.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptot"))
+        .withColumn("off", F.coalesce(F.sum("ptot").over(off_w), F.lit(0)))
+        .select("pid", "off")
+    )
+    start = F.col("off") + F.col("local_cum") - F.col("n_tokens")
+    packed = w.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _SHARD_TOKENS).cast("bigint").alias("shard_id"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+_CC_ROUNDS = 6  # ≥ near-dup component diameter (measured ≤3 at sf0.1; cliques in practice)
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+        WITH RECURSIVE toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+            FROM toks WHERE LEN(t) >= 3
+        ), ex AS (
+            SELECT doc_id, UNNEST(shs) AS sh FROM sh
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE i / (sa.n + sb.n - i) >= 0.5
+        ), edges AS (
+            SELECT doc_a AS u, doc_b AS v FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ), reach(u, v) AS (
+            SELECT DISTINCT u, u FROM edges
+            UNION
+            SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        )
+        SELECT cluster_rep, COUNT(*) AS n_members,
+               MAX(doc_id) AS member_max, CAST(SUM(doc_id) AS BIGINT) AS member_sum
+        FROM (SELECT u AS doc_id, MIN(v) AS cluster_rep FROM reach GROUP BY u)
+        GROUP BY cluster_rep
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 closure: near-duplicate CLUSTERS — connected components over the
+    exact 3-gram-Jaccard pair graph (a near-dup of a near-dup is the same
+    document family; pairs alone under-count dup groups).
+
+    Min-label propagation: every node starts as its own label; each round
+    takes the min label over neighbors (one equi-join + one hash-agg per
+    round, the Hash-to-Min shape).  Rounds are fixed at ``_CC_ROUNDS`` ≥
+    the component diameter — near-dup components are quasi-cliques
+    (measured diameter ≤3 at sf0.1; a pytest asserts round ``N+1`` is a
+    fixpoint).  The edge list is persisted across rounds (the standard
+    iterative-algorithm pattern — at 100 TB this is a checkpoint, and the
+    driver loop adds pointer-doubling rounds until a count-of-changes
+    action hits zero).  The DuckDB oracle computes the same components by
+    recursive transitive closure."""
+    dc = load(spark, sf_dir, "documents")
+    ex = (
+        dc.repartition(32)
+        .select("doc_id", F.explode(_shingles()).alias("sh"))
+        .repartition(32, "sh")
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    pairs = inter.join(sa, "doc_a").join(sb, "doc_b").where(jac >= 0.5)
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).union(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    # Self-loops make each round min(lbl(v) : v ∈ N(u) ∪ {u}) a SINGLE join
+    # against the labels frame.  The naive least(self, neighbor-min) form
+    # references labels twice per round, so the LOGICAL plan doubles every
+    # round and Catalyst analysis goes exponential — persist doesn't help
+    # because cache substitution happens after analysis (measured 25s vs
+    # ~3s at sf0.01 for the same 6 rounds).  The persisted edge list keeps
+    # the shingle-join lineage from re-entering the loop plan.
+    nodes = edges.select("u").distinct()
+    eself = edges.union(nodes.withColumn("v", F.col("u"))).persist()
+    labels = nodes.withColumn("lbl", F.col("u"))
+    for _ in range(_CC_ROUNDS):
+        labels = (
+            eself.join(labels.select(F.col("u").alias("v"), "lbl"), "v")
+            .groupBy("u")
+            .agg(F.min("lbl").alias("lbl"))
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("u").alias("member_max"),
+            F.sum("u").cast("bigint").alias("member_sum"),
+        )
+    )

@@ -54,8 +54,9 @@ def dedup_exact_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingles(col: str = "text", k: int = 3) -> F.Column:
-    """Distinct k-word shingles as an array column (pure exprs)."""
+def _shingles(col: str = "text", k: int = 3, distinct: bool = True) -> F.Column:
+    """k-word shingles as an array column (pure exprs); ``distinct=False``
+    keeps positional duplicates (intra-doc repetition scoring needs them)."""
     toks = F.split(F.col(col), " ")
     n = F.size(toks)
     seq = F.sequence(F.lit(1), n - (k - 1))
@@ -65,8 +66,10 @@ def _shingles(col: str = "text", k: int = 3) -> F.Column:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
+    if distinct:
+        make = F.array_distinct(make)
     # guard: sequence(1, x<1) would generate a DESCENDING sequence in Spark
-    return F.when(n >= k, F.array_distinct(make)).otherwise(F.array().cast("array<string>"))
+    return F.when(n >= k, make).otherwise(F.array().cast("array<string>"))
 
 
 @register(
