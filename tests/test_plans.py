@@ -4,6 +4,7 @@ engine relies on are pinned as tests."""
 
 from __future__ import annotations
 
+import re
 import shutil
 import uuid
 from pathlib import Path
@@ -154,6 +155,39 @@ def test_filter_pipeline_single_scan(spark):
     from odc_product_docker_images_spark.textvec.pipeline import filter_pipeline
 
     assert C.scan_count(filter_pipeline(spark, SF)) == 1  # one pass over the corpus
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval slice is a few percent of the corpus by construction — it
+    must ride a broadcast, never shuffle the train-side shingles."""
+    from odc_product_docker_images_spark.textvec.curation import text_contamination
+
+    df = text_contamination(spark, SF)
+    C.assert_broadcast_join(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_shard_pack_has_no_global_data_window(spark):
+    """The corpus-sized window must be partitioned (by pid); only the
+    ≤32-row offset table may use an unpartitioned window."""
+    from odc_product_docker_images_spark.textvec.curation import shard_pack
+
+    plan = C.formatted_plan(shard_pack(spark, SF))
+    # the data-path window sorts by (pid, doc_id) — i.e. partitioned
+    assert re.search(r"Window.*pid", plan, re.DOTALL)
+    C.assert_no_python_row_path(shard_pack(spark, SF))
+
+
+def test_dedup_clusters_persists_edge_list(spark):
+    """Propagation rounds must read the cached edge list, not re-derive
+    the shingle self-join lineage every round."""
+    from odc_product_docker_images_spark.textvec.curation import dedup_clusters
+
+    df = dedup_clusters(spark, SF)
+    try:
+        assert "InMemoryTableScan" in C.formatted_plan(df)
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_approx_percentile_within_error(spark):
