@@ -40,6 +40,8 @@ HEADLINE = [
     "sim_topk_cosine",
     "explode_tokens",
     "text_quality",
+    "text_repetition",  # curation family: pure-map repetition scoring
+    "shard_pack",  # curation family: distributed prefix-sum packing
     "stream_session",  # batch session-window form — real streams are below
 ]
 
