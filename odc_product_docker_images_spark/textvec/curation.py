@@ -61,7 +61,14 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is a single IEEE op so it stays unrounded."""
     dc = load(spark, sf_dir, "documents")
     shs = _shingles(k=3, distinct=False)
-    out = dc.select("doc_id", "source", shs.alias("shs")).where(F.size("shs") > 0)
+    # repartition: single-file input = one partition, and the shingle
+    # builder is the expensive projection — parallelize it (6.0s → 3.4s
+    # at sf0.1; ratio at 10× drops 1.3→1.6 of a smaller base)
+    out = (
+        dc.repartition(32)
+        .select("doc_id", "source", shs.alias("shs"))
+        .where(F.size("shs") > 0)
+    )
     n = F.size("shs").cast("bigint")
     nd = (F.size("shs") - F.size(F.array_distinct("shs"))).cast("bigint")
     return out.select(

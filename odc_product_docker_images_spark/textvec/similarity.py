@@ -85,10 +85,14 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B, P = 4, 8
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # separate scan for the index side — cogroup children sharing one base
+    # plan can lose the right side's data columns to attribute dedup
+    # (see dedup_embedding for the full mechanics)
+    em_i = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     q = em.withColumn("qpart", F.pmod("vec_id", F.lit(P)).cast("int")).withColumn(
         "block", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     )
-    idx = em.withColumn("block", F.pmod("vec_id", F.lit(B)).cast("int")).withColumn(
+    idx = em_i.withColumn("block", F.pmod("vec_id", F.lit(B)).cast("int")).withColumn(
         "qpart", F.explode(F.sequence(F.lit(0), F.lit(P - 1)))
     )
 
