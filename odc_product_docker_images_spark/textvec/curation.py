@@ -61,20 +61,33 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     division is a single IEEE op so it stays unrounded."""
     dc = load(spark, sf_dir, "documents")
     shs = _shingles(k=3, distinct=False)
-    # repartition: single-file input = one partition, and the shingle
-    # builder is the expensive projection — parallelize it (6.0s → 3.4s
-    # at sf0.1; ratio at 10× drops 1.3→1.6 of a smaller base)
-    out = (
-        dc.repartition(32)
-        .select("doc_id", "source", shs.alias("shs"))
-        .where(F.size("shs") > 0)
+    # Three disciplines against the shingle-builder pathologies (3.7s →
+    # 0.5s at sf0.1):
+    # - filter on the CHEAP token count (≥3 tokens ⇔ ≥1 shingle) instead
+    #   of n_shingles > 0: a filter over the builder expression gets
+    #   pushed below the repartition and runs the builder SERIALLY on the
+    #   single-partition scan;
+    # - repartition(32): single-file input = one partition otherwise;
+    # - project only the two scalar sizes out of the builder, derive the
+    #   rest from the scalars (each extra reference to the raw array is
+    #   another inlined builder copy under projection collapse — the
+    #   dedup_minhash 64-lambda pathology).
+    base = (
+        dc.where(F.size(F.split("text", " ")) >= 3)
+        .repartition(32)
+        .select(
+            "doc_id",
+            "source",
+            F.size(shs).alias("n_shingles"),
+            F.size(F.array_distinct(shs)).alias("n_distinct"),
+        )
     )
-    n = F.size("shs").cast("bigint")
-    nd = (F.size("shs") - F.size(F.array_distinct("shs"))).cast("bigint")
-    return out.select(
+    n = F.col("n_shingles").cast("bigint")
+    nd = (F.col("n_shingles") - F.col("n_distinct")).cast("bigint")
+    return base.select(
         "doc_id",
         "source",
-        F.size("shs").alias("n_shingles"),
+        F.col("n_shingles"),
         nd.alias("n_dup"),
         (nd / n).alias("dup_frac"),
     )

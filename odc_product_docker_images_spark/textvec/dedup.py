@@ -230,7 +230,15 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     dc = load(spark, sf_dir, "documents")
-    sh = dc.repartition(32).select("doc_id", _shingles().alias("shs")).where(F.size("shs") > 0)
+    # cheap token-count filter (≥3 tokens ⇔ ≥1 shingle) BEFORE the
+    # repartition: a filter on the shingle array itself would be pushed
+    # below the Repartition and run the builder serially on the
+    # single-partition scan (see text_repetition)
+    sh = (
+        dc.where(F.size(F.split("text", " ")) >= 3)
+        .repartition(32)
+        .select("doc_id", _shingles().alias("shs"))
+    )
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = tf.transform(sh)
     lsh = MinHashLSH(inputCol="features", outputCol="bands", numHashTables=8, seed=42)

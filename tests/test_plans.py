@@ -178,6 +178,19 @@ def test_shard_pack_has_no_global_data_window(spark):
     C.assert_no_python_row_path(shard_pack(spark, SF))
 
 
+def test_repetition_filter_is_cheap_and_parallel(spark):
+    """The row filter must be the token-count predicate, NOT a predicate
+    over the shingle-builder expression: a builder-expression filter gets
+    pushed below the Repartition and runs the builder serially on the
+    single-partition scan (measured 3.7s vs 0.7s at sf0.1)."""
+    from odc_product_docker_images_spark.textvec.curation import text_repetition
+
+    plan = text_repetition(spark, SF)._jdf.queryExecution().optimizedPlan().toString()
+    for line in plan.split("\n"):
+        if "Filter" in line:
+            assert "concat_ws" not in line, "shingle builder inside the filter"
+
+
 def test_dedup_clusters_persists_edge_list(spark):
     """Propagation rounds must read the cached edge list, not re-derive
     the shingle self-join lineage every round."""
