@@ -199,3 +199,85 @@ def window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("value", 1).over(wfull).alias("min_value"),
     )
+
+
+@register(
+    "window_range_time",
+    oracle=f"""
+        SELECT event_id, user_id, ts,
+               {sql_exact_double(f"SUM({sql_dec_cast('value')}) OVER w")}
+                 / CAST(COUNT(value) OVER w AS DOUBLE) AS rolling_30m_avg,
+               COUNT(value) OVER w AS n_in_frame
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY EPOCH_US(ts)
+                     RANGE BETWEEN 1800000000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3+: TIME-range frame — rolling 30-minute mean per pixel, the
+    "all observations within the last N days" composite (xarray
+    ``rolling`` is row-based; real cadence gaps need a RANGE frame).
+    Both engines order by integer epoch-MICROSECONDS with a numeric RANGE
+    bound, so frame membership is decided on identical int64 values —
+    no timestamp-precision or interval-arithmetic divergence.  Frame sums
+    go through the decimal exact-cast path; RANGE peers (equal ts) are
+    frame-identical by construction, so no tie-break is needed.
+
+    Scale: same one-shuffle-one-sort shape as any window; the frame is
+    bounded by the time span, not row count, so skewed-cadence keys can't
+    blow up the frame state (it's a pointer range over the sorted run)."""
+    ev = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-1_800_000_000, Window.currentRow)
+    )
+    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w)
+    cnt = F.count("value").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (exact_double(dec_sum) / cnt.cast("double")).alias("rolling_30m_avg"),
+        cnt.alias("n_in_frame"),
+    )
+
+
+@register(
+    "window_gap_fill",
+    oracle="""
+        SELECT event_id, user_id, ts, masked_value,
+               LAST_VALUE(masked_value IGNORE NULLS) OVER w AS filled_value,
+               CASE WHEN masked_value IS NULL THEN 1 ELSE 0 END AS was_filled
+        FROM (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                     AS masked_value
+            FROM events
+        )
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2+: temporal gap-fill — mask invalid observations (the cloudy-pixel
+    analog) to NULL, then forward-fill each pixel's series with the most
+    recent valid value (``xr.DataArray.ffill('time')`` /
+    ``odc-algo keep_good_np`` + fill).  ``last(ignorenulls=True)`` over a
+    running frame is the distributed forward-fill: one shuffle + sort per
+    pixel key, values pass through untouched (no float math at all)."""
+    ev = load(spark, sf_dir, "events")
+    masked = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.withColumn("masked_value", masked).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "masked_value",
+        F.last("masked_value", ignorenulls=True).over(w).alias("filled_value"),
+        F.when(F.col("masked_value").isNull(), 1).otherwise(0).alias("was_filled"),
+    )
