@@ -54,6 +54,7 @@ _MODULES = [
     "odc_product_docker_images_spark.sources.versioned",
     "odc_product_docker_images_spark.textvec.pipeline",
     "odc_product_docker_images_spark.textvec.similarity_ivf",
+    "odc_product_docker_images_spark.textvec.quantize",
     "odc_product_docker_images_spark.textvec.curation",
     "odc_product_docker_images_spark.sources.bucketed",
 ]

@@ -8,7 +8,7 @@ codegen stage; the only shuffles are the final small aggregations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
@@ -308,4 +308,102 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dc.select(
         "doc_id",
         F.md5(F.array_join(F.array_sort(F.array_distinct(_toks())), " ")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_zipf",
+    oracle="""
+        WITH tok AS (
+            SELECT w AS token, COUNT(*) AS n
+            FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents)
+            GROUP BY w
+        ), ranked AS (
+            SELECT token, n,
+                   ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rnk
+            FROM tok
+        )
+        SELECT COUNT(*) AS n_top,
+               ROUND(REGR_SLOPE(LN(CAST(n AS DOUBLE)),
+                                LN(CAST(rnk AS DOUBLE))), 5) AS zipf_slope,
+               ROUND(REGR_R2(LN(CAST(n AS DOUBLE)),
+                             LN(CAST(rnk AS DOUBLE))), 5) AS zipf_r2,
+               MAX(n) AS max_freq
+        FROM ranked WHERE rnk <= 100
+    """,
+)
+def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Zipf fit over the corpus frequency spectrum — the
+    natural-language sanity gate a training pipeline runs per shard
+    (synthetic / boilerplate-heavy corpora bend away from slope ≈ -1).
+    One token hash-agg (map-side partial) + a top-100 rank (tiny) +
+    ``regr_slope`` on the log-log curve.  libm (ln) + multi-pass stat →
+    round 5 dp per det.py policy; single output row."""
+    dc = load(spark, sf_dir, "documents")
+    counts = (
+        dc.select(F.explode(_toks()).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = counts.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 100)
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("rnk").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.round(F.regr_slope(ln_n, ln_r), 5).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 5).alias("zipf_r2"),
+        F.max("n").alias("max_freq"),
+    )
+
+
+_EMAIL_RE = "[a-z0-9._]+@[a-z0-9]+[.][a-z]+"
+_IP_RE = "10[.][0-9]+[.][0-9]+[.][0-9]+"
+
+
+@register(
+    "text_pii_scrub",
+    oracle=f"""
+        WITH injected AS (
+            SELECT doc_id,
+                   text || ' contact user' || doc_id || '@example.com at 10.0.'
+                        || (doc_id % 256) || '.' || ((doc_id * 7) % 256) AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               LEN(REGEXP_EXTRACT_ALL(raw, '{_EMAIL_RE}')) AS n_emails,
+               LEN(REGEXP_EXTRACT_ALL(raw, '{_IP_RE}')) AS n_ips,
+               MD5(REGEXP_REPLACE(REGEXP_REPLACE(raw, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{_IP_RE}', '<IP>', 'g')) AS scrubbed_md5
+        FROM injected
+    """,
+)
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: PII redaction — the scrub pass every training-data pipeline runs
+    before tokenization.  The fixture corpus is a synthetic word soup with
+    no real PII, so the key deterministically INJECTS an email + IPv4 per
+    doc (derived from doc_id), then scrubs with the same regex family on
+    both engines and cross-checks match counts and the md5 of the scrubbed
+    text.  Patterns stay in the portable intersection of Java regex and
+    RE2 (character classes only — no lookaround/backrefs).  Pure per-row
+    expression work: at 100 TB this rides the scan's codegen stage with
+    zero shuffle."""
+    dc = load(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id"),
+        F.lit("@example.com at 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit("."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(raw, _EMAIL_RE, "<EMAIL>"), _IP_RE, "<IP>"
+    )
+    return dc.select(
+        "doc_id",
+        F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
     )
