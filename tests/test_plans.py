@@ -240,3 +240,44 @@ def test_approx_percentile_within_error(spark):
     approx = {r["l_returnflag"]: r["p50_qty"] for r in agg_approx_percentile(spark, SF).collect()}
     for k, med in exact.items():
         assert abs(approx[k] - med) <= 1.0, (k, approx[k], med)
+
+
+def test_pii_scrub_is_shuffle_free_codegen(spark):
+    """PII scrubbing must ride the scan stage: zero exchanges, no Python."""
+    from odc_product_docker_images_spark.textvec.text_analysis import text_pii_scrub
+
+    df = text_pii_scrub(spark, SF)
+    C.assert_no_python_row_path(df)
+    assert C.exchange_count(df) == 0
+    C.assert_columns_pruned(df, {"doc_id", "text"})
+
+
+def test_quantize_is_shuffle_free_expression(spark):
+    """int8 quantization is per-row array math — zero exchanges, no Python,
+    only the two needed columns read."""
+    from odc_product_docker_images_spark.textvec.quantize import sim_quantize_int8
+
+    df = sim_quantize_int8(spark, SF)
+    C.assert_no_python_row_path(df)
+    assert C.exchange_count(df) == 0
+    C.assert_columns_pruned(df, {"vec_id", "embedding"})
+
+
+def test_grouping_sets_single_shuffle(spark):
+    """GROUPING SETS must expand BEFORE one exchange (fused multi-report),
+    with map-side partial aggregation — not one job per report."""
+    from odc_product_docker_images_spark.operators.aggregates import agg_grouping_sets
+
+    df = agg_grouping_sets(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "Expand" in plan
+    assert C.exchange_count(df) == 1
+
+
+def test_gap_fill_single_window_shuffle(spark):
+    """Forward-fill is one hash-partition + sort on the pixel key."""
+    from odc_product_docker_images_spark.operators.windows import window_gap_fill
+
+    df = window_gap_fill(spark, SF)
+    C.assert_no_python_row_path(df)
+    assert C.exchange_count(df) == 1
