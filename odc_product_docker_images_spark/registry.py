@@ -51,6 +51,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.windows",
     "odc_product_docker_images_spark.operators.setops",
     "odc_product_docker_images_spark.operators.composites",
+    "odc_product_docker_images_spark.operators.products",
     "odc_product_docker_images_spark.sources.versioned",
     "odc_product_docker_images_spark.textvec.pipeline",
     "odc_product_docker_images_spark.textvec.similarity_ivf",
