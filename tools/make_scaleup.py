@@ -42,12 +42,40 @@ def main() -> None:
     spark = get_spark("make-scaleup", shuffle_partitions=32)
     OUT.mkdir(parents=True, exist_ok=True)
 
-    # fact + dim tables: reuse the round-1 replicas (10x facts, 1x dims)
-    for t in ["lineitem", "orders", "events", "customer", "supplier",
-              "part", "nation", "region"]:
+    # fact + dim tables: reuse the round-1 replicas if they survive, else
+    # rebuild (10x facts with key-shifted replicas → 10x groups of the same
+    # size, the "more pixels" scale profile; dims stay 1x).
+    _OFF = 10_000_000  # > any sf0.1 key; keeps per-replica key spaces disjoint
+
+    def _shift(df, cols, k):
+        return df.select(
+            *[
+                (F.col(c) + F.lit(k * _OFF)).alias(c) if c in cols else c
+                for c in df.columns
+            ]
+        )
+
+    def _replicate(table: str, keycols: list[str]) -> None:
+        dst = OUT / f"{table}.parquet"
+        if dst.exists():
+            return
+        if (FACTS / f"{table}.parquet").exists():
+            os.symlink(FACTS / f"{table}.parquet", dst)
+            return
+        base = load(spark, SRC, table)
+        out = None
+        for k in range(COPIES):
+            rep = _shift(base, set(keycols), k)
+            out = rep if out is None else out.unionByName(rep)
+        out.repartition(32).write.mode("overwrite").parquet(str(dst))
+
+    _replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
+    _replicate("orders", ["o_orderkey", "o_custkey"])
+    _replicate("events", ["event_id", "user_id"])
+    for t in ["customer", "supplier", "part", "nation", "region"]:
         link = OUT / f"{t}.parquet"
         if not link.exists():
-            os.symlink(FACTS / f"{t}.parquet", link)
+            os.symlink(f"{SRC}/{t}.parquet", link)
 
     dc = load(spark, SRC, "documents")
     n_docs = 5000  # sf0.1 corpus size; offsets keep doc_id unique
