@@ -7,6 +7,8 @@ import json
 import uuid
 from pathlib import Path
 
+from pyspark.sql import functions as F
+
 from odc_product_docker_images_spark.sources.versioned import VersionedTable
 
 
@@ -59,3 +61,31 @@ def test_manifest_is_plan_source_not_directory_listing(spark):
     m = json.loads((t.manifest_dir / "v0.json").read_text())
     assert m["operation"] == "overwrite"
     assert all("stray" not in f for f in m["files"])
+
+
+def test_merge_is_file_level_copy_on_write(spark):
+    """MERGE must rewrite ONLY files containing matched keys; untouched
+    files ride into the new manifest verbatim, and both snapshots read
+    correct content."""
+    t = _table()
+    df = spark.range(1000).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 10)
+    t.write(df.repartitionByRange(8, "k"), mode="overwrite")
+    v0_files = set(t.snapshot_files(0))
+    assert len(v0_files) == 8
+    # updates hit only the lowest range stripe; inserts get fresh keys
+    upd = spark.range(50).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    ins = spark.range(5).select((F.col("id") + 10_000).alias("k"), F.lit(7).alias("v"))
+    t.merge(spark, upd.unionByName(ins), key="k")
+    v1_files = set(t.snapshot_files(1))
+    kept = v0_files & v1_files
+    rewritten = v0_files - v1_files
+    assert len(rewritten) <= 2, f"merge rewrote {len(rewritten)} of 8 files"
+    assert len(kept) >= 6, "untouched files must carry into the new manifest"
+    # content: updated rows replaced, inserts present, rest untouched
+    v1 = {r.k: r.v for r in t.read(spark, 1).collect()}
+    assert len(v1) == 1005
+    assert all(v1[k] == -1 for k in range(50))
+    assert all(v1[k] == k * 10 for k in range(50, 1000))
+    assert all(v1[k + 10_000] == 7 for k in range(5))
+    # old snapshot unharmed
+    assert t.read(spark, 0).count() == 1000
