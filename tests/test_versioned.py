@@ -89,3 +89,46 @@ def test_merge_is_file_level_copy_on_write(spark):
     assert all(v1[k + 10_000] == 7 for k in range(5))
     # old snapshot unharmed
     assert t.read(spark, 0).count() == 1000
+
+
+def test_manifest_stats_prune_files(spark):
+    """read_where must plan only stat-overlapping files — and still return
+    exactly the filtered rows."""
+    t = VersionedTable(str(_table().path), stat_cols=["k"])
+    df = spark.range(8000).withColumnRenamed("id", "k")
+    t.write(df.repartitionByRange(8, "k"), mode="overwrite")
+    assert t.file_count(0) == 8
+    planned = t.plan_files({"k": (2000, 2999)})
+    assert 1 <= len(planned) <= 3, f"planned {len(planned)} of 8 files"
+    got = sorted(r.k for r in t.read_where(spark, {"k": (2000, 2999)}).collect())
+    assert got == list(range(2000, 3000))
+
+
+def test_zorder_clusters_both_dimensions(spark):
+    """A 2-D box over a Z-ordered layout must plan well under half the
+    files; the same box over a 1-D range layout on x prunes nothing when
+    the predicate is on y."""
+    from odc_product_docker_images_spark.sources.versioned import zorder_key
+
+    df = (
+        spark.range(64 * 64)
+        .select((F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y"))
+    )
+    tz = VersionedTable(str(_table().path), stat_cols=["x", "y"])
+    clustered = (
+        df.withColumn("_z", zorder_key(F.col("x"), F.col("y"), bits=6))
+        .repartitionByRange(16, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+    )
+    tz.write(clustered, mode="overwrite")
+    box = {"x": (0, 15), "y": (0, 15)}
+    planned = tz.plan_files(box)
+    assert len(planned) <= 4, f"z-order planned {len(planned)} of 16"
+    assert tz.read_where(spark, box).count() == 256
+
+    tx = VersionedTable(str(_table().path), stat_cols=["x", "y"])
+    tx.write(df.repartitionByRange(16, "x"), mode="overwrite")
+    y_only = {"y": (0, 3)}
+    assert len(tx.plan_files(y_only)) == 16  # x-clustering can't help a y predicate
+    assert len(tz.plan_files(y_only)) <= 8   # z-clustering can
