@@ -234,3 +234,43 @@ def test_stream_stream_interval_join(spark, scratch):
         q.stop()
     assert out["p_id"].tolist() == [2, 5]
     assert out["click_value"].tolist() == [5.0, 7.0]
+
+
+def test_available_now_is_incremental_exactly_once(spark, scratch, sf_dir):
+    """Two availableNow runs over one checkpoint: the second run must read
+    ONLY the files that arrived after the first run (no reprocessing), and
+    the final state must equal the batch aggregation of everything."""
+    import shutil
+
+    from odc_product_docker_images_spark.io import load
+
+    stage, feed, ckpt = scratch / "stage", scratch / "feed", scratch / "ckpt"
+    S.stage_events_dir(spark, sf_dir, str(stage), n_files=4)
+    feed.mkdir(parents=True, exist_ok=True)
+    files = sorted(p for p in stage.glob("*.parquet") if p.is_file())
+    agg = S.events_stream(spark, str(feed)).groupBy("event_type").count()
+    name = "avt_" + uuid.uuid4().hex[:6]
+
+    def run():
+        q = (
+            agg.writeStream.format("memory").queryName(name).outputMode("complete")
+            .option("checkpointLocation", str(ckpt)).trigger(availableNow=True).start()
+        )
+        q.awaitTermination()
+        return sum(p["numInputRows"] for p in (q.recentProgress or []))
+
+    for f in files[:2]:
+        shutil.copy(f, feed / f.name)
+    n1 = run()
+    for f in files[2:]:
+        shutil.copy(f, feed / f.name)
+    n2 = run()
+    total = load(spark, sf_dir, "events").count()
+    assert n1 + n2 == total, f"reprocessing detected: {n1}+{n2} != {total}"
+    assert 0 < n2 < total, "second run must read only the new files"
+    got = {r["event_type"]: r["count"] for r in spark.table(name).collect()}
+    want = {
+        r["event_type"]: r["count"]
+        for r in load(spark, sf_dir, "events").groupBy("event_type").count().collect()
+    }
+    assert got == want
