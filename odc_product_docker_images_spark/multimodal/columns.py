@@ -103,3 +103,58 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("content_length").alias("total_bytes"),
         F.max("content_length").alias("max_bytes"),
     )
+
+
+_FRAME, _STRIDE = 48, 128  # chars per frame, chars between sampled frames
+
+
+def _framesample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """One asset row in → one row PER SAMPLED FRAME out (mapInPandas is the
+    fan-out shape; a real video pipeline emits decoded frame tensors here).
+    Frame bytes are REAL slices of the payload; only pixel decode is a
+    stub elsewhere."""
+    for pdf in it:
+        ids, idxs, hashes, lens = [], [], [], []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_frames = -(-len(text) // _STRIDE)  # ceil
+            for i in range(n_frames):
+                frame = text[i * _STRIDE : i * _STRIDE + _FRAME]
+                ids.append(doc_id)
+                idxs.append(i)
+                hashes.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                lens.append(len(frame))
+        yield pd.DataFrame(
+            {"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes, "frame_len": lens}
+        )
+
+
+@register(
+    "multimodal_framesample",
+    oracle=f"""
+        SELECT doc_id, i AS frame_idx,
+               MD5(SUBSTRING(text, CAST(i * {_STRIDE} + 1 AS INT), {_FRAME}))
+                 AS frame_md5,
+               LEN(SUBSTRING(text, CAST(i * {_STRIDE} + 1 AS INT), {_FRAME}))
+                 AS frame_len
+        FROM documents,
+             UNNEST(RANGE(0, CAST(CEIL(LEN(text) / {_STRIDE}.0) AS BIGINT))) AS t(i)
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: deterministic frame sampling — every ``_STRIDE``-th offset of
+    each asset yields a ``_FRAME``-char frame, one output row per frame
+    (the video keyframe-extraction batch shape: mapInPandas fans a row out
+    to N frames without any shuffle; frames carry content hash + length as
+    the typed feature columns).  The frame slicing and hashing are real on
+    both engines, so unlike the decode stub this key has a full value-hash
+    oracle.  Repartitioned before the fan-out so single-file inputs don't
+    serialize the stage (CLAUDE.md rule)."""
+    dc = load(spark, sf_dir, "documents")
+    return (
+        dc.select("doc_id", "text")
+        .repartition(8, "doc_id")
+        .mapInPandas(
+            _framesample_batches,
+            schema="doc_id long, frame_idx long, frame_md5 string, frame_len long",
+        )
+    )
