@@ -230,66 +230,3 @@ def stream_stream_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.processAllAvailable()
     q.stop()
     return spark.table(name).select("p_id", "p_user", "p_ts", "p_value", "c_ts", "click_value")
-
-
-@register(
-    "stream_available_now",
-    oracle=f"""
-        SELECT event_type, COUNT(*) AS n, {sql_dsum("value", "sum_value")}
-        FROM events
-        GROUP BY event_type
-    """,
-)
-def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T8+: ``Trigger.AvailableNow`` incremental processing — the
-    reference's queue-driven worker loop (pop everything queued, process,
-    exit) as Structured Streaming.  TWO successive runs share one
-    checkpoint: run 1 sees the first half of the feed, run 2 resumes from
-    the checkpoint and processes ONLY the files that arrived in between
-    (exactly-once bookkeeping pinned in tests/test_streaming.py), yet the
-    complete-mode state ends identical to a batch groupBy over everything —
-    so this REAL streaming query carries a full value-hash oracle.
-    Decimal-cast sums keep the incrementally-folded state bit-identical to
-    the one-shot aggregation regardless of file arrival order."""
-    import shutil
-    from pathlib import Path
-
-    from ..functions.det import exact_double
-    from ..streaming import streams as S
-
-    root = Path(__file__).resolve().parents[2] / ".tmp" / f"avn_{uuid.uuid4().hex[:8]}"
-    stage, feed, ckpt = root / "stage", root / "feed", root / "ckpt"
-    S.stage_events_dir(spark, sf_dir, str(stage), n_files=4)
-    feed.mkdir(parents=True, exist_ok=True)
-    files = sorted(p for p in stage.glob("*.parquet") if p.is_file())
-
-    agg = (
-        S.events_stream(spark, str(feed))
-        .groupBy("event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,10)")).alias("dec_sum"),
-        )
-        .select("event_type", "n", exact_double(F.col("dec_sum")).alias("sum_value"))
-    )
-    name = "avn_" + uuid.uuid4().hex[:6]
-
-    def run_available_now():
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .option("checkpointLocation", str(ckpt))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        return q
-
-    for f in files[:2]:
-        shutil.copy(f, feed / f.name)
-    run_available_now()  # worker invocation 1: drains the queue, exits
-    for f in files[2:]:
-        shutil.copy(f, feed / f.name)
-    run_available_now()  # invocation 2: resumes checkpoint, sees only new files
-    return spark.table(name).select("event_type", "n", "sum_value")
