@@ -55,6 +55,15 @@ STREAMING = [
     "stream_foreach_batch",
 ]
 
+# Storage-layer keys, also timed separately: each one WRITES a fresh
+# versioned table before reading it (write + manifest + read in one
+# number), which is a different regression signal than pure query time.
+STORAGE = [
+    "table_merge_upsert",
+    "table_data_skipping",
+    "table_zorder_skipping",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -100,6 +109,16 @@ def main() -> None:
                 streaming[key] = dt
             print(f"# [stream] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
 
+    storage: dict[str, float] = {}
+    for _pass in range(2):
+        for key in (k for k in STORAGE if k in qs):
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in storage or dt < storage[key]:
+                storage[key] = dt
+            print(f"# [storage] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -108,6 +127,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "streaming": streaming,
+                "storage": storage,
                 "sf": sf,
             }
         )
