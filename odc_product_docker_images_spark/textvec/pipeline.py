@@ -151,3 +151,134 @@ def filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~ttr_ok).cast("int")).cast("bigint").alias("n_ttr_fail"),
         F.sum(((~is_dup) & len_ok & ttr_ok).cast("int")).cast("bigint").alias("n_kept"),
     )
+
+
+@register(
+    "curation_pipeline_e2e",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, lang, STRING_SPLIT(text, ' ') AS t,
+                   MD5(text) AS h, ((doc_id * 2654435761) % 100) AS b
+            FROM documents
+        ), sh8 AS (
+            SELECT doc_id, b >= 5 AS is_train,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 6), i ->
+                       t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                       || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                       || ' ' || t[i+7]))) AS sh
+            FROM toks WHERE LEN(t) >= 8
+        ), contaminated AS (
+            SELECT DISTINCT tr.doc_id
+            FROM sh8 tr JOIN sh8 ev ON tr.sh = ev.sh
+            WHERE tr.is_train AND NOT ev.is_train
+        ), scored AS (
+            SELECT doc_id, lang, b,
+                   LEN(t) AS n_tokens,
+                   LEN(LIST_DISTINCT(t)) / LEN(t) AS ttr,
+                   CASE WHEN LEN(t) >= 3 THEN
+                        (LEN(t) - 2 - LEN(LIST_DISTINCT(LIST_TRANSFORM(
+                             RANGE(1, LEN(t) - 1),
+                             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))))
+                          / CAST(LEN(t) - 2 AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac,
+                   MIN(doc_id) OVER (PARTITION BY h) AS keeper
+            FROM toks WHERE b >= 5
+        )
+        SELECT lang,
+               CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup,
+               CAST(SUM(CASE WHEN n_tokens NOT BETWEEN 20 AND 200 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_len_fail,
+               CAST(SUM(CASE WHEN ttr <= 0.2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_ttr_fail,
+               CAST(SUM(CASE WHEN dup_frac >= 0.3 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rep_fail,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_contam,
+               CAST(SUM(CASE WHEN doc_id = keeper AND n_tokens BETWEEN 20 AND 200
+                                  AND ttr > 0.2 AND dup_frac < 0.3
+                                  AND c.doc_id IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM scored LEFT JOIN contaminated c USING (doc_id)
+        GROUP BY 1, 2
+    """,
+)
+def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 flagship: the COMPLETE pretraining-curation decision in one job —
+    hold out the eval slice (hash bucket < 5), then per training document:
+    exact-dup keeper (content-hash window), length band, type-token ratio,
+    Gopher repetition (repeated-3-gram fraction), and benchmark
+    decontamination (any 8-gram shared with the eval slice), plus the
+    80/10/10 split assignment — rolled up per (lang, split) with one
+    column per gate so the funnel is auditable.
+
+    Scale shape: one scan feeds (a) the per-doc scoring pass (map + one
+    content-hash window) and (b) the 8-gram explode whose equi-join
+    against the tiny eval side generates contamination flags — the same
+    no-n² candidate shape as the dedup family; the flag set joins back
+    broadcast.  Nothing is quadratic; every stage shards."""
+    from pyspark.sql import Window
+
+    from ..textvec.dedup import _shingles
+
+    dc = load(spark, sf_dir, "documents")
+    b = _bucket()
+    toks = F.split(F.col("text"), " ")
+
+    sh8 = dc.where(F.size(F.split("text", " ")) >= 8).repartition(32).select(
+        "doc_id",
+        (_bucket() >= 5).alias("is_train"),
+        F.explode(F.array_distinct(_shingles(k=8, distinct=False))).alias("sh"),
+    )
+    contaminated = (
+        sh8.where("is_train")
+        .join(F.broadcast(sh8.where(~F.col("is_train")).select("sh").distinct()), "sh")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+
+    n_tokens = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n_tokens
+    sh3 = _shingles(k=3, distinct=False)
+    dup_frac = F.when(
+        n_tokens >= 3,
+        (F.size(sh3) - F.size(F.array_distinct(sh3))) / F.size(sh3).cast("double"),
+    ).otherwise(F.lit(0.0))
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    scored = (
+        dc.where(b >= 5)
+        .repartition(32)
+        .select(
+            "doc_id",
+            "lang",
+            _bucket().alias("b"),
+            n_tokens.alias("n_tokens"),
+            ttr.alias("ttr"),
+            dup_frac.alias("dup_frac"),
+            keeper.alias("keeper"),
+        )
+        .join(contaminated, "doc_id", "left")
+    )
+    split = (
+        F.when(F.col("b") < 80, "train").when(F.col("b") < 90, "val").otherwise("test")
+    )
+    is_dup = F.col("doc_id") != F.col("keeper")
+    len_ok = F.col("n_tokens").between(20, 200)
+    ttr_ok = F.col("ttr") > 0.2
+    rep_ok = F.col("dup_frac") < 0.3
+    clean = F.col("is_contam").isNull()
+    return scored.groupBy("lang", split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(is_dup.cast("int")).cast("bigint").alias("n_dup"),
+        F.sum((~len_ok).cast("int")).cast("bigint").alias("n_len_fail"),
+        F.sum((~ttr_ok).cast("int")).cast("bigint").alias("n_ttr_fail"),
+        F.sum((~rep_ok).cast("int")).cast("bigint").alias("n_rep_fail"),
+        F.sum((~clean).cast("int")).cast("bigint").alias("n_contam"),
+        F.sum(((~is_dup) & len_ok & ttr_ok & rep_ok & clean).cast("int"))
+        .cast("bigint")
+        .alias("n_kept"),
+    )

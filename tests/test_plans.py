@@ -281,3 +281,16 @@ def test_gap_fill_single_window_shuffle(spark):
     df = window_gap_fill(spark, SF)
     C.assert_no_python_row_path(df)
     assert C.exchange_count(df) == 1
+
+
+def test_curation_e2e_broadcasts_eval_and_stays_linear(spark):
+    """The full curation pipeline must have no quadratic join anywhere:
+    contamination candidates come from a broadcast equi-join on the
+    shingle, never a cartesian pair product."""
+    from odc_product_docker_images_spark.textvec.pipeline import curation_pipeline_e2e
+
+    df = curation_pipeline_e2e(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # eval shingle set rides a broadcast
