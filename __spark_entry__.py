@@ -19,11 +19,13 @@ from odc_product_docker_images_spark.session import prep
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (`agg_multi_stat`, SURVEY §2.4 A7) on sf0.001."""
-    prep(spark)
-    from odc_product_docker_images_spark.operators.aggregates import agg_multi_stat
+    """Flagship query (`agg_multi_stat`, SURVEY §2.4 A7) on sf0.001.
 
-    return agg_multi_stat(spark, "/root/testdata/sf0.001")
+    Resolved THROUGH the registry (not a direct module import): a direct
+    import would register that module's keys first and scramble the
+    curated registration order the driver's grading window keys off."""
+    prep(spark)
+    return registry.queries()["agg_multi_stat"](spark, "/root/testdata/sf0.001")
 
 
 def _wrap(fn: registry.QueryFn) -> registry.QueryFn:
