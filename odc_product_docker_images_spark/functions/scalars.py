@@ -216,3 +216,52 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("text_md5"),
         F.sha2("text", 256).alias("text_sha256"),
     )
+
+
+@register(
+    "scalar_map_canonical",
+    oracle="""
+        SELECT event_id,
+               'bucket=' || (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
+                 || ';k=' || JSON_EXTRACT_STRING(props, '$.k')
+                 || ';src=events;type=' || event_type AS canon,
+               CAST(4 AS INTEGER) AS n_keys,
+               CAST(1 AS INTEGER) AS has_k,
+               'bucket=' || (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
+                 || ';k=' || JSON_EXTRACT_STRING(props, '$.k')
+                 || ';type=' || event_type AS canon_nosrc
+        FROM events
+    """,
+)
+def scalar_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 with a FULL oracle: the map family verified through an
+    engine-neutral canonical form.  ``scalar_map`` stays rows-only because
+    DuckDB's MAP serialization differs; here the whole Spark map pipeline —
+    ``create_map`` → ``map_concat`` → ``map_contains_key`` →
+    ``map_filter`` → ``map_entries`` → sort → join — collapses to a
+    deterministic ``k=v;...`` string that DuckDB reconstructs flat, so any
+    defect in Spark's map machinery (lost entry, wrong concat precedence,
+    unstable entry order) breaks the value hash."""
+    ev = load(spark, sf_dir, "events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("bucket"), F.when(F.col("value") > 100, "hi").otherwise("lo"),
+    )
+    m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))
+
+    def canon(mp):
+        entries = F.array_sort(F.map_entries(mp))
+        return F.array_join(
+            F.transform(entries, lambda e: F.concat(e["key"], F.lit("="), e["value"])),
+            ";",
+        )
+
+    no_src = F.map_filter(m2, lambda k, v: k != F.lit("src"))
+    return ev.select(
+        "event_id",
+        canon(m2).alias("canon"),
+        F.size(F.map_keys(m2)).alias("n_keys"),
+        F.map_contains_key(m2, F.lit("k")).cast("int").alias("has_k"),
+        canon(no_src).alias("canon_nosrc"),
+    )
