@@ -76,6 +76,23 @@ def sql_dec_cast(expr: str) -> str:
     return f"CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})"
 
 
+def dround(col: Column | str, nd: int = 6) -> Column:
+    """Deterministic ROUND of a double expression (e.g. a ratio of counts).
+
+    ``F.round(x, nd)`` on a double is the midpoint trap (HALF_UP rendering
+    in Spark vs scaled-double half-even in DuckDB): a quotient of two small
+    integers is an exact terminating decimal whenever the denominator is
+    2^a·5^b, so midpoints are NOT improbable.  Route through DECIMAL
+    (shortest-repr parse, half-up in both engines) + the exact int64 hop.
+    """
+    return exact_double(_c(col).cast(DEC), nd)
+
+
+def sql_dround(expr: str, nd: int = 6) -> str:
+    """DuckDB twin of :func:`dround` — takes a double-typed SQL expr."""
+    return sql_exact_double(sql_dec_cast(expr), nd)
+
+
 def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
     return exact_double(F.sum(_c(col).cast(DEC)), nd)
 

@@ -223,12 +223,12 @@ def scalar_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                'bucket=' || (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
-                 || ';k=' || JSON_EXTRACT_STRING(props, '$.k')
+                 || ';k=' || COALESCE(JSON_EXTRACT_STRING(props, '$.k'), '~missing~')
                  || ';src=events;type=' || event_type AS canon,
                CAST(4 AS INTEGER) AS n_keys,
                CAST(1 AS INTEGER) AS has_k,
                'bucket=' || (CASE WHEN value > 100 THEN 'hi' ELSE 'lo' END)
-                 || ';k=' || JSON_EXTRACT_STRING(props, '$.k')
+                 || ';k=' || COALESCE(JSON_EXTRACT_STRING(props, '$.k'), '~missing~')
                  || ';type=' || event_type AS canon_nosrc
         FROM events
     """,
@@ -241,11 +241,16 @@ def scalar_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``map_filter`` → ``map_entries`` → sort → join — collapses to a
     deterministic ``k=v;...`` string that DuckDB reconstructs flat, so any
     defect in Spark's map machinery (lost entry, wrong concat precedence,
-    unstable entry order) breaks the value hash."""
+    unstable entry order) breaks the value hash.
+
+    The extracted JSON value is coalesced to a sentinel on BOTH sides: a
+    NULL map value would be silently dropped by Spark's ``array_join``
+    while NULL-ing the whole ``||`` chain in DuckDB — a data-dependent
+    hash break (and it keeps n_keys=4 / has_k=1 structurally true)."""
     ev = load(spark, sf_dir, "events")
     m = F.create_map(
         F.lit("type"), F.col("event_type"),
-        F.lit("k"), F.get_json_object("props", "$.k"),
+        F.lit("k"), F.coalesce(F.get_json_object("props", "$.k"), F.lit("~missing~")),
         F.lit("bucket"), F.when(F.col("value") > 100, "hi").otherwise("lo"),
     )
     m2 = F.map_concat(m, F.create_map(F.lit("src"), F.lit("events")))

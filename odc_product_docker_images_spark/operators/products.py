@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, sql_davg
+from ..functions.det import davg, dround, sql_davg, sql_dround
 from ..io import load
 from ..registry import register
 
@@ -75,7 +75,7 @@ def product_ndvi_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "product_water_permanency",
-    oracle="""
+    oracle=f"""
         SELECT l_suppkey, wet_count, clear_count, pct_wet,
                CASE WHEN pct_wet IS NULL THEN 'no_data'
                     WHEN pct_wet >= 0.8 THEN 'permanent'
@@ -87,8 +87,9 @@ def product_ndvi_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
                    COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END)
                      AS wet_count,
                    COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END) AS clear_count,
-                   ROUND(COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END)
-                     / NULLIF(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END), 0), 6)
+                   {sql_dround(
+                       "COUNT(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'F' THEN 1 END)"
+                       " / NULLIF(COUNT(CASE WHEN l_linestatus = 'F' THEN 1 END), 0)")}
                      AS pct_wet
             FROM lineitem
             GROUP BY l_suppkey
@@ -99,6 +100,9 @@ def product_water_permanency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Water permanency: classify each pixel's wet/clear ratio into
     permanent / seasonal / ephemeral / dry.  Thresholds compare the SAME
     rounded double on both engines, so class boundaries can't disagree.
+    The ratio of two integer counts is an exact terminating decimal
+    whenever clear = 2^a·5^b, so it MUST take the det.py decimal path
+    (``dround``), never ROUND-on-double (midpoint rule divergence).
     One shuffle; the classification is a post-agg projection."""
     lf = load(spark, sf_dir, "lineitem")
     wet = F.count(F.when((F.col("l_returnflag") == "R") & (F.col("l_linestatus") == "F"), 1))
@@ -106,7 +110,7 @@ def product_water_permanency(spark: SparkSession, sf_dir: str) -> DataFrame:
     summary = lf.groupBy("l_suppkey").agg(
         wet.alias("wet_count"),
         clear.alias("clear_count"),
-        F.round(wet / F.nullif(clear, F.lit(0)), 6).alias("pct_wet"),
+        dround(wet / F.nullif(clear, F.lit(0))).alias("pct_wet"),
     )
     pw = F.col("pct_wet")
     permanency = (

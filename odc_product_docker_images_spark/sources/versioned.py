@@ -91,7 +91,15 @@ class VersionedTable:
                 name = col.path_in_schema
                 if name not in self.stat_cols or col.statistics is None:
                     continue
+                # A row group can carry a statistics object WITHOUT min/max
+                # (e.g. an all-NULL chunk).  Storing None would make
+                # plan_files crash on None < lo — leave the column unstatted
+                # for this file instead (unstatted files are always kept).
+                if not col.statistics.has_min_max:
+                    continue
                 lo, hi = col.statistics.min, col.statistics.max
+                if lo is None or hi is None:
+                    continue
                 if name in out:
                     out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
                 else:
@@ -157,8 +165,18 @@ class VersionedTable:
         files are carried into the new manifest verbatim (at 100 TB a merge
         touching 0.1% of keys rewrites ~0.1% of well-clustered files, not
         the table).  Matched rows are replaced by their update row, new
-        keys are appended.  Assumes ``key`` is unique in the snapshot.
+        keys are appended.  Assumes ``key`` is unique in the snapshot, and
+        CHECKS it is unique in ``updates`` — a duplicate update key would
+        survive the left_anti/union and silently break the snapshot's
+        key-uniqueness invariant that read_where/merge callers rely on.
         """
+        n_updates = updates.count()
+        n_distinct = updates.select(key).distinct().count()
+        if n_updates != n_distinct:
+            raise ValueError(
+                f"merge updates must be unique on {key!r}: "
+                f"{n_updates} rows but {n_distinct} distinct keys"
+            )
         current = self.read(spark)
         # Which files hold a matched key?  File names are snapshot METADATA
         # (bounded by file count, never row count) — collecting them is the

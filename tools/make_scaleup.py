@@ -1,9 +1,8 @@
 """Build the 10x scale-up fixture used by SCALING.md measurements.
 
-Fact tables (lineitem/events/...) come from the round-1 replicas in
-``.tmp/sf1ish`` (10x rows, shifted keys).  This script adds honest 10x
-TEXT tables, which round 1 skipped (documents/embeddings stayed 1x, so
-textvec "10x" numbers weren't):
+Self-contained: fact tables are rebuilt as 10 primary-key-shifted replicas
+(FK columns keep the 1x dim domain — see the in-line FK-semantics note),
+dims are symlinked 1x, and the TEXT tables get honest 10x builds:
 
 - documents: 10 copies, doc_id offset, and every token suffixed with a
   replica tag — within-replica shingle/near-dup structure is EXACTLY the
@@ -28,7 +27,6 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 REPO = Path(__file__).resolve().parent.parent
 SRC = "/root/testdata/sf0.1"
-FACTS = REPO / ".tmp" / "sf1ish"
 OUT = REPO / ".tmp" / "sf1x10"
 COPIES = 10
 
@@ -42,10 +40,26 @@ def main() -> None:
     spark = get_spark("make-scaleup", shuffle_partitions=32)
     OUT.mkdir(parents=True, exist_ok=True)
 
-    # fact + dim tables: reuse the round-1 replicas if they survive, else
-    # rebuild (10x facts with key-shifted replicas → 10x groups of the same
-    # size, the "more pixels" scale profile; dims stay 1x).
-    _OFF = 10_000_000  # > any sf0.1 key; keeps per-replica key spaces disjoint
+    # Fact tables: 10x rows by replication.  FK SEMANTICS (pinned by the r2
+    # advisor): shift only PRIMARY keys (l_orderkey, o_orderkey, event_id) so
+    # row identity stays unique, and leave FK columns (l_partkey, l_suppkey,
+    # o_custkey, user_id) in the 1x dimension domain — every replica joins to
+    # the unreplicated dims, so a 10x join does 10x probe work and grouped
+    # keys get 10x-size groups (the "more observations per pixel" profile).
+    # The previous build shifted FKs too, leaving replicas k>=1 dangling and
+    # understating scaled join work.
+    _OFF = 10_000_000  # > any sf0.1 key; keeps per-replica PK spaces disjoint
+    _FKVER = OUT / "_fk_v2"  # semantics marker: stale replicas are rebuilt
+
+    if not _FKVER.exists():
+        for t in ["lineitem", "orders", "events"]:
+            p = OUT / f"{t}.parquet"
+            if p.is_symlink():
+                p.unlink()
+            elif p.exists():
+                import shutil
+
+                shutil.rmtree(p)
 
     def _shift(df, cols, k):
         return df.select(
@@ -59,9 +73,6 @@ def main() -> None:
         dst = OUT / f"{table}.parquet"
         if dst.exists():
             return
-        if (FACTS / f"{table}.parquet").exists():
-            os.symlink(FACTS / f"{table}.parquet", dst)
-            return
         base = load(spark, SRC, table)
         out = None
         for k in range(COPIES):
@@ -69,9 +80,12 @@ def main() -> None:
             out = rep if out is None else out.unionByName(rep)
         out.repartition(32).write.mode("overwrite").parquet(str(dst))
 
-    _replicate("lineitem", ["l_orderkey", "l_partkey", "l_suppkey"])
-    _replicate("orders", ["o_orderkey", "o_custkey"])
+    _replicate("lineitem", ["l_orderkey"])
+    _replicate("orders", ["o_orderkey"])
+    # user_id is NOT an FK (no users dim) — shifting it keeps each replica's
+    # session structure identical to the base corpus (10x users profile).
     _replicate("events", ["event_id", "user_id"])
+    _FKVER.touch()
     for t in ["customer", "supplier", "part", "nation", "region"]:
         link = OUT / f"{t}.parquet"
         if not link.exists():
