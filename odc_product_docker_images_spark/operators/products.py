@@ -23,10 +23,19 @@ exchange); per-row band math rides the scan's codegen stage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dround, sql_davg, sql_dround
+from ..functions.det import (
+    DEC,
+    davg,
+    dround,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -148,3 +157,60 @@ def product_tsm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(tsm).alias("max_tsm"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@register(
+    "product_sar_water",
+    oracle=f"""
+        SELECT l_suppkey, l_orderkey, l_linenumber, db, filt_db, n_taps,
+               CASE WHEN filt_db < -16.0 THEN 'water' ELSE 'land' END AS sar_class
+        FROM (
+            SELECT l_suppkey, l_orderkey, l_linenumber, db,
+                   {sql_exact_double(f"SUM({sql_dec_cast('db')}) OVER w")}
+                     / CAST(COUNT(db) OVER w AS DOUBLE) AS filt_db,
+                   CAST(COUNT(db) OVER w AS INTEGER) AS n_taps
+            FROM (
+                SELECT l_suppkey, l_orderkey, l_linenumber,
+                       ROUND(10 * LOG10(l_discount + 0.001), 6) AS db
+                FROM lineitem
+            )
+            WINDOW w AS (PARTITION BY l_suppkey
+                         ORDER BY l_orderkey, l_linenumber, db
+                         ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+        )
+    """,
+)
+def product_sar_water(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAR water detection (§0 product list: Sentinel-1 thresholding) —
+    the last named product: backscatter → dB (``10·log10``, the radar
+    convention), a 5-tap boxcar SPECKLE FILTER over each pixel's
+    acquisition series (W3 rolling mean — SAR speckle is multiplicative
+    noise, so single-scene thresholding misclassifies; the boxcar is the
+    minimal despeckle), then the dB threshold classification (P6): below
+    −16 dB → water.
+
+    Parity: the libm ``log10`` is rounded per-row at 6 dp (the
+    scalar_math idiom); the boxcar mean inside the window frame takes the
+    decimal-cast path (frame evaluation order differs between engines —
+    trap 7).  Shape (100 TB): one window shuffle on the pixel key, no
+    join; the per-row dB math rides the scan's codegen stage."""
+    lf = load(spark, sf_dir, "lineitem")
+    db = F.round(10 * F.log10(F.col("l_discount") + 0.001), 6)
+    # The fixture's (l_orderkey, l_linenumber) is NOT unique; db itself is
+    # the final tie-break, which makes every frame's MULTISET deterministic
+    # (rows still tied after it are output-identical, so either tie order
+    # hashes the same).
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_orderkey", "l_linenumber", "db")
+        .rowsBetween(-2, 2)
+    )
+    staged = lf.select("l_suppkey", "l_orderkey", "l_linenumber", db.alias("db"))
+    dec_sum = F.sum(F.col("db").cast(DEC)).over(w)
+    cnt = F.count("db").over(w)
+    filt = (exact_double(dec_sum) / cnt.cast("double")).alias("filt_db")
+    out = staged.select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "db", filt, cnt.cast("int").alias("n_taps")
+    )
+    sar_class = F.when(F.col("filt_db") < -16.0, "water").otherwise("land")
+    return out.select(*out.columns, sar_class.alias("sar_class"))

@@ -44,6 +44,7 @@ _MODULES = [
     "odc_product_docker_images_spark.kernels.udfs",
     "odc_product_docker_images_spark.streaming.batch_forms",
     "odc_product_docker_images_spark.textvec.dedup",
+    "odc_product_docker_images_spark.textvec.dedup_pairs",
     "odc_product_docker_images_spark.textvec.similarity",
     "odc_product_docker_images_spark.textvec.text_analysis",
     "odc_product_docker_images_spark.multimodal.columns",
