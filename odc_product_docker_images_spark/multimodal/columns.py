@@ -29,50 +29,108 @@ from pyspark.sql import functions as F
 from ..io import load
 from ..registry import register
 
-DECODERS_AVAILABLE = False  # flip when PIL/soundfile exist in the image
+COMPRESSED_DECODERS_AVAILABLE = False  # flip when PIL/turbojpeg exist in the image
+
+_PGM_W = 32  # synthesized raster width (bytes per row)
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int]:
-    """Deterministic stand-in for an image decode: derive (width, height,
-    channels) from a content hash.  A real deployment replaces this body
-    with PIL/turbojpeg; the signature and batch shape are the contract."""
-    h = hashlib.md5(payload).digest()
-    return 64 + h[0] % 192, 64 + h[1] % 192, 1 + h[2] % 4
+def _decode_pgm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """REAL pure-python decode of the binary PGM (P5) container: parse the
+    netpbm header (magic, width, height, maxval, single whitespace byte)
+    with an index scanner — the raster may legally contain whitespace
+    bytes, so token-splitting the whole payload would corrupt it — and
+    slice the raster.  Returns (width, height, channels, raster).
+
+    Compressed formats (JPEG/PNG/audio) still raise: their codecs are not
+    in this container (``COMPRESSED_DECODERS_AVAILABLE``); the uncompressed
+    netpbm path exercises the full bytes→pixels contract for real.
+    """
+    if not payload.startswith(b"P5"):
+        if COMPRESSED_DECODERS_AVAILABLE:  # pragma: no cover
+            raise NotImplementedError("compressed codec wiring goes here")
+        raise NotImplementedError(f"unsupported container: {payload[:2]!r}")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while payload[pos : pos + 1].isspace():
+            pos += 1
+        start = pos
+        while not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # exactly ONE whitespace byte separates maxval from the raster
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit rasters supported")
+    raster = payload[pos : pos + width * height]
+    return width, height, 1, raster
 
 
 def _decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    if DECODERS_AVAILABLE:  # pragma: no cover
-        raise NotImplementedError("real decoder wiring goes here (PIL not in container)")
     for pdf in it:
-        dims = [_fake_decode(p) for p in pdf["payload"]]
+        rows = [_decode_pgm(p) for p in pdf["payload"]]
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"].to_numpy(),
-                "n_bytes": [len(p) for p in pdf["payload"]],
-                "width": [d[0] for d in dims],
-                "height": [d[1] for d in dims],
-                "channels": [d[2] for d in dims],
+                "width": [r[0] for r in rows],
+                "height": [r[1] for r in rows],
+                "channels": [r[2] for r in rows],
+                "n_pixel_bytes": [len(r[3]) for r in rows],
+                "pixel_md5": [hashlib.md5(r[3]).hexdigest() for r in rows],
+                "row0_md5": [hashlib.md5(r[3][: r[0]]).hexdigest() for r in rows],
             }
         )
 
 
-@register("multimodal_decode")  # ⊘oracle: binary plumbing + stubbed codec — pytest-checked
+@register(
+    "multimodal_decode",
+    oracle=f"""
+        SELECT doc_id,
+               CAST({_PGM_W} AS INTEGER) AS width,
+               CAST(CEIL(LEN(text) / {_PGM_W}.0) AS INTEGER) AS height,
+               CAST(1 AS INTEGER) AS channels,
+               CAST({_PGM_W} * CEIL(LEN(text) / {_PGM_W}.0) AS BIGINT) AS n_pixel_bytes,
+               MD5(RPAD(text, CAST({_PGM_W} * CEIL(LEN(text) / {_PGM_W}.0) AS INT), '.'))
+                 AS pixel_md5,
+               MD5(SUBSTR(RPAD(text, CAST({_PGM_W} * CEIL(LEN(text) / {_PGM_W}.0) AS INT),
+                          '.'), 1, {_PGM_W})) AS row0_md5
+        FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X5: synthesize a binary payload column (documents.text bytes as the
-    opaque blob) + typed metadata, run the decode stub via mapInPandas."""
+    """X5: binary media decode with a FULL value oracle.  Each document is
+    packed Spark-side into a REAL netpbm PGM (P5) container — header +
+    8-bit raster, text bytes padded to a {_PGM_W}-wide raster — and the
+    mapInPandas decoder parses the header and slices the raster like any
+    codec would.  The oracle recomputes the raster stats (dims, pixel md5,
+    first-row md5) straight from the text, so a mis-parsed header offset
+    or a wrong slice breaks the value hash.  Compressed codecs stay
+    honestly stubbed (``_decode_pgm``); the Arrow plumbing, batch shape
+    and bytes→pixels contract are exercised for real."""
     dc = load(spark, sf_dir, "documents")
+    padded = F.expr(
+        f"rpad(text, CAST({_PGM_W} * ceil(length(text) / {_PGM_W}.0) AS INT), '.')"
+    )
+    header = F.concat_ws(
+        "",
+        F.lit(f"P5\n{_PGM_W} "),
+        F.expr(f"CAST(ceil(length(text) / {_PGM_W}.0) AS INT)").cast("string"),
+        F.lit("\n255\n"),
+    )
     media = dc.select(
         "doc_id",
-        F.encode("text", "utf-8").alias("payload"),
+        F.concat(F.encode(header, "utf-8"), F.encode(padded, "utf-8")).alias("payload"),
         F.struct(
-            F.lit("image/fake").alias("mime"),
+            F.lit("image/x-portable-graymap").alias("mime"),
             F.col("n_chars").cast("bigint").alias("content_length"),
             F.col("source").alias("origin"),
         ).alias("meta"),
     )
     return media.select("doc_id", "payload").mapInPandas(
         _decode_batches,
-        schema="doc_id long, n_bytes long, width int, height int, channels int",
+        schema=(
+            "doc_id long, width int, height int, channels int,"
+            " n_pixel_bytes long, pixel_md5 string, row0_md5 string"
+        ),
     )
 
 

@@ -209,24 +209,5 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("w_start", "event_type", "n", "sum_value")
 
 
-@register("stream_stream_join")  # ⊘oracle: streaming state semantics, not batch-expressible
-def stream_stream_join_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7+: stream⋈stream interval join as a registered key — clicks and
-    purchases split from one feed, purchases attributed to clicks by the
-    same user within 30 minutes, both sides watermarked (bounded state)."""
-    from pathlib import Path
-
-    from ..streaming import streams as S
-
-    feed = Path(__file__).resolve().parents[2] / ".tmp" / f"ssj_{uuid.uuid4().hex[:8]}"
-    S.stage_events_dir(spark, sf_dir, str(feed), n_files=1)
-    stream = S.events_stream(spark, str(feed))
-    joined = S.stream_stream_join(
-        stream.where(F.col("event_type") == "click"),
-        stream.where(F.col("event_type") == "purchase"),
-    )
-    name = "ssj_" + uuid.uuid4().hex[:6]
-    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
-    q.processAllAvailable()
-    q.stop()
-    return spark.table(name).select("p_id", "p_user", "p_ts", "p_value", "c_ts", "click_value")
+# stream_stream_join moved to streaming/stream_joins.py (graduated to a
+# full value-hash oracle in round 3).

@@ -43,6 +43,7 @@ _MODULES = [
     "odc_product_docker_images_spark.kernels.frac_cover",
     "odc_product_docker_images_spark.kernels.udfs",
     "odc_product_docker_images_spark.streaming.batch_forms",
+    "odc_product_docker_images_spark.streaming.stream_joins",
     "odc_product_docker_images_spark.textvec.dedup",
     "odc_product_docker_images_spark.textvec.dedup_pairs",
     "odc_product_docker_images_spark.textvec.similarity",

@@ -115,16 +115,38 @@ def test_near_dup_pairs_have_close_simhash(spark, sf_dir):
 
 
 def test_multimodal_decode_batch_shape(spark, sf_dir):
-    from odc_product_docker_images_spark.multimodal.columns import multimodal_decode
+    from odc_product_docker_images_spark.multimodal.columns import (
+        _PGM_W,
+        multimodal_decode,
+    )
 
     out = multimodal_decode(spark, sf_dir).toPandas()
     assert len(out) == 500
-    assert (out["n_bytes"] > 0).all()
-    assert out["width"].between(64, 255).all()
-    assert out["channels"].between(1, 4).all()
-    # deterministic fake decode: rerun → identical
+    assert (out["width"] == _PGM_W).all()
+    assert (out["channels"] == 1).all()
+    # the raster is padded to full rows: n_pixel_bytes = width * height
+    assert (out["n_pixel_bytes"] == out["width"] * out["height"]).all()
+    # real decode: rerun → identical
     again = multimodal_decode(spark, sf_dir).toPandas()
     pd.testing.assert_frame_equal(
         out.sort_values("doc_id").reset_index(drop=True),
         again.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_pgm_decoder_roundtrip():
+    from odc_product_docker_images_spark.multimodal.columns import _decode_pgm
+
+    raster = bytes(range(6)) + b" \n\t..."  # whitespace INSIDE the raster
+    w, h, c, r = _decode_pgm(b"P5\n4 3\n255\n" + raster)
+    assert (w, h, c) == (4, 3, 1)
+    assert r == raster
+    # multi-whitespace header separators are legal netpbm
+    w, h, c, r = _decode_pgm(b"P5  \n 2\t2 \n255 " + b"abcd")
+    assert (w, h, c, r) == (2, 2, 1, b"abcd")
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        _decode_pgm(b"\x89PNG....")
+    with _pytest.raises(NotImplementedError):
+        _decode_pgm(b"P5\n2 2\n65535\nxxxxxxxx")
