@@ -176,34 +176,90 @@ def sim_topk_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LSH_R, _LSH_H = 4, 14  # sign bits per table × hash tables
+_LSH_SEED = 42
+
+
+def _lsh_bucket_batches(it):
+    """One Arrow pass: H·R random-hyperplane projections as ONE BLAS
+    matmul per batch → R sign bits per table packed to a bucket id; emits
+    (vec_id, table, bucket, unit-vector).  The planes are regenerated from
+    the fixed seed in every task — model metadata, like IVF's centroid
+    literals, never shipped as data."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(_LSH_SEED)
+    planes = None
+    shifts = 1 << np.arange(_LSH_R)
+    for pdf in it:
+        if pdf.empty:
+            continue
+        X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        X /= np.linalg.norm(X, axis=1, keepdims=True)
+        if planes is None:
+            planes = rng.standard_normal((_LSH_H * _LSH_R, X.shape[1]))
+        bits = (X @ planes.T) > 0
+        buckets = (bits.reshape(len(pdf), _LSH_H, _LSH_R) * shifts).sum(axis=2)
+        n = len(pdf)
+        yield pd.DataFrame(
+            {
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), _LSH_H),
+                "table": np.tile(np.arange(_LSH_H, dtype=np.int32), n),
+                "bucket": buckets.reshape(-1).astype(np.int32),
+                "uv": [row for row in X for _ in range(_LSH_H)],
+            }
+        )
+
+
 @register("sim_ann_lsh")  # ⊘oracle: approximate by construction; recall tested in pytest
 def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 scale path: ANN via random-hyperplane LSH over L2-normalized
-    vectors.  Candidates from bucket equi-joins; cos recovered from
-    euclidean distance on the unit sphere (cos = 1 - d²/2)."""
-    from pyspark.ml.feature import BucketedRandomProjectionLSH
-    from pyspark.ml.functions import array_to_vector
+    """X3 scale path: ANN via random-hyperplane LSH — candidates from the
+    (table, bucket) equi-group, VERIFIED PER-BUCKET IN BLAS (the
+    ``sim_ann_ivf`` discipline; r3 rewrite of the r2 weak plan whose
+    ``approxSimilarityJoin`` evaluated per-candidate distance as a
+    Catalyst vector op).  Two stages, both Arrow:
 
-    n = with_norm(load(spark, sf_dir, "embeddings"))
-    unit = n.select(
-        "vec_id",
-        array_to_vector(
-            F.transform("embedding", lambda x: x.cast("double") / F.col("nrm"))
-        ).alias("uv"),
+    1. signature pass: H·R projections as one matmul per batch, R sign
+       bits per table → bucket id (``_lsh_bucket_batches``);
+    2. per-(table, bucket) ``applyInPandas``: dense block matmul, exact
+       cos ≥ 0.4 filter, ``vec_a < vec_b`` inside the cell; a final
+       (vec_a, vec_b) hash-agg dedups pairs sharing several tables.
+
+    Recall at the fixture's adversarial cos≈0.4 band: P(bits agree) =
+    1−θ/π ≈ 0.63, so per-table collision 0.63⁴ ≈ 0.16 and
+    1−(1−0.16)¹⁴ ≈ 0.91 — the H=14 replication is the price of recall
+    0.9 AT the threshold band; a true near-dup band (cos ≥ 0.9) reaches
+    the same recall with H≈3.  Scale knob is R (buckets per table = 2^R
+    grows, blocks shrink); verification cost is Σ buckets² in BLAS,
+    never per-pair expression evaluation."""
+    import pandas as pd
+
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sig = em.repartition(32).mapInPandas(
+        _lsh_bucket_batches,
+        schema="vec_id long, table int, bucket int, uv array<double>",
     )
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="uv", outputCol="buckets", bucketLength=0.5, numHashTables=6, seed=42
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cos": []})
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack(pdf["uv"].to_numpy())
+        C = M @ M.T
+        i, j = np.nonzero(np.triu(C >= 0.4, k=1))  # ids sorted → vec_a < vec_b
+        return pd.DataFrame({"vec_a": ids[i], "vec_b": ids[j], "cos": C[i, j]})
+
+    cand = sig.groupBy("table", "bucket").applyInPandas(
+        bucket_pairs, schema="vec_a long, vec_b long, cos double"
     )
-    model = lsh.fit(unit)
-    # d <= sqrt(2 - 2·0.4) ≈ 1.0954 ⇔ cos >= 0.4 (matches dedup_embedding)
-    pairs = model.approxSimilarityJoin(unit, unit, 1.0954, distCol="d")
     return (
-        pairs.where(F.col("datasetA.vec_id") < F.col("datasetB.vec_id"))
-        .select(
-            F.col("datasetA.vec_id").alias("vec_a"),
-            F.col("datasetB.vec_id").alias("vec_b"),
-            F.round(1 - F.col("d") * F.col("d") / 2, 6).alias("est_cosine"),
-        )
+        cand.groupBy("vec_a", "vec_b")
+        .agg(F.max("cos").alias("cos"))  # exact cos — identical across tables
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("est_cosine"))
     )
 
 
