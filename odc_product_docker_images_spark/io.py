@@ -20,11 +20,14 @@ from pyspark.sql import functions as F
 
 from . import schemas
 
-# Tables whose parquet files carry TIMESTAMP(NANOS) columns, which Spark's
-# vectorized reader rejects outright ([PARQUET_TYPE_ILLEGAL]).  We read the
-# physical int64 via the legacy nanos-as-long conf and truncate to micros
-# (Spark's native timestamp precision) declaratively — still one codegen'd
-# scan, no Python in the path.
+# Tables whose feed-style timestamp column has shipped in different
+# physical forms across fixture generations: TIMESTAMP(NANOS) int64 (which
+# Spark's vectorized reader rejects outright, [PARQUET_TYPE_ILLEGAL] —
+# handled via the legacy nanos-as-long conf + declarative truncation to
+# micros) and plain micros with isAdjustedToUTC=false (which Spark infers
+# as TIMESTAMP_NTZ).  Both are normalized to the session-zone TIMESTAMP the
+# engine uses everywhere (session tz is pinned UTC, so the NTZ cast is
+# value-preserving) — still one codegen'd scan, no Python in the path.
 _NANOS_TS: dict[str, list[str]] = {"events": ["ts"]}
 
 
@@ -37,11 +40,14 @@ def load(spark: SparkSession, sf_dir: str, table: str, validate: bool = False) -
     df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
     types = dict(df.dtypes)
     for c in nanos_cols:
-        # only when the file really carries int64 nanos — a re-materialized
-        # copy of the table may already be timestamp-typed
         if types.get(c) == "bigint":
-            # integer `div`, not `/`: int64 nanos exceed double's 53-bit mantissa
+            # int64 nanos — integer `div`, not `/`: nanos exceed double's
+            # 53-bit mantissa
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif types.get(c) == "timestamp_ntz":
+            # micros, isAdjustedToUTC=false — same wall-clock under the
+            # pinned UTC session zone
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     if validate:
         schemas.validate(df.schema, table)
     return df

@@ -33,6 +33,119 @@ def _disc_price() -> F.Column:
 
 
 @register(
+    "agg_grouping_sets",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               {sql_dsum(_DISC_PRICE, "revenue")}
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10+: explicit GROUPING SETS — the arbitrary multi-report fusion
+    (rollup/cube are the special cases; the reference runs each report as
+    a separate job).  ``grouping_id`` disambiguates levels where a grouped
+    column is genuinely NULL vs aggregated away.  One shuffle for all
+    three reports: Spark expands rows per set BEFORE the exchange, so
+    partial aggregation still applies map-side."""
+    lf = load(spark, sf_dir, "lineitem")
+    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
+    return lf.groupingSets([[rf, ls], [ls], []], rf, ls).agg(
+        F.grouping_id().cast("bigint").alias("gid"),
+        F.count(F.lit(1)).alias("n"),
+        dsum(_disc_price(), "revenue"),
+    )
+
+
+@register(
+    "agg_mode",
+    oracle="""
+        SELECT user_id, event_type AS modal_type, n FROM (
+            SELECT user_id, event_type, COUNT(*) AS n,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY COUNT(*) DESC, event_type) AS rn
+            FROM events GROUP BY user_id, event_type
+        ) WHERE rn = 1
+    """,
+)
+def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13+: modal class per group — the majority-vote land-cover
+    composite (most frequent class per pixel).  Built-in ``mode()`` is
+    tie-nondeterministic in both engines, so the canonical form is
+    count-then-argmax with a total order (count desc, class asc): one
+    hash-agg (partial map-side) + one small window over per-group class
+    counts — the second stage sees |groups|×|classes| rows, not raw data."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n")
+    )
+
+
+@register(
+    "agg_weighted_mean",
+    oracle=f"""
+        SELECT l_returnflag,
+               ({sql_exact_double(f"SUM({sql_dec_cast(f'({_DISC_PRICE}) * l_quantity')})")})
+                 / ({sql_exact_double(f"SUM({sql_dec_cast('l_quantity')})")})
+                 AS wmean_price,
+               COUNT(*) AS n_obs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1+: weighted mean — the quality-weighted mosaic (pixels weighted
+    by clear-obs fraction / inverse cloud score).  Both the weighted sum
+    and the weight total go through the exact decimal path; the final
+    divide is one IEEE op on bit-identical doubles.  Same single-pass
+    hash-agg shape as ``agg_mean``."""
+    lf = load(spark, sf_dir, "lineitem")
+    num = dsum(_disc_price() * F.col("l_quantity"), "wsum")
+    den = dsum("l_quantity", "wtot")
+    return (
+        lf.groupBy("l_returnflag")
+        .agg(num, den, F.count(F.lit(1)).alias("n_obs"))
+        .select(
+            "l_returnflag",
+            (F.col("wsum") / F.col("wtot")).alias("wmean_price"),
+            "n_obs",
+        )
+    )
+
+
+@register(
+    "agg_corr",
+    oracle="""
+        SELECT l_returnflag,
+               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc,
+               COUNT(*) AS n_obs
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9+: correlation family — inter-band correlation (NDVI vs moisture
+    index agreement; the reference's xarray ``corr`` across time).
+    Single-pass co-moment built-ins (no data re-read); multi-pass float
+    policy: round 6 dp, small group count (3) keeps midpoint collisions
+    improbable (det.py)."""
+    lf = load(spark, sf_dir, "lineitem")
+    return lf.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+
+
+@register(
     "agg_multi_stat",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
@@ -117,26 +230,6 @@ def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lf.groupBy("l_returnflag").agg(
         F.round(F.median("l_quantity"), 6).alias("median_qty"),
         F.round(F.median("l_extendedprice"), 6).alias("median_price"),
-    )
-
-
-@register("agg_approx_percentile")  # ⊘oracle: sketch-based, can't hash-match exact SQL
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 scale path: ``percentile_approx`` (KLL-style sketch) — the
-    mergeable, partial-aggregatable alternative to the exact median for the
-    100 TB tier (exact median is holistic: full sort per group).  Bounded
-    error vs the exact median asserted in tests/test_plans.py."""
-    lf = load(spark, sf_dir, "lineitem")
-    # One sketch build, scalar outputs: the driver canonicalizer sorts and
-    # hashes cells, so the result schema must hold only scalars (an
-    # array<double> column lands as an unhashable ndarray in pandas).
-    quart = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-    return lf.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
-        F.element_at(quart, 1).alias("price_q25"),
-        F.element_at(quart, 2).alias("price_q50"),
-        F.element_at(quart, 3).alias("price_q75"),
-        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -252,18 +345,6 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lf.groupBy("l_returnflag").agg(
         F.countDistinct("l_partkey").alias("n_parts"),
         F.countDistinct("l_suppkey").alias("n_supps"),
-        F.count(F.lit(1)).alias("n_rows"),
-    )
-
-
-@register("agg_approx_distinct")  # ⊘oracle: HLL sketch can't hash-match exact SQL
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A8 approx: HyperLogLog ``approx_count_distinct`` — the 100 TB tier
-    where exact distinct would shuffle every key.  Rows-only check (driver);
-    bounded-error asserted in tests."""
-    lf = load(spark, sf_dir, "lineitem")
-    return lf.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
         F.count(F.lit(1)).alias("n_rows"),
     )
 
@@ -398,116 +479,33 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lf.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
 
 
-
-
-@register(
-    "agg_grouping_sets",
-    oracle=f"""
-        SELECT l_returnflag, l_linestatus,
-               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               COUNT(*) AS n,
-               {sql_dsum(_DISC_PRICE, "revenue")}
-        FROM lineitem
-        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
-                                (l_linestatus), ())
-    """,
-)
-def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A10+: explicit GROUPING SETS — the arbitrary multi-report fusion
-    (rollup/cube are the special cases; the reference runs each report as
-    a separate job).  ``grouping_id`` disambiguates levels where a grouped
-    column is genuinely NULL vs aggregated away.  One shuffle for all
-    three reports: Spark expands rows per set BEFORE the exchange, so
-    partial aggregation still applies map-side."""
+@register("agg_approx_percentile")  # ⊘oracle: sketch-based, can't hash-match exact SQL
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale path: ``percentile_approx`` (KLL-style sketch) — the
+    mergeable, partial-aggregatable alternative to the exact median for the
+    100 TB tier (exact median is holistic: full sort per group).  Bounded
+    error vs the exact median asserted in tests/test_plans.py."""
     lf = load(spark, sf_dir, "lineitem")
-    rf, ls = F.col("l_returnflag"), F.col("l_linestatus")
-    return lf.groupingSets([[rf, ls], [ls], []], rf, ls).agg(
-        F.grouping_id().cast("bigint").alias("gid"),
+    # One sketch build, scalar outputs: the driver canonicalizer sorts and
+    # hashes cells, so the result schema must hold only scalars (an
+    # array<double> column lands as an unhashable ndarray in pandas).
+    quart = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+    return lf.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
+        F.element_at(quart, 1).alias("price_q25"),
+        F.element_at(quart, 2).alias("price_q50"),
+        F.element_at(quart, 3).alias("price_q75"),
         F.count(F.lit(1)).alias("n"),
-        dsum(_disc_price(), "revenue"),
     )
 
 
-@register(
-    "agg_mode",
-    oracle="""
-        SELECT user_id, event_type AS modal_type, n FROM (
-            SELECT user_id, event_type, COUNT(*) AS n,
-                   ROW_NUMBER() OVER (PARTITION BY user_id
-                                      ORDER BY COUNT(*) DESC, event_type) AS rn
-            FROM events GROUP BY user_id, event_type
-        ) WHERE rn = 1
-    """,
-)
-def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A13+: modal class per group — the majority-vote land-cover
-    composite (most frequent class per pixel).  Built-in ``mode()`` is
-    tie-nondeterministic in both engines, so the canonical form is
-    count-then-argmax with a total order (count desc, class asc): one
-    hash-agg (partial map-side) + one small window over per-group class
-    counts — the second stage sees |groups|×|classes| rows, not raw data."""
-    ev = load(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("user_id").orderBy(F.desc("n"), F.asc("event_type"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_type").alias("modal_type"), "n")
-    )
-
-
-@register(
-    "agg_weighted_mean",
-    oracle=f"""
-        SELECT l_returnflag,
-               ({sql_exact_double(f"SUM({sql_dec_cast(f'({_DISC_PRICE}) * l_quantity')})")})
-                 / ({sql_exact_double(f"SUM({sql_dec_cast('l_quantity')})")})
-                 AS wmean_price,
-               COUNT(*) AS n_obs
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
-)
-def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1+: weighted mean — the quality-weighted mosaic (pixels weighted
-    by clear-obs fraction / inverse cloud score).  Both the weighted sum
-    and the weight total go through the exact decimal path; the final
-    divide is one IEEE op on bit-identical doubles.  Same single-pass
-    hash-agg shape as ``agg_mean``."""
-    lf = load(spark, sf_dir, "lineitem")
-    num = dsum(_disc_price() * F.col("l_quantity"), "wsum")
-    den = dsum("l_quantity", "wtot")
-    return (
-        lf.groupBy("l_returnflag")
-        .agg(num, den, F.count(F.lit(1)).alias("n_obs"))
-        .select(
-            "l_returnflag",
-            (F.col("wsum") / F.col("wtot")).alias("wmean_price"),
-            "n_obs",
-        )
-    )
-
-
-@register(
-    "agg_corr",
-    oracle="""
-        SELECT l_returnflag,
-               ROUND(CORR(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-               ROUND(COVAR_SAMP(l_quantity, l_discount), 6) AS covar_qty_disc,
-               COUNT(*) AS n_obs
-        FROM lineitem
-        GROUP BY l_returnflag
-    """,
-)
-def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A9+: correlation family — inter-band correlation (NDVI vs moisture
-    index agreement; the reference's xarray ``corr`` across time).
-    Single-pass co-moment built-ins (no data re-read); multi-pass float
-    policy: round 6 dp, small group count (3) keeps midpoint collisions
-    improbable (det.py)."""
+@register("agg_approx_distinct")  # ⊘oracle: HLL sketch can't hash-match exact SQL
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 approx: HyperLogLog ``approx_count_distinct`` — the 100 TB tier
+    where exact distinct would shuffle every key.  Rows-only check (driver);
+    bounded-error asserted in tests."""
     lf = load(spark, sf_dir, "lineitem")
     return lf.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
-        F.round(F.covar_samp("l_quantity", "l_discount"), 6).alias("covar_qty_disc"),
-        F.count(F.lit(1)).alias("n_obs"),
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
     )
