@@ -106,6 +106,58 @@ def dsum(col: Column | str, alias: str, nd: int = 6) -> Column:
     return _exact_rounded_sum(col, nd).alias(alias)
 
 
+def _fast_dec_sum(col: Column | str) -> Column:
+    """Exact twin of ``SUM(CAST(x AS DECIMAL(30,10)))`` with LONG accumulation.
+
+    The decimal sum's per-row BigDecimal add dominates wide aggregates
+    (measured: ~0.3 s per distinct decimal sum over 600k rows vs ~0.06 s
+    plain double).  Equivalent exact computation: scale each rounded-at-10dp
+    addend to its unscaled int64 (``x·10^10``), split into high/low parts at
+    a power-of-two base (shift/mask are exact integer ops for ANY sign —
+    arithmetic shift is floor division and the masked low part is its
+    non-negative remainder), sum both parts as plain longs (fast, exact,
+    associative), and reassemble the total in decimal once per GROUP.
+    Bit-identical to the decimal sum by construction — every step is exact
+    integer arithmetic; the only rounding is the same double→decimal(30,10)
+    cast both engines already share, so ``sql_dsum``/``sql_davg`` remain the
+    oracle twins.
+
+    Domain (documented, not checked — overflow would null out):
+    - per addend |x| < 9.2e8  (x·10^10 must fit int64); measure-band values
+      (prices, quantities, ratios, reflectances) are orders below this
+    - per group  Σ|x| < 7.5e12 and rows < 2^50 (high/low part sums fit
+      int64) — the same order as :func:`exact_double`'s own int64 hop, so
+      this path narrows nothing that the final conversion didn't already
+    Use :func:`dsum` when addends can exceed the band (it holds ~1e20).
+    """
+    base = 1 << 13
+    xd = _c(col).cast(DEC)
+    u = (xd * F.lit(10**10).cast("decimal(11,0)")).cast("long")
+    lo = u.bitwiseAND(F.lit(base - 1))
+    hi = F.shiftright(u, 13)
+    scaled = F.sum(hi).cast("decimal(38,0)") * F.lit(base).cast(
+        "decimal(5,0)"
+    ) + F.sum(lo).cast("decimal(38,0)")
+    # scaled == total·10^10 exactly; the divide is exact decimal scale
+    # restoration (result scale 12 ≥ 10 and the quotient terminates)
+    return scaled / F.lit(10**10).cast("decimal(11,0)")
+
+
+def dsum_fast(col: Column | str, alias: str, nd: int = 6) -> Column:
+    """:func:`dsum` with long-split accumulation — same result, ~2× cheaper
+    per row; see :func:`_fast_dec_sum` for the domain contract."""
+    return exact_double(_fast_dec_sum(col), nd).alias(alias)
+
+
+def davg_fast(col: Column | str, alias: str, nd: int = 6) -> Column:
+    """:func:`davg` with long-split accumulation (shares its sum buffers
+    with :func:`dsum_fast` on the same expression)."""
+    c = _c(col)
+    return (exact_double(_fast_dec_sum(c), nd) / F.count(c).cast("double")).alias(
+        alias
+    )
+
+
 def davg(col: Column | str, alias: str, nd: int = 6) -> Column:
     """Deterministic average: bit-identical rounded sum / count, one IEEE divide.
 

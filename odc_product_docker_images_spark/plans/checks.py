@@ -54,6 +54,17 @@ def assert_no_python_row_path(df: DataFrame) -> None:
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in the plan"
 
 
+def broadcast_hint_count(df: DataFrame) -> int:
+    """Number of explicit broadcast HINTS in the optimized logical plan.
+
+    Distinguishes a broadcast the query DEMANDS (``F.broadcast(...)`` — the
+    driver must collect that side no matter how big it turns out) from one
+    the optimizer merely PICKS off its size estimate (safe: estimate-gated
+    by autoBroadcastJoinThreshold, revisited by AQE at runtime)."""
+    plan = df._jdf.queryExecution().optimizedPlan().toString()  # noqa: SLF001
+    return plan.count("strategy=broadcast")
+
+
 def exchange_count(df: DataFrame) -> int:
     return formatted_plan(df).count("Exchange ")
 

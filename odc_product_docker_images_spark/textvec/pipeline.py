@@ -21,6 +21,29 @@ from ..registry import register
 # mod a prime first to keep the product inside int64.
 _KNUTH = 2654435761
 
+# Broadcast the (corpus-derived, ~5%) eval shingle set only while the source
+# corpus is below this size; above it the decontamination join degrades to a
+# shuffle semi-join instead of growing the broadcast with the data.  The
+# distinct 8-gram set of a 5% slice decompresses to ~10x the corpus's
+# on-disk parquet footprint, so the corpus size is the estimator — one
+# ``stat`` call, no extra Spark job, deterministic.  4 MiB corpus ≈ tens of
+# MB of broadcast shingles, which is also where the broadcast stops winning
+# locally: MEASURED at the 10x scale-up (6 MB corpus, .tmp/sf1x10) the
+# broadcast path runs 13.6 s vs 9.9 s for the shuffle semi-join — probing a
+# quarter-million-entry broadcast hash set per shingle loses before the
+# driver even OOMs.
+_EVAL_BROADCAST_MAX_BYTES = 4 << 20
+
+
+def _corpus_bytes(sf_dir: str) -> int:
+    """On-disk size of the documents table (file or directory of parts)."""
+    from pathlib import Path
+
+    p = Path(sf_dir) / "documents.parquet"
+    if p.is_dir():
+        return sum(f.stat().st_size for f in p.rglob("*") if f.is_file())
+    return p.stat().st_size if p.exists() else 0
+
 
 def _bucket(col: str = "doc_id", buckets: int = 100) -> Column:
     return (F.col(col) * F.lit(_KNUTH)) % F.lit(buckets)
@@ -233,9 +256,23 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         (_bucket() >= 5).alias("is_train"),
         F.explode(F.array_distinct(_shingles(k=8, distinct=False))).alias("sh"),
     )
+    # Adaptive decontamination join: the eval side here is carved as 5% OF
+    # THE CORPUS, so its distinct-shingle set grows with the data — a
+    # broadcast that is free at fixture scale becomes a driver-side OOM at
+    # 100 TB.  Decide from the source size (one stat call, no Spark job):
+    # below the cap, broadcast the (distinct) eval shingles — zero shuffle
+    # on the big probe side; above it, fall back to a shuffle SEMI-join on
+    # the shingle key, which stays linear at any scale (both sides
+    # hash-partition by ``sh``, no row blow-up on duplicate shingles, and
+    # the eval side doesn't even need a distinct).  Real eval suites are
+    # fixed-size and stay on the broadcast path forever; the guard is for
+    # corpus-derived slices like this one.
+    eval_sh = sh8.where(~F.col("is_train")).select("sh")
+    if _corpus_bytes(sf_dir) <= _EVAL_BROADCAST_MAX_BYTES:
+        eval_sh = F.broadcast(eval_sh.distinct())
     contaminated = (
         sh8.where("is_train")
-        .join(F.broadcast(sh8.where(~F.col("is_train")).select("sh").distinct()), "sh")
+        .join(eval_sh, "sh", "semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_contam", F.lit(True))

@@ -51,6 +51,56 @@ def test_dsum_davg_match_duckdb(spark_global, rows):
     assert canon_rows(got) == canon_rows(want)
 
 
+in_fast_domain = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    min_value=-9e8,
+    max_value=9e8,
+    allow_subnormal=False,
+)
+fast_rows_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), in_fast_domain),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(rows=fast_rows_strategy)
+def test_dsum_fast_matches_duckdb_and_dsum(spark_global, rows):
+    """The long-split fast path must be bit-identical to BOTH the DuckDB
+    oracle (same sql_dsum/sql_davg twins as dsum) and Spark's own decimal
+    path, across the documented addend domain |x| < 9e8 — including sign
+    mixes, magnitude spreads, and values whose unscaled form stresses the
+    shift/mask decomposition."""
+    spark = spark_global
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    from odc_product_docker_images_spark.functions.det import davg_fast, dsum_fast
+
+    got = (
+        sdf.groupBy("k")
+        .agg(
+            dsum_fast("v", "s"),
+            davg_fast("v", "a"),
+            dsum("v", "s_dec"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .toPandas()
+    )
+    assert list(got["s"]) == list(got["s_dec"])  # fast ≡ decimal path
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT k, {sql_dsum('v', 's')}, {sql_davg('v', 'a')},"
+        f" {sql_dsum('v', 's_dec')}, COUNT(*) AS n FROM t GROUP BY k"
+    ).df()
+    con.close()
+    assert canon_rows(got) == canon_rows(want)
+
+
 @settings(max_examples=60, deadline=None)
 @given(rows=rows_strategy)
 def test_windowed_exact_sum_matches_duckdb(spark_global, rows):

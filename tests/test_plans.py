@@ -294,3 +294,24 @@ def test_curation_e2e_broadcasts_eval_and_stays_linear(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan  # eval shingle set rides a broadcast
+
+
+def test_curation_e2e_degrades_broadcast_to_shuffle_join(spark, monkeypatch):
+    """Above the size cap the corpus-derived eval shingle set must NOT be
+    broadcast (it grows with the data): the decontamination join degrades
+    to a shuffle equi-join on the shingle key — linear at any scale."""
+    from odc_product_docker_images_spark.textvec import pipeline as P
+
+    # below the cap the eval set rides an explicit broadcast hint
+    assert C.broadcast_hint_count(P.curation_pipeline_e2e(spark, SF)) == 1
+
+    monkeypatch.setattr(P, "_EVAL_BROADCAST_MAX_BYTES", 0)
+    df = P.curation_pipeline_e2e(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Above the cap the query must not DEMAND the eval-set broadcast (an
+    # explicit hint means the driver collects that side no matter how big
+    # it turns out); the optimizer/AQE is still free to PICK a broadcast
+    # off its size estimate when the built side is genuinely tiny.
+    assert C.broadcast_hint_count(df) == 0
