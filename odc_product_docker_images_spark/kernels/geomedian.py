@@ -132,6 +132,35 @@ def agg_geomedian(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_geomedian_bucketed")  # ⊘oracle: holistic kernel — exact-equality-vs-agg_geomedian pytest
+def agg_geomedian_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 at 100 TB: the SHUFFLE-FREE geomedian.  The holistic aggregate's
+    one unavoidable shuffle (hash-repartition on the pixel key) disappears
+    when the pixel table is STORED bucketed by that key
+    (``sources/bucketed.py``): the map-side solve reads co-located buckets
+    directly and the plan has ZERO Exchange anywhere (pinned in
+    tests/test_plans.py).  This is the documented mitigation made real —
+    annual composites recompute over the same grid many times, so pay the
+    partitioning once at ingest and never per run.  Same batched Weiszfeld
+    kernel, one vectorized solve per bucket over all of its groups; output
+    is bit-identical to ``agg_geomedian`` (per-group math is independent of
+    partition composition — asserted exactly in tests/test_kernels.py)."""
+    from ..sources.bucketed import _ensure_bucketed
+
+    name = _ensure_bucketed(spark, sf_dir, "lineitem", "l_suppkey")
+    # The bucketed layout only surfaces as scan partitioning while
+    # autoBucketedScan is off (a plain mapInPandas declares no required
+    # distribution, so Spark would otherwise "helpfully" fall back to
+    # size-based splits and break group co-location).  Session defaults set
+    # this off; re-set defensively — planning happens at action time.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    return (
+        spark.table(name)
+        .select("l_suppkey", *BANDS)
+        .mapInPandas(_gm_partition, schema=_SCHEMA)
+    )
+
+
 @register(
     "agg_geomedian_1d",
     oracle="""

@@ -39,6 +39,10 @@ def get_spark(
         # splits feed all cores (cluster deployments keep the default —
         # there the file count, not split size, provides parallelism)
         .config("spark.sql.files.maxPartitionBytes", "16m")
+        # bucketed-table scans must KEEP the bucket layout even when the
+        # plan declares no required distribution (the shuffle-free
+        # geomedian's mapInPandas relies on bucket = partition co-location)
+        .config("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
@@ -68,4 +72,6 @@ def prep(spark: SparkSession) -> SparkSession:
     )
     # single-file fixtures need small splits to feed all cores (see get_spark)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")
+    # bucket = partition co-location for the shuffle-free geomedian path
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     return spark

@@ -32,7 +32,10 @@ from ..functions.det import dsum, sql_dsum
 from ..io import load
 from ..registry import register
 
-_BUCKETS = 16
+# 32 = the local core budget: bucket count bounds the parallelism of every
+# shuffle-free consumer (bucket = partition), so fewer buckets than cores
+# leaves cores idle.  On a cluster this is sized to O(total cores).
+_BUCKETS = 32
 _SCRATCH = Path(__file__).resolve().parents[2] / ".tmp" / "bucketed"
 
 
@@ -43,7 +46,11 @@ def _ensure_bucketed(
     table; returns the catalog name.  Idempotent: keyed by sf_dir hash, the
     data directory survives across sessions and the catalog entry is
     re-registered cheaply when only the session is new."""
-    tag = hashlib.md5(f"{sf_dir}:{table}".encode()).hexdigest()[:8]
+    # the tag must carry EVERY layout degree of freedom — same table
+    # bucketed by a different key or count is a different physical table
+    # (a collision here silently hands a consumer data clustered on the
+    # wrong key, which breaks bucket=group co-location, not just speed)
+    tag = hashlib.md5(f"{sf_dir}:{table}:{key}:{_BUCKETS}".encode()).hexdigest()[:8]
     name = f"bkt_{table}_{tag}"
     path = _SCRATCH / name
     if not spark.catalog.tableExists(name):

@@ -27,6 +27,22 @@ def test_geomedian_matches_numpy(spark, sf_dir):
         assert got.loc[supp, "n_obs"] == len(grp)
 
 
+def test_geomedian_bucketed_is_bit_identical(spark, sf_dir):
+    """The shuffle-free bucketed form must produce EXACTLY what the
+    shuffled form does: per-group Weiszfeld math is independent of which
+    partition (bucket vs hash-shuffle) a group lands in."""
+    from odc_product_docker_images_spark.kernels.geomedian import (
+        agg_geomedian,
+        agg_geomedian_bucketed,
+    )
+
+    cols = ["l_suppkey", "n_obs"] + [f"gm_{b}" for b in BANDS]
+    a = agg_geomedian(spark, sf_dir).toPandas().sort_values("l_suppkey")
+    b = agg_geomedian_bucketed(spark, sf_dir).toPandas().sort_values("l_suppkey")
+    for c in cols:
+        assert list(a[c]) == list(b[c]), f"column {c} diverged"
+
+
 def test_geomedian_minimizes_distance_sum():
     rng = np.random.default_rng(7)
     X = rng.normal(size=(200, 3))

@@ -283,6 +283,22 @@ def test_gap_fill_single_window_shuffle(spark):
     assert C.exchange_count(df) == 1
 
 
+def test_geomedian_bucketed_zero_exchange(spark):
+    """The 100 TB geomedian: stored-bucketed pixel table ⇒ the holistic
+    aggregate's ONE shuffle is gone — no Exchange node anywhere, and the
+    scan itself carries the bucket layout."""
+    from odc_product_docker_images_spark.kernels.geomedian import (
+        agg_geomedian_bucketed,
+    )
+
+    df = agg_geomedian_bucketed(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.exchange_count(df) == 0
+    assert "MapInPandas" in plan
+    assert "Bucketed: true" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_curation_e2e_broadcasts_eval_and_stays_linear(spark):
     """The full curation pipeline must have no quadratic join anywhere:
     contamination candidates come from a broadcast equi-join on the
