@@ -121,6 +121,79 @@ def regrid_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BL_STEPS = 200  # target samples per axis at 1/4-cell pitch: tx = i/4 ≤ 49.75
+
+
+@register(
+    "regrid_bilinear",
+    oracle=f"""
+        WITH grid AS (
+            SELECT l_partkey % 100 AS gx, l_suppkey % 100 AS gy,
+                   {sql_davg("l_quantity", "v")}
+            FROM lineitem GROUP BY 1, 2
+        ), t AS (
+            SELECT a.range / 4.0 AS tx, b.range / 4.0 AS ty
+            FROM RANGE(0, {_BL_STEPS}) a CROSS JOIN RANGE(0, {_BL_STEPS}) b
+        )
+        SELECT tx, ty,
+               (1 - (tx - FLOOR(tx))) * (1 - (ty - FLOOR(ty))) * g00.v
+                 + (tx - FLOOR(tx)) * (1 - (ty - FLOOR(ty))) * g10.v
+                 + (1 - (tx - FLOOR(tx))) * (ty - FLOOR(ty)) * g01.v
+                 + (tx - FLOOR(tx)) * (ty - FLOOR(ty)) * g11.v AS v_bilinear
+        FROM t
+        JOIN grid g00 ON g00.gx = FLOOR(tx)     AND g00.gy = FLOOR(ty)
+        JOIN grid g10 ON g10.gx = FLOOR(tx) + 1 AND g10.gy = FLOOR(ty)
+        JOIN grid g01 ON g01.gx = FLOOR(tx)     AND g01.gy = FLOOR(ty) + 1
+        JOIN grid g11 ON g11.gx = FLOOR(tx) + 1 AND g11.gy = FLOOR(ty) + 1
+    """,
+)
+def regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regrid with BILINEAR resampling — the reference's
+    ``load(resampling="bilinear")`` path: sample the source raster at a
+    finer target pitch, each target value the 4-corner weighted mean.
+
+    Relational shape: composite the source to a dense cell grid (one
+    hash-agg through the exact decimal path so both engines hold the
+    identical raster), generate the target lattice declaratively
+    (``spark.range`` × ``spark.range``), and join the grid FOUR times at
+    the corner keys.  Weights use a 1/4-cell pitch so ``tx``, ``frac`` and
+    every weight product are binary-exact doubles; the 4-term weighted sum
+    is fixed-order IEEE arithmetic — bit-identical cross-engine with NO
+    rounding anywhere.  Edge semantics: inner joins emit only targets with
+    all 4 corners present.  Scale: locally AQE broadcasts the composited
+    grid to all four probes; at 100 TB the grid is tile-partitioned and
+    the 4 joins co-partition on the cell key instead — either way the
+    target lattice streams and nothing is quadratic."""
+    lf = load(spark, sf_dir, "lineitem")
+    grid = lf.groupBy(
+        (F.col("l_partkey") % 100).alias("gx"),
+        (F.col("l_suppkey") % 100).alias("gy"),
+    ).agg(davg("l_quantity", "v"))
+    ta = spark.range(_BL_STEPS).select((F.col("id") / F.lit(4.0)).alias("tx"))
+    tb = spark.range(_BL_STEPS).select((F.col("id") / F.lit(4.0)).alias("ty"))
+    t = ta.crossJoin(tb)
+    x0, y0 = F.floor("tx"), F.floor("ty")
+    wx, wy = F.col("tx") - x0, F.col("ty") - y0
+    g = {k: grid.select(
+            F.col("gx").alias(f"gx_{k}"),
+            F.col("gy").alias(f"gy_{k}"),
+            F.col("v").alias(f"v_{k}"),
+        ) for k in ("00", "10", "01", "11")}
+    j = (
+        t.join(g["00"], (F.col("gx_00") == x0) & (F.col("gy_00") == y0))
+        .join(g["10"], (F.col("gx_10") == x0 + 1) & (F.col("gy_10") == y0))
+        .join(g["01"], (F.col("gx_01") == x0) & (F.col("gy_01") == y0 + 1))
+        .join(g["11"], (F.col("gx_11") == x0 + 1) & (F.col("gy_11") == y0 + 1))
+    )
+    v = (
+        (1 - wx) * (1 - wy) * F.col("v_00")
+        + wx * (1 - wy) * F.col("v_10")
+        + (1 - wx) * wy * F.col("v_01")
+        + wx * wy * F.col("v_11")
+    )
+    return j.select("tx", "ty", v.alias("v_bilinear"))
+
+
 @register(
     "sink_partitioned_write",
     oracle="""
