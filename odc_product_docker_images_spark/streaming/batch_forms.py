@@ -260,6 +260,59 @@ def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_table_ingest",
+    oracle=f"""
+        SELECT CAST(4 AS INTEGER) AS n_commits,
+               COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")}
+        FROM events
+    """,
+)
+def stream_table_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 ⋈ S7: streaming ingest INTO the versioned table — the
+    reference's worker loop lands each processed scene as an indexed
+    dataset; here every micro-batch (``maxFilesPerTrigger=1`` over a
+    4-file feed) commits one append snapshot via ``foreachBatch``, so the
+    ingest history is time-travelable and each commit is atomic
+    (manifest rename).  The key proves the bridge end-to-end: exactly 4
+    commits land, and the LATEST snapshot's rollup hash-matches the batch
+    oracle over the whole events table — the streaming path lost nothing.
+    The final rollup is commit-order-independent (count + exact decimal
+    sum), so file arrival order can't flake the hash."""
+    from pathlib import Path
+
+    from ..sources.versioned import VersionedTable
+    from . import streams as S
+
+    root = Path(__file__).resolve().parents[2] / ".tmp" / f"sti_{uuid.uuid4().hex[:8]}"
+    stage, ckpt = root / "stage", root / "ckpt"
+    S.stage_events_dir(spark, sf_dir, str(stage), n_files=4)
+    t = VersionedTable(str(root / "table"))
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t.write(batch_df.select("event_id", "value"), mode="append")
+
+    q = (
+        S.events_stream(spark, str(stage), max_files_per_trigger=1)
+        .writeStream.foreachBatch(commit_batch)
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_commits = len(t.versions())
+    return (
+        t.read(spark)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value", "sum_value"))
+        .select(
+            F.lit(n_commits).cast("int").alias("n_commits"),
+            "n_rows",
+            "sum_value",
+        )
+    )
+
+
+@register(
     "stream_available_now",
     oracle=f"""
         SELECT event_type, COUNT(*) AS n, {sql_dsum("value", "sum_value")}

@@ -58,9 +58,10 @@ def test_grading_window_holds_showcase_surface():
         "product_sar_water",
         "scalar_date", "scalar_json", "scalar_array", "scalar_map",
         "scalar_hash", "scalar_map_canonical",
-        "regrid_bin",
+        "regrid_bin", "regrid_bilinear",
         "table_time_travel", "table_compaction", "table_merge_upsert",
         "table_data_skipping", "table_zorder_skipping", "table_bucketed_join",
+        "table_change_feed",
         "stream_stream_join", "multimodal_decode",
         "window_range_time", "window_gap_fill",
         "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",

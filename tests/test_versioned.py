@@ -91,6 +91,33 @@ def test_merge_is_file_level_copy_on_write(spark):
     assert t.read(spark, 0).count() == 1000
 
 
+def test_change_feed_reads_only_manifest_diff(spark):
+    """CDC must be bounded by the rewritten volume: the feed plans ONLY
+    files removed/added between the manifests (untouched files never enter
+    it), carried-over rows cancel, and the classified changes are exact."""
+    t = _table()
+    df = spark.range(1000).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 10)
+    t.write(df.repartitionByRange(8, "k"), mode="overwrite")
+    upd = spark.range(50).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    ins = spark.range(5).select((F.col("id") + 10_000).alias("k"), F.lit(7).alias("v"))
+    t.merge(spark, upd.unionByName(ins), key="k")
+
+    feed = t.change_feed(spark, 0, 1, key="k", value_col="v")
+    # bounded read: every file in the feed's two scans is a manifest-diff
+    # file, strictly fewer than the union of both snapshots
+    base = lambda p: p.rsplit("/", 1)[-1]
+    planned = {base(f) for f in feed.inputFiles()}
+    v0 = {base(f) for f in t.snapshot_files(0)}
+    v1 = {base(f) for f in t.snapshot_files(1)}
+    assert planned == ((v0 - v1) | (v1 - v0))
+    assert len(planned) < len(v0 | v1)
+
+    rows = {(r.k, r.change_type): (r.v_before, r.v_after) for r in feed.collect()}
+    assert len(rows) == 55
+    assert all(rows[(k, "update")] == (k * 10, -1) for k in range(50))
+    assert all(rows[(k + 10_000, "insert")] == (None, 7) for k in range(5))
+
+
 def test_manifest_stats_prune_files(spark):
     """read_where must plan only stat-overlapping files — and still return
     exactly the filtered rows."""
