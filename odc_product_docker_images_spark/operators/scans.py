@@ -17,7 +17,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, sql_davg
+from ..functions.det import davg, dsum, sql_davg, sql_dsum
 from ..io import load, write_partitioned
 from ..registry import register
 
@@ -134,17 +134,23 @@ _BL_STEPS = 200  # target samples per axis at 1/4-cell pitch: tx = i/4 ≤ 49.75
         ), t AS (
             SELECT a.range / 4.0 AS tx, b.range / 4.0 AS ty
             FROM RANGE(0, {_BL_STEPS}) a CROSS JOIN RANGE(0, {_BL_STEPS}) b
+        ), corners AS (
+            SELECT tx, ty, CAST(FLOOR(tx) AS BIGINT) AS gx,
+                   CAST(FLOOR(ty) AS BIGINT) AS gy,
+                   (1 - (tx - FLOOR(tx))) * (1 - (ty - FLOOR(ty))) AS w FROM t
+            UNION ALL
+            SELECT tx, ty, CAST(FLOOR(tx) + 1 AS BIGINT), CAST(FLOOR(ty) AS BIGINT),
+                   (tx - FLOOR(tx)) * (1 - (ty - FLOOR(ty))) FROM t
+            UNION ALL
+            SELECT tx, ty, CAST(FLOOR(tx) AS BIGINT), CAST(FLOOR(ty) + 1 AS BIGINT),
+                   (1 - (tx - FLOOR(tx))) * (ty - FLOOR(ty)) FROM t
+            UNION ALL
+            SELECT tx, ty, CAST(FLOOR(tx) + 1 AS BIGINT), CAST(FLOOR(ty) + 1 AS BIGINT),
+                   (tx - FLOOR(tx)) * (ty - FLOOR(ty)) FROM t
         )
-        SELECT tx, ty,
-               (1 - (tx - FLOOR(tx))) * (1 - (ty - FLOOR(ty))) * g00.v
-                 + (tx - FLOOR(tx)) * (1 - (ty - FLOOR(ty))) * g10.v
-                 + (1 - (tx - FLOOR(tx))) * (ty - FLOOR(ty)) * g01.v
-                 + (tx - FLOOR(tx)) * (ty - FLOOR(ty)) * g11.v AS v_bilinear
-        FROM t
-        JOIN grid g00 ON g00.gx = FLOOR(tx)     AND g00.gy = FLOOR(ty)
-        JOIN grid g10 ON g10.gx = FLOOR(tx) + 1 AND g10.gy = FLOOR(ty)
-        JOIN grid g01 ON g01.gx = FLOOR(tx)     AND g01.gy = FLOOR(ty) + 1
-        JOIN grid g11 ON g11.gx = FLOOR(tx) + 1 AND g11.gy = FLOOR(ty) + 1
+        SELECT tx, ty, {sql_dsum("w * v", "v_bilinear")}
+        FROM corners JOIN grid USING (gx, gy)
+        GROUP BY tx, ty HAVING COUNT(*) = 4
     """,
 )
 def regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,18 +158,19 @@ def regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``load(resampling="bilinear")`` path: sample the source raster at a
     finer target pitch, each target value the 4-corner weighted mean.
 
-    Relational shape: composite the source to a dense cell grid (one
+    Relational shape: composite the source to a dense cell grid ONCE (one
     hash-agg through the exact decimal path so both engines hold the
     identical raster), generate the target lattice declaratively
-    (``spark.range`` × ``spark.range``), and join the grid FOUR times at
-    the corner keys.  Weights use a 1/4-cell pitch so ``tx``, ``frac`` and
-    every weight product are binary-exact doubles; the 4-term weighted sum
-    is fixed-order IEEE arithmetic — bit-identical cross-engine with NO
-    rounding anywhere.  Edge semantics: inner joins emit only targets with
-    all 4 corners present.  Scale: locally AQE broadcasts the composited
-    grid to all four probes; at 100 TB the grid is tile-partitioned and
-    the 4 joins co-partition on the cell key instead — either way the
-    target lattice streams and nothing is quadratic."""
+    (``spark.range`` × ``spark.range``), EXPLODE each target into its 4
+    (corner key, weight) rows, and join the grid a single time on the cell
+    key — a 4-way self-join would scan and composite the source four times
+    (caught in PLANS.md; DataFrames don't dedupe common subplans).  The
+    1/4-cell pitch makes every coordinate, fraction and weight product
+    binary-exact; the 4-addend weighted sum goes through the exact decimal
+    path so its grouped accumulation order can't matter.  Edge semantics:
+    ``HAVING COUNT(*) = 4`` emits only targets with all corners present.
+    Scale: one grid build, one broadcast-or-co-partitioned join, one
+    rollup keyed by target — nothing quadratic, source scanned once."""
     lf = load(spark, sf_dir, "lineitem")
     grid = lf.groupBy(
         (F.col("l_partkey") % 100).alias("gx"),
@@ -172,26 +179,33 @@ def regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     ta = spark.range(_BL_STEPS).select((F.col("id") / F.lit(4.0)).alias("tx"))
     tb = spark.range(_BL_STEPS).select((F.col("id") / F.lit(4.0)).alias("ty"))
     t = ta.crossJoin(tb)
-    x0, y0 = F.floor("tx"), F.floor("ty")
-    wx, wy = F.col("tx") - x0, F.col("ty") - y0
-    g = {k: grid.select(
-            F.col("gx").alias(f"gx_{k}"),
-            F.col("gy").alias(f"gy_{k}"),
-            F.col("v").alias(f"v_{k}"),
-        ) for k in ("00", "10", "01", "11")}
-    j = (
-        t.join(g["00"], (F.col("gx_00") == x0) & (F.col("gy_00") == y0))
-        .join(g["10"], (F.col("gx_10") == x0 + 1) & (F.col("gy_10") == y0))
-        .join(g["01"], (F.col("gx_01") == x0) & (F.col("gy_01") == y0 + 1))
-        .join(g["11"], (F.col("gx_11") == x0 + 1) & (F.col("gy_11") == y0 + 1))
+    x0, y0 = F.floor("tx").cast("bigint"), F.floor("ty").cast("bigint")
+    wx, wy = F.col("tx") - F.floor("tx"), F.col("ty") - F.floor("ty")
+    corner = lambda dx, dy, w: F.struct(
+        (x0 + dx).alias("gx"), (y0 + dy).alias("gy"), w.alias("w")
     )
-    v = (
-        (1 - wx) * (1 - wy) * F.col("v_00")
-        + wx * (1 - wy) * F.col("v_10")
-        + (1 - wx) * wy * F.col("v_01")
-        + wx * wy * F.col("v_11")
+    corners = t.select(
+        "tx",
+        "ty",
+        F.explode(
+            F.array(
+                corner(0, 0, (1 - wx) * (1 - wy)),
+                corner(1, 0, wx * (1 - wy)),
+                corner(0, 1, (1 - wx) * wy),
+                corner(1, 1, wx * wy),
+            )
+        ).alias("c"),
+    ).select("tx", "ty", "c.gx", "c.gy", "c.w")
+    return (
+        corners.join(grid, ["gx", "gy"])
+        .groupBy("tx", "ty")
+        .agg(
+            F.count(F.lit(1)).alias("_nc"),
+            dsum(F.col("w") * F.col("v"), "v_bilinear"),
+        )
+        .where(F.col("_nc") == 4)
+        .select("tx", "ty", "v_bilinear")
     )
-    return j.select("tx", "ty", v.alias("v_bilinear"))
 
 
 @register(

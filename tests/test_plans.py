@@ -283,6 +283,19 @@ def test_gap_fill_single_window_shuffle(spark):
     assert C.exchange_count(df) == 1
 
 
+def test_regrid_bilinear_single_source_scan(spark):
+    """The 4-corner sampling must come from ONE composited grid — a 4-way
+    self-join re-scans and re-composites the source four times (DataFrames
+    don't dedupe common subplans)."""
+    from odc_product_docker_images_spark.operators.scans import regrid_bilinear
+
+    df = regrid_bilinear(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "CartesianProduct" not in C.formatted_plan(df).replace(
+        "CartesianProduct", "", 1
+    )  # exactly one cross join: the declared target lattice itself
+
+
 def test_geomedian_bucketed_zero_exchange(spark):
     """The 100 TB geomedian: stored-bucketed pixel table ⇒ the holistic
     aggregate's ONE shuffle is gone — no Exchange node anywhere, and the
