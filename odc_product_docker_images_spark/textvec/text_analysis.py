@@ -364,10 +364,8 @@ def text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
         ), cnt AS (
             SELECT w, COUNT(*) AS c FROM toks GROUP BY w
-        ), tot AS (
-            SELECT COUNT(*) AS t FROM toks
         ), lp AS (
-            SELECT w, ROUND(LN(c / t), 6) AS lnp FROM cnt CROSS JOIN tot
+            SELECT w, ROUND(LN(c / SUM(c) OVER ()), 6) AS lnp FROM cnt
         )
         SELECT toks.doc_id,
                COUNT(*) AS n_tokens,
@@ -382,7 +380,10 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigram probs (one token hash-agg + the 1-row total broadcast); score =
     mean ln p(w) per document via the vocab ⋈ token-stream equi-join.
     Low (very negative) scores flag gibberish/rare-token docs, high scores
-    flag boilerplate — both tails get cut in a real pipeline.
+    flag boilerplate — both tails get cut in a real pipeline.  The corpus
+    total is Σc over the aggregated vocab (global window on the small
+    side), so the token stream is scanned exactly twice — fit and score —
+    and nothing else touches it (PLANS.md pins the scan count).
 
     Determinism: ln is libm (JVM vs C last-ulp), so each token TYPE's lnp
     is rounded 6 dp BEFORE the per-doc aggregation; the per-doc mean then
@@ -394,9 +395,14 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = load(spark, sf_dir, "documents")
     toks = dc.repartition(32).select("doc_id", F.explode(_toks()).alias("w"))
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    tot = toks.agg(F.count(F.lit(1)).alias("t"))
-    lp = cnt.crossJoin(F.broadcast(tot)).select(
-        "w", F.round(F.log(F.col("c") / F.col("t")), 6).alias("lnp")
+    # total token count = Σc over the VOCAB (a global window on the small
+    # aggregated side) — deriving it from `toks` with a separate agg
+    # duplicated the corpus scan+explode subplan (PLANS.md caught the 3rd
+    # scan; DataFrame branches don't dedupe statically).  The single-task
+    # window is over vocab rows only, orders below the corpus.
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    lp = cnt.select(
+        "w", F.round(F.log(F.col("c") / F.sum("c").over(wall)), 6).alias("lnp")
     )
     return (
         toks.join(lp, "w")
