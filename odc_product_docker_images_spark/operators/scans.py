@@ -64,12 +64,35 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
 
 
-@register("source_tile_scan")  # ⊘oracle: custom DataSource generates its own rows
+@register(
+    "source_tile_scan",
+    oracle=f"""
+        WITH px AS (
+            SELECT a.range AS y, b.range AS x,
+                   CAST((a.range * 31 + b.range * 17) % 255 AS DOUBLE) AS red,
+                   CAST((a.range * 13 + b.range * 41) % 255 AS DOUBLE) AS nir
+            FROM RANGE(0, 128) a CROSS JOIN RANGE(0, 128) b
+        )
+        SELECT CAST(FLOOR(y / 16) AS BIGINT) AS cell_y,
+               CAST(FLOOR(x / 16) AS BIGINT) AS cell_x,
+               {sql_davg("(nir - red) / (nir + red + 1e-9)", "mean_ndvi")},
+               COUNT(*) AS n_px
+        FROM px GROUP BY 1, 2
+    """,
+)
 def source_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: the Datacube.load pipeline on the custom Python DataSource —
     per-tile parallel read → NDVI band math → regrid (floor-divide grid
     binning, the GeoBox cell-id trick) → per-cell composite.  One shuffle
-    (the regrid groupBy); tile reads are independent executor tasks."""
+    (the regrid groupBy); tile reads are independent executor tasks.
+
+    The source's pixel formula is deterministic integer arithmetic
+    (tile_source.py), so the WHOLE pipeline carries a full value-hash
+    oracle: DuckDB regenerates the pixels from RANGE and runs the same
+    composite.  Cross-engine traps handled: explicit FLOOR before the
+    BIGINT cast (DuckDB's double→int cast ROUNDS, Spark's truncates) and
+    the cell mean through the exact decimal path (a bare AVG of doubles is
+    summation-order-dependent)."""
     from ..sources.tile_source import register_tile_source
 
     register_tile_source(spark)
@@ -80,13 +103,13 @@ def source_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .load()
     )
     ndvi = (px["nir"] - px["red"]) / (px["nir"] + px["red"] + F.lit(1e-9))
-    cell = [(F.col("y") / 16).cast("long").alias("cell_y"),
-            (F.col("x") / 16).cast("long").alias("cell_x")]
+    cell = [F.floor(F.col("y") / 16).cast("long").alias("cell_y"),
+            F.floor(F.col("x") / 16).cast("long").alias("cell_x")]
     return (
         px.select(*cell, ndvi.alias("ndvi"))
         .groupBy("cell_y", "cell_x")
         .agg(
-            F.round(F.avg("ndvi"), 6).alias("mean_ndvi"),
+            davg("ndvi", "mean_ndvi"),
             F.count(F.lit(1)).alias("n_px"),
         )
     )
