@@ -172,14 +172,37 @@ def stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_stateful_ledger")  # ⊘oracle: arbitrary streaming state, not batch-expressible
+@register(
+    "stream_stateful_ledger",
+    oracle="""
+        WITH feed(batch, user_id, value) AS (VALUES
+            (0, 1, 1.0), (0, 1, 2.0), (0, 2, 5.0),
+            (1, 1, 1.0), (1, 3, 7.0)
+        ), per AS (
+            SELECT batch, user_id, COUNT(*) AS n, SUM(value) AS s
+            FROM feed GROUP BY 1, 2
+        )
+        SELECT CAST(user_id AS BIGINT) AS user_id,
+               CAST(SUM(n) OVER w AS BIGINT) AS n_events,
+               SUM(s) OVER w AS total_value
+        FROM per
+        WINDOW w AS (PARTITION BY user_id ORDER BY batch)
+    """,
+)
 def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6 as a registered key: ``applyInPandasWithState`` per-user running
     ledger (streams.py:stateful_running_totals) driven over a two-batch
     deterministic feed.  Update mode emits each touched user's state per
     micro-batch: batch 1 touches users 1,2 → 2 rows; batch 2 touches users
     1,3 → 2 rows (user 1's ledger now accumulated across batches) — exactly
-    4 rows with fixed values, regardless of timing."""
+    4 rows with fixed values, regardless of timing.
+
+    FULL oracle (r3): update-mode output IS the per-batch cumulative state
+    of each user touched in that batch — a running-window aggregation over
+    the (batch, user) groups of the literal feed, which SQL expresses
+    exactly.  The state machine's semantics, not just its row count, are
+    hash-gated (the feed values are small binary-exact doubles, so the
+    running sums carry no float-order ambiguity)."""
     import uuid
     from pathlib import Path
 
@@ -220,13 +243,28 @@ def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("user_id", "n_events", "total_value")
 
 
-@register("stream_foreach_batch")  # ⊘oracle: sink-side effect, checked via read-back
+@register(
+    "stream_foreach_batch",
+    oracle=f"""
+        WITH feed(d, value) AS (VALUES
+            ('2024-01-01', 1.0), ('2024-01-01', 2.0),
+            ('2024-01-02', 3.0), ('2024-01-02', 4.0),
+            ('2024-01-03', 5.0)
+        )
+        SELECT d AS date, COUNT(*) AS n, {sql_dsum("value", "sum_value")}
+        FROM feed GROUP BY d
+    """,
+)
 def stream_foreach_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 as a registered key: ``foreachBatch`` idempotent partitioned sink
     (streams.py:foreach_batch_sink — the COG/S3 upload analog).  A fixed
     three-day feed is driven through the sink with an availableNow trigger,
     then the date-partitioned parquet output is read back and rolled up —
-    one row per date with fixed counts/sums proves the writes landed."""
+    one row per date with fixed counts/sums proves the writes landed.
+
+    FULL oracle (r3): the read-back rollup is SQL over the literal feed —
+    the sink path (partitioned write + partition-discovery read) is now
+    value-hash-gated end to end, not just row-counted."""
     import uuid
     from pathlib import Path
 
