@@ -216,3 +216,95 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             schema="doc_id long, frame_idx long, frame_md5 string, frame_len long",
         )
     )
+
+
+_PCM_N, _PCM_WIN = 2048, 256  # samples per asset, samples per analysis window
+_PCM_A, _PCM_B = 7919, 2654435761  # deterministic sample-synth multipliers
+
+
+def _audio_synth_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Pack each asset a deterministic int16 little-endian PCM payload —
+    the stand-in for a WAV data chunk (the container-header parse is the
+    same scanner discipline as ``_decode_pgm``)."""
+    import numpy as np
+
+    for pdf in it:
+        payloads = []
+        for d in pdf["doc_id"]:
+            i = np.arange(_PCM_N, dtype=np.int64)
+            v = ((int(d) * _PCM_A + i * _PCM_B) % 65536) - 32768
+            payloads.append(v.astype("<i2").tobytes())
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads})
+
+
+def _audio_feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """bytes → int16 samples → per-window features.  One asset row in,
+    one row per analysis window out (the audio-featurization fan-out)."""
+    import numpy as np
+
+    for pdf in it:
+        ids, wins, peaks, rmss, zcs = [], [], [], [], []
+        for d, p in zip(pdf["doc_id"], pdf["payload"]):
+            v = np.frombuffer(p, dtype="<i2").astype(np.int64)
+            for w in range(len(v) // _PCM_WIN):
+                seg = v[w * _PCM_WIN : (w + 1) * _PCM_WIN]
+                ids.append(d)
+                wins.append(w)
+                peaks.append(int(np.abs(seg).max()))
+                # Σs² exact in int64; /256 is a power-of-two (exact);
+                # sqrt is IEEE-correctly-rounded in numpy AND both SQL
+                # engines — bit-identical with NO rounding step
+                rmss.append(float(np.sqrt(float(int((seg * seg).sum())) / _PCM_WIN)))
+                zcs.append(int(((seg[1:] * seg[:-1]) < 0).sum()))
+        yield pd.DataFrame(
+            {"doc_id": ids, "win": wins, "peak": peaks, "rms": rmss,
+             "zero_crossings": zcs}
+        )
+
+
+@register(
+    "multimodal_audio_features",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, t.i,
+                   ((doc_id * {_PCM_A} + t.i * {_PCM_B}) % 65536) - 32768 AS v
+            FROM (SELECT doc_id FROM documents) d,
+                 UNNEST(RANGE(0, {_PCM_N})) AS t(i)
+        ), w AS (
+            SELECT doc_id, CAST(FLOOR(i / {_PCM_WIN}) AS BIGINT) AS win, i, v,
+                   LAG(v) OVER (PARTITION BY doc_id,
+                                CAST(FLOOR(i / {_PCM_WIN}) AS BIGINT)
+                                ORDER BY i) AS prev
+            FROM s
+        )
+        SELECT doc_id, win,
+               MAX(ABS(v)) AS peak,
+               SQRT(CAST(SUM(v * v) AS BIGINT) / {_PCM_WIN}.0) AS rms,
+               CAST(SUM(CASE WHEN prev IS NOT NULL AND v * prev < 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        FROM w GROUP BY 1, 2
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 audio: windowed feature extraction over int16 PCM payloads —
+    the audio twin of frame sampling: synthesize a deterministic PCM
+    payload per asset (arithmetic stand-in for the WAV data chunk), then
+    decode bytes → samples → per-window peak / RMS / zero-crossing counts
+    in a second Arrow pass.  Real plumbing throughout: little-endian int16
+    byte decode, window slicing, integer feature math.  FULL oracle —
+    DuckDB regenerates the samples from RANGE and computes identical
+    features (peak and zero-crossings are pure integers; RMS is an exact
+    int sum, a power-of-two divide and an IEEE-correctly-rounded sqrt, so
+    even the float column needs no rounding).  Scale: two zero-shuffle
+    Arrow map passes; window fan-out is 8 rows per asset, bounded by the
+    payload length, never the corpus."""
+    dc = load(spark, sf_dir, "documents")
+    media = (
+        dc.select("doc_id")
+        .repartition(8, "doc_id")
+        .mapInPandas(_audio_synth_batches, schema="doc_id long, payload binary")
+    )
+    return media.mapInPandas(
+        _audio_feature_batches,
+        schema="doc_id long, win long, peak long, rms double, zero_crossings long",
+    )
