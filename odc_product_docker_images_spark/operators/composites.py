@@ -161,7 +161,39 @@ def catalog_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_watermark")  # ⊘oracle: true event-time semantics, not batch-expressible
+@register(
+    "stream_watermark",
+    oracle="""
+        WITH feed(batch, ts, event_type, value) AS (VALUES
+            (0, TIMESTAMP '2024-01-01 10:00:00', 'click', 1.0),
+            (0, TIMESTAMP '2024-01-01 10:20:00', 'click', 2.0),
+            (0, TIMESTAMP '2024-01-01 10:40:00', 'click', 3.0),
+            (1, TIMESTAMP '2024-01-01 09:00:00', 'click', 99.0),
+            (2, TIMESTAMP '2024-01-01 12:30:00', 'click', 1.0)
+        ), wm AS (
+            -- watermark IN EFFECT while batch b processes = max event time
+            -- of the batches BEFORE it, minus the 10-minute delay
+            SELECT batch,
+                   MAX(mx) OVER (ORDER BY batch
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     - INTERVAL 10 MINUTE AS wm_in
+            FROM (SELECT batch, MAX(ts) AS mx FROM feed GROUP BY batch)
+        ), kept AS (
+            -- late-drop rule: a row whose 1h window already closed under
+            -- the in-effect watermark is discarded
+            SELECT f.* FROM feed f JOIN wm USING (batch)
+            WHERE wm_in IS NULL
+               OR DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR > wm_in
+        )
+        SELECT DATE_TRUNC('hour', ts) AS w_start, event_type,
+               COUNT(*) AS n, SUM(value) AS sum_value
+        FROM kept
+        GROUP BY 1, 2
+        -- append-mode emission: only windows the FINAL watermark closed
+        HAVING DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR
+               <= (SELECT MAX(ts) - INTERVAL 10 MINUTE FROM feed)
+    """,
+)
 def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4: the watermark late-drop demonstration as a registered key — runs
     a REAL watermarked streaming query over a 3-batch staged feed (on-time
@@ -169,7 +201,14 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     append-mode sink: exactly the on-time window survives.
 
     Deterministic: the straggler's window closed before it arrived, so the
-    emitted row set is fixed regardless of timing."""
+    emitted row set is fixed regardless of timing.
+
+    FULL oracle (r3): the event-time machine is SIMULATED in SQL over the
+    literal feed — the in-effect watermark is a lagged running max of
+    per-batch event-time maxima minus the delay, the late-drop rule
+    discards rows whose window closed under it, and append-mode emission
+    keeps only windows the final watermark closed.  All three T4 rules
+    (lag, drop, emit) are hash-gated, not just the surviving row count."""
     from pathlib import Path
 
     from ..streaming import streams as S
