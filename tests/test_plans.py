@@ -283,6 +283,21 @@ def test_gap_fill_single_window_shuffle(spark):
     assert C.exchange_count(df) == 1
 
 
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must actually join on (key, salt) — a plan that
+    drops the salt from the join keys re-concentrates the hot key — and
+    must be a sort-merge join (broadcast would make the salt pointless)."""
+    from odc_product_docker_images_spark.operators.joins import join_skew_salted
+
+    df = join_skew_salted(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin" in plan
+    left = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    right = re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert left and "salt" in left.group(1)
+    assert right and "salt" in right.group(1)
+
+
 def test_regrid_bilinear_single_source_scan(spark):
     """The 4-corner sampling must come from ONE composited grid — a 4-way
     self-join re-scans and re-composites the source four times (DataFrames
