@@ -129,6 +129,69 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), ex AS (
+            SELECT doc_id,
+                   UNNEST(LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+            FROM toks WHERE LEN(t) >= 3
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id != b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, i / sa.n AS containment, sa.n AS n_a, sb.n AS n_b
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE i / sa.n >= 0.9
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 asymmetric: shingle CONTAINMENT — ``|A∩B| / |A|``, the directed
+    near-dup measure Jaccard misses: a short document quoted wholesale
+    inside a long one scores low Jaccard (the union is dominated by the
+    long side) but containment ≈ 1 in the short→long direction.  Emitted
+    pairs are DIRECTED (doc_a contained in doc_b), so both directions of a
+    symmetric near-dup appear — that is the semantics, not duplication.
+    Same linear shingle equi-join as the Jaccard key (one reused shingle
+    Exchange at runtime); the ratio is one IEEE divide of exact integers —
+    no rounding.  Threshold 0.9 ≈ 'at least 90% of A's shingles appear in
+    B'."""
+    dc = load(spark, sf_dir, "documents")
+    ex = (
+        dc.repartition(32)
+        .select("doc_id", F.explode(_shingles()).alias("sh"))
+        .repartition(32, "sh")
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    cont = F.col("i") / F.col("n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(cont >= 0.9)
+        .select("doc_a", "doc_b", cont.alias("containment"), "n_a", "n_b")
+    )
+
+
 _ED_MIN_SHARED = 10  # candidate gate: pairs sharing >= this many 3-gram shingles
 _ED_SIM = 0.8  # keep pairs with edit similarity 1 - lev/max_len >= this
 
