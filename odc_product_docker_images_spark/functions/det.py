@@ -27,9 +27,30 @@ from pyspark.sql import functions as F
 DEC = "decimal(30,10)"
 SQL_DEC = "DECIMAL(30,10)"
 
+# Half a DECIMAL(30,10) tick.  Values below this are clamped to exactly 0.0
+# on BOTH sides before the decimal cast: DuckDB's VARCHAR→DECIMAL parse
+# rounds a sub-tick magnitude like 6.64e-298 AWAY from zero to 1E-10 while
+# the JVM's cast yields 0 (fuzz falsifier, tests/test_fuzz_parity.py).  The
+# clamp makes the convention explicit and identical — the comparison
+# ``ABS(x) < 5e-11`` is one IEEE compare against the same double literal in
+# both engines, so there is no boundary disagreement to inherit.
+SUB_TICK = 5e-11
+
 
 def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
+
+
+def dec_cast(col: Column | str) -> Column:
+    """double column → DECIMAL(30,10), the Spark twin of :func:`sql_dec_cast`.
+
+    Every oracled float aggregate must route its addends through THIS
+    helper (never a bare ``.cast(DEC)``) so the sub-tick clamp convention
+    stays in one place on both sides.  NULL passes through (``abs(NULL)``
+    is NULL → the WHEN branch is not taken → otherwise(NULL)).
+    """
+    c = _c(col)
+    return F.when(F.abs(c) < F.lit(SUB_TICK), F.lit(0.0)).otherwise(c).cast(DEC)
 
 
 def exact_double(dec_col: Column, nd: int = 6) -> Column:
@@ -72,8 +93,14 @@ def sql_dec_cast(expr: str) -> str:
     diverges from the JVM's shortest-repr parse for |x| > 2^53/10^scale.
     Both engines round the SHORTEST DECIMAL REPR half-up (verified on
     midpoints, subnormals, ±0.0) — so parse the repr on both sides.
+
+    The CASE clamp zeroes sub-tick magnitudes BEFORE the parse: DuckDB's
+    VARCHAR→DECIMAL rounds e.g. '6.64e-298' away from zero to 1E-10
+    (fuzz-found) while the JVM yields 0 — see :data:`SUB_TICK` and the
+    Spark twin :func:`dec_cast`.
     """
-    return f"CAST(CAST(({expr}) AS VARCHAR) AS {SQL_DEC})"
+    clamped = f"CASE WHEN ABS(({expr})) < {SUB_TICK!r} THEN CAST(0.0 AS DOUBLE) ELSE ({expr}) END"
+    return f"CAST(CAST(({clamped}) AS VARCHAR) AS {SQL_DEC})"
 
 
 def dround(col: Column | str, nd: int = 6) -> Column:
@@ -85,7 +112,7 @@ def dround(col: Column | str, nd: int = 6) -> Column:
     2^a·5^b, so midpoints are NOT improbable.  Route through DECIMAL
     (shortest-repr parse, half-up in both engines) + the exact int64 hop.
     """
-    return exact_double(_c(col).cast(DEC), nd)
+    return exact_double(dec_cast(col), nd)
 
 
 def sql_dround(expr: str, nd: int = 6) -> str:
@@ -94,7 +121,7 @@ def sql_dround(expr: str, nd: int = 6) -> str:
 
 
 def _exact_rounded_sum(col: Column | str, nd: int) -> Column:
-    return exact_double(F.sum(_c(col).cast(DEC)), nd)
+    return exact_double(F.sum(dec_cast(col)), nd)
 
 
 def _sql_exact_rounded_sum(expr: str, nd: int) -> str:
@@ -131,27 +158,37 @@ def _fast_dec_sum(col: Column | str) -> Column:
     Use :func:`dsum` when addends can exceed the band (it holds ~1e20).
     """
     base = 1 << 13
-    xd = _c(col).cast(DEC)
+    xd = dec_cast(col)
     u = (xd * F.lit(10**10).cast("decimal(11,0)")).cast("long")
     lo = u.bitwiseAND(F.lit(base - 1))
     hi = F.shiftright(u, 13)
     scaled = F.sum(hi).cast("decimal(38,0)") * F.lit(base).cast(
         "decimal(5,0)"
     ) + F.sum(lo).cast("decimal(38,0)")
-    # scaled == total·10^10 exactly; the divide is exact decimal scale
-    # restoration (result scale 12 ≥ 10 and the quotient terminates)
+    # scaled == total·10^10 exactly, but Spark's precision-loss adjustment
+    # types decimal(38,0)/decimal(11,0) as decimal(38,6), so this divide
+    # lands at SCALE 6, HALF_UP — it pre-rounds the total at 6 dp.  That is
+    # bit-identical to the decimal path ONLY because the final
+    # exact_double(·, nd=6) applies the same idempotent half-up round;
+    # dsum_fast/davg_fast therefore pin nd == 6 (any other nd would
+    # double-round and silently diverge from dsum and the DuckDB oracle).
     return scaled / F.lit(10**10).cast("decimal(11,0)")
 
 
 def dsum_fast(col: Column | str, alias: str, nd: int = 6) -> Column:
     """:func:`dsum` with long-split accumulation — same result, ~2× cheaper
-    per row; see :func:`_fast_dec_sum` for the domain contract."""
+    per row; see :func:`_fast_dec_sum` for the domain contract.  nd is
+    pinned to 6: the fast path's scale-restoring divide already rounds at
+    6 dp (see the comment in :func:`_fast_dec_sum`)."""
+    assert nd == 6, "dsum_fast is only bit-identical to dsum at nd=6"
     return exact_double(_fast_dec_sum(col), nd).alias(alias)
 
 
 def davg_fast(col: Column | str, alias: str, nd: int = 6) -> Column:
     """:func:`davg` with long-split accumulation (shares its sum buffers
-    with :func:`dsum_fast` on the same expression)."""
+    with :func:`dsum_fast` on the same expression).  nd pinned to 6 — see
+    :func:`dsum_fast`."""
+    assert nd == 6, "davg_fast is only bit-identical to davg at nd=6"
     c = _c(col)
     return (exact_double(_fast_dec_sum(c), nd) / F.count(c).cast("double")).alias(
         alias

@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dsum, sql_dsum
+from ..functions.det import dec_cast, dsum, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -53,7 +53,7 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.withColumn("salt", salt)
         .groupBy("l_returnflag", "salt")
         .agg(
-            F.sum(_disc_price().cast("decimal(30,10)")).alias("rev_part"),
+            F.sum(dec_cast(_disc_price())).alias("rev_part"),
             F.count(F.lit(1)).alias("n_part"),
         )
     )

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from ..functions.det import (
     DEC,
     davg,
+    dec_cast,
     dround,
     exact_double,
     sql_davg,
@@ -206,7 +207,7 @@ def product_sar_water(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-2, 2)
     )
     staged = lf.select("l_suppkey", "l_orderkey", "l_linenumber", db.alias("db"))
-    dec_sum = F.sum(F.col("db").cast(DEC)).over(w)
+    dec_sum = F.sum(dec_cast("db")).over(w)
     cnt = F.count("db").over(w)
     filt = (exact_double(dec_sum) / cnt.cast("double")).alias("filt_db")
     out = staged.select(

@@ -20,11 +20,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import exact_double, sql_dec_cast, sql_exact_double
+from ..functions.det import dec_cast, exact_double, sql_dec_cast, sql_exact_double
 from ..io import load
 from ..registry import register
 
-_DEC = "decimal(30,10)"
 
 
 @register(
@@ -107,7 +106,7 @@ def window_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-4, Window.currentRow)
     )
-    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w)
+    dec_sum = F.sum(dec_cast("value")).over(w)
     cnt = F.count("value").over(w)
     return ev.select(
         "event_id",
@@ -141,7 +140,7 @@ def window_cumsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        exact_double(F.sum(F.col("value").cast(_DEC)).over(w)).alias("cum_value"),
+        exact_double(F.sum(dec_cast("value")).over(w)).alias("cum_value"),
         F.count(F.lit(1)).over(w).alias("cum_n"),
     )
 
@@ -232,7 +231,7 @@ def window_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.unix_micros(F.col("ts")))
         .rangeBetween(-1_800_000_000, Window.currentRow)
     )
-    dec_sum = F.sum(F.col("value").cast(_DEC)).over(w)
+    dec_sum = F.sum(dec_cast("value")).over(w)
     cnt = F.count("value").over(w)
     return ev.select(
         "event_id",

@@ -372,7 +372,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     from pathlib import Path
 
-    from ..functions.det import exact_double
+    from ..functions.det import dec_cast, exact_double
     from ..streaming import streams as S
 
     root = Path(__file__).resolve().parents[2] / ".tmp" / f"avn_{uuid.uuid4().hex[:8]}"
@@ -386,7 +386,7 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum(F.col("value").cast("decimal(30,10)")).alias("dec_sum"),
+            F.sum(dec_cast("value")).alias("dec_sum"),
         )
         .select("event_type", "n", exact_double(F.col("dec_sum")).alias("sum_value"))
     )

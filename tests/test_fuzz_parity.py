@@ -116,6 +116,7 @@ def test_windowed_exact_sum_matches_duckdb(spark_global, rows):
     from pyspark.sql import functions as F
 
     from odc_product_docker_images_spark.functions.det import (
+        dec_cast,
         exact_double,
         sql_dec_cast,
         sql_exact_double,
@@ -123,7 +124,7 @@ def test_windowed_exact_sum_matches_duckdb(spark_global, rows):
 
     w = Window.partitionBy("k").orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
     got = sdf.select(
-        "i", "k", exact_double(F.sum(F.col("v").cast("decimal(30,10)")).over(w)).alias("c")
+        "i", "k", exact_double(F.sum(dec_cast("v")).over(w)).alias("c")
     ).toPandas()
     con = duckdb.connect()
     con.register("t", pdf)
