@@ -41,6 +41,26 @@ def _disc_price() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
+@register("agg_approx_percentile")  # ⊘oracle: sketch-based, can't hash-match exact SQL
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 scale path: ``percentile_approx`` (KLL-style sketch) — the
+    mergeable, partial-aggregatable alternative to the exact median for the
+    100 TB tier (exact median is holistic: full sort per group).  Bounded
+    error vs the exact median asserted in tests/test_plans.py."""
+    lf = load(spark, sf_dir, "lineitem")
+    # One sketch build, scalar outputs: the driver canonicalizer sorts and
+    # hashes cells, so the result schema must hold only scalars (an
+    # array<double> column lands as an unhashable ndarray in pandas).
+    quart = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
+    return lf.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
+        F.element_at(quart, 1).alias("price_q25"),
+        F.element_at(quart, 2).alias("price_q50"),
+        F.element_at(quart, 3).alias("price_q75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 @register(
     "agg_grouping_sets",
     oracle=f"""
@@ -489,26 +509,6 @@ def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     lf = load(spark, sf_dir, "lineitem")
     bucket = F.floor(F.col("l_quantity") / 5).cast("bigint").alias("bucket")
     return lf.groupBy(bucket).agg(F.count(F.lit(1)).alias("n"))
-
-
-@register("agg_approx_percentile")  # ⊘oracle: sketch-based, can't hash-match exact SQL
-def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A2 scale path: ``percentile_approx`` (KLL-style sketch) — the
-    mergeable, partial-aggregatable alternative to the exact median for the
-    100 TB tier (exact median is holistic: full sort per group).  Bounded
-    error vs the exact median asserted in tests/test_plans.py."""
-    lf = load(spark, sf_dir, "lineitem")
-    # One sketch build, scalar outputs: the driver canonicalizer sorts and
-    # hashes cells, so the result schema must hold only scalars (an
-    # array<double> column lands as an unhashable ndarray in pandas).
-    quart = F.percentile_approx("l_extendedprice", [0.25, 0.5, 0.75], 10000)
-    return lf.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50_qty"),
-        F.element_at(quart, 1).alias("price_q25"),
-        F.element_at(quart, 2).alias("price_q50"),
-        F.element_at(quart, 3).alias("price_q75"),
-        F.count(F.lit(1)).alias("n"),
-    )
 
 
 @register("agg_approx_distinct")  # ⊘oracle: HLL sketch can't hash-match exact SQL

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
-from .dedup import _shingles
+from .shingle import _shingles
 from .pipeline import _KNUTH, _bucket, _sql_bucket
 
 # DuckDB twin of _shingles(k=8): positions 1..len-7, 8 terms concatenated

@@ -245,7 +245,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast.  Nothing is quadratic; every stage shards."""
     from pyspark.sql import Window
 
-    from ..textvec.dedup import _shingles
+    from ..textvec.shingle import _shingles
 
     dc = load(spark, sf_dir, "documents")
     b = _bucket()

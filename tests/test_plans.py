@@ -287,7 +287,7 @@ def test_salted_join_spreads_hot_keys(spark):
     """The salted join must actually join on (key, salt) — a plan that
     drops the salt from the join keys re-concentrates the hot key — and
     must be a sort-merge join (broadcast would make the salt pointless)."""
-    from odc_product_docker_images_spark.operators.joins import join_skew_salted
+    from odc_product_docker_images_spark.operators.joins_skew import join_skew_salted
 
     df = join_skew_salted(spark, SF)
     plan = C.formatted_plan(df)
