@@ -231,6 +231,65 @@ def regrid_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Six-parameter affine: (x, y) → (A·x + B·y + C,  D·x + E·y + F) — the
+# ``output_crs=`` reprojection analog as pure arithmetic.  All six
+# coefficients are BINARY-EXACT doubles (sums of powers of two) so every
+# multiply/add is one IEEE op with an identical written form in both
+# engines — no rounding anywhere in the transform.
+_AFF = {"a": 0.75, "b": -0.25, "c": 1024.0, "d": 0.25, "e": 0.75, "f": -512.0}
+_AFF_RES = 32.0  # target grid resolution (power of two: the divide is exact scaling)
+
+
+@register(
+    "proj_crs_transform",
+    oracle=f"""
+        SELECT CAST(FLOOR(({_AFF['a']} * value + {_AFF['b']} * user_id + {_AFF['c']})
+                          / {_AFF_RES}) AS BIGINT) AS cell_x,
+               CAST(FLOOR(({_AFF['d']} * value + {_AFF['e']} * user_id + {_AFF['f']})
+                          / {_AFF_RES}) AS BIGINT) AS cell_y,
+               COUNT(*) AS n_obs,
+               {sql_davg("value", "mean_value")},
+               CAST(MAX(event_id) AS BIGINT) AS latest_event
+        FROM events
+        GROUP BY 1, 2
+    """,
+)
+def proj_crs_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6+: coordinate-system transform + regrid — the reference's
+    ``reproject_and_fuse`` / ``load(output_crs=..., resolution=...)``
+    semantics.  A CRS warp between projected systems is, per GDAL's own
+    model, a six-parameter AFFINE geotransform (rotation · scale +
+    translation) applied per coordinate, followed by binning into the
+    target grid and a per-cell composite; only datum shifts between
+    curved systems need more than affine, and those reduce to the same
+    per-row closed-form arithmetic.  Expressed Spark-first: the transform
+    is two fused column expressions riding the scan's codegen stage (zero
+    extra passes, zero UDFs), the regrid is the ``floor(coord'/res)`` cell
+    key, and the composite is one partial-aggregated hash-agg — the SAME
+    single-shuffle shape as ``regrid_bin``, because reprojection changes
+    the key arithmetic, not the plan.
+
+    Determinism: coefficients and resolution are binary-exact, the written
+    expression form is identical in both engines (left-to-right IEEE
+    multiply-adds, one divide), and the integer cell id goes through an
+    explicit FLOOR on both sides (DuckDB's CAST rounds, Spark's
+    truncates).  The measure mean takes the exact decimal path.  Scale
+    (100 TB): per-row map work + one shuffle keyed by target cell; the
+    cell key doubles as the sink's write-partition key so downstream tile
+    reads prune by directory, exactly as regrid_bin."""
+    ev = load(spark, sf_dir, "events")
+    x, y = F.col("value"), F.col("user_id")
+    xp = F.lit(_AFF["a"]) * x + F.lit(_AFF["b"]) * y + F.lit(_AFF["c"])
+    yp = F.lit(_AFF["d"]) * x + F.lit(_AFF["e"]) * y + F.lit(_AFF["f"])
+    cell_x = F.floor(xp / F.lit(_AFF_RES)).cast("bigint").alias("cell_x")
+    cell_y = F.floor(yp / F.lit(_AFF_RES)).cast("bigint").alias("cell_y")
+    return ev.groupBy(cell_x, cell_y).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        davg("value", "mean_value"),
+        F.max("event_id").cast("bigint").alias("latest_event"),
+    )
+
+
 @register(
     "sink_partitioned_write",
     oracle="""

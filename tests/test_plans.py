@@ -135,6 +135,22 @@ def test_regrid_prunes_and_partial_aggregates(spark):
     assert plan.count("HashAggregate") >= 2  # partial + final
 
 
+def test_crs_transform_is_map_side_arithmetic(spark):
+    """The affine reprojection must change the KEY ARITHMETIC, not the
+    plan: same single-scan / single-shuffle / partial-agg shape as
+    regrid_bin, with the transform fused into the scan's codegen stage
+    (no extra projection pass, no UDF)."""
+    from odc_product_docker_images_spark.operators.scans import proj_crs_transform
+
+    df = proj_crs_transform(spark, SF)
+    C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
+    assert C.exchange_count(df) == 1
+    plan = C.formatted_plan(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert C.scan_count(df) == 1
+
+
 def test_tfidf_broadcasts_corpus_count(spark):
     from odc_product_docker_images_spark.textvec.text_analysis import text_tfidf
 
