@@ -83,7 +83,7 @@ def test_grading_window_holds_showcase_surface():
         "product_sar_water", "agg_salted_twophase", "stream_available_now",
         "agg_multi_stat",  # flagship stays driver-graded every round
         # new r4 keys
-        "proj_crs_transform",
+        "proj_crs_transform", "multimodal_wav_decode", "multimodal_bmp_decode",
     }
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"

@@ -150,3 +150,69 @@ def test_pgm_decoder_roundtrip():
         _decode_pgm(b"\x89PNG....")
     with _pytest.raises(NotImplementedError):
         _decode_pgm(b"P5\n2 2\n65535\nxxxxxxxx")
+
+
+def test_wav_decoder_walks_chunks():
+    """The packer plants a LIST chunk before data; a fixed-offset reader
+    (data at byte 44) would mis-slice — the parser must walk chunks."""
+    import struct
+
+    import pytest as _pytest
+
+    from odc_product_docker_images_spark.multimodal.columns import (
+        _WAV_BITS,
+        _WAV_RATE,
+        _decode_wav,
+        _pack_wav,
+    )
+
+    pcm = struct.pack("<4h", 100, -200, 300, -32768)
+    rate, channels, bits, data = _decode_wav(_pack_wav(pcm))
+    assert (rate, channels, bits) == (_WAV_RATE, 1, _WAV_BITS)
+    assert data == pcm
+    # odd-size chunks pad to even (RIFF rule): plant one before data
+    payload = _pack_wav(pcm)
+    odd = b"junk" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3-byte body + pad
+    patched = payload[:12] + odd + payload[12:]
+    patched = patched[:4] + struct.pack("<I", len(patched) - 8) + patched[8:]
+    assert _decode_wav(patched)[3] == pcm
+    with _pytest.raises(NotImplementedError):
+        _decode_wav(b"OggS" + bytes(40))
+    # non-PCM format tag = compressed codec → honest stub
+    bad_fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    bad = (b"RIFF" + struct.pack("<I", 24) + b"WAVE"
+           + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt)
+    with _pytest.raises(NotImplementedError):
+        _decode_wav(bad)
+
+
+def test_bmp_decoder_flips_rows_and_skips_padding():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from odc_product_docker_images_spark.multimodal.columns import (
+        _BMP_A,
+        _BMP_B,
+        _BMP_C,
+        _BMP_H,
+        _BMP_W,
+        _decode_bmp,
+        _pack_bmp,
+    )
+
+    width, height, bpp, px = _decode_bmp(_pack_bmp(7))
+    assert (width, height, bpp) == (_BMP_W, _BMP_H, 24)
+    assert len(px) == _BMP_W * _BMP_H * 3  # pad bytes excluded
+    # logical top-down stream matches the synth formula directly
+    k = np.arange(_BMP_W * _BMP_H * 3, dtype=np.int64)
+    want = ((7 * _BMP_A + (k // 3) * _BMP_B + (k % 3) * _BMP_C) % 256).astype(np.uint8)
+    assert px == want.tobytes()
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp(b"GIF89a" + bytes(40))
+    # RLE compression tag → honest stub
+    payload = bytearray(_pack_bmp(7))
+    payload[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with _pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(payload))
