@@ -218,10 +218,17 @@ class VersionedTable:
         100 TB a merge touching 0.1% of files yields a change feed that
         reads 0.2% of the table, never two full snapshots.  Rows carried
         through a copy-on-write rewrite unchanged cancel in the join
-        (identical key + value on both sides)."""
+        (identical key + value on both sides).
+
+        PRECONDITION: ``key`` is unique within the removed-file rows and
+        within the added-file rows (merge() maintains this when writers
+        respect key uniqueness).  Duplicate keys would make the full-outer
+        join a per-key cross product and mis-classify changes instead of
+        erroring — guarded in tests/test_versioned.py."""
         mf, mt = self._manifest(v_from)["files"], self._manifest(v_to)["files"]
-        removed = [f for f in mf if f not in set(mt)]
-        added = [f for f in mt if f not in set(mf)]
+        mf_set, mt_set = set(mf), set(mt)
+        removed = [f for f in mf if f not in mt_set]
+        added = [f for f in mt if f not in mf_set]
 
         def _rows(files: list[str], side: str) -> DataFrame:
             if files:

@@ -159,3 +159,21 @@ def test_zorder_clusters_both_dimensions(spark):
     y_only = {"y": (0, 3)}
     assert len(tx.plan_files(y_only)) == 16  # x-clustering can't help a y predicate
     assert len(tz.plan_files(y_only)) <= 8   # z-clustering can
+
+
+def test_change_feed_key_uniqueness_precondition(spark):
+    """change_feed's docstring requires per-side key uniqueness — the
+    full-outer join would cross-product duplicates.  Pin that the sides
+    built from the manifest diff actually satisfy it in the merge flow
+    (merge maintains uniqueness when writers respect it)."""
+    t = _table()
+    df = spark.range(200).withColumnRenamed("id", "k").withColumn("v", F.col("k") * 10)
+    t.write(df.repartitionByRange(4, "k"), mode="overwrite")
+    upd = spark.range(20).select(F.col("id").alias("k"), F.lit(-1).alias("v"))
+    t.merge(spark, upd, key="k")
+    mf = set(t._manifest(0)["files"])
+    mt = set(t._manifest(1)["files"])
+    for files in (sorted(mf - mt), sorted(mt - mf)):
+        side = spark.read.parquet(*[str(t.path / f) for f in files])
+        n, nd = side.count(), side.select("k").distinct().count()
+        assert n == nd, f"duplicate keys within a change-feed side: {n} != {nd}"
