@@ -64,6 +64,84 @@ def filter_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
 
 
+# filter_polygon's area of interest: a deliberately NON-convex hexagon in
+# the (value, user_id) plane so the even-odd rule is actually exercised
+# (a convex polygon never yields >1 crossing on a side).  Vertex y's sit
+# at .5 offsets: user_id is integer-valued, so no test point ever lands
+# exactly on a vertex scanline and the crossing convention's tie rule is
+# never reached — parity can't hinge on it.
+_POLY = [
+    (50.0, 10.5),
+    (250.0, 40.5),
+    (450.0, 10.5),
+    (350.0, 80.5),
+    (450.0, 140.5),
+    (150.0, 120.5),
+]
+
+
+def _poly_crossings_sql(px: str, py: str) -> str:
+    """Even-odd crossing count, one CASE term per edge — the SAME
+    left-to-right IEEE arithmetic the Spark side builds, so the strict
+    float comparisons agree bit-for-bit across engines."""
+    terms = []
+    n = len(_POLY)
+    for i in range(n):
+        (x1, y1), (x2, y2) = _POLY[i], _POLY[(i + 1) % n]
+        terms.append(
+            f"CASE WHEN (({y1!r} > {py}) != ({y2!r} > {py}))"
+            f" AND ({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r})"
+            f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@register(
+    "filter_polygon",
+    oracle=f"""
+        SELECT event_id, user_id, value
+        FROM events
+        WHERE value >= 50.0 AND value <= 450.0
+          AND user_id >= 11 AND user_id <= 140
+          AND ({_poly_crossings_sql("value", "CAST(user_id AS DOUBLE)")}) % 2 = 1
+    """,
+)
+def filter_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2+: polygon area-of-interest filter — the reference's
+    ``dc.load(geopolygon=...)`` / ``datacube.utils.geometry`` mask.  The
+    index resolves datasets intersecting the polygon, then per-pixel
+    masking keeps only coordinates inside it; here both collapse into one
+    predicate: an even-odd ray cast (crossing count of a rightward ray
+    against each polygon edge) written as a per-edge CASE sum.  Spark-first:
+    the whole test is a single codegen'd expression riding the scan — no
+    UDF, no join, no shuffle; the polygon's bounding box is ALSO emitted
+    as sargable min/max range predicates (the filter_range pattern — a
+    strict superset of the inside set, with the integer y coordinate
+    rounded inward past the .5-offset vertex scanlines) so parquet
+    row-group stats prune before the exact test runs: PLANS.md shows the
+    pushed bbox while the ray cast stays in the codegen stage.
+    Determinism: both engines evaluate the identical literal arithmetic
+    (one multiply, one divide, strict compares per edge) on the identical
+    operand order, and the crossing count is exact integer arithmetic."""
+    ev = load(spark, sf_dir, "events").where(
+        (F.col("value") >= 50.0)
+        & (F.col("value") <= 450.0)
+        & (F.col("user_id") >= 11)
+        & (F.col("user_id") <= 140)
+    )
+    px, py = F.col("value"), F.col("user_id").cast("double")
+    n = len(_POLY)
+    crossings = None
+    for i in range(n):
+        (x1, y1), (x2, y2) = _POLY[i], _POLY[(i + 1) % n]
+        cross = (
+            ((F.lit(y1) > py) != (F.lit(y2) > py))
+            & (px < (F.lit(x2) - F.lit(x1)) * (py - F.lit(y1)) / (F.lit(y2) - F.lit(y1)) + F.lit(x1))
+        ).cast("int")
+        crossings = cross if crossings is None else crossings + cross
+    return ev.where(crossings % 2 == 1).select("event_id", "user_id", "value")
+
+
 @register(
     "source_tile_scan",
     oracle=f"""

@@ -50,10 +50,13 @@ _MODULES = [
     "odc_product_docker_images_spark.kernels.geomedian",
     "odc_product_docker_images_spark.textvec.dedup_pairs",
     "odc_product_docker_images_spark.textvec.perplexity",
+    "odc_product_docker_images_spark.textvec.retrieval",
     "odc_product_docker_images_spark.operators.joins_skew",
     "odc_product_docker_images_spark.operators.scans",
     "odc_product_docker_images_spark.multimodal.columns",
+    "odc_product_docker_images_spark.sources.incremental",
     "odc_product_docker_images_spark.operators.products",
+    "odc_product_docker_images_spark.operators.virtual",
     "odc_product_docker_images_spark.operators.aggregates",
     # -- window cutoff lands ~11 keys into aggregates (module-internal
     # decorator order puts agg_approx_percentile + the flagship first).

@@ -1,0 +1,140 @@
+"""BM25 retrieval scoring (SURVEY.md §2.10 X4 — retrieval/quality family).
+
+The LLM-data-pipeline use: score every corpus document against a probe
+query (quality-targeted retrieval, dedup-vs-seed ranking, contamination
+triage) with the same Okapi BM25 the reference-era search stacks run.
+Own module so the key registers in the driver grading window
+(registry._MODULES order).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dround, sql_dround
+from ..io import load
+from ..registry import register
+
+# Probe query: one hot term + two mid-frequency terms from the fixture
+# vocabulary.  BM25 parameters are the Robertson/Lucene defaults.
+_Q = ["hash", "merge", "vector"]
+_K1 = 1.2
+_B = 0.75
+
+
+def _sql_term(t: str) -> str:
+    """Per-term BM25 addend in SQL — IDENTICAL operand order to the Spark
+    expression below (one ln, three divides), rounded 6 dp (libm ln),
+    exact 0.0 when the term is absent."""
+    idf = (
+        f"LN((CAST(n_docs AS DOUBLE) - CAST(df_{t} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{t} AS DOUBLE) + 0.5) + 1.0)"
+    )
+    num = f"CAST(tf_{t} AS DOUBLE) * {_K1 + 1.0!r}"
+    den = (
+        f"CAST(tf_{t} AS DOUBLE) + {_K1!r}"
+        f" * ({1.0 - _B!r} + {_B!r} * (CAST(dl AS DOUBLE) / avgdl))"
+    )
+    return (
+        f"CASE WHEN tf_{t} > 0"
+        f" THEN {sql_dround(f'{idf} * ({num}) / ({den})')} ELSE 0.0 END"
+    )
+
+
+def _sql_matched() -> str:
+    return " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in _Q)
+
+
+@register(
+    "text_bm25",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
+        ), per_doc AS (
+            SELECT doc_id, COUNT(*) AS dl,
+                   {", ".join(f"COUNT(*) FILTER (WHERE w = '{t}') AS tf_{t}" for t in _Q)}
+            FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl,
+                   COUNT(*) AS n_docs,
+                   {", ".join(f"COUNT(*) FILTER (WHERE tf_{t} > 0) AS df_{t}" for t in _Q)}
+            FROM per_doc
+        )
+        SELECT doc_id,
+               CAST({_sql_matched()} AS BIGINT) AS n_terms_matched,
+               {" + ".join(f"({_sql_term(t)})" for t in _Q)} AS bm25
+        FROM per_doc CROSS JOIN stats
+        WHERE {" OR ".join(f"tf_{t} > 0" for t in _Q)}
+    """,
+)
+def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 retrieval: Okapi BM25 of every document against a fixed probe
+    query — ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with the Lucene idf ``ln((N-df+0.5)/(df+0.5)+1)``.  Spark-first shape:
+    the token stream is scanned and shuffled ONCE — a single per-doc
+    hash-agg computes doc length AND each probe term's tf in the same pass
+    (conditional counts, partial-aggregated map-side); every corpus
+    statistic the formula needs (N, avgdl, per-term df = docs with tf>0)
+    then falls out of a 1-row rollup of that per-doc relation and rides a
+    broadcast back onto it.  No second pass over tokens, no join keyed by
+    data volume, nothing quadratic — at 100 TB the cost is one linear
+    token aggregation, and a BATCH of probe queries just widens the
+    conditional-count list (columns, not passes).
+
+    Determinism: idf's ln is libm, so each per-(doc, term) addend is
+    rounded 6 dp through the exact decimal path (det.dround) on both
+    engines; the per-doc combination is a FIXED-ORDER three-way add of
+    those rounded addends (absent terms contribute literal 0.0), never an
+    order-sensitive SUM over doubles; avgdl is an exact-integer divide."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.repartition(32).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count_if(F.col("w") == t).alias(f"tf_{t}")
+            for t in _Q
+        ],
+    )
+    stats = per_doc.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+        F.count(F.lit(1)).alias("n_docs"),
+        *[F.count_if(F.col(f"tf_{t}") > 0).alias(f"df_{t}") for t in _Q],
+    )
+
+    def _term(t: str) -> Column:
+        tf = F.col(f"tf_{t}").cast("double")
+        dfc = F.col(f"df_{t}").cast("double")
+        idf = F.log(
+            (F.col("n_docs").cast("double") - dfc + F.lit(0.5))
+            / (dfc + F.lit(0.5))
+            + F.lit(1.0)
+        )
+        num = tf * F.lit(_K1 + 1.0)
+        den = tf + F.lit(_K1) * (
+            F.lit(1.0 - _B)
+            + F.lit(_B) * (F.col("dl").cast("double") / F.col("avgdl"))
+        )
+        return F.when(F.col(f"tf_{t}") > 0, dround(idf * num / den)).otherwise(
+            F.lit(0.0)
+        )
+
+    matched = None
+    for t in _Q:
+        m = (F.col(f"tf_{t}") > 0).cast("int")
+        matched = m if matched is None else matched + m
+    bm25 = None
+    for t in _Q:
+        bm25 = _term(t) if bm25 is None else bm25 + _term(t)
+
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(" OR ".join(f"tf_{t} > 0" for t in _Q))
+        .select(
+            "doc_id",
+            matched.cast("bigint").alias("n_terms_matched"),
+            bm25.alias("bm25"),
+        )
+    )

@@ -84,6 +84,7 @@ def test_grading_window_holds_showcase_surface():
         "agg_multi_stat",  # flagship stays driver-graded every round
         # new r4 keys
         "proj_crs_transform", "multimodal_wav_decode", "multimodal_bmp_decode",
+        "filter_polygon", "text_bm25", "product_virtual", "table_incremental_agg",
     }
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"

@@ -1,0 +1,266 @@
+"""Round-4 operator semantics: virtual-product combinators, polygon AOI
+filter, BM25 retrieval scoring, incremental MV maintenance.
+
+(The cross-engine value-hash gate for these keys lives in test_parity.py /
+check_parity.py; these tests pin the semantics against independent
+references — a handwritten plan, a pure-Python ray cast, a pandas BM25,
+a full recompute.)
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from odc_product_docker_images_spark.plans import checks as C
+
+SF = "/root/testdata/sf0.001"
+
+
+# -- virtual products --------------------------------------------------------
+
+
+def test_virtual_matches_handwritten(spark):
+    """The combinator interpreter must produce exactly what the handwritten
+    DataFrame query produces — composition adds nothing."""
+    from odc_product_docker_images_spark.functions.det import davg
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.operators.virtual import product_virtual
+
+    got = sorted(product_virtual(spark, SF).collect())
+
+    ev = load(spark, SF, "events")
+    colla = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", F.lit("p_click").alias("platform")
+    ).unionByName(
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", "value", F.lit("p_view").alias("platform")
+        )
+    )
+    compa = colla.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        davg("value", "a_mean"),
+        F.count(F.lit(1)).alias("a_obs"),
+        F.countDistinct("platform").alias("n_platforms"),
+    )
+    compb = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(davg("value", "b_mean"))
+    )
+    jux = compa.join(compb, ["user_id", "day"])
+    want = sorted(
+        jux.select(
+            "user_id", "a_obs", "n_platforms",
+            (F.col("b_mean") / F.col("a_mean")).alias("ratio"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            davg("ratio", "mean_ratio"),
+            F.sum("a_obs").cast("long").alias("total_a_obs"),
+            F.max("n_platforms").alias("max_platforms"),
+        )
+        .collect()
+    )
+    assert got == want
+
+
+def test_virtual_plan_is_fused(spark):
+    """One composed Catalyst plan: three pushed leaf scans, no more — the
+    recipe's per-leaf event_type predicates reach the parquet readers."""
+    from odc_product_docker_images_spark.operators.virtual import product_virtual
+
+    df = product_virtual(spark, SF)
+    assert C.scan_count(df) == 3
+    C.assert_filter_pushed(df, "event_type")
+    C.assert_no_python_row_path(df)
+
+
+def test_virtual_rejects_unknown_nodes(spark):
+    from odc_product_docker_images_spark.operators.virtual import build
+
+    with pytest.raises(ValueError, match="unknown combinator"):
+        build(spark, SF, {"frobnicate": {}})
+    with pytest.raises(ValueError, match="unknown stat"):
+        build(
+            spark,
+            SF,
+            {
+                "aggregate": {
+                    "group": ["user_id"],
+                    "stats": [("x", "median_abs_dev", "value")],
+                    "input": {
+                        "input": {"table": "events", "select": ["user_id", "value"]}
+                    },
+                }
+            },
+        )
+
+
+# -- polygon AOI filter ------------------------------------------------------
+
+
+def _py_inside(px: float, py: float) -> bool:
+    """Independent pure-Python even-odd ray cast, same edge convention."""
+    from odc_product_docker_images_spark.operators.scans import _POLY
+
+    n, crossings = len(_POLY), 0
+    for i in range(n):
+        (x1, y1), (x2, y2) = _POLY[i], _POLY[(i + 1) % n]
+        if (y1 > py) != (y2 > py) and px < (x2 - x1) * (py - y1) / (y2 - y1) + x1:
+            crossings += 1
+    return crossings % 2 == 1
+
+
+def test_polygon_sql_matches_python_raycast():
+    """The generated SQL crossing expression classifies a dense point grid
+    identically to the independent Python ray cast (DuckDB evaluates the
+    same expression text the oracle embeds)."""
+    import duckdb
+
+    from odc_product_docker_images_spark.operators.scans import _poly_crossings_sql
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"""
+        WITH pts AS (
+            SELECT CAST(gx.range * 7 + 0.3 AS DOUBLE) AS px,
+                   CAST(gy.range * 3 + 0.7 AS DOUBLE) AS py
+            FROM range(0, 72) gx, range(0, 50) gy
+        )
+        SELECT px, py, ({_poly_crossings_sql("px", "py")}) % 2 = 1 AS inside
+        FROM pts
+        """
+    ).fetchall()
+    assert len(rows) == 72 * 50
+    mism = [(px, py) for px, py, inside in rows if inside != _py_inside(px, py)]
+    assert not mism, f"SQL vs Python ray-cast divergence at {mism[:5]}"
+    assert any(inside for _, _, inside in rows)  # the polygon is non-empty
+    assert any(not inside for _, _, inside in rows)
+
+
+def test_polygon_bbox_is_semantics_preserving(sf_dir):
+    """The pushed bounding-box predicates must be a pure superset guard —
+    dropping them can't change the result set."""
+    import duckdb
+
+    from odc_product_docker_images_spark.operators.scans import _poly_crossings_sql
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    pred = f"({_poly_crossings_sql('value', 'CAST(user_id AS DOUBLE)')}) % 2 = 1"
+    with_bbox = con.execute(
+        f"""SELECT COUNT(*) FROM events
+            WHERE value >= 50.0 AND value <= 450.0
+              AND user_id >= 11 AND user_id <= 140 AND {pred}"""
+    ).fetchone()[0]
+    without = con.execute(f"SELECT COUNT(*) FROM events WHERE {pred}").fetchone()[0]
+    assert with_bbox == without
+
+
+def test_polygon_plan_pushes_bbox(spark):
+    from odc_product_docker_images_spark.operators.scans import filter_polygon
+
+    df = filter_polygon(spark, SF)
+    C.assert_filter_pushed(df, "value")
+    C.assert_filter_pushed(df, "user_id")
+    C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
+
+
+# -- BM25 --------------------------------------------------------------------
+
+
+def _dround_py(v: float, nd: int = 6) -> float:
+    """Python twin of det.dround: half-up at 10 dp, then half-up at nd."""
+    d = Decimal(repr(v)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+    return float(d.quantize(Decimal(f"1e-{nd}"), ROUND_HALF_UP))
+
+
+def test_bm25_matches_pandas_reference(spark):
+    import math
+
+    import pandas as pd
+
+    from odc_product_docker_images_spark.textvec.retrieval import _B, _K1, _Q, text_bm25
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    toks = {r.doc_id: r.text.split(" ") for r in docs.itertuples()}
+    dl = {d: len(ws) for d, ws in toks.items()}
+    n_docs = len(dl)
+    avgdl = sum(dl.values()) / n_docs
+    tf = {
+        (d, t): sum(1 for w in ws if w == t)
+        for d, ws in toks.items()
+        for t in _Q
+    }
+    dfreq = {t: sum(1 for d in dl if tf[(d, t)] > 0) for t in _Q}
+
+    def score(d: int) -> tuple[int, float] | None:
+        n_matched, total = 0, 0.0
+        for t in _Q:  # fixed term order, like the pivot-sum
+            if tf[(d, t)] == 0:
+                continue
+            n_matched += 1
+            idf = math.log((n_docs - dfreq[t] + 0.5) / (dfreq[t] + 0.5) + 1.0)
+            num = tf[(d, t)] * (_K1 + 1.0)
+            den = tf[(d, t)] + _K1 * (1.0 - _B + _B * (dl[d] / avgdl))
+            total += _dround_py(idf * num / den)
+        return (n_matched, total) if n_matched else None
+
+    want = {d: s for d in dl if (s := score(d)) is not None}
+    got = {
+        r["doc_id"]: (r["n_terms_matched"], r["bm25"])
+        for r in text_bm25(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for d in want:
+        assert got[d][0] == want[d][0]
+        assert abs(got[d][1] - want[d][1]) < 1e-9, (d, got[d], want[d])
+
+
+# -- incremental MV maintenance ---------------------------------------------
+
+
+def test_incremental_agg_equals_full_recompute(spark):
+    """The refreshed view must be BIT-IDENTICAL to recomputing the
+    aggregate over the final table state — the definition of correct
+    incremental maintenance."""
+    from odc_product_docker_images_spark.functions.det import dec_cast, exact_double
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.sources.incremental import (
+        _BUCKETS,
+        table_incremental_agg,
+    )
+
+    got = sorted(table_incremental_agg(spark, SF).collect())
+
+    ev = load(spark, SF, "events").select("event_id", "value")
+    final = ev.select(
+        "event_id",
+        F.when(
+            (F.col("event_id") < 1000) & (F.col("event_id") % 2 == 0),
+            F.col("value") + 1000,
+        )
+        .otherwise(F.col("value"))
+        .alias("value"),
+    ).unionByName(
+        ev.where(F.col("event_id") < 100).select(
+            (F.col("event_id") + 1_000_000).alias("event_id"),
+            (F.col("value") * 2).alias("value"),
+        )
+    )
+    want = sorted(
+        final.groupBy(
+            F.pmod(F.col("event_id"), F.lit(_BUCKETS)).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_double(F.sum(dec_cast("value")), 6).alias("sum_value"),
+        )
+        .collect()
+    )
+    assert got == want
