@@ -1,0 +1,79 @@
+"""Table profiling / statistics collection (SURVEY.md §4 — the engine's
+ANALYZE path, and the data-quality profile every ingest pipeline runs).
+
+The reference side: ``datacube dataset search``-style summaries and the
+pre-flight sanity checks product workers run over a new collection
+(completeness, value ranges, cardinalities).  Engine side: this is what
+``ANALYZE TABLE ... COMPUTE STATISTICS FOR COLUMNS`` gathers to feed join
+reordering and broadcast decisions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+# Profiled measure columns: (name, needs_double_cast)
+_COLS = ["l_quantity", "l_extendedprice", "l_partkey"]
+
+
+@register(
+    "profile_table",
+    oracle="""
+        SELECT 'l_quantity' AS column_name,
+               COUNT(*) AS n_rows,
+               COUNT(*) - COUNT(l_quantity) AS n_nulls,
+               COUNT(DISTINCT l_quantity) AS n_distinct,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_v,
+               CAST(MAX(l_quantity) AS DOUBLE) AS max_v
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*), COUNT(*) - COUNT(l_extendedprice),
+               COUNT(DISTINCT l_extendedprice),
+               CAST(MIN(l_extendedprice) AS DOUBLE),
+               CAST(MAX(l_extendedprice) AS DOUBLE)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_partkey', COUNT(*), COUNT(*) - COUNT(l_partkey),
+               COUNT(DISTINCT l_partkey),
+               CAST(MIN(l_partkey) AS DOUBLE), CAST(MAX(l_partkey) AS DOUBLE)
+        FROM lineitem
+    """,
+)
+def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4: column profiling in ONE scan — per-column row/null/distinct
+    counts and min/max, unpivoted to a row per column (the ANALYZE-table
+    statistics the optimizer's join reordering and broadcast thresholds
+    feed on, and the data-quality profile a new collection gets before
+    products run over it).  Spark-first: a single wide aggregate computes
+    every column's stats simultaneously (the multi-``COUNT DISTINCT``
+    becomes one Expand — rows × |profiled columns|, linear, partial-
+    aggregated map-side); ``stack`` unpivots the 1-row result, so the
+    table is scanned exactly once where the oracle's UNION ALL form scans
+    it three times.  At 100 TB you swap the exact distinct counts for
+    ``approx_count_distinct`` (the mergeable-HLL tier demonstrated by
+    ``agg_approx_distinct``) — exact is kept here because the oracle
+    verifies values, not sketches.  Determinism: counts are integers;
+    min/max are selections (no float arithmetic); the only cast is
+    bigint→double, exact below 2^53."""
+    lf = load(spark, sf_dir, "lineitem").select(*_COLS)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"mn_{c}"),
+            F.max(c).cast("double").alias(f"mx_{c}"),
+        ]
+    one = lf.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, mn_{c}, mx_{c}" for c in _COLS
+    )
+    return one.selectExpr(
+        f"stack({len(_COLS)}, {stack_args})"
+        " AS (column_name, n_nulls, n_distinct, min_v, max_v)",
+        "n_rows",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")

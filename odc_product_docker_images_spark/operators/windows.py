@@ -280,3 +280,60 @@ def window_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("masked_value", ignorenulls=True).over(w).alias("filled_value"),
         F.when(F.col("masked_value").isNull(), 1).otherwise(0).alias("was_filled"),
     )
+
+
+# window_ewma's kernel: K taps of decay d, weights d^k as Python-computed
+# double literals — both engines parse the identical shortest-repr values,
+# so no libm pow ever runs at query time.
+_EWMA_DECAY = 0.7
+_EWMA_TAPS = 6
+
+
+@register(
+    "window_ewma",
+    oracle=f"""
+        SELECT event_id, user_id, ts, value,
+               ({" + ".join(
+                   f"COALESCE(LAG(value, {k}) OVER w"
+                   f" * CAST({(_EWMA_DECAY ** k)!r} AS DOUBLE), 0.0)"
+                   for k in range(_EWMA_TAPS)
+               )})
+               / ({" + ".join(
+                   f"CASE WHEN LAG(value, {k}) OVER w IS NOT NULL"
+                   f" THEN CAST({(_EWMA_DECAY ** k)!r} AS DOUBLE)"
+                   f" ELSE CAST(0.0 AS DOUBLE) END"
+                   for k in range(_EWMA_TAPS)
+               )}) AS ewma
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3++: exponentially-weighted moving average over each pixel's last
+    ``_EWMA_TAPS`` observations — the finite-window form of xarray/pandas
+    ``ewm(alpha=0.3).mean()`` smoothing (recent scenes dominate, cloudy
+    gaps decay away), renormalized over the taps actually present at the
+    series head.  The infinite-recurrence EWMA is inherently sequential;
+    truncating at K taps (0.7^6 < 12% residual weight) turns it into a
+    FIXED-ORDER linear combination of ``lag`` columns — one shuffle + one
+    sort per pixel key serves all K taps (a single window spec), identical
+    to the plan any single lag would need, and nothing sequential survives.
+
+    Determinism: the tap weights are Python-computed double literals (no
+    runtime pow), each tap contributes ``lag_k · w_k`` or literal 0.0, and
+    both engines evaluate the same left-to-right add chain and one final
+    IEEE divide — per-row arithmetic, left unrounded per det.py policy."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for k in range(_EWMA_TAPS):
+        lag_k = F.lag("value", k).over(w)
+        wk = F.lit(_EWMA_DECAY**k)
+        term = F.coalesce(lag_k * wk, F.lit(0.0))
+        mask = F.when(lag_k.isNotNull(), wk).otherwise(F.lit(0.0))
+        num = term if num is None else num + term
+        den = mask if den is None else den + mask
+    return ev.select(
+        "event_id", "user_id", "ts", "value", (num / den).alias("ewma")
+    )

@@ -78,6 +78,12 @@ _MODULES = [
     "odc_product_docker_images_spark.sources.versioned",
     "odc_product_docker_images_spark.sources.bucketed",
     "odc_product_docker_images_spark.streaming.stream_joins",
+    # -- late-r4 additions, registered PAST the window on purpose: the r4
+    # rotation was already full when these landed.  r5 rotation should
+    # move these (plus any keys the r4 CORRECTNESS run leaves ungraded)
+    # to the front.
+    "odc_product_docker_images_spark.operators.zonal",
+    "odc_product_docker_images_spark.operators.profile",
 ]
 
 _loaded = False

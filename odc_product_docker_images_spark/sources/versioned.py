@@ -255,11 +255,22 @@ class VersionedTable:
 
     # -- read path ---------------------------------------------------------
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        merge_schema: bool = False,
+    ) -> DataFrame:
         files = self.snapshot_files(version)
         if not files:
             raise ValueError(f"no snapshot at version={version!r} in {self.path}")
-        return spark.read.parquet(*files)
+        reader = spark.read
+        if merge_schema:
+            # Schema evolution: snapshots may span files written before and
+            # after a column was added; mergeSchema unions the footers and
+            # fills missing columns with NULL (Delta's additive evolution).
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*files)
 
     def file_count(self, version: int | None = None) -> int:
         return len(self.snapshot_files(version))
@@ -547,4 +558,52 @@ def table_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("l_quantity", "sum_qty"),
         F.countDistinct("l_partkey").alias("n_parts"),
+    )
+
+
+@register(
+    "table_schema_evolution",
+    oracle=f"""
+        WITH merged AS (
+            SELECT event_id, value, CAST(NULL AS INTEGER) AS quality
+            FROM events WHERE event_id < 5000
+            UNION ALL
+            SELECT event_id + 1000000, value, CAST(event_id % 3 AS INTEGER)
+            FROM events WHERE event_id < 3000
+        )
+        SELECT COALESCE(quality, -1) AS quality_band,
+               COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")}
+        FROM merged GROUP BY 1
+    """,
+)
+def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: ADDITIVE SCHEMA EVOLUTION (Delta ``mergeSchema``
+    analog).  v0 writes (event_id, value); a later append commits files
+    carrying a NEW ``quality`` column the original files never heard of.
+    Readers of the latest snapshot union the parquet footers
+    (``mergeSchema``) and surface pre-evolution rows with ``quality``
+    NULL — no rewrite of the old files, no migration job; old-version
+    time-travel reads still see the original schema untouched.  The
+    aggregate groups by the evolved column with NULL→-1 banding, so the
+    oracle checks both populations (legacy rows land in band -1).  Scale:
+    evolution costs one manifest commit; the read-side footer union is
+    O(files in snapshot), and at 100 TB you pin the merged schema in the
+    manifest instead of re-deriving it per read (the stats machinery here
+    already stores per-file metadata the same way)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t = _fresh_table("schevo")
+    t.write(ev.where(F.col("event_id") < 5000), mode="overwrite")
+    evolved = ev.where(F.col("event_id") < 3000).select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "value",
+        (F.col("event_id") % 3).cast("int").alias("quality"),
+    )
+    t.write(evolved, mode="append")
+    merged = t.read(spark, merge_schema=True)
+    return merged.groupBy(
+        F.coalesce(F.col("quality"), F.lit(-1)).alias("quality_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value", "sum_value"),
     )

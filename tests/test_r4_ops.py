@@ -264,3 +264,143 @@ def test_incremental_agg_equals_full_recompute(spark):
         .collect()
     )
     assert got == want
+
+
+# -- zonal stats -------------------------------------------------------------
+
+
+def test_zonal_blocked_equals_bruteforce(spark):
+    """The grid-blocked spatial join must be indistinguishable from the
+    naive |zones| x |points| theta join (computed Spark-side here; the
+    DuckDB oracle independently runs the same brute force)."""
+    from odc_product_docker_images_spark.functions.det import davg
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.operators.zonal import (
+        _RX,
+        _RY,
+        agg_zonal_stats,
+    )
+
+    got = sorted(agg_zonal_stats(spark, SF).collect())
+
+    nat = load(spark, SF, "nation")
+    zones = nat.select(
+        F.col("n_nationkey").alias("zone_id"),
+        ((F.col("n_nationkey") % 5).cast("double") * 100.0 + 50.0).alias("cx"),
+        (F.expr("n_nationkey div 5").cast("double") * 30.0 + 15.0).alias("cy"),
+    )
+    pts = load(spark, SF, "events").select(
+        "value", F.col("user_id").cast("double").alias("py")
+    )
+    inside = (
+        F.abs(F.col("value") - F.col("cx")) * F.lit(_RY)
+        + F.abs(F.col("py") - F.col("cy")) * F.lit(_RX)
+        < F.lit(_RX * _RY)
+    )
+    want = sorted(
+        zones.join(pts, inside, "left")
+        .groupBy("zone_id")
+        .agg(F.count("value").alias("n_points"), davg("value", "mean_value"))
+        .collect()
+    )
+    assert got == want
+
+
+def test_zonal_plan_broadcasts_zone_cells(spark):
+    """The zone-cell fanout must ride a broadcast (candidate join), and no
+    cartesian product may appear anywhere."""
+    from odc_product_docker_images_spark.operators.zonal import agg_zonal_stats
+
+    plan = C.formatted_plan(agg_zonal_stats(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# -- EWMA --------------------------------------------------------------------
+
+
+def test_ewma_matches_python_reference(spark):
+    """Per-series fixed-order tap sum vs an independent Python loop."""
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.windows import (
+        _EWMA_DECAY,
+        _EWMA_TAPS,
+        window_ewma,
+    )
+
+    got = {
+        r["event_id"]: r["ewma"] for r in window_ewma(spark, SF).collect()
+    }
+    ev = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_id", "ts", "user_id", "value"]
+    ].sort_values(["user_id", "ts", "event_id"])
+    for _, g in ev.groupby("user_id"):
+        vals = g["value"].tolist()
+        ids = g["event_id"].tolist()
+        for i, eid in enumerate(ids):
+            num, den = 0.0, 0.0
+            for k in range(_EWMA_TAPS):
+                if i - k >= 0:
+                    num = num + vals[i - k] * (_EWMA_DECAY**k)
+                    den = den + _EWMA_DECAY**k
+                else:
+                    num = num + 0.0
+                    den = den + 0.0
+            assert got[eid] == num / den, eid
+
+
+# -- schema evolution --------------------------------------------------------
+
+
+def test_schema_evolution_preserves_old_snapshot(spark):
+    """Time travel to v0 must still present the ORIGINAL schema, while the
+    evolved snapshot surfaces the new column with NULLs for legacy rows."""
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.sources.versioned import _fresh_table
+
+    ev = load(spark, SF, "events").select("event_id", "value")
+    t = _fresh_table("schevo_test")
+    t.write(ev.where(F.col("event_id") < 50), mode="overwrite")
+    t.write(
+        ev.where(F.col("event_id") < 20).select(
+            (F.col("event_id") + 1000).alias("event_id"),
+            "value",
+            F.lit(7).cast("int").alias("quality"),
+        ),
+        mode="append",
+    )
+    v0 = t.read(spark, 0)
+    assert v0.columns == ["event_id", "value"]
+    merged = t.read(spark, merge_schema=True)
+    assert "quality" in merged.columns
+    legacy_nulls = merged.where(
+        (F.col("event_id") < 50) & F.col("quality").isNull()
+    ).count()
+    assert legacy_nulls == merged.where(F.col("event_id") < 50).count()
+
+
+# -- profiling ---------------------------------------------------------------
+
+
+def test_profile_matches_pandas(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.profile import profile_table
+
+    got = {r["column_name"]: r for r in profile_table(spark, SF).collect()}
+    lf = pd.read_parquet(f"{SF}/lineitem.parquet")
+    for c in ["l_quantity", "l_extendedprice", "l_partkey"]:
+        assert got[c]["n_rows"] == len(lf)
+        assert got[c]["n_nulls"] == int(lf[c].isna().sum())
+        assert got[c]["n_distinct"] == lf[c].nunique()
+        assert got[c]["min_v"] == float(lf[c].min())
+        assert got[c]["max_v"] == float(lf[c].max())
+
+
+def test_profile_single_scan(spark):
+    from odc_product_docker_images_spark.operators.profile import profile_table
+
+    df = profile_table(spark, SF)
+    assert C.scan_count(df) == 1
