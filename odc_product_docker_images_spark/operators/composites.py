@@ -226,25 +226,32 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = S.events_stream(spark, str(feed))
     agg = S.tumbling_counts(stream, watermark="10 minutes")
     name = "wm_key_" + uuid.uuid4().hex[:6]
-    q = agg.writeStream.format("memory").queryName(name).outputMode("append").start()
-    # files must ARRIVE while the query runs: pre-discovered files are
-    # planned against the initial (epoch-0) watermark, so a 'late' row in
-    # a pre-existing file is NOT dropped — real arrival order is what the
-    # watermark semantics key off (verified empirically; see git history)
-    write(
-        0,
-        [
-            (1, "2024-01-01T10:00:00", 1.0),
-            (2, "2024-01-01T10:20:00", 2.0),
-            (3, "2024-01-01T10:40:00", 3.0),
-        ],
-    )
-    q.processAllAvailable()  # watermark → 10:30
-    write(1, [(4, "2024-01-01T09:00:00", 99.0)])  # late: its window closed at 10:30
-    q.processAllAvailable()  # dropped
-    write(2, [(5, "2024-01-01T12:30:00", 1.0)])  # watermark → 12:20
-    q.processAllAvailable()  # closes [10:00,11:00) — the only emitted row
-    q.stop()
+    with S.small_state(spark):  # state partitions sized to the demo feed
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        # files must ARRIVE while the query runs: pre-discovered files are
+        # planned against the initial (epoch-0) watermark, so a 'late' row
+        # in a pre-existing file is NOT dropped — real arrival order is
+        # what the watermark semantics key off (verified empirically; see
+        # git history)
+        write(
+            0,
+            [
+                (1, "2024-01-01T10:00:00", 1.0),
+                (2, "2024-01-01T10:20:00", 2.0),
+                (3, "2024-01-01T10:40:00", 3.0),
+            ],
+        )
+        q.processAllAvailable()  # watermark → 10:30
+        write(1, [(4, "2024-01-01T09:00:00", 99.0)])  # late: window closed at 10:30
+        q.processAllAvailable()  # dropped
+        write(2, [(5, "2024-01-01T12:30:00", 1.0)])  # watermark → 12:20
+        q.processAllAvailable()  # closes [10:00,11:00) — the only emitted row
+        q.stop()
     return spark.table(name).select("w_start", "event_type", "n", "sum_value")
 
 

@@ -212,34 +212,35 @@ def stream_stateful_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed.mkdir(parents=True, exist_ok=True)  # source dir must exist at plan time
     name = "ledger_" + uuid.uuid4().hex[:6]
     totals = S.stateful_running_totals(S.events_stream(spark, str(feed)))
-    q = (
-        totals.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .start()
-    )
-    # files must ARRIVE between processAllAvailable calls to pin the
-    # micro-batch boundaries (pre-existing files plan as one batch)
-    S.write_feed_file(
-        str(feed),
-        0,
-        [
-            (1, 1, "2024-01-01T10:00:00", "click", 1.0),
-            (2, 1, "2024-01-01T10:05:00", "click", 2.0),
-            (3, 2, "2024-01-01T10:10:00", "view", 5.0),
-        ],
-    )
-    q.processAllAvailable()
-    S.write_feed_file(
-        str(feed),
-        1,
-        [
-            (4, 1, "2024-01-01T11:00:00", "click", 1.0),
-            (5, 3, "2024-01-01T11:05:00", "purchase", 7.0),
-        ],
-    )
-    q.processAllAvailable()
-    q.stop()
+    with S.small_state(spark):  # state partitions sized to the demo feed
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .start()
+        )
+        # files must ARRIVE between processAllAvailable calls to pin the
+        # micro-batch boundaries (pre-existing files plan as one batch)
+        S.write_feed_file(
+            str(feed),
+            0,
+            [
+                (1, 1, "2024-01-01T10:00:00", "click", 1.0),
+                (2, 1, "2024-01-01T10:05:00", "click", 2.0),
+                (3, 2, "2024-01-01T10:10:00", "view", 5.0),
+            ],
+        )
+        q.processAllAvailable()
+        S.write_feed_file(
+            str(feed),
+            1,
+            [
+                (4, 1, "2024-01-01T11:00:00", "click", 1.0),
+                (5, 3, "2024-01-01T11:05:00", "purchase", 7.0),
+            ],
+        )
+        q.processAllAvailable()
+        q.stop()
     return spark.table(name).select("user_id", "n_events", "total_value")
 
 
@@ -404,10 +405,14 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.awaitTermination()
         return q
 
-    for f in files[:2]:
-        shutil.copy(f, feed / f.name)
-    run_available_now()  # worker invocation 1: drains the queue, exits
-    for f in files[2:]:
-        shutil.copy(f, feed / f.name)
-    run_available_now()  # invocation 2: resumes checkpoint, sees only new files
+    # |event_type| = 5 state keys and the input is partial-aggregated
+    # map-side, so the reduce/state width is pure overhead past a few
+    # partitions (small_state; the checkpoint pins the width at first run)
+    with S.small_state(spark):
+        for f in files[:2]:
+            shutil.copy(f, feed / f.name)
+        run_available_now()  # worker invocation 1: drains the queue, exits
+        for f in files[2:]:
+            shutil.copy(f, feed / f.name)
+        run_available_now()  # invocation 2: resumes checkpoint, sees only new files
     return spark.table(name).select("event_type", "n", "sum_value")
