@@ -300,3 +300,79 @@ def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load(spark, sf_dir, "region")
     em = F.broadcast(spark.createDataFrame(_ENDMEMBERS, "endmember string, weight double"))
     return re.crossJoin(em).select("r_name", "endmember", "weight")
+
+
+# join_interval_overlap blocking grid: 30-minute buckets over epoch-µs;
+# intervals are 20 minutes, so each spans at most 2 buckets.
+_IV_BUCKET_US = 1_800 * 1_000_000
+_IV_DUR_US = 1_200 * 1_000_000
+
+
+@register(
+    "join_interval_overlap",
+    oracle="""
+        WITH a AS (
+            SELECT user_id, event_id AS event_id_a,
+                   EPOCH_US(ts) AS sa, EPOCH_US(ts) + 1200000000 AS ea
+            FROM events WHERE event_type = 'click'
+        ), b AS (
+            SELECT user_id, event_id AS event_id_b,
+                   EPOCH_US(ts) AS sb, EPOCH_US(ts) + 1200000000 AS eb
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.user_id, event_id_a, event_id_b,
+               LEAST(ea, eb) - GREATEST(sa, sb) AS overlap_us
+        FROM a JOIN b ON a.user_id = b.user_id AND sa < eb AND sb < ea
+    """,
+)
+def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: interval-OVERLAP join (both sides are interval sets — activity
+    windows, scene validity spans) through BUCKETIZED blocking: each
+    interval explodes to the 30-minute epoch buckets it touches (≤2 here),
+    the sides equi-join on (key, bucket), the exact overlap predicate runs
+    only on co-bucketed candidates, and ``distinct`` collapses the pairs
+    that met in two shared buckets.  This is §2.3 J6's "at scale:
+    bucketize then equi-join" claim actually demonstrated: shuffle volume
+    is rows × ≤2, never |A|×|B| per key — while the ORACLE runs the naive
+    per-key theta join, proving blocked == brute force.  Bucket width is
+    the tuning knob: ≥ max interval length keeps the fan-out ≤2, smaller
+    widths trade fan-out for candidate selectivity.  Determinism: all
+    arithmetic is exact int64 epoch-µs (integer ``div`` for bucketing —
+    a double divide would round near bucket edges); the overlap length is
+    an integer subtraction."""
+    ev = load(spark, sf_dir, "events")
+
+    def side(etype: str, tag: str):
+        return ev.where(F.col("event_type") == etype).select(
+            "user_id",
+            F.col("event_id").alias(f"event_id_{tag}"),
+            F.unix_micros("ts").alias(f"s{tag}"),
+            (F.unix_micros("ts") + F.lit(_IV_DUR_US)).alias(f"e{tag}"),
+        )
+
+    def explode_buckets(df, tag: str):
+        return df.withColumn(
+            "bucket",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s{tag} div {_IV_BUCKET_US}"),
+                    F.expr(f"(e{tag} - 1) div {_IV_BUCKET_US}"),
+                )
+            ),
+        )
+
+    a = explode_buckets(side("click", "a"), "a")
+    b = explode_buckets(side("purchase", "b"), "b")
+    return (
+        a.join(b, ["user_id", "bucket"])
+        .where((F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+        .select(
+            "user_id",
+            "event_id_a",
+            "event_id_b",
+            (
+                F.least("ea", "eb") - F.greatest("sa", "sb")
+            ).alias("overlap_us"),
+        )
+        .distinct()
+    )

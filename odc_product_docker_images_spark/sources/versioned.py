@@ -253,6 +253,37 @@ class VersionedTable:
             )
         )
 
+    def vacuum(self, retain_last: int = 1) -> tuple[int, int]:
+        """Physically delete data files referenced ONLY by snapshots older
+        than the last ``retain_last`` versions, and drop those manifests —
+        the Delta ``VACUUM`` analog that bounds storage after compaction/
+        merge churn.  Time travel past the retention horizon is gone BY
+        DESIGN (that is the trade being made); retained snapshots are
+        untouched and keep reading byte-identical results.  Returns
+        (files_deleted, versions_dropped).  At 100 TB this is a manifest
+        set-difference plus parallel deletes — never a directory listing
+        diff, which would scan O(objects) on an object store."""
+        vs = self.versions()
+        if retain_last < 1:
+            raise ValueError("retain_last must be >= 1")
+        if len(vs) <= retain_last:
+            return (0, 0)
+        keep_vs, drop_vs = vs[-retain_last:], vs[:-retain_last]
+        keep_files = {f for v in keep_vs for f in self._manifest(v)["files"]}
+        drop_files = {
+            f
+            for v in drop_vs
+            for f in self._manifest(v)["files"]
+            if f not in keep_files
+        }
+        for f in sorted(drop_files):
+            p = self.path / f
+            if p.exists():
+                p.unlink()
+        for v in drop_vs:
+            (self.manifest_dir / f"v{v}.json").unlink()
+        return (len(drop_files), len(drop_vs))
+
     # -- read path ---------------------------------------------------------
 
     def read(
@@ -606,4 +637,42 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         F.count(F.lit(1)).alias("n_rows"),
         dsum("value", "sum_value"),
+    )
+
+
+@register(
+    "table_vacuum",
+    oracle=f"""
+        SELECT COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")},
+               CAST(16 AS BIGINT) AS n_files_deleted,
+               CAST(2 AS BIGINT) AS n_versions_dropped,
+               CAST(2 AS BIGINT) AS n_files_left
+        FROM events
+    """,
+)
+def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: VACUUM — the retention step that completes the table
+    lifecycle (write → append → compact → vacuum).  Recipe: an 8-file
+    overwrite, an 8-file append (16 live files), then ``compact(2)``;
+    vacuum with retain_last=1 must delete exactly the 16 pre-compaction
+    files (referenced only by v0/v1), drop those two manifests, and leave
+    the 2-file compacted snapshot reading byte-identical data — the oracle
+    pins the surviving data AND the deletion arithmetic (16 deleted, 2
+    versions dropped, 2 files left).  Time travel past the horizon is gone
+    by design; within it, untouched (tests pin the raise on v0 and the
+    on-disk file count).  Scale: pure manifest set-difference + deletes,
+    no directory listing."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t = _fresh_table("vac")
+    t.write(ev.where(F.col("event_id") % 2 == 0), mode="overwrite", n_files=8)
+    t.write(ev.where(F.col("event_id") % 2 == 1), mode="append", n_files=8)
+    t.compact(spark, n_files=2)
+    n_deleted, n_dropped = t.vacuum(retain_last=1)
+    return t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value", "sum_value"),
+        F.lit(n_deleted).cast("bigint").alias("n_files_deleted"),
+        F.lit(n_dropped).cast("bigint").alias("n_versions_dropped"),
+        F.lit(t.file_count()).cast("bigint").alias("n_files_left"),
     )

@@ -9,6 +9,10 @@ from pathlib import Path
 
 from pyspark.sql import functions as F
 
+import pytest
+
+from conftest import SF_DIR
+
 from odc_product_docker_images_spark.sources.versioned import VersionedTable
 
 
@@ -177,3 +181,27 @@ def test_change_feed_key_uniqueness_precondition(spark):
         side = spark.read.parquet(*[str(t.path / f) for f in files])
         n, nd = side.count(), side.select("k").distinct().count()
         assert n == nd, f"duplicate keys within a change-feed side: {n} != {nd}"
+
+
+def test_vacuum_bounds_history_and_preserves_latest(spark):
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.sources.versioned import _fresh_table
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "value").limit(200)
+    t = _fresh_table("vac_test")
+    t.write(ev, mode="overwrite", n_files=4)
+    t.write(ev.select((F.col("event_id") + 10_000).alias("event_id"), "value"),
+            mode="append", n_files=4)
+    t.compact(spark, n_files=1)
+    before = sorted(r["event_id"] for r in t.read(spark).collect())
+    assert t.vacuum(retain_last=5) == (0, 0)  # nothing beyond the horizon
+    n_deleted, n_dropped = t.vacuum(retain_last=1)
+    assert (n_deleted, n_dropped) == (8, 2)
+    # the retained snapshot reads identically...
+    assert sorted(r["event_id"] for r in t.read(spark).collect()) == before
+    assert t.versions() == [2]
+    # ...and time travel past the horizon is gone
+    with pytest.raises((ValueError, Exception)):
+        t.read(spark, 0)
+    with pytest.raises(ValueError):
+        t.vacuum(retain_last=0)
