@@ -84,6 +84,7 @@ _MODULES = [
     # to the front.
     "odc_product_docker_images_spark.operators.zonal",
     "odc_product_docker_images_spark.operators.profile",
+    "odc_product_docker_images_spark.textvec.bpe",
 ]
 
 _loaded = False

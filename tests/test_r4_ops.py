@@ -404,3 +404,58 @@ def test_profile_single_scan(spark):
 
     df = profile_table(spark, SF)
     assert C.scan_count(df) == 1
+
+
+# -- BPE ---------------------------------------------------------------------
+
+
+def _bpe_sequential(word: str, merges) -> list[str]:
+    """Independent reference: apply merges in TRAINING ORDER, each
+    exhaustively (the original Sennrich apply loop) — equivalent to the
+    operator's greedy min-rank fixpoint for tables produced by training."""
+    sym = list(word)
+    for a, b in merges:
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+    return sym
+
+
+def test_bpe_matches_sequential_reference(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.textvec.bpe import (
+        _MERGES,
+        bpe_word,
+        text_bpe_tokens,
+    )
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # kernel-level agreement on every word in the corpus
+    words = {w for t in docs["text"] for w in t.split(" ") if w}
+    for w in sorted(words):
+        assert bpe_word(w) == _bpe_sequential(w, _MERGES), w
+    # operator-level agreement on the per-doc counts
+    got = {r["doc_id"]: r for r in text_bpe_tokens(spark, SF).collect()}
+    for rec in docs.itertuples():
+        ws = [w for w in rec.text.split(" ") if w]
+        n_bpe = sum(len(_bpe_sequential(w, _MERGES)) for w in ws)
+        row = got[rec.doc_id]
+        assert row["n_words"] == len(ws)
+        assert row["n_bpe_tokens"] == n_bpe
+        assert row["n_symbols"] == sum(len(w) for w in ws)
+        assert row["compression"] == row["n_symbols"] / n_bpe
+
+
+def test_bpe_actually_compresses():
+    from odc_product_docker_images_spark.textvec.bpe import bpe_word
+
+    assert bpe_word("hash") == ["hash"]
+    assert bpe_word("batch") == ["batch"]
+    assert len(bpe_word("customer")) < len("customer")
