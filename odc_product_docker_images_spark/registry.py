@@ -85,6 +85,8 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.zonal",
     "odc_product_docker_images_spark.operators.profile",
     "odc_product_docker_images_spark.textvec.bpe",
+    "odc_product_docker_images_spark.textvec.kmeans",
+    "odc_product_docker_images_spark.operators.graph",
 ]
 
 _loaded = False

@@ -459,3 +459,80 @@ def test_bpe_actually_compresses():
     assert bpe_word("hash") == ["hash"]
     assert bpe_word("batch") == ["batch"]
     assert len(bpe_word("customer")) < len("customer")
+
+
+# -- k-means step ------------------------------------------------------------
+
+
+def test_kmeans_step_matches_numpy(spark):
+    import numpy as np
+    import pandas as pd
+
+    from odc_product_docker_images_spark.textvec.kmeans import (
+        _K,
+        sim_kmeans_step,
+    )
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    X, ids = X[order], ids[order]
+    C = X[ids < _K]
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    # operator rounds distances 6dp before argmin (ties -> lowest id);
+    # replicate with the same tie-break on the rounded matrix
+    d2r = np.round(d2, 6)  # numpy half-even vs half-up: midpoints are
+    # improbable for these irrational sums; assignment only needs ordering
+    assign = d2r.argmin(axis=1)
+    got = {
+        (r["centroid_id"], r["dim"]): (r["new_val"], r["n_members"])
+        for r in sim_kmeans_step(spark, SF).collect()
+    }
+    assert len(got) == _K * X.shape[1]
+    for k in range(_K):
+        members = X[assign == k]
+        for dim in range(X.shape[1]):
+            val, n = got[(k, dim + 1)]
+            assert n == len(members)
+            assert abs(val - members[:, dim].mean()) < 1e-6, (k, dim)
+
+
+# -- PageRank step -----------------------------------------------------------
+
+
+def test_pagerank_step_matches_numpy(spark):
+    import duckdb
+
+    from odc_product_docker_images_spark.operators.graph import (
+        _DAMP,
+        _DST_OFF,
+        graph_pagerank_step,
+    )
+
+    con = duckdb.connect()
+    edges = con.execute(
+        f"""SELECT DISTINCT l_suppkey, l_partkey
+            FROM '{SF}/lineitem.parquet'"""
+    ).fetchall()
+    edges = [(s, p + _DST_OFF) for s, p in edges]
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    dangling = sum(1 for v in nodes if v not in outdeg)
+    contrib = {}
+    for s, d in edges:
+        contrib[d] = contrib.get(d, 0.0) + 1.0 / outdeg[s]
+    got = {r["node_id"]: r["pr"] for r in graph_pagerank_step(spark, SF).collect()}
+    assert set(got) == set(nodes)
+    total = 0.0
+    for v in nodes:
+        # the operator's exact-decimal sum rounds the contribution at 6 dp
+        c = _dround_py(contrib.get(v, 0.0)) if v in contrib else 0.0
+        want = (0.15 + _DAMP * (c + dangling / n)) / n
+        assert abs(got[v] - want) < 1e-12, v
+        total += got[v]
+    # mass conservation: sum(pr) = 1 under dangling redistribution
+    assert abs(total - 1.0) < 1e-6
