@@ -1,0 +1,193 @@
+"""Focal (neighborhood) raster ops (SURVEY.md §2.2/§2.4 extension).
+
+Reference analog: the kernel/convolution passes EO pipelines run after
+compositing — focal mean smoothing, morphological cleanup of water masks
+(``odc-algo``'s ``mask_cleanup`` dilation/erosion), speckle filtering.
+``product_sar_water`` already does a 1-D window-frame speckle mean; this
+module is the TRUE 2-D neighborhood form.
+
+Spark-first shape for a sparse raster laid out as (cell_x, cell_y, value)
+rows: a convolution is an EXPLODE-SHIFT-REGROUP — each cell scatters its
+value to the 9 (dx, dy) neighbor positions it contributes to (``explode``
+over a constant offset array, pure codegen fan-out), then one hash
+aggregation per target cell collects the neighborhood mean.  Shuffle
+volume is kernel_size × raster rows — linear, skew-free (cell keys are
+near-uniform), and the whole fan-out stays in whole-stage codegen; no UDF,
+no driver-side stencil loop.  At 100 TB the same plan holds: the scatter
+is map-side, the single Exchange carries 9×rows, and tiling the grid into
+stored buckets would co-locate it entirely (the geomedian-bucketed
+pattern).  A windowed form over a dense row-major raster would need a 2-D
+frame Spark lacks; the scatter-gather form needs nothing exotic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import davg, sql_davg
+from ..io import load
+from ..registry import register
+
+# Grid: 20 × 11 cells over (value, user_id) — ~45 events/cell at sf0.01.
+_CX, _CY = 25.0, 15.0
+
+
+def _raster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bin events into the cell grid: the composite the focal pass reads."""
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.floor(F.col("value") / _CX).cast("long").alias("cell_x"),
+            F.floor(F.col("user_id") / _CY).cast("long").alias("cell_y"),
+            F.col("value"),
+        )
+        .groupBy("cell_x", "cell_y")
+        .agg(davg("value", "v"))
+    )
+
+
+_SQL_RASTER = f"""
+        SELECT CAST(FLOOR(value / {_CX!r}) AS BIGINT) AS cell_x,
+               CAST(FLOOR(user_id / {_CY!r}) AS BIGINT) AS cell_y,
+               {sql_davg("value", "v")}
+        FROM events GROUP BY 1, 2
+"""
+
+
+@register(
+    "raster_focal_mean",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        scatter AS (
+            SELECT r.cell_x + dx.o AS tx, r.cell_y + dy.o AS ty, r.v,
+                   CASE WHEN dx.o = 0 AND dy.o = 0 THEN 1 ELSE 0 END AS self
+            FROM raster r
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+        )
+        SELECT tx AS cell_x, ty AS cell_y,
+               {sql_davg("v", "focal_mean")},
+               COUNT(*) AS n_nbrs
+        FROM scatter
+        GROUP BY tx, ty
+        HAVING SUM(self) >= 1
+    """,
+)
+def raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D focal mean (3×3 kernel) over the binned composite, as
+    explode-shift-regroup.  Each cell scatters to its 9 neighbor targets;
+    one hash agg per target collects mean + support.  Edge/sparse handling
+    is the standard focal convention: the mean runs over the neighbors
+    that EXIST (n_nbrs ≤ 9).  Targets that aren't real raster cells (the
+    one-cell halo the scatter invents around the grid edge) are dropped
+    WITHOUT a join-back: a cell is real iff its own (0,0) contribution
+    arrived, so ``HAVING sum(self) ≥ 1`` filters inside the same
+    aggregate — the plan is scan → scatter → ONE Exchange → agg, pinned in
+    tests/test_plans.py."""
+    r = _raster(spark, sf_dir)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    scattered = r.select(
+        "v",
+        F.explode(off).alias("dx"),
+        F.col("cell_x"),
+        F.col("cell_y"),
+    ).select(
+        "v",
+        "dx",
+        F.explode(off).alias("dy"),
+        "cell_x",
+        "cell_y",
+    ).select(
+        (F.col("cell_x") + F.col("dx")).alias("tx"),
+        (F.col("cell_y") + F.col("dy")).alias("ty"),
+        "v",
+        ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("int").alias("self"),
+    )
+    return (
+        scattered.groupBy(F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y"))
+        .agg(
+            davg("v", "focal_mean"),
+            F.count(F.lit(1)).alias("n_nbrs"),
+            F.sum("self").alias("_self"),
+        )
+        .where(F.col("_self") >= 1)
+        .drop("_self")
+    )
+
+
+@register(
+    "raster_morph_close",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        mask AS (
+            SELECT cell_x, cell_y, CASE WHEN v >= 245.0 THEN 1 ELSE 0 END AS wet
+            FROM raster
+        ),
+        dilate AS (
+            SELECT m.cell_x + dx.o AS tx, m.cell_y + dy.o AS ty,
+                   MAX(m.wet) AS wet_d,
+                   MAX(CASE WHEN dx.o = 0 AND dy.o = 0 THEN 1 ELSE 0 END) AS real_cell
+            FROM mask m
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+            GROUP BY 1, 2
+        ),
+        erode AS (
+            SELECT d.tx + dx.o AS ex, d.ty + dy.o AS ey,
+                   MIN(d.wet_d) AS wet_closed,
+                   MAX(CASE WHEN dx.o = 0 AND dy.o = 0 THEN d.real_cell ELSE 0 END)
+                       AS real_cell
+            FROM dilate d
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+            GROUP BY 1, 2
+        )
+        SELECT ex AS cell_x, ey AS cell_y, wet_closed
+        FROM erode WHERE real_cell = 1
+    """,
+)
+def raster_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morphological CLOSE (dilate-then-erode, 3×3 structuring element) on a
+    thresholded water mask — the reference's ``mask_cleanup`` pass that
+    fills pinhole gaps in classified rasters.  Both stages are the same
+    scatter-regroup as the focal mean with MAX/MIN in place of the mean
+    (dilation = neighborhood max, erosion = neighborhood min over the
+    dilated mask).  The erode stage evaluates the min over the FULL dilated
+    field (which covers every neighbor of every real cell, so no
+    missing-neighbor bias), then keeps only real raster cells — carried as
+    a flag through both stages, again no join-back.  Two linear shuffles
+    total; morphology never touches Python."""
+    r = _raster(spark, sf_dir)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+
+    def scatter(df: DataFrame, xc: str, yc: str, cols: list) -> DataFrame:
+        return (
+            df.select(*cols, xc, yc, F.explode(off).alias("dx"))
+            .select(*cols, xc, yc, "dx", F.explode(off).alias("dy"))
+            .select(
+                (F.col(xc) + F.col("dx")).alias("tx"),
+                (F.col(yc) + F.col("dy")).alias("ty"),
+                ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("int").alias("at_center"),
+                *cols,
+            )
+        )
+
+    mask = r.select(
+        "cell_x", "cell_y", (F.col("v") >= 245.0).cast("int").alias("wet")
+    )
+    dilate = (
+        scatter(mask, "cell_x", "cell_y", ["wet"])
+        .groupBy("tx", "ty")
+        .agg(
+            F.max("wet").alias("wet_d"),
+            F.max("at_center").alias("real_cell"),
+        )
+    )
+    erode = (
+        scatter(dilate, "tx", "ty", ["wet_d", "real_cell"])
+        .withColumn("rc", F.when(F.col("at_center") == 1, F.col("real_cell")).otherwise(F.lit(0)))
+        .groupBy(F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y"))
+        .agg(F.min("wet_d").alias("wet_closed"), F.max("rc").alias("real_cell"))
+    )
+    return erode.where(F.col("real_cell") == 1).select("cell_x", "cell_y", "wet_closed")

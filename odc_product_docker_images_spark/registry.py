@@ -87,6 +87,12 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.bpe",
     "odc_product_docker_images_spark.textvec.kmeans",
     "odc_product_docker_images_spark.operators.graph",
+    "odc_product_docker_images_spark.kernels.geomad",
+    "odc_product_docker_images_spark.operators.raster",
+    "odc_product_docker_images_spark.textvec.lines",
+    "odc_product_docker_images_spark.textvec.sampling",
+    "odc_product_docker_images_spark.operators.joins_spatial",
+    "odc_product_docker_images_spark.operators.composites_tpch",
 ]
 
 _loaded = False

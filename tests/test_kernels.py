@@ -108,3 +108,41 @@ def test_frac_cover_spark_output(spark, sf_dir):
     for n in ["pv", "npv", "soil"]:
         assert (got[n] >= 0).all()
     assert (got["residual"] >= 0).all()
+
+
+def test_geomad_matches_numpy(spark, sf_dir):
+    """agg_geomedian_mads: every group's EMAD/SMAD/BCMAD must equal a
+    direct per-group numpy computation around that group's own Weiszfeld
+    geomedian (the rows-only key's oracle)."""
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.kernels.geomad import (
+        agg_geomedian_mads,
+        mads_reference,
+    )
+
+    got = agg_geomedian_mads(spark, sf_dir).toPandas().set_index("l_suppkey").sort_index()
+    raw = load(spark, sf_dir, "lineitem").select("l_suppkey", *BANDS).toPandas()
+    assert len(got) == raw["l_suppkey"].nunique()
+    for supp, grp in raw.groupby("l_suppkey"):
+        X = grp[BANDS].to_numpy(dtype=np.float64)
+        gm = weiszfeld(X)
+        emad, smad, bcmad = mads_reference(X, gm)
+        # kernel output is rounded at 6 dp -> half-tick tolerance 5e-7
+        assert got.loc[supp, "emad"] == pytest.approx(emad, abs=6e-7)
+        assert got.loc[supp, "smad"] == pytest.approx(smad, abs=6e-7)
+        assert got.loc[supp, "bcmad"] == pytest.approx(bcmad, abs=6e-7)
+        assert got.loc[supp, "n_obs"] == len(X)
+
+
+def test_geomad_known_values():
+    """Hand-checkable MADs: symmetric 1-D-embedded points where every
+    median is computable by eye."""
+    from odc_product_docker_images_spark.kernels.geomad import mads_reference
+
+    X = np.array([[1.0, 0.0], [3.0, 0.0], [5.0, 0.0]])
+    gm = np.array([3.0, 0.0])  # geomedian of collinear points = 1-D median
+    emad, smad, bcmad = mads_reference(X, gm)
+    assert emad == pytest.approx(2.0)  # |1-3|, |3-3|, |5-3| -> median 2
+    assert smad == pytest.approx(0.0)  # all colinear with gm -> cos == 1
+    # bray-curtis: |1-3|/|1+3|=.5, 0, |5-3|/|5+3|=.25 -> median .25
+    assert bcmad == pytest.approx(0.25)

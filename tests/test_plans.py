@@ -375,3 +375,72 @@ def test_curation_e2e_degrades_broadcast_to_shuffle_join(spark, monkeypatch):
     # it turns out); the optimizer/AQE is still free to PICK a broadcast
     # off its size estimate when the built side is genuinely tiny.
     assert C.broadcast_hint_count(df) == 0
+
+
+def test_geomad_single_shuffle_arrow(spark):
+    """GeoMAD reuses the geomedian's one-shuffle shape: repartition on the
+    pixel key, Arrow mapInPandas solve, and nothing else — the MAD step
+    must not introduce a second Exchange or a row-Python path."""
+    from odc_product_docker_images_spark.kernels.geomad import agg_geomedian_mads
+
+    df = agg_geomedian_mads(spark, SF)
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)
+
+
+def test_focal_ops_shuffle_linearly(spark):
+    """Focal mean: scan -> bin agg -> scatter -> agg = exactly 2 Exchanges;
+    morphological close adds one more regroup = 3.  The 9x scatter must
+    stay in codegen (no Python), and neither op may plan a join (the
+    halo-drop trick replaces the join-back)."""
+    from odc_product_docker_images_spark.operators.raster import (
+        raster_focal_mean,
+        raster_morph_close,
+    )
+
+    fm = raster_focal_mean(spark, SF)
+    assert C.exchange_count(fm) == 2
+    C.assert_no_python_row_path(fm)
+    assert "Join" not in C.formatted_plan(fm)
+    mc = raster_morph_close(spark, SF)
+    assert C.exchange_count(mc) == 3
+    assert "Join" not in C.formatted_plan(mc)
+
+
+def test_stratified_sample_one_window_pass(spark):
+    """row_number and the stratum count must come out of ONE partitioned
+    window pass: exactly one Exchange (on the stratum key), no join."""
+    from odc_product_docker_images_spark.textvec.sampling import sample_stratified
+
+    df = sample_stratified(spark, SF)
+    assert C.exchange_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+
+
+def test_nearest_neighbor_join_is_blocked_not_cross(spark):
+    """The NN join's reason to exist: candidates come from the grid-cell
+    equi-join, never a cartesian product."""
+    from odc_product_docker_images_spark.operators.joins_spatial import (
+        join_nearest_neighbor,
+    )
+
+    plan = C.formatted_plan(join_nearest_neighbor(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q18_shape_filters_before_join_and_heaps_topk(spark):
+    """The HAVING filter must run on the aggregate BEFORE the join back to
+    orders, and the global top-100 must be TakeOrderedAndProject (per-
+    partition heaps), never a full Sort of the joined table."""
+    from odc_product_docker_images_spark.operators.composites_tpch import (
+        composite_q18_shape,
+    )
+
+    df = composite_q18_shape(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    # the filter on the rounded aggregate appears as a Filter above the
+    # HashAggregate, below the Join — i.e. the join's left input row count
+    # is the filtered one.  Structural proxy: no Sort node anywhere.
+    assert "Sort [o_totalprice" not in plan
