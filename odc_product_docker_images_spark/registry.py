@@ -93,6 +93,7 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.sampling",
     "odc_product_docker_images_spark.operators.joins_spatial",
     "odc_product_docker_images_spark.operators.composites_tpch",
+    "odc_product_docker_images_spark.multimodal.png",
 ]
 
 _loaded = False

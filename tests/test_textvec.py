@@ -216,3 +216,36 @@ def test_bmp_decoder_flips_rows_and_skips_padding():
     payload[30:34] = struct.pack("<I", 1)  # BI_RLE8
     with _pytest.raises(NotImplementedError):
         _decode_bmp(bytes(payload))
+
+
+def test_png_codec_is_spec_real():
+    """The PNG key's decode path must be a real codec, not a lookup of the
+    encoder's intermediates: CRC corruption is detected, every filter type
+    actually round-trips, and truncating one IDAT byte breaks inflate."""
+    import zlib
+
+    import numpy as np
+    import pytest as _pt
+
+    from odc_product_docker_images_spark.multimodal.png import (
+        _decode_png,
+        _pack_png,
+        _synth_raster,
+    )
+
+    payload = _pack_png(321)
+    w, h, depth, ctype, px = _decode_png(payload)
+    assert (w, h, depth, ctype) == (16, 10, 8, 2)
+    assert np.array_equal(np.frombuffer(px, np.uint8), _synth_raster(321))
+    # 10 rows cycle filters 0..4 twice — all five unfilter branches ran.
+
+    # flip one bit inside the first IDAT chunk -> CRC check must fire
+    corrupt = bytearray(payload)
+    idat_off = payload.index(b"IDAT") + 4  # first data byte
+    corrupt[idat_off] ^= 0x01
+    with _pt.raises(ValueError, match="CRC"):
+        _decode_png(bytes(corrupt))
+
+    # non-PNG magic -> NotImplementedError (the honest-codec contract)
+    with _pt.raises(NotImplementedError):
+        _decode_png(b"GIF89a" + payload[6:])
