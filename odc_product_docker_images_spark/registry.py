@@ -94,6 +94,8 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.joins_spatial",
     "odc_product_docker_images_spark.operators.composites_tpch",
     "odc_product_docker_images_spark.multimodal.png",
+    "odc_product_docker_images_spark.textvec.heavyhitters",
+    "odc_product_docker_images_spark.operators.percentiles",
 ]
 
 _loaded = False

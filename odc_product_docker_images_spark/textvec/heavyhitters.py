@@ -1,0 +1,105 @@
+"""Mergeable heavy-hitters sketch — Misra-Gries (SURVEY.md §2.10 X4).
+
+The frequent-items question every corpus profile asks ("which tokens
+dominate?") has an exact answer (``explode_tokens``: full groupBy, shuffle
+= distinct-token cardinality) and a SKETCH tier for when the token
+universe itself is too large to shuffle: the Misra-Gries summary, which is
+MERGEABLE (Agarwal et al., "Mergeable Summaries", PODS'12) — per-partition
+summaries of size k combine into a size-k summary whose total error stays
+≤ n/(k+1) REGARDLESS of merge tree shape.  That mergeability is exactly
+the partial-aggregate contract Spark's hash aggregates rely on, expressed
+for a holistic question.
+
+Plan shape: one Arrow map pass builds a per-partition summary from exact
+within-partition counts (compress = subtract the (k+1)-th largest count,
+keep positive — the order-free equivalent of streaming MG decrements);
+the ≤ P·k summary rows then merge relationally: sum by token, subtract
+the combined (k+1)-th largest (computed with a top-(k+1) sort over ≤ P·k
+rows, broadcast back), keep positive.  Nothing driver-side; shuffle
+volume is P·k rows, independent of corpus size — that is the point.
+
+⊘oracle: the summary's VALUES depend on the partition layout (any valid
+MG summary does); the GUARANTEES don't, so pytest asserts them against
+exact counts: underestimates only, error ≤ n/(k+1), and every true
+heavy hitter (count > n/(k+1)) present.  Determinism for the driver's
+rows-check comes from the fixed repartition key and the total (count,
+token) tie order used in both compress steps.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+K = 32  # summary capacity; error <= n_tokens / (K+1)
+_P = 8  # ingest partitions (partition by doc — the data-parallel layout)
+
+
+def _mg_compress(counts: dict[str, int], k: int) -> dict[str, int]:
+    """Reduce exact counts to a size-k Misra-Gries summary: subtract the
+    (k+1)-th largest count from everything, drop non-positive.  Ties
+    break on (count, token) so the result is a function of the counts,
+    not of iteration order."""
+    if len(counts) <= k:
+        return dict(counts)
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    dec = ordered[k][1]  # (k+1)-th largest
+    return {t: c - dec for t, c in ordered[:k] if c - dec > 0}
+
+
+def _partition_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for pdf in it:
+        for text in pdf["text"]:
+            counts.update(text.split(" "))
+    if not counts:
+        return
+    summ = _mg_compress(counts, K)
+    yield pd.DataFrame(
+        {"token": list(summ.keys()), "cnt": list(summ.values())}
+    )
+
+
+@register("text_heavy_hitters")  # ⊘oracle: summary values are layout-dependent; guarantees pytest-gated
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sketch tier: corpus heavy hitters via mergeable Misra-Gries.
+    Per-partition summaries (Arrow pass over doc-partitioned text) merge
+    relationally: sum estimates by token, subtract the combined (k+1)-th
+    largest, keep positive — ≤ K rows out, every true token with
+    frequency > n/(K+1) guaranteed present, estimates never above truth.
+    The 100 TB story is the shuffle volume: P·K summary rows instead of
+    the distinct-token universe; the exact twin (``explode_tokens``)
+    remains the re-ranker on the survivors."""
+    dc = load(spark, sf_dir, "documents")
+    summaries = (
+        dc.select("doc_id", "text")
+        .repartition(_P, "doc_id")
+        .mapInPandas(_partition_summaries, schema="token string, cnt long")
+    )
+    merged = summaries.groupBy("token").agg(F.sum("cnt").alias("est"))
+    # combined compress: (K+1)-th largest merged estimate, broadcast back.
+    # <= P*K rows feed this sort — constant-size regardless of corpus.
+    # compress only applies when the merged set exceeds K tokens — with
+    # <= K survivors the summary is already valid and dec must be 0.
+    kth = (
+        merged.orderBy(F.desc("est"), F.asc("token"))
+        .limit(K + 1)
+        .agg(
+            F.when(F.count(F.lit(1)) <= K, F.lit(0))
+            .otherwise(F.min("est"))
+            .alias("dec")
+        )
+    )
+    return (
+        merged.crossJoin(F.broadcast(kth))
+        .select("token", (F.col("est") - F.col("dec")).alias("est_count"))
+        .where(F.col("est_count") > 0)
+    )

@@ -444,3 +444,27 @@ def test_q18_shape_filters_before_join_and_heaps_topk(spark):
     # HashAggregate, below the Join — i.e. the join's left input row count
     # is the filtered one.  Structural proxy: no Sort node anywhere.
     assert "Sort [o_totalprice" not in plan
+
+
+def test_percentile_composite_single_shuffle(spark):
+    """p10/p50/p90 must share ONE grouped pass: a single Exchange."""
+    from odc_product_docker_images_spark.operators.percentiles import (
+        agg_percentile_composite,
+    )
+
+    assert C.exchange_count(agg_percentile_composite(spark, SF)) == 1
+
+
+def test_heavy_hitters_shuffles_summaries_not_corpus(spark):
+    """The MG sketch's reason to exist: after the Arrow summary pass, only
+    summary rows move — the merge agg, the top-(K+1) compress, and the
+    broadcast-back, never a corpus-wide token shuffle.  Structural pins:
+    no row-Python, and the broadcast of the single-row decrement."""
+    from odc_product_docker_images_spark.textvec.heavyhitters import (
+        text_heavy_hitters,
+    )
+
+    df = text_heavy_hitters(spark, SF)
+    C.assert_no_python_row_path(df)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan

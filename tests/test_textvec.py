@@ -249,3 +249,39 @@ def test_png_codec_is_spec_real():
     # non-PNG magic -> NotImplementedError (the honest-codec contract)
     with _pt.raises(NotImplementedError):
         _decode_png(b"GIF89a" + payload[6:])
+
+
+def test_heavy_hitters_mg_guarantees(spark, sf_dir):
+    """Misra-Gries guarantees vs exact counts: (a) never overestimates,
+    (b) total error <= n/(K+1) per item, (c) every true heavy hitter
+    (count > n/(K+1)) survives, (d) summary size <= K."""
+    import pyspark.sql.functions as F
+
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.textvec.heavyhitters import (
+        K,
+        text_heavy_hitters,
+    )
+
+    got = {
+        r["token"]: r["est_count"]
+        for r in text_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert 0 < len(got) <= K
+    exact = {
+        r["token"]: r["n"]
+        for r in load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n = sum(exact.values())
+    bound = n / (K + 1)
+    for t, est in got.items():
+        assert t in exact
+        assert est <= exact[t], f"{t}: overestimate {est} > {exact[t]}"
+        assert exact[t] - est <= bound, f"{t}: error beyond n/(K+1)"
+    for t, c in exact.items():
+        if c > bound:
+            assert t in got, f"true heavy hitter {t} ({c} > {bound:.1f}) missing"
