@@ -96,6 +96,7 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.png",
     "odc_product_docker_images_spark.textvec.heavyhitters",
     "odc_product_docker_images_spark.operators.percentiles",
+    "odc_product_docker_images_spark.textvec.pq",
 ]
 
 _loaded = False

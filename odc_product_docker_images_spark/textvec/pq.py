@@ -1,0 +1,117 @@
+"""Product quantization (SURVEY.md §2.10 X3 — the ANN index's storage tier).
+
+`sim_quantize_int8` is the 4× memory path; PQ (Jégou et al., "Product
+Quantization for Nearest Neighbor Search", TPAMI'11) is the 24×+ path
+every large ANN index (FAISS IVF-PQ) actually ships: split each vector
+into M subvectors, quantize each against its own K-entry codebook, store
+M small codes per vector.  Distance evaluation against a query then
+becomes M table lookups (ADC) — that part is ``sim_ann_ivf``'s probe
+shape; THIS key pins the encode step with a full oracle.
+
+Spark-first shape — assignment WITHOUT a shuffle: the codebook (K seed
+vectors, the same deterministic first-K seeding as ``sim_kmeans_step``;
+a production pipeline trains it with that key's loop) aggregates to ONE
+row holding an array of (centroid_id, vector) structs, broadcast onto the
+vector scan; per row, each subspace's argmin is ``array_min`` over a
+``transform`` of the codebook (struct ordering = (dist, id) — the
+tie-break is built into the comparison), all pure JVM expressions.  The
+plan has no Exchange at all between the scan and the output: encode at
+100 TB is embarrassingly parallel, exactly as it should be.
+
+Determinism: subspace distances fold left-to-right over the same element
+order in both engines and round 6 dp (dround) BEFORE the argmin; the
+reconstruction error is the fixed-order sum of the four rounded minima
+(one IEEE expression tree, identical on both sides).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dround, sql_dround
+from ..io import load
+from ..registry import register
+
+_M = 4  # subspaces
+_SUB = 16  # dims per subspace (64 = 4 x 16)
+_K = 8  # codebook entries per subspace
+
+
+def _sql_sub_dist(m: int) -> str:
+    """Squared L2 over subspace m, written against the FULL vectors with
+    index offsets (no slicing) — same element order as the Spark fold."""
+    expr = (
+        f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {_SUB + 1}),"
+        f" i -> (e[{m * _SUB} + i] - ce[{m * _SUB} + i])"
+        f" * (e[{m * _SUB} + i] - ce[{m * _SUB} + i])))"
+    )
+    return sql_dround(expr)
+
+
+_ORACLE = f"""
+    WITH v AS (
+        SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+        FROM embeddings
+    ), c AS (
+        SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_K}
+    ), d AS (
+        SELECT v.vec_id, m.m, c.centroid_id,
+               CASE m.m {" ".join(f"WHEN {m} THEN {_sql_sub_dist(m)}" for m in range(_M))} END AS dist
+        FROM v CROSS JOIN RANGE(0, {_M}) m(m) CROSS JOIN c
+    ), a AS (
+        SELECT vec_id, m, centroid_id, dist,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                  ORDER BY dist, centroid_id) AS rn
+        FROM d
+    )
+    SELECT vec_id,
+           {", ".join(f"CAST(MAX(CASE WHEN m = {m} THEN centroid_id END) AS BIGINT) AS code_{m}" for m in range(_M))},
+           {" + ".join(f"MAX(CASE WHEN m = {m} THEN dist END)" for m in range(_M))} AS recon_err
+    FROM a WHERE rn = 1
+    GROUP BY vec_id
+"""
+
+
+@register("sim_quantize_pq", oracle=_ORACLE)
+def sim_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 storage path #2: PQ encode — per-vector (code_0..code_3,
+    reconstruction error) against the deterministic first-K codebook.
+    One broadcast of a single codebook row, zero Exchanges after the scan
+    (plan-pinned): each subspace argmin is ``array_min`` over a
+    ``transform`` of the codebook array — the struct comparison's
+    (dist, centroid_id) field order IS the tie-break."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    codebook = (
+        v.where(F.col("vec_id") < _K)
+        .select(F.struct(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+    def best(m: int) -> Column:
+        def dist(c: Column) -> Column:
+            sq = F.zip_with(
+                F.slice(F.col("e"), m * _SUB + 1, _SUB),
+                F.slice(c["ce"], m * _SUB + 1, _SUB),
+                lambda x, y: (x - y) * (x - y),
+            )
+            return dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+        return F.array_min(
+            F.transform(
+                F.col("cb"),
+                lambda c: F.struct(dist(c).alias("dist"), c["centroid_id"].alias("centroid_id")),
+            )
+        )
+
+    enc = v.crossJoin(F.broadcast(codebook)).select(
+        "vec_id", *[best(m).alias(f"b{m}") for m in range(_M)]
+    )
+    recon = F.col("b0.dist") + F.col("b1.dist") + F.col("b2.dist") + F.col("b3.dist")
+    return enc.select(
+        "vec_id",
+        *[F.col(f"b{m}.centroid_id").alias(f"code_{m}") for m in range(_M)],
+        recon.alias("recon_err"),
+    )

@@ -468,3 +468,17 @@ def test_heavy_hitters_shuffles_summaries_not_corpus(spark):
     C.assert_no_python_row_path(df)
     plan = C.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pq_encode_is_map_side_only(spark):
+    """PQ encode's scale claim: after the one-row codebook aggregate and
+    its broadcast, the vector path has NO Exchange — assignment is pure
+    map-side expressions.  The only two Exchanges in the whole plan are
+    the codebook's own single-row agg + its BroadcastExchange."""
+    from odc_product_docker_images_spark.textvec.pq import sim_quantize_pq
+
+    df = sim_quantize_pq(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.exchange_count(df) == 2  # codebook agg + BroadcastExchange
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook rides broadcast
+    C.assert_no_python_row_path(df)
