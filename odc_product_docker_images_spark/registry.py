@@ -97,6 +97,8 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.heavyhitters",
     "odc_product_docker_images_spark.operators.percentiles",
     "odc_product_docker_images_spark.textvec.pq",
+    "odc_product_docker_images_spark.operators.products2",
+    "odc_product_docker_images_spark.operators.windows_gaps",
 ]
 
 _loaded = False

@@ -284,6 +284,17 @@ class VersionedTable:
             (self.manifest_dir / f"v{v}.json").unlink()
         return (len(drop_files), len(drop_vs))
 
+    def restore(self, version: int) -> int:
+        """RESTORE (Delta ``RESTORE TABLE ... TO VERSION``): make an old
+        snapshot the new head by COMMITTING ITS FILE LIST AGAIN as a fresh
+        version.  History is preserved — the bad commits stay readable for
+        forensics until VACUUM retires them — and no data is copied: the
+        restore manifest points at the original files, so the operation is
+        O(manifest) regardless of table size."""
+        if version not in self.versions():
+            raise ValueError(f"version {version} does not exist")
+        return self._commit(self._manifest(version)["files"], "restore")
+
     # -- read path ---------------------------------------------------------
 
     def read(
@@ -676,3 +687,40 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_dropped).cast("bigint").alias("n_versions_dropped"),
         F.lit(t.file_count()).cast("bigint").alias("n_files_left"),
     )
+
+
+@register(
+    "table_restore",
+    oracle=f"""
+        SELECT CAST(0 AS INTEGER) AS version, COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")}
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT CAST(1 AS INTEGER), COUNT(*), {sql_dsum("value", "sum_value")}
+        FROM events
+        UNION ALL
+        SELECT CAST(2 AS INTEGER), COUNT(*), {sql_dsum("value", "sum_value")}
+        FROM events WHERE event_id % 2 = 0
+    """,
+)
+def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: RESTORE — roll the table head back to a prior
+    snapshot as a NEW commit (the "undo the bad load" day-one operation).
+    Recipe: v0 = even events, v1 appends the odd ones (the "bad load"),
+    ``restore(0)`` → v2.  The oracle pins all three snapshots: v2 must
+    read byte-identical to v0 (the restore re-lists v0's files — no data
+    copied, O(manifest) cost), while v1 stays readable for forensics.
+    With stats enabled the restore commit re-harvests nothing: file
+    stats carry over by name from the previous manifest."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t = _fresh_table("rst")
+    t.write(ev.where(F.col("event_id") % 2 == 0), mode="overwrite", n_files=4)
+    t.write(ev.where(F.col("event_id") % 2 == 1), mode="append", n_files=4)
+    t.restore(0)
+    snaps = [
+        t.read(spark, v)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value", "sum_value"))
+        .select(F.lit(v).cast("int").alias("version"), "n_rows", "sum_value")
+        for v in t.versions()
+    ]
+    return reduce(lambda a, b: a.unionByName(b), snaps)

@@ -482,3 +482,24 @@ def test_pq_encode_is_map_side_only(spark):
     assert C.exchange_count(df) == 2  # codebook agg + BroadcastExchange
     assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook rides broadcast
     C.assert_no_python_row_path(df)
+
+
+def test_streak_windows_share_one_exchange(spark):
+    """Gaps-and-islands: both row_number windows and both follow-up aggs
+    must ride ONE hash Exchange on the series key (the (user_id, wet)
+    window's clustering is satisfied by the user_id partitioning)."""
+    from odc_product_docker_images_spark.operators.windows_gaps import window_streak
+
+    assert C.exchange_count(window_streak(spark, SF)) == 1
+
+
+def test_burn_mapping_single_pass(spark):
+    """Burn mapping's epoch split is a conditional aggregate: one scan,
+    one Exchange — never a two-scan self-join."""
+    from odc_product_docker_images_spark.operators.products2 import (
+        product_burn_mapping,
+    )
+
+    df = product_burn_mapping(spark, SF)
+    assert C.exchange_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)

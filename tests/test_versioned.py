@@ -205,3 +205,28 @@ def test_vacuum_bounds_history_and_preserves_latest(spark):
         t.read(spark, 0)
     with pytest.raises(ValueError):
         t.vacuum(retain_last=0)
+
+
+def test_restore_relists_files_without_copying(spark, sf_dir):
+    """RESTORE must re-commit the old snapshot's file list verbatim (no
+    data rewrite) and preserve the full history."""
+    import pyspark.sql.functions as F
+
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.sources.versioned import _fresh_table
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value").limit(100)
+    t = _fresh_table("rsttest")
+    t.write(ev.where(F.col("event_id") % 2 == 0), mode="overwrite", n_files=2)
+    t.write(ev.where(F.col("event_id") % 2 == 1), mode="append", n_files=2)
+    v = t.restore(0)
+    assert v == 2
+    assert t.versions() == [0, 1, 2]
+    assert t.snapshot_files(2) == t.snapshot_files(0)  # same files, no copy
+    assert t._manifest(2)["operation"] == "restore"
+    # the "bad" commit stays readable for forensics
+    assert t.read(spark, 1).count() > t.read(spark, 2).count()
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="does not exist"):
+        t.restore(99)
