@@ -26,7 +26,7 @@ reconstruction error is the fixed-order sum of the four rounded minima
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
@@ -114,4 +114,134 @@ def sim_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[F.col(f"b{m}.centroid_id").alias(f"code_{m}") for m in range(_M)],
         recon.alias("recon_err"),
+    )
+
+
+_NQ = 4  # probe queries (vec_id < _NQ)
+_TOPK = 5
+
+
+@register(
+    "sim_ann_pq_adc",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_K}
+        ), d AS (
+            SELECT v.vec_id, m.m, c.centroid_id,
+               CASE m.m {" ".join(f"WHEN {m} THEN {_sql_sub_dist(m)}" for m in range(_M))} END AS dist
+            FROM v CROSS JOIN RANGE(0, {_M}) m(m) CROSS JOIN c
+        ), codes AS (
+            SELECT vec_id, m, centroid_id AS code FROM (
+                SELECT vec_id, m, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, centroid_id) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ), dtab AS (
+            -- the query-side distance tables ARE the same d CTE restricted
+            -- to the probe vectors (ADC: distances from q's subvectors to
+            -- every codebook entry)
+            SELECT vec_id AS q_id, m, centroid_id, dist
+            FROM d WHERE vec_id < {_NQ}
+        ), approx AS (
+            -- rounding through the dround twin BEFORE the rank: the four
+            -- lookup terms sum in different orders on the two sides, and
+            -- both ranking and output must compare the identical rounded
+            -- double (grid sums land far from the 6-dp midpoints)
+            SELECT t.q_id, s.vec_id,
+                   {sql_dround("SUM(t.dist)")} AS approx_d2
+            FROM codes s
+            JOIN dtab t ON t.m = s.m AND t.centroid_id = s.code
+            GROUP BY t.q_id, s.vec_id
+        )
+        SELECT q_id, vec_id, approx_d2, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT q_id, vec_id, approx_d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx_d2, vec_id) AS rnk
+            FROM approx
+        ) WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the PQ SEARCH half — Asymmetric Distance Computation.  Each
+    probe query precomputes M×K distance tables to the codebook (rides
+    the same one-row broadcast as the encode); the approximate distance
+    to every stored vector is then M ARRAY LOOKUPS on its codes — no
+    touch of the original vectors, which is the entire point of a PQ
+    index: the scan reads M small codes per row, distance evaluation is
+    additive lookups, and the only shuffle is the final per-query top-k.
+    Full oracle: the identical ADC pipeline in SQL (codes via argmin
+    CTE, table join, rank).
+
+    Determinism: table entries round 6 dp before the sum; the 4-term sum
+    is re-rounded (dround twin) because summation order differs between
+    the lookup expression and the oracle's SUM; rank ties break on
+    vec_id."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    codebook = (
+        v.where(F.col("vec_id") < _K)
+        .select(F.struct(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")).alias("c"))
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+    def sub_dist(c: Column, m: int, vec: str = "e") -> Column:
+        sq = F.zip_with(
+            F.slice(F.col(vec), m * _SUB + 1, _SUB),
+            F.slice(c["ce"], m * _SUB + 1, _SUB),
+            lambda x, y: (x - y) * (x - y),
+        )
+        return dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+    # NOTE: transform() lambdas must take exactly ONE parameter — a second
+    # parameter (even a defaulted `m=m` closure trick) makes PySpark bind
+    # it as the ARRAY INDEX and silently garbles the expression.  Bind the
+    # subspace with a factory instead.
+    def code_at(m: int):
+        return lambda c: F.struct(
+            sub_dist(c, m).alias("dist"), c["centroid_id"].alias("centroid_id")
+        )
+
+    def tab_at(m: int):
+        return lambda c: sub_dist(c, m)
+
+    # stored side: codes only (the PQ index), map-side encode as above
+    with_cb = v.crossJoin(F.broadcast(codebook))
+    codes = with_cb.select(
+        "vec_id",
+        *[
+            F.array_min(F.transform(F.col("cb"), code_at(m)))["centroid_id"].alias(
+                f"code_{m}"
+            )
+            for m in range(_M)
+        ],
+    )
+    # query side: per-query M distance tables, sorted by centroid_id so
+    # element_at(tab, code+1) is the lookup (cb is sort_array'ed)
+    qtabs = (
+        with_cb.where(F.col("vec_id") < _NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            *[F.transform(F.col("cb"), tab_at(m)).alias(f"t{m}") for m in range(_M)],
+        )
+    )
+    paired = codes.crossJoin(F.broadcast(qtabs))
+    lk = [
+        F.element_at(F.col(f"t{m}"), F.col(f"code_{m}").cast("int") + 1)
+        for m in range(_M)
+    ]
+    approx = ((lk[0] + lk[1]) + lk[2]) + lk[3]
+    scored = paired.select(
+        "q_id", "vec_id", dround(approx).alias("approx_d2")
+    )
+    w = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOPK)
+        .select("q_id", "vec_id", "approx_d2", F.col("rnk").cast("long").alias("rnk"))
     )

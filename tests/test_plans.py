@@ -503,3 +503,18 @@ def test_burn_mapping_single_pass(spark):
     df = product_burn_mapping(spark, SF)
     assert C.exchange_count(df) == 1
     assert "Join" not in C.formatted_plan(df)
+
+
+def test_pq_adc_distance_is_lookups_not_vectors(spark):
+    """ADC's scale property: the stored-vector side contributes codes via
+    map-side encode (no Exchange between its scan and the probe join);
+    the only hash Exchanges are the one-row codebook aggregate (appears
+    twice statically — codes side and query side — deduped by runtime
+    exchange reuse) and the final per-query top-k window."""
+    from odc_product_docker_images_spark.textvec.pq import sim_ann_pq_adc
+
+    df = sim_ann_pq_adc(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert C.exchange_count(df) == 6  # 2x(codebook agg+bcast) + qtab bcast + window
+    C.assert_no_python_row_path(df)
