@@ -99,6 +99,8 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.pq",
     "odc_product_docker_images_spark.operators.products2",
     "odc_product_docker_images_spark.operators.windows_gaps",
+    "odc_product_docker_images_spark.sources.formats",
+    "odc_product_docker_images_spark.sources.stream_source",
 ]
 
 _loaded = False

@@ -1,0 +1,112 @@
+"""Text source formats: CSV / JSON-lines round-trips (SURVEY.md §2.1 S2).
+
+The reference stack ingests from whatever lands in the bucket — GeoTIFF
+for rasters, but the metadata/telemetry side is CSV and JSON documents.
+The engine's canonical storage is parquet; these keys prove the TEXT
+formats round-trip losslessly through the engine's writers/readers, which
+is where real pipelines break (timestamp formatting, float shortest-repr,
+header/schema drift).
+
+Production rules demonstrated here, stated once:
+- **Explicit schema, never ``inferSchema``** — inference is an extra full
+  read of the data AND a correctness hazard (a column of ints with one
+  stray float flips the type by luck of sampling).  At 100 TB it is also
+  the difference between a metadata-only plan and a 2× scan.
+- **Explicit ``timestampFormat`` with sub-second precision** — the
+  default format drops micros; a round-trip that silently truncates
+  timestamps corrupts every event-time window downstream.
+- Floats survive because Spark writes shortest-repr decimal and the
+  parser returns the identical double (round-trip guarantee).
+"""
+
+from __future__ import annotations
+
+import uuid
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.det import dsum, sql_dsum
+from ..io import load
+from ..registry import register
+
+_TMP = Path(__file__).resolve().parent.parent.parent / ".tmp"
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+_ORACLE = f"""
+        SELECT COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")},
+               -- events.parquet carries nanos; the engine's io.load (and
+               -- therefore the round-trip) is micros — truncate to match
+               MIN(CAST(ts AS TIMESTAMP)) AS min_ts,
+               MAX(CAST(ts AS TIMESTAMP)) AS max_ts,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events WHERE event_id % 5 = 0
+"""
+
+
+def _subset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 5 == 0)
+        .select("event_id", "user_id", "ts", "value")
+    )
+
+
+def _verify(df: DataFrame) -> DataFrame:
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("value", "sum_value"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register("source_csv_roundtrip", oracle=_ORACLE)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: CSV round-trip — write the event subset as headered CSV with a
+    microsecond timestamp format, read it back with the EXPLICIT schema,
+    and verify content (count, exact-decimal sum, timestamp min/max,
+    distinct users) against the parquet source of truth via the oracle.
+    A dropped micro, a locale-formatted float, or a header/schema slip
+    breaks the value hash."""
+    out = str(_TMP / f"csv_{uuid.uuid4().hex[:8]}")
+    _subset(spark, sf_dir).write.mode("overwrite").option("header", "true").option(
+        "timestampFormat", _TS_FMT
+    ).csv(out)
+    back = (
+        spark.read.schema(_SCHEMA)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .csv(out)
+    )
+    return _verify(back)
+
+
+@register("source_jsonl_roundtrip", oracle=_ORACLE)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: JSON-lines round-trip — same contract as the CSV key through
+    the JSON writer/reader (the metadata-document format the reference
+    indexes).  Schema is explicit on read; JSON adds the field-order and
+    null-omission hazards CSV doesn't have, and the identical oracle
+    pins them."""
+    out = str(_TMP / f"jsonl_{uuid.uuid4().hex[:8]}")
+    _subset(spark, sf_dir).write.mode("overwrite").option(
+        "timestampFormat", _TS_FMT
+    ).json(out)
+    back = (
+        spark.read.schema(_SCHEMA).option("timestampFormat", _TS_FMT).json(out)
+    )
+    return _verify(back)

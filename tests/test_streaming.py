@@ -274,3 +274,43 @@ def test_available_now_is_incremental_exactly_once(spark, scratch, sf_dir):
         for r in load(spark, sf_dir, "events").groupBy("event_type").count().collect()
     }
     assert got == want
+
+
+def test_python_stream_source_runs_real_micro_batches(spark):
+    """The custom Python streaming source must execute SUCCESSIVE offset
+    ranges (not one all-covering batch): with the high-water mark
+    advancing 2 arrivals per poll over a 6-arrival horizon, the progress
+    log must show exactly 3 data-carrying micro-batches of 400 rows
+    (2 arrivals x 200 rows) each."""
+    import uuid as _uuid
+
+    import pyspark.sql.functions as F
+
+    from odc_product_docker_images_spark.sources.stream_source import (
+        register_feed_source,
+    )
+    from odc_product_docker_images_spark.streaming import streams as S
+
+    register_feed_source(spark)
+    name = "feedtest_" + _uuid.uuid4().hex[:6]
+    agg = (
+        spark.readStream.format("synthetic_feed")
+        .load()
+        .groupBy("sensor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    with S.small_state(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+    rows_per_batch = [
+        p["numInputRows"] for p in (q.recentProgress or []) if p["numInputRows"] > 0
+    ]
+    assert rows_per_batch == [400, 400, 400], rows_per_batch
+    total = spark.table(name).agg(F.sum("n")).collect()[0][0]
+    assert total == 1200
