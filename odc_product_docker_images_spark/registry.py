@@ -78,10 +78,18 @@ _MODULES = [
     "odc_product_docker_images_spark.sources.versioned",
     "odc_product_docker_images_spark.sources.bucketed",
     "odc_product_docker_images_spark.streaming.stream_joins",
-    # -- late-r4 additions, registered PAST the window on purpose: the r4
-    # rotation was already full when these landed.  r5 rotation should
-    # move these (plus any keys the r4 CORRECTNESS run leaves ungraded)
-    # to the front.
+    # -- late-r4/r4b additions, registered PAST the window on purpose: the
+    # r4 rotation was already full when these landed.  r5 rotation should
+    # move to the front: every key from zonal onward in this list (zonal,
+    # profile, bpe, kmeans, graph, geomad, raster, lines, sampling,
+    # joins_spatial, composites_tpch, png, heavyhitters, percentiles, pq,
+    # products2, windows_gaps, formats, stream_source, sql_frontend —
+    # ~30 keys, none driver-graded in r4) plus the r4 additions that
+    # registered mid-list (virtual, incremental, joins_skew extras,
+    # table_restore/vacuum/schema_evolution, join_interval_overlap,
+    # window_ewma/streak, filter_polygon already windowed — check
+    # CORRECTNESS_r04 for whatever the 50-key window actually covered and
+    # rotate the uncovered remainder forward.
     "odc_product_docker_images_spark.operators.zonal",
     "odc_product_docker_images_spark.operators.profile",
     "odc_product_docker_images_spark.textvec.bpe",
@@ -101,6 +109,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.windows_gaps",
     "odc_product_docker_images_spark.sources.formats",
     "odc_product_docker_images_spark.sources.stream_source",
+    "odc_product_docker_images_spark.operators.sql_frontend",
 ]
 
 _loaded = False

@@ -518,3 +518,17 @@ def test_pq_adc_distance_is_lookups_not_vectors(spark):
     assert "CartesianProduct" not in plan
     assert C.exchange_count(df) == 6  # 2x(codebook agg+bcast) + qtab bcast + window
     C.assert_no_python_row_path(df)
+
+
+def test_sql_frontend_plans_like_dataframes(spark):
+    """Raw SQL through temp views must get the same physical treatment the
+    DataFrame API gets: pushed priority filter, broadcast dim joins, and
+    scans that prune to the referenced columns only."""
+    from odc_product_docker_images_spark.operators.sql_frontend import sql_frontend
+
+    df = sql_frontend(spark, SF)
+    plan = C.formatted_plan(df)
+    C.assert_filter_pushed(df, "o_orderpriority")
+    assert "BroadcastHashJoin" in plan
+    cols = C.read_schema_columns(df)
+    assert "l_comment" not in cols and "o_comment" not in cols
