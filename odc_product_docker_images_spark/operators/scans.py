@@ -83,15 +83,24 @@ _POLY = [
 def _poly_crossings_sql(px: str, py: str) -> str:
     """Even-odd crossing count, one CASE term per edge — the SAME
     left-to-right IEEE arithmetic the Spark side builds, so the strict
-    float comparisons agree bit-for-bit across engines."""
+    float comparisons agree bit-for-bit across engines.  Every vertex
+    literal is CAST AS DOUBLE (the CLAUDE.md literal rule): bare float
+    literals parse as DECIMAL in DuckDB, and a DECIMAL (x2-x1) would
+    evaluate exactly while Spark subtracts doubles — it only happens to
+    agree for binary-exact .0/.5 vertices, and the cast keeps parity
+    independent of the coordinates chosen."""
+
+    def d(v: float) -> str:
+        return f"CAST({v!r} AS DOUBLE)"
+
     terms = []
     n = len(_POLY)
     for i in range(n):
         (x1, y1), (x2, y2) = _POLY[i], _POLY[(i + 1) % n]
         terms.append(
-            f"CASE WHEN (({y1!r} > {py}) != ({y2!r} > {py}))"
-            f" AND ({px} < ({x2!r} - {x1!r}) * ({py} - {y1!r})"
-            f" / ({y2!r} - {y1!r}) + {x1!r}) THEN 1 ELSE 0 END"
+            f"CASE WHEN (({d(y1)} > {py}) != ({d(y2)} > {py}))"
+            f" AND ({px} < ({d(x2)} - {d(x1)}) * ({py} - {d(y1)})"
+            f" / ({d(y2)} - {d(y1)}) + {d(x1)}) THEN 1 ELSE 0 END"
         )
     return " + ".join(terms)
 

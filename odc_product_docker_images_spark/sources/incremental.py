@@ -99,12 +99,20 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inserts may mint buckets absent from MV₀ and deletes may empty one.
     # Both sides are O(bucket-count) rows, so this join is trivially small
     # at any table scale.
+    # Addend typing is load-bearing: decimal(38,10) + decimal(38,10) would
+    # come out decimal(38,9) under Spark's precision-loss adjustment — an
+    # intermediate 9-dp half-up round the full-recompute oracle never
+    # performs.  Casting both addends to decimal(32,10) first (lossless:
+    # |sums| here are orders below 10^22) makes the add type decimal(33,10)
+    # — exact, no narrowing — so the delta algebra stays bit-identical to
+    # recomputation all the way to the final 6-dp round.
+    d3210 = "decimal(32,10)"
     refreshed = mv0.join(delta, "bucket", "full").select(
         "bucket",
         (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
         exact_double(
-            F.coalesce(F.col("s0"), zero.cast("decimal(38,10)"))
-            + F.coalesce(F.col("ds"), zero.cast("decimal(38,10)")),
+            F.coalesce(F.col("s0"), zero).cast(d3210)
+            + F.coalesce(F.col("ds"), zero).cast(d3210),
             6,
         ).alias("sum_value"),
     )

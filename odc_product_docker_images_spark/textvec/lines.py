@@ -34,7 +34,9 @@ _MAX_CHUNKS = 20  # fixture texts are <= ~100 tokens -> <= 13 chunks
 
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → its non-overlapping 8-token spans (one row per span)."""
-    dc = load(spark, sf_dir, "documents")
+    # single-file input -> one partition; repartition BEFORE the span
+    # explode so the fan-out and the df-join probe side parallelize
+    dc = load(spark, sf_dir, "documents").repartition(32, "doc_id")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(_W)).cast("long")
     return (

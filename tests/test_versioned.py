@@ -200,8 +200,10 @@ def test_vacuum_bounds_history_and_preserves_latest(spark):
     # the retained snapshot reads identically...
     assert sorted(r["event_id"] for r in t.read(spark).collect()) == before
     assert t.versions() == [2]
-    # ...and time travel past the horizon is gone
-    with pytest.raises((ValueError, Exception)):
+    # ...and time travel past the horizon is gone: v0's manifest was
+    # dropped, so planning it fails at the manifest read (the specific
+    # type matters — a bare Exception match would pin nothing)
+    with pytest.raises(FileNotFoundError):
         t.read(spark, 0)
     with pytest.raises(ValueError):
         t.vacuum(retain_last=0)
