@@ -270,3 +270,37 @@ def scalar_map_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_contains_key(m2, F.lit("k")).cast("int").alias("has_k"),
         canon(no_src).alias("canon_nosrc"),
     )
+
+
+@register(
+    "scalar_variant",
+    oracle="""
+        SELECT event_id,
+               CAST(props ->> 'k' AS BIGINT) AS k,
+               CAST(props ->> 'missing' AS BIGINT) AS missing_field,
+               'OBJECT<k: BIGINT>' AS vschema,
+               CAST(CAST(props ->> 'k' AS BIGINT) % 10 AS BIGINT) AS k_bucket
+        FROM events
+    """,
+)
+def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5+ modern path: the VARIANT type (Spark 4) — semi-structured
+    documents parsed ONCE into the binary variant encoding, then typed
+    path extraction (``variant_get``), schema introspection
+    (``schema_of_variant``), and missing-path NULL semantics.  This is
+    the engine's answer to the reference's metadata documents at 100 TB:
+    parse cost is paid once per row, every downstream extraction is a
+    cheap binary probe instead of a re-parse (the classic
+    ``get_json_object``-per-field trap re-parses the string for EVERY
+    field).  The oracle reads the same fields through DuckDB's JSON
+    operators; the variant schema string is pinned literally (the fixture
+    docs are uniformly ``{"k": <int>}``)."""
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.variant_get(v, "$.missing", "bigint").alias("missing_field"),
+        F.schema_of_variant(v).alias("vschema"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"),
+    )

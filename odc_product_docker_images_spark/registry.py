@@ -110,6 +110,7 @@ _MODULES = [
     "odc_product_docker_images_spark.sources.formats",
     "odc_product_docker_images_spark.sources.stream_source",
     "odc_product_docker_images_spark.operators.sql_frontend",
+    "odc_product_docker_images_spark.streaming.session_timeout",
 ]
 
 _loaded = False
