@@ -107,3 +107,100 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT c.* FROM documents_v, LATERAL chunk_text(doc_id, text, 32) c"
     )
+
+
+@register(
+    "udf_arrow_map",
+    oracle="""
+        SELECT doc_id,
+               MD5(text) AS text_md5,
+               CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+               CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
+                   AS n_tokens
+        FROM documents
+    """,
+)
+def udf_arrow_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U6+: ``mapInArrow`` — the pandas-free Arrow pass.  When the Python
+    work is byte-level (hashing, codec framing, tensor packing), the
+    pandas conversion ``mapInPandas`` performs on every batch is pure
+    overhead; ``mapInArrow`` hands the worker the raw
+    ``pyarrow.RecordBatch`` both ways.  The kernel computes per-document
+    digests/counters straight off the Arrow buffers; the oracle
+    recomputes them in SQL, so the zero-copy path is value-hash-gated.
+    Scale: zero-shuffle map pass, identical cost shape to mapInPandas
+    minus the two pandas conversions per batch."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def digest_batches(batches):
+        for batch in batches:
+            docs = batch.column("doc_id")
+            texts = batch.column("text")
+            md5s, lens, toks = [], [], []
+            for t in texts:
+                b = t.as_py().encode("utf-8")
+                md5s.append(hashlib.md5(b).hexdigest())
+                lens.append(len(b))
+                toks.append(b.count(b" ") + 1)
+            yield pa.RecordBatch.from_arrays(
+                [docs, pa.array(md5s, pa.string()),
+                 pa.array(lens, pa.int64()), pa.array(toks, pa.int64())],
+                names=["doc_id", "text_md5", "n_bytes", "n_tokens"],
+            )
+
+    dc = load(spark, sf_dir, "documents").select("doc_id", "text").repartition(8, "doc_id")
+    return dc.mapInArrow(
+        digest_batches,
+        schema="doc_id long, text_md5 string, n_bytes long, n_tokens long",
+    )
+
+
+class SplitFields:
+    """Polymorphic UDTF body: emits one COLUMN per requested field — the
+    output schema is computed by ``analyze`` from the constant argument at
+    PLAN time (PySpark 4 dynamic-schema UDTF)."""
+
+    @staticmethod
+    def analyze(row_id, text, n):
+        from pyspark.sql.functions import AnalyzeResult
+        from pyspark.sql.types import LongType, StringType, StructType
+
+        if n.value is None:  # AnalyzeArgument.value is set only for constants
+            raise Exception("n must be a constant")
+        schema = StructType().add("row_id", LongType())
+        for i in range(n.value):
+            schema = schema.add(f"f{i}", StringType())
+        return AnalyzeResult(schema=schema)
+
+    def eval(self, row_id, text, n):
+        parts = (text or "").split(" ")
+        row = [row_id] + [(parts[i] if i < len(parts) else None) for i in range(n)]
+        yield tuple(row)
+
+
+@register(
+    "udtf_dynamic_schema",
+    oracle="""
+        WITH t AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS p FROM documents)
+        SELECT doc_id AS row_id,
+               p[1] AS f0, p[2] AS f1, p[3] AS f2
+        FROM t
+    """,
+)
+def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U5+: UDTF with ``analyze`` — the output schema (one column per
+    leading token) is derived from the CONSTANT argument during analysis,
+    so the same UDTF serves any width without code changes (PySpark 4
+    polymorphic table functions; the static-DDL form ``udtf_chunk_text``
+    can't change shape per call site).  Fixed n=3 here so the oracle is
+    plain SQL; out-of-range fields are NULL on both sides."""
+    from pyspark.sql.functions import udtf
+
+    splitter = udtf(SplitFields)
+    spark.udtf.register("split_fields", splitter)
+    load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v2")
+    return spark.sql(
+        "SELECT s.* FROM documents_v2, LATERAL split_fields(doc_id, text, 3) s"
+    )
