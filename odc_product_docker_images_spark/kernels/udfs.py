@@ -114,7 +114,9 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT doc_id,
                MD5(text) AS text_md5,
-               CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+               -- STRLEN = BYTE length (the kernel counts utf-8 bytes);
+               -- LENGTH would count characters and diverge on non-ASCII
+               CAST(STRLEN(text) AS BIGINT) AS n_bytes,
                CAST(LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1 AS BIGINT)
                    AS n_tokens
         FROM documents

@@ -8,11 +8,16 @@ via ``applyInPandasWithState`` plus ``GroupStateTimeout.EventTimeTimeout``
 session's close time (last event + gap), which is exactly how finalized,
 never-amended session records must be produced under late data.
 
-Lifecycle per key and micro-batch:
-- data arrives  → fold it into (start, last_ts, n, sum), arm the timeout
-  at ``last_ts + GAP``, emit nothing (the session is still open);
-- timeout fires → the watermark proved no more in-gap events can arrive:
-  emit the FINALIZED session row, drop the state.
+Lifecycle per key and micro-batch (state = ALL open sessions of the key,
+as parallel arrays — a user may have several in flight):
+- data arrives  → sessionize the events against the open set (extend
+  in-gap, open a new session past the gap, merge sessions a late
+  bridging event connects), then finalize exactly those sessions whose
+  ``last + GAP ≤ watermark`` — the watermark PROVES no legal late event
+  can extend or bridge them — and re-arm the timeout at the earliest
+  pending close;
+- timeout fires → same finalize-what-the-watermark-closed rule, without
+  new data.  Either path emits only immutable, never-amended rows.
 
 Spark runs an extra no-data micro-batch when the watermark advances so
 armed timeouts fire deterministically; sessions whose close time the
@@ -28,7 +33,6 @@ from pathlib import Path
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..registry import register
@@ -39,44 +43,84 @@ _OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
     " n_events long, sum_value double"
 )
-_STATE_SCHEMA = "start_ms long, last_ms long, n long, s double"
+# State holds EVERY open session for the key (parallel arrays): a user can
+# legitimately have several sessions in flight — a new event more than GAP
+# after the last one opens a SECOND session while the first stays pending
+# until the watermark proves no late event can extend it.  A scalar-tuple
+# state (one open session) would silently MERGE such sessions.
+_STATE_SCHEMA = (
+    "starts array<long>, lasts array<long>, ns array<long>, ss array<double>"
+)
 
 
 def _session_fsm(key, pdfs, state: GroupState):
     (user_id,) = key
-    if state.hasTimedOut:
-        start_ms, last_ms, n, s = state.get
+    wm = state.getCurrentWatermarkMs()
+    sessions: list[list] = []
+    if state.exists:
+        starts, lasts, ns, ss = state.get
+        sessions = [list(t) for t in zip(starts, lasts, ns, ss)]
+    if not state.hasTimedOut:
+        events = []
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # normalize whatever datetime64 unit Arrow handed over straight
+            # to epoch-ms (astype("int64") alone would be unit-dependent)
+            ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
+            events.extend(zip(ms.tolist(), pdf["value"].astype(float).tolist()))
+        for ts, v in sorted(events):
+            for sess in sessions:
+                if sess[0] - _GAP_MS <= ts <= sess[1] + _GAP_MS:
+                    sess[0] = min(sess[0], ts)
+                    sess[1] = max(sess[1], ts)
+                    sess[2] += 1
+                    sess[3] += v
+                    break
+            else:
+                sessions.append([ts, ts, 1, v])
+        # a bridging (late) event can make two open sessions overlap — merge
+        sessions.sort()
+        merged: list[list] = []
+        for sess in sessions:
+            if merged and sess[0] <= merged[-1][1] + _GAP_MS:
+                m = merged[-1]
+                m[1] = max(m[1], sess[1])
+                m[2] += sess[2]
+                m[3] += sess[3]
+            else:
+                merged.append(sess)
+        sessions = merged
+    # finalize exactly the sessions the watermark has PROVABLY closed (no
+    # event that could still legally arrive can extend or bridge them);
+    # the same rule serves the data call and the timeout call
+    done = [s for s in sessions if s[1] + _GAP_MS <= wm]
+    keep = [s for s in sessions if s[1] + _GAP_MS > wm]
+    if keep:
+        state.update(
+            (
+                [s[0] for s in keep],
+                [s[1] for s in keep],
+                [s[2] for s in keep],
+                [s[3] for s in keep],
+            )
+        )
+        # re-arm at the EARLIEST pending close so no session waits past
+        # the watermark that finalizes it
+        state.setTimeoutTimestamp(min(s[1] for s in keep) + _GAP_MS)
+    else:
         state.remove()
+    if done:
+        done.sort()
         yield pd.DataFrame(
             {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start_ms, unit="ms")],
-                "session_end": [pd.Timestamp(last_ms, unit="ms")],
-                "n_events": [n],
-                "sum_value": [s],
+                "user_id": [user_id] * len(done),
+                "session_start": [pd.Timestamp(s[0], unit="ms") for s in done],
+                "session_end": [pd.Timestamp(s[1], unit="ms") for s in done],
+                "n_events": [s[2] for s in done],
+                "sum_value": [s[3] for s in done],
             }
         )
-        return
-    start_ms = last_ms = None
-    n, s = 0, 0.0
-    if state.exists:
-        start_ms, last_ms, n, s = state.get
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        # normalize whatever datetime64 unit Arrow handed over straight
-        # to epoch-ms (astype("int64") alone would be unit-dependent)
-        ms = pdf["ts"].to_numpy().astype("datetime64[ms]").astype("int64")
-        lo, hi = int(ms.min()), int(ms.max())
-        start_ms = lo if start_ms is None else min(start_ms, lo)
-        last_ms = hi if last_ms is None else max(last_ms, hi)
-        n += int(len(pdf))
-        s += float(pdf["value"].sum())
-    state.update((start_ms, last_ms, n, s))
-    # arm: fire when the watermark passes last-event + gap
-    state.setTimeoutTimestamp(last_ms + _GAP_MS)
-    return
-    yield  # pragma: no cover — generator form required by the API
 
 
 @register(

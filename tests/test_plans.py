@@ -532,3 +532,17 @@ def test_sql_frontend_plans_like_dataframes(spark):
     assert "BroadcastHashJoin" in plan
     cols = C.read_schema_columns(df)
     assert "l_comment" not in cols and "o_comment" not in cols
+
+
+def test_arrow_map_parallelizes_before_python(spark):
+    """The repartition ahead of the PythonMapInArrow stage is the
+    load-bearing parallelism fix for single-file inputs — pin that the
+    Arrow stage sits above an Exchange, and that the pass is Arrow, not
+    row-Python."""
+    from odc_product_docker_images_spark.kernels.udfs import udf_arrow_map
+
+    df = udf_arrow_map(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)

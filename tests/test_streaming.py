@@ -314,3 +314,61 @@ def test_python_stream_source_runs_real_micro_batches(spark):
     assert rows_per_batch == [400, 400, 400], rows_per_batch
     total = spark.table(name).agg(F.sum("n")).collect()[0][0]
     assert total == 1200
+
+
+def test_session_timeout_splits_same_user_sessions(spark):
+    """Review-found defect guard: the SAME user with two event bursts more
+    than GAP apart must yield TWO finalized sessions, never one merged
+    span (the scalar-state FSM folded them together)."""
+    import uuid as _uuid
+    from pathlib import Path
+
+    from odc_product_docker_images_spark.streaming import streams as S
+    from odc_product_docker_images_spark.streaming.session_timeout import (
+        _GAP_MS,
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _session_fsm,
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    feed = Path(__file__).resolve().parent.parent / ".tmp" / f"sesplit_{_uuid.uuid4().hex[:8]}"
+    feed.mkdir(parents=True, exist_ok=True)
+    name = "sesplit_" + _uuid.uuid4().hex[:6]
+    sessions = (
+        S.events_stream(spark, str(feed))
+        .withWatermark("ts", "10 minutes")
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fsm,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    with S.small_state(spark):
+        q = (
+            sessions.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .start()
+        )
+        # burst 1 at 10:00; burst 2 from the SAME user at 12:00 (gap 2h)
+        S.write_feed_file(str(feed), 0, [(1, 7, "2024-01-01T10:00:00", "click", 1.0)])
+        q.processAllAvailable()
+        S.write_feed_file(str(feed), 1, [(2, 7, "2024-01-01T12:00:00", "click", 2.0)])
+        q.processAllAvailable()
+        # advance the watermark far past both closes
+        S.write_feed_file(str(feed), 2, [(3, 8, "2024-01-01T15:00:00", "view", 9.0)])
+        q.processAllAvailable()
+        q.stop()
+    rows = sorted(
+        (r["user_id"], str(r["session_start"]), str(r["session_end"]), r["n_events"], r["sum_value"])
+        for r in spark.table(name).collect()
+    )
+    assert rows == [
+        (7, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1, 1.0),
+        (7, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1, 2.0),
+    ], rows
