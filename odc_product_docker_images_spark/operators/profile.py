@@ -77,3 +77,46 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         " AS (column_name, n_nulls, n_distinct, min_v, max_v)",
         "n_rows",
     ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_v", "max_v")
+
+
+@register(
+    "table_constraint_check",
+    oracle="""
+        SELECT COUNT(*) AS n_rows,
+               CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                             THEN 1 ELSE 0 END) AS BIGINT) AS qty_range_viol,
+               CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS disc_range_viol,
+               CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)
+                   AS BIGINT) AS shipdate_null_viol,
+               CAST(COUNT(*) - COUNT(DISTINCT l_orderkey * 10 + l_linenumber)
+                   AS BIGINT) AS pk_dup_viol,
+               CAST(SUM(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS price_positive_viol
+        FROM lineitem
+    """,
+)
+def table_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4+: declarative data-quality constraints (Delta CHECK-constraint /
+    dbt-test analog) evaluated in ONE aggregate pass over ONE scan — range
+    checks and null checks are conditional sums, primary-key uniqueness is
+    ``count − countDistinct(pk)``, all sharing the same partial-aggregated
+    shuffle (plan-pinned 1 scan).  The ingest gate every production table
+    needs before a bad load poisons downstream composites; pairs with the
+    versioned table: check, then commit or RESTORE."""
+    lf = load(spark, sf_dir, "lineitem")
+    viol = [
+        F.sum(
+            ((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)).cast("int")
+        ).alias("qty_range_viol"),
+        F.sum(
+            ((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1)).cast("int")
+        ).alias("disc_range_viol"),
+        F.sum(F.col("l_shipdate").isNull().cast("int")).alias("shipdate_null_viol"),
+        (
+            F.count(F.lit(1))
+            - F.countDistinct(F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        ).alias("pk_dup_viol"),
+        F.sum((F.col("l_extendedprice") <= 0).cast("int")).alias("price_positive_viol"),
+    ]
+    return lf.agg(F.count(F.lit(1)).alias("n_rows"), *viol)

@@ -78,3 +78,91 @@ def window_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_wet_runs"),
         F.sum("run_len").alias("n_wet_total"),
     )
+
+
+@register(
+    "window_despike",
+    oracle="""
+        WITH med AS (
+            SELECT event_id, user_id, value,
+                   ROUND(MEDIAN(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6) AS rolling_med,
+                   ROUND(MEDIAN(value) OVER (PARTITION BY user_id), 6) AS series_med
+            FROM events
+        ), mad AS (
+            SELECT *,
+                   ROUND(MEDIAN(ABS(value - series_med))
+                         OVER (PARTITION BY user_id), 6) AS series_mad
+            FROM med
+        )
+        SELECT event_id, user_id, rolling_med, series_mad,
+               CASE WHEN ABS(value - rolling_med) > 3.0 * series_mad
+                    THEN 1 ELSE 0 END AS is_spike
+        FROM mad
+    """,
+)
+def window_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W11: Hampel-style despike — flag observations whose deviation from
+    the 5-frame ROLLING median exceeds 3× the series' median absolute
+    deviation (the robust outlier filter EO time series run before
+    compositing: cloud shadows and SLC artifacts spike single scenes and
+    a mean-based filter chases its own outliers).
+
+    Spark forbids holistic aggregates (median) as WINDOW functions
+    ([INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC]), so the rolling median
+    is built the Spark-first way: the 5 frame values as lag/lead columns
+    → ``array_compact`` (ragged series edges) → ``array_sort`` → exact
+    middle-element arithmetic — all codegen, one window Exchange + sort.
+    The series-level median/MAD come from the two-pass grouped form
+    (``agg_mad_1d``'s shape) joined back broadcast.  The DuckDB oracle
+    states the SAME semantics in its native windowed-MEDIAN form, so the
+    parity gate proves lag/lead-sort == true frame median.  Medians round
+    6 dp before the spike compare so the threshold never sits on a
+    cross-engine ulp."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = F.array_sort(
+        F.array_compact(
+            F.array(
+                F.lag("value", 2).over(w),
+                F.lag("value", 1).over(w),
+                F.col("value"),
+                F.lead("value", 1).over(w),
+                F.lead("value", 2).over(w),
+            )
+        )
+    )
+    n = F.size(frame)
+    rolling_med = F.round(
+        F.when(
+            n % 2 == 1, F.element_at(frame, ((n + 1) / 2).cast("int"))
+        ).otherwise(
+            (
+                F.element_at(frame, (n / 2).cast("int"))
+                + F.element_at(frame, (n / 2).cast("int") + 1)
+            )
+            / 2.0
+        ),
+        6,
+    )
+    med = ev.select("event_id", "user_id", "value", rolling_med.alias("rolling_med"))
+    smed = ev.groupBy("user_id").agg(F.round(F.median("value"), 6).alias("series_med"))
+    smad = (
+        ev.join(F.broadcast(smed), "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.median(F.abs(F.col("value") - F.col("series_med"))), 6
+            ).alias("series_mad")
+        )
+    )
+    return med.join(F.broadcast(smad), "user_id").select(
+        "event_id",
+        "user_id",
+        "rolling_med",
+        "series_mad",
+        (F.abs(F.col("value") - F.col("rolling_med")) > 3.0 * F.col("series_mad"))
+        .cast("int")
+        .alias("is_spike"),
+    )

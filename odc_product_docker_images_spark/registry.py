@@ -111,6 +111,7 @@ _MODULES = [
     "odc_product_docker_images_spark.sources.stream_source",
     "odc_product_docker_images_spark.operators.sql_frontend",
     "odc_product_docker_images_spark.streaming.session_timeout",
+    "odc_product_docker_images_spark.operators.pyramid",
 ]
 
 _loaded = False

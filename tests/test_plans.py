@@ -546,3 +546,37 @@ def test_arrow_map_parallelizes_before_python(spark):
     assert "PythonMapInArrow" in plan or "MapInArrow" in plan
     assert C.exchange_count(df) == 1
     C.assert_no_python_row_path(df)
+
+
+def test_pyramid_is_one_scan_one_exchange(spark):
+    """The 4-level pyramid must come from ONE scan + ONE grouped shuffle
+    (Expand before the exchange) — never a pass per level."""
+    from odc_product_docker_images_spark.operators.pyramid import regrid_pyramid
+
+    df = regrid_pyramid(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1
+    assert "Expand" in plan
+
+
+def test_constraint_check_single_scan(spark):
+    """All five constraints + the PK-uniqueness distinct must evaluate in
+    one pass over one scan."""
+    from odc_product_docker_images_spark.operators.profile import (
+        table_constraint_check,
+    )
+
+    df = table_constraint_check(spark, SF)
+    assert C.scan_count(df) == 1
+
+
+def test_despike_single_window_sort(spark):
+    """The lag/lead frame construction must ride ONE window Exchange+sort;
+    the series stats join back broadcast (no sort-merge join)."""
+    from odc_product_docker_images_spark.operators.windows_gaps import window_despike
+
+    df = window_despike(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") >= 1
