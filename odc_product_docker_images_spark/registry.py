@@ -83,8 +83,12 @@ _MODULES = [
     # move to the front: every key from zonal onward in this list (zonal,
     # profile, bpe, kmeans, graph, geomad, raster, lines, sampling,
     # joins_spatial, composites_tpch, png, heavyhitters, percentiles, pq,
-    # products2, windows_gaps, formats, stream_source, sql_frontend —
-    # ~30 keys, none driver-graded in r4) plus the r4 additions that
+    # products2, windows_gaps, formats, stream_source, sql_frontend,
+    # session_timeout, pyramid, plus keys appended to earlier modules:
+    # agg_mad_1d (geomad), sim_ann_pq_adc (pq), scalar_variant (scalars),
+    # udf_arrow_map + udtf_dynamic_schema (udfs), table_restore
+    # (versioned), window_despike (windows_gaps), table_constraint_check
+    # (profile) — ~40 keys, none driver-graded in r4) plus the r4 additions that
     # registered mid-list (virtual, incremental, joins_skew extras,
     # table_restore/vacuum/schema_evolution, join_interval_overlap,
     # window_ewma/streak, filter_polygon already windowed — check
