@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, sql_davg
+from ..functions.det import davg, sql_davg, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -191,3 +191,98 @@ def raster_morph_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("wet_d").alias("wet_closed"), F.max("rc").alias("real_cell"))
     )
     return erode.where(F.col("real_cell") == 1).select("cell_x", "cell_y", "wet_closed")
+
+
+# Conservative-resample grids: source 25x15 cells -> target 40x24 cells
+# (non-integer 1.6x scale, so cells genuinely SPLIT across targets).
+_TX, _TY = 40.0, 24.0
+
+
+@register(
+    "regrid_conservative",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        frags AS (
+            SELECT r.v,
+                   tx.t AS tcell_x, ty.t AS tcell_y,
+                   (LEAST((r.cell_x + 1) * {_CX!r}, (tx.t + 1) * {_TX!r})
+                    - GREATEST(r.cell_x * {_CX!r}, tx.t * {_TX!r}))
+                 * (LEAST((r.cell_y + 1) * {_CY!r}, (ty.t + 1) * {_TY!r})
+                    - GREATEST(r.cell_y * {_CY!r}, ty.t * {_TY!r})) AS w
+            FROM raster r
+            CROSS JOIN RANGE(0, 13) tx(t)
+            CROSS JOIN RANGE(0, 7) ty(t)
+            WHERE tx.t * {_TX!r} < (r.cell_x + 1) * {_CX!r}
+              AND (tx.t + 1) * {_TX!r} > r.cell_x * {_CX!r}
+              AND ty.t * {_TY!r} < (r.cell_y + 1) * {_CY!r}
+              AND (ty.t + 1) * {_TY!r} > r.cell_y * {_CY!r}
+        )
+        SELECT tcell_x, tcell_y,
+               {sql_dsum("v * w", "wsum")},
+               {sql_dsum("w", "area")},
+               COUNT(*) AS n_frags
+        FROM frags
+        GROUP BY tcell_x, tcell_y
+    """,
+)
+def regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6++: CONSERVATIVE (area-weighted) resampling — the third classic
+    regrid mode next to nearest (`regrid_bin`) and bilinear
+    (`regrid_bilinear`), and the one flux-preserving science products
+    require: each source cell contributes to every overlapping target
+    cell in proportion to the EXACT overlap area, so the target grid
+    integrates to the same total as the source.  Spark-first shape: each
+    source cell explodes to the ≤4 target cells its box intersects
+    (``sequence`` over the covered target-id range — the zonal-stats
+    bbox-explode pattern), the overlap weight is pure
+    ``least/greatest`` arithmetic (grid bounds are exact .0 doubles, so
+    the weights are binary-exact on both engines), and one hash agg per
+    target collects Σv·w and Σw.  Two linear shuffles (bin, regather);
+    the weighted mean is the caller's one exact division of the two
+    emitted deterministic sums (`wsum/area`), left unrounded here so the
+    oracle pins the conservative invariant itself."""
+    r = _raster(spark, sf_dir)
+    sx0, sy0 = F.col("cell_x") * _CX, F.col("cell_y") * _CY
+    tx_lo = F.floor(sx0 / _TX).cast("long")
+    tx_hi = F.floor(((F.col("cell_x") + 1) * _CX - F.lit(1e-9)) / _TX).cast("long")
+    ty_lo = F.floor(sy0 / _TY).cast("long")
+    ty_hi = F.floor(((F.col("cell_y") + 1) * _CY - F.lit(1e-9)) / _TY).cast("long")
+    frags = (
+        r.select(
+            "v",
+            "cell_x",
+            "cell_y",
+            F.explode(F.sequence(tx_lo, tx_hi)).alias("tcell_x"),
+            ty_lo.alias("_ty_lo"),
+            ty_hi.alias("_ty_hi"),
+        )
+        .select(
+            "v",
+            "cell_x",
+            "cell_y",
+            "tcell_x",
+            F.explode(F.sequence(F.col("_ty_lo"), F.col("_ty_hi"))).alias("tcell_y"),
+        )
+        .select(
+            "v",
+            "tcell_x",
+            "tcell_y",
+            (
+                (
+                    F.least((F.col("cell_x") + 1) * _CX, (F.col("tcell_x") + 1) * _TX)
+                    - F.greatest(F.col("cell_x") * _CX, F.col("tcell_x") * _TX)
+                )
+                * (
+                    F.least((F.col("cell_y") + 1) * _CY, (F.col("tcell_y") + 1) * _TY)
+                    - F.greatest(F.col("cell_y") * _CY, F.col("tcell_y") * _TY)
+                )
+            ).alias("w"),
+        )
+    )
+    from ..functions.det import dsum
+
+    return frags.groupBy("tcell_x", "tcell_y").agg(
+        dsum(F.col("v") * F.col("w"), "wsum"),
+        dsum("w", "area"),
+        F.count(F.lit(1)).alias("n_frags"),
+    )

@@ -181,18 +181,35 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     is re-rounded (dround twin) because summation order differs between
     the lookup expression and the oracle's SUM; rank ties break on
     vec_id."""
-    v = load(spark, sf_dir, "embeddings").select(
+    scored = _adc_scored(spark, sf_dir)
+    w = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= _TOPK)
+        .select("q_id", "vec_id", "approx_d2", F.col("rnk").cast("long").alias("rnk"))
+    )
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
+
+
+def _adc_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, vec_id, approx_d2) for every (probe query, stored vector)
+    pair — the shared ADC pipeline behind the top-k key and the rerank
+    funnel."""
+    v = _vectors(spark, sf_dir)
     codebook = (
         v.where(F.col("vec_id") < _K)
         .select(F.struct(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")).alias("c"))
         .agg(F.sort_array(F.collect_list("c")).alias("cb"))
     )
 
-    def sub_dist(c: Column, m: int, vec: str = "e") -> Column:
+    def sub_dist(c: Column, m: int) -> Column:
         sq = F.zip_with(
-            F.slice(F.col(vec), m * _SUB + 1, _SUB),
+            F.slice(F.col("e"), m * _SUB + 1, _SUB),
             F.slice(c["ce"], m * _SUB + 1, _SUB),
             lambda x, y: (x - y) * (x - y),
         )
@@ -236,12 +253,101 @@ def sim_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         for m in range(_M)
     ]
     approx = ((lk[0] + lk[1]) + lk[2]) + lk[3]
-    scored = paired.select(
-        "q_id", "vec_id", dround(approx).alias("approx_d2")
+    return paired.select("q_id", "vec_id", dround(approx).alias("approx_d2"))
+
+
+_CAND = 20  # ADC funnel width feeding the exact reranker
+
+
+@register(
+    "sim_rerank_adc_exact",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_K}
+        ), d AS (
+            SELECT v.vec_id, m.m, c.centroid_id,
+               CASE m.m {" ".join(f"WHEN {m} THEN {_sql_sub_dist(m)}" for m in range(_M))} END AS dist
+            FROM v CROSS JOIN RANGE(0, {_M}) m(m) CROSS JOIN c
+        ), codes AS (
+            SELECT vec_id, m, centroid_id AS code FROM (
+                SELECT vec_id, m, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, centroid_id) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ), dtab AS (
+            SELECT vec_id AS q_id, m, centroid_id, dist
+            FROM d WHERE vec_id < {_NQ}
+        ), approx AS (
+            SELECT t.q_id, s.vec_id, {sql_dround("SUM(t.dist)")} AS approx_d2
+            FROM codes s JOIN dtab t ON t.m = s.m AND t.centroid_id = s.code
+            GROUP BY t.q_id, s.vec_id
+        ), cand AS (
+            SELECT q_id, vec_id FROM (
+                SELECT q_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY q_id
+                                          ORDER BY approx_d2, vec_id) AS rn
+                FROM approx
+            ) WHERE rn <= {_CAND}
+        ), exact AS (
+            SELECT cand.q_id, cand.vec_id,
+                   {sql_dround(f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {_M * _SUB + 1}),"
+                               " i -> (q.e[i] - s.e[i]) * (q.e[i] - s.e[i])))")}
+                       AS exact_d2
+            FROM cand
+            JOIN v q ON q.vec_id = cand.q_id
+            JOIN v s ON s.vec_id = cand.vec_id
+        )
+        SELECT q_id, vec_id, exact_d2, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT q_id, vec_id, exact_d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY exact_d2, vec_id) AS rnk
+            FROM exact
+        ) WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_rerank_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the production retrieval FUNNEL — stage 1 reads only PQ codes
+    (ADC lookups: cheap, approximate) to cut the corpus to 20 candidates
+    per query; stage 2 reads the FULL vectors for just those candidates
+    and reranks by exact squared-L2.  This two-stage shape is why a PQ
+    index exists: the expensive exact math touches candidates-per-query
+    rows, never the corpus, and the candidate fetch is an equi-join on
+    vec_id that prunes straight into the vector table's storage at scale
+    (bucket/z-order on vec_id).  Both stages are deterministic (dround
+    before every rank, vec_id tie-breaks), so the WHOLE funnel carries a
+    full oracle — the same two-stage SQL, proving funnel == funnel."""
+    scored = _adc_scored(spark, sf_dir)
+    wa = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    cand = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .where(F.col("rn") <= _CAND)
+        .select("q_id", "vec_id")
     )
-    w = Window.partitionBy("q_id").orderBy("approx_d2", "vec_id")
+    v = _vectors(spark, sf_dir)
+    qv = v.select(F.col("vec_id").alias("q_id"), F.col("e").alias("qe")).where(
+        F.col("q_id") < _NQ
+    )
+    sv = v.select("vec_id", F.col("e").alias("se"))
+    sq = F.zip_with("qe", "se", lambda x, y: (x - y) * (x - y))
+    exact = (
+        cand.join(F.broadcast(qv), "q_id")
+        .join(sv, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias(
+                "exact_d2"
+            ),
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy("exact_d2", "vec_id")
     return (
-        scored.withColumn("rnk", F.row_number().over(w))
+        exact.withColumn("rnk", F.row_number().over(we))
         .where(F.col("rnk") <= _TOPK)
-        .select("q_id", "vec_id", "approx_d2", F.col("rnk").cast("long").alias("rnk"))
+        .select("q_id", "vec_id", "exact_d2", F.col("rnk").cast("long").alias("rnk"))
     )

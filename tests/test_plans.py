@@ -580,3 +580,24 @@ def test_despike_single_window_sort(spark):
     plan = C.formatted_plan(df)
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") >= 1
+
+
+def test_conservative_regrid_two_linear_shuffles(spark):
+    """Conservative resample: bin agg + fragment regather = exactly two
+    Exchanges, no join (the overlap weights are pure arithmetic)."""
+    from odc_product_docker_images_spark.operators.raster import regrid_conservative
+
+    df = regrid_conservative(spark, SF)
+    assert C.exchange_count(df) == 2
+    assert "Join" not in C.formatted_plan(df)
+
+
+def test_rerank_funnel_never_cross_joins_vectors(spark):
+    """The two-stage funnel's contract: the exact stage is fed by the
+    candidate equi-join (broadcast query side), never a cartesian over
+    the corpus; no sort-merge join appears at fixture scale."""
+    from odc_product_docker_images_spark.textvec.pq import sim_rerank_adc_exact
+
+    plan = C.formatted_plan(sim_rerank_adc_exact(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin " not in plan
