@@ -64,28 +64,17 @@ def test_grading_window_holds_showcase_surface():
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
     window = json.loads(out.stdout.strip().splitlines()[-1])
-    # Round-4 rotation: every key with NO current driver row — the 6 never
-    # graded, the 3 streaming keys whose oracles were upgraded after their
-    # last grade, and agg_approx_percentile (clears the r1 canonicalizer
-    # ERROR) — plus re-grades of float-oracle keys touched by the sub-tick
-    # clamp (det.py) this round.
-    must_be_graded = {
-        # never driver-graded before r4
-        "join_skew_salted", "stream_table_ingest", "agg_geomedian_bucketed",
-        "dedup_containment", "dedup_edit_distance", "text_perplexity_proxy",
-        # oracles upgraded after their last grade
-        "stream_watermark", "stream_stateful_ledger", "stream_foreach_batch",
-        # the only historical driver ERROR; code fixed, needs a green row
-        "agg_approx_percentile",
-        # sub-tick-clamp re-grades: window-frame path (product_sar_water),
-        # partial-agg path (agg_salted_twophase), streaming decimal state
-        # (stream_available_now), dsum_fast flagship (agg_multi_stat)
-        "product_sar_water", "agg_salted_twophase", "stream_available_now",
-        "agg_multi_stat",  # flagship stays driver-graded every round
-        # new r4 keys
-        "proj_crs_transform", "multimodal_wav_decode", "multimodal_bmp_decode",
-        "filter_polygon", "text_bm25", "product_virtual", "table_incremental_agg",
-    }
+    # Round-5 rotation (VERDICT r4 "Next round" item 1): the 38 keys that
+    # passed judge-run local parity in r4 but never earned a driver
+    # CORRECTNESS row, plus the flagship.  GRADING_WINDOW in registry.py is
+    # the source of truth; this pins that its registered members actually
+    # surface in the first 50 of a FRESH process.
+    from odc_product_docker_images_spark import registry as reg
+
+    registered = set(reg.all_queries())
+    must_be_graded = {k for k in reg.GRADING_WINDOW if k in registered}
+    assert "agg_multi_stat" in must_be_graded  # flagship, every round
+    assert len(must_be_graded) <= 50, "grading window overflows the 50-key gate"
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
 
