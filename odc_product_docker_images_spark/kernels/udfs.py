@@ -101,6 +101,7 @@ def udtf_chunk_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunker = udtf(
         ChunkText,
         returnType="doc_id: bigint, chunk_idx: int, chunk: string, n_chunk_tokens: int",
+        useArrow=True,  # ArrowEvalPythonUDTF: batched ser/de, not pickled rows
     )
     spark.udtf.register("chunk_text", chunker)
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
@@ -200,7 +201,10 @@ def udtf_dynamic_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain SQL; out-of-range fields are NULL on both sides."""
     from pyspark.sql.functions import udtf
 
-    splitter = udtf(SplitFields)
+    # useArrow composes with analyze(): the schema is still computed at plan
+    # time, but eval I/O rides Arrow batches (ArrowEvalPythonUDTF) instead
+    # of pickled rows — the 100 TB-path requirement (plan-pinned).
+    splitter = udtf(SplitFields, useArrow=True)
     spark.udtf.register("split_fields", splitter)
     load(spark, sf_dir, "documents").createOrReplaceTempView("documents_v2")
     return spark.sql(

@@ -601,3 +601,18 @@ def test_rerank_funnel_never_cross_joins_vectors(spark):
     plan = C.formatted_plan(sim_rerank_adc_exact(spark, SF))
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin " not in plan
+
+
+def test_udtfs_are_arrow_batched_not_row_pickled(spark):
+    """Both UDTFs must plan as ArrowEvalPythonUDTF (batched Arrow ser/de),
+    never BatchEvalPythonUDTF (pickled row-at-a-time) — the r4 verdict's
+    `ROW-UDF(!)` flag on the dynamic-schema UDTF, fixed via useArrow."""
+    from odc_product_docker_images_spark.kernels.udfs import (
+        udtf_chunk_text,
+        udtf_dynamic_schema,
+    )
+
+    for fn in (udtf_chunk_text, udtf_dynamic_schema):
+        plan = C.formatted_plan(fn(spark, SF))
+        assert "ArrowEvalPythonUDTF" in plan, f"{fn.__name__}: no arrow UDTF node"
+        assert "BatchEvalPython" not in plan, f"{fn.__name__}: row-pickled UDTF"
