@@ -119,13 +119,18 @@ def _pack_png(doc_id: int) -> bytes:
     )
 
 
-def _decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
-    """Chunk walk (CRC-verified) → IHDR → inflate → per-row unfilter.
-    Returns (width, height, bit_depth, color_type, logical_pixels).
-    Non-8-bit-RGB, interlaced, or paletted PNGs raise (honest: this
-    decoder covers the layout it writes, not the full spec)."""
+def _parse_png(payload: bytes):
+    """Chunk walk (CRC-verified) → IHDR → inflate → (w, h, depth, ctype,
+    fts (h,), filt (h, stride)) — everything up to but NOT including
+    unfiltering.  The inflate is ``zlib.decompress`` (C); the reshape into
+    filter-type column + filtered rows is a numpy view, so nothing here
+    iterates bytes in Python.  Non-8-bit-RGB, interlaced, or paletted
+    PNGs raise (honest: this decoder covers the layout it writes, not the
+    full spec)."""
     import struct
     import zlib
+
+    import numpy as np
 
     if payload[:8] != b"\x89PNG\r\n\x1a\n":
         raise NotImplementedError(f"unsupported container: {payload[:4]!r}")
@@ -147,56 +152,105 @@ def _decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
     w, h, depth, ctype, comp_m, filt_m, interlace = ihdr
     if (depth, ctype, comp_m, filt_m, interlace) != (8, 2, 0, 0, 0):
         raise NotImplementedError("only 8-bit non-interlaced RGB supported")
-    raw = zlib.decompress(idat)
-    bpp, stride = 3, w * 3
-    prior = bytes(stride)
-    rows = []
+    raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8).reshape(h, w * 3 + 1)
+    return w, h, depth, ctype, raw[:, 0], raw[:, 1:]
+
+
+def _unfilter_stack(filt, fts):
+    """Vectorized unfilter over a STACK of same-shaped images (r5: replaces
+    the per-byte Python loops the r4 verdict flagged as the 3.5×-at-10×
+    scale killer).  ``filt`` is (n, h, stride) uint8 filtered bytes,
+    ``fts`` (n, h) filter types; returns (n, h, stride) uint8 pixels.
+
+    Recurrence structure decides the loop shape: Up chains row-to-row
+    (loop y), Sub/Average/Paeth chain pixel-to-pixel (Sub closes under a
+    per-channel cumsum; Average/Paeth loop x over (n, 3) channel
+    vectors).  Python-level iterations are therefore O(h·w) per BATCH —
+    independent of asset count — instead of O(n·h·stride) per-byte steps."""
+    import numpy as np
+
+    n, h, stride = filt.shape
+    bpp = 3
+    f = filt.astype(np.int64)
+    out = np.empty((n, h, stride), dtype=np.uint8)
+    prior = np.zeros((n, stride), dtype=np.int64)
+    known = np.isin(fts, (0, 1, 2, 3, 4))
+    if not known.all():
+        raise ValueError(f"bad filter type {int(fts[~known][0])}")
     for y in range(h):
-        ft = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
-        if ft == 1:  # Sub
-            for x in range(bpp, stride):
-                line[x] = (line[x] + line[x - bpp]) % 256
-        elif ft == 2:  # Up
-            for x in range(stride):
-                line[x] = (line[x] + prior[x]) % 256
-        elif ft == 3:  # Average
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + (a + prior[x]) // 2) % 256
-        elif ft == 4:  # Paeth
-            for x in range(stride):
-                a = line[x - bpp] if x >= bpp else 0
-                c = prior[x - bpp] if x >= bpp else 0
-                line[x] = (line[x] + _paeth(a, prior[x], c)) % 256
-        elif ft != 0:
-            raise ValueError(f"bad filter type {ft}")
-        prior = bytes(line)
-        rows.append(prior)
-    return w, h, depth, ctype, b"".join(rows)
+        row, ft = f[:, y, :], fts[:, y]
+        recon = np.empty((n, stride), dtype=np.int64)
+        m = ft == 0  # None
+        if m.any():
+            recon[m] = row[m]
+        m = ft == 1  # Sub: recon[x] = filt[x] + recon[x-bpp] -> channel cumsum
+        if m.any():
+            r = row[m].reshape(-1, stride // bpp, bpp)
+            recon[m] = (r.cumsum(axis=1) & 255).reshape(-1, stride)
+        m = ft == 2  # Up
+        if m.any():
+            recon[m] = (row[m] + prior[m]) & 255
+        m34 = (ft == 3) | (ft == 4)  # Average / Paeth: x-recurrence
+        if m34.any():
+            r, pr = row[m34], prior[m34]
+            is_avg = (ft[m34] == 3)[:, None]
+            rec = np.empty_like(r)
+            left = np.zeros((r.shape[0], bpp), dtype=np.int64)  # recon[x-bpp]
+            zero = left
+            for x in range(0, stride, bpp):
+                b = pr[:, x : x + bpp]
+                c = pr[:, x - bpp : x] if x else zero
+                p = left + b - c
+                pa, pb, pc = np.abs(p - left), np.abs(p - b), np.abs(p - c)
+                paeth = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, b, c)
+                )
+                left = (r[:, x : x + bpp] + np.where(is_avg, (left + b) >> 1, paeth)) & 255
+                rec[:, x : x + bpp] = left
+            recon[m34] = rec
+        out[:, y, :] = recon
+        prior = recon
+    return out
+
+
+def _decode_png(payload: bytes) -> tuple[int, int, int, int, bytes]:
+    """Single-asset decode (kept for the codec round-trip tests): parse +
+    unfilter a stack of one.  Returns (w, h, depth, ctype, pixel bytes)."""
+    w, h, depth, ctype, fts, filt = _parse_png(payload)
+    px = _unfilter_stack(filt[None, :, :], fts[None, :])
+    return w, h, depth, ctype, px.tobytes()
 
 
 def _png_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     import numpy as np
 
     for pdf in it:
-        rows = []
-        for d in pdf["doc_id"]:
-            w, h, depth, ctype, px = _decode_png(_pack_png(int(d)))
-            b = np.frombuffer(px, dtype=np.uint8).astype(np.int64)
-            rows.append(
-                (
-                    int(d), w, h, depth, ctype, len(b),
-                    int(((np.arange(len(b)) + 1) * b).sum()),
-                    int(b.max()),
-                )
-            )
+        ids = [int(d) for d in pdf["doc_id"]]
+        parsed = [_parse_png(_pack_png(d)) for d in ids]
+        # group same-shaped images so each group unfilters as one stack
+        groups: dict[tuple[int, int], list[int]] = {}
+        for i, (w, h, _d, _c, _f, _r) in enumerate(parsed):
+            groups.setdefault((w, h), []).append(i)
+        pws = np.empty(len(ids), dtype=np.int64)
+        mx = np.empty(len(ids), dtype=np.int64)
+        for (w, h), idxs in groups.items():
+            filt = np.stack([parsed[i][5] for i in idxs])
+            fts = np.stack([parsed[i][4] for i in idxs])
+            px = _unfilter_stack(filt, fts).reshape(len(idxs), -1).astype(np.int64)
+            weights = np.arange(1, px.shape[1] + 1, dtype=np.int64)
+            pws[idxs] = px @ weights
+            mx[idxs] = px.max(axis=1)
         yield pd.DataFrame(
-            rows,
-            columns=[
-                "doc_id", "width", "height", "bit_depth", "color_type",
-                "n_pixel_bytes", "pos_weighted_sum", "max_byte",
-            ],
+            {
+                "doc_id": ids,
+                "width": [parsed[i][0] for i in range(len(ids))],
+                "height": [parsed[i][1] for i in range(len(ids))],
+                "bit_depth": [parsed[i][2] for i in range(len(ids))],
+                "color_type": [parsed[i][3] for i in range(len(ids))],
+                "n_pixel_bytes": [parsed[i][0] * parsed[i][1] * 3 for i in range(len(ids))],
+                "pos_weighted_sum": pws,
+                "max_byte": mx,
+            }
         )
 
 
