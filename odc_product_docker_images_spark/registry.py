@@ -88,6 +88,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.sql_frontend",
     "odc_product_docker_images_spark.streaming.session_timeout",
     "odc_product_docker_images_spark.operators.pyramid",
+    "odc_product_docker_images_spark.multimodal.geotiff",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in
