@@ -17,7 +17,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..functions.det import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
 from ..io import load, write_partitioned
 from ..registry import register
 
@@ -401,4 +401,127 @@ def sink_partitioned_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("ship_year").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# -- curvilinear reprojection (S6+, r5) -------------------------------------
+#
+# WGS84 lat/lon → Transverse Mercator (UTM-zone-32 analog): the genuinely
+# CURVED warp `dc.load(output_crs=…)` performs between geographic and
+# projected CRSs (⟨pub⟩ datacube-core : datacube/storage/_load.py ::
+# reproject_and_fuse; odc-geo).  Snyder's closed-form ellipsoidal forward
+# (USGS PP 1395 eq. 8-9..8-13) is plain transcendental arithmetic, so it
+# compiles to codegen'd column expressions — the plan is STILL the
+# single-shuffle regrid+composite, only the key arithmetic got curvier.
+#
+# Cross-engine determinism: every step below is ONE SQL text evaluated by
+# F.expr on the Spark side and verbatim in the DuckDB oracle, so the
+# written IEEE op order is identical by construction; trig args are built
+# from exact ops (int %, fmod, one multiply by an exact literal), and the
+# libm last-ulp spread in SIN/COS/TAN/SQRT is absorbed by the standing
+# dround(4) policy before any FLOOR touches a value.
+_TM = {
+    "a": 6378137.0,
+    "e2": 0.0066943799901413165,
+    "ep2": 0.006739496742276434,
+    "k0": 0.9996,
+    "m0": 0.9983242984527954,
+    "m2": 0.002514607060518705,
+    "m4": 2.6390465943376213e-06,
+    "m6": 3.4180460865957878e-09,
+    "deg": 0.017453292519943295,  # pi/180
+}
+
+
+def _tm_c(v: float) -> str:
+    # bare decimal literals parse as DECIMAL in BOTH engines (exact-decimal
+    # chain trap) — force every constant to DOUBLE at the literal
+    return f"CAST({v!r} AS DOUBLE)"
+
+
+# ordered (name, expr) steps; each references prior names, lat/lon synth:
+# phi = ((user_id % 80) - 40)°, Δλ = ((value fmod 6) - 3)° around the zone
+# meridian — both trig arguments are exact-op products, bit-identical in
+# both engines.
+_TM_STEPS: list[tuple[str, str]] = [
+    ("phi", f"(CAST(user_id % 80 AS DOUBLE) - CAST(40.0 AS DOUBLE)) * {_tm_c(_TM['deg'])}"),
+    ("dlam", f"((value % CAST(6.0 AS DOUBLE)) - CAST(3.0 AS DOUBLE)) * {_tm_c(_TM['deg'])}"),
+    ("sphi", "SIN(phi)"),
+    ("cphi", "COS(phi)"),
+    ("tphi", "TAN(phi)"),
+    ("nn", f"{_tm_c(_TM['a'])} / SQRT(CAST(1.0 AS DOUBLE) - {_tm_c(_TM['e2'])} * sphi * sphi)"),
+    ("tt", "tphi * tphi"),
+    ("cc", f"{_tm_c(_TM['ep2'])} * cphi * cphi"),
+    ("aa", "dlam * cphi"),
+    (
+        "mm",
+        f"{_tm_c(_TM['a'])} * ({_tm_c(_TM['m0'])} * phi"
+        f" - {_tm_c(_TM['m2'])} * SIN(CAST(2.0 AS DOUBLE) * phi)"
+        f" + {_tm_c(_TM['m4'])} * SIN(CAST(4.0 AS DOUBLE) * phi)"
+        f" - {_tm_c(_TM['m6'])} * SIN(CAST(6.0 AS DOUBLE) * phi))",
+    ),
+    (
+        "easting",
+        f"{_tm_c(_TM['k0'])} * nn * (aa"
+        " + (CAST(1.0 AS DOUBLE) - tt + cc) * aa * aa * aa / CAST(6.0 AS DOUBLE)"
+        " + (CAST(5.0 AS DOUBLE) - CAST(18.0 AS DOUBLE) * tt + tt * tt"
+        f" + CAST(72.0 AS DOUBLE) * cc - CAST(58.0 AS DOUBLE) * {_tm_c(_TM['ep2'])})"
+        " * aa * aa * aa * aa * aa / CAST(120.0 AS DOUBLE))"
+        " + CAST(500000.0 AS DOUBLE)",
+    ),
+    (
+        "northing",
+        f"{_tm_c(_TM['k0'])} * (mm + nn * tphi * (aa * aa / CAST(2.0 AS DOUBLE)"
+        " + (CAST(5.0 AS DOUBLE) - tt + CAST(9.0 AS DOUBLE) * cc"
+        " + CAST(4.0 AS DOUBLE) * cc * cc) * aa * aa * aa * aa / CAST(24.0 AS DOUBLE)"
+        " + (CAST(61.0 AS DOUBLE) - CAST(58.0 AS DOUBLE) * tt + tt * tt"
+        f" + CAST(600.0 AS DOUBLE) * cc - CAST(330.0 AS DOUBLE) * {_tm_c(_TM['ep2'])})"
+        " * aa * aa * aa * aa * aa * aa / CAST(720.0 AS DOUBLE)))",
+    ),
+]
+
+
+def _tm_oracle() -> str:
+    inner = "SELECT event_id, user_id, value FROM events"
+    for name, txt in _TM_STEPS:
+        inner = f"SELECT *, {txt} AS {name} FROM ({inner})"
+    inner = (
+        f"SELECT *, {sql_dround('easting', 4)} AS easting_r,"
+        f" {sql_dround('northing', 4)} AS northing_r FROM ({inner})"
+    )
+    return f"""
+        SELECT CAST(FLOOR(easting_r / 512.0) AS BIGINT) AS cell_e,
+               CAST(FLOOR(northing_r / 512.0) AS BIGINT) AS cell_n,
+               COUNT(*) AS n_obs,
+               {sql_davg("easting_r", "mean_easting")},
+               CAST(MAX(event_id) AS BIGINT) AS latest_event
+        FROM ({inner})
+        GROUP BY 1, 2
+    """
+
+
+@register("proj_crs_curvilinear", oracle=_tm_oracle())
+def proj_crs_curvilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6++: lat/lon → Transverse Mercator forward projection (Snyder's
+    ellipsoidal closed form on WGS84), then the standard regrid+composite.
+    The six-parameter affine key (`proj_crs_transform`) covers
+    projected→projected warps; this is the curved geographic→projected
+    leg of `reproject_and_fuse`.  Everything rides one codegen'd
+    projection — no UDF, no extra pass — and the composite is the same
+    single hash-shuffle as `regrid_bin`: at 100 TB reprojection is free
+    map-side arithmetic, and the 512 m cell key doubles as the sink
+    partition key."""
+    df = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    for name, txt in _TM_STEPS:
+        df = df.withColumn(name, F.expr(txt))
+    df = df.withColumn("easting_r", dround("easting", 4)).withColumn(
+        "northing_r", dround("northing", 4)
+    )
+    return df.groupBy(
+        F.floor(F.col("easting_r") / F.lit(512.0)).cast("bigint").alias("cell_e"),
+        F.floor(F.col("northing_r") / F.lit(512.0)).cast("bigint").alias("cell_n"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        davg("easting_r", "mean_easting"),
+        F.max("event_id").cast("bigint").alias("latest_event"),
     )

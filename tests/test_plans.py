@@ -616,3 +616,17 @@ def test_udtfs_are_arrow_batched_not_row_pickled(spark):
         plan = C.formatted_plan(fn(spark, SF))
         assert "ArrowEvalPythonUDTF" in plan, f"{fn.__name__}: no arrow UDTF node"
         assert "BatchEvalPython" not in plan, f"{fn.__name__}: row-pickled UDTF"
+
+
+def test_curvilinear_projection_single_shuffle_no_python(spark):
+    """The TM warp must ride the scan's codegen projection: one Exchange
+    (the cell composite), zero Python nodes, columns pruned to the three
+    the transform uses."""
+    from odc_product_docker_images_spark.operators.scans import proj_crs_curvilinear
+
+    df = proj_crs_curvilinear(spark, SF)
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)
+    C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
+    # (no codegen-id assert: with AQE + an Exchange the pre-execution
+    # formatted plan is isFinalPlan=false and prints no codegen ids)

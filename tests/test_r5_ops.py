@@ -44,3 +44,51 @@ def test_geotiff_codec_is_spec_real():
     struct.pack_into("<I", bad, sbc_off, 7)  # not w*2
     with pytest.raises(ValueError, match="strip layout"):
         _decode_tiff(bytes(bad))
+
+
+def test_tm_projection_matches_independent_reference(spark):
+    """proj_crs_curvilinear's oracle shares the expression TEXT with the
+    Spark side (that is the determinism design), so parity alone can't
+    catch a shared formula typo.  This check recomputes the ellipsoidal
+    TM forward with an INDEPENDENTLY-written numpy implementation of
+    Snyder eq. 8-9..8-13 and matches per-row easting/northing to ~1e-6 m,
+    far tighter than the 512 m cell size."""
+    import pyspark.sql.functions as F
+
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.operators.scans import _TM, _TM_STEPS
+
+    SF = "/root/testdata/sf0.001"
+    df = load(spark, SF, "events").select("event_id", "user_id", "value").limit(200)
+    for name, txt in _TM_STEPS:
+        df = df.withColumn(name, F.expr(txt))
+    rows = df.select("user_id", "value", "easting", "northing").collect()
+
+    a, e2, ep2, k0 = _TM["a"], _TM["e2"], _TM["ep2"], _TM["k0"]
+    lat = np.deg2rad(np.array([r["user_id"] % 80 for r in rows]) - 40.0)
+    dlam = np.deg2rad(np.fmod(np.array([r["value"] for r in rows]), 6.0) - 3.0)
+    sphi, cphi, tphi = np.sin(lat), np.cos(lat), np.tan(lat)
+    nn = a / np.sqrt(1 - e2 * sphi**2)
+    tt, cc, aa = tphi**2, ep2 * cphi**2, dlam * cphi
+    m = a * (
+        (1 - e2 / 4 - 3 * e2**2 / 64 - 5 * e2**3 / 256) * lat
+        - (3 * e2 / 8 + 3 * e2**2 / 32 + 45 * e2**3 / 1024) * np.sin(2 * lat)
+        + (15 * e2**2 / 256 + 45 * e2**3 / 1024) * np.sin(4 * lat)
+        - (35 * e2**3 / 3072) * np.sin(6 * lat)
+    )
+    x = k0 * nn * (
+        aa + (1 - tt + cc) * aa**3 / 6
+        + (5 - 18 * tt + tt**2 + 72 * cc - 58 * ep2) * aa**5 / 120
+    ) + 500000.0
+    y = k0 * (
+        m + nn * tphi * (
+            aa**2 / 2 + (5 - tt + 9 * cc + 4 * cc**2) * aa**4 / 24
+            + (61 - 58 * tt + tt**2 + 600 * cc - 330 * ep2) * aa**6 / 720
+        )
+    )
+    got_x = np.array([r["easting"] for r in rows])
+    got_y = np.array([r["northing"] for r in rows])
+    assert np.max(np.abs(got_x - x)) < 1e-6
+    assert np.max(np.abs(got_y - y)) < 1e-6
+    # sanity: the test exercised real curvature (spread across the zone)
+    assert np.ptp(got_x) > 1e5 and np.ptp(got_y) > 1e6
