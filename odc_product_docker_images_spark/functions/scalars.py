@@ -304,3 +304,62 @@ def scalar_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("vschema"),
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_bucket"),
     )
+
+
+@register(
+    "scalar_solar_day",
+    oracle="""
+        WITH t AS (
+            SELECT CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   CAST(FLOOR(((value % 360.0) - 180.0) * 240.0) AS BIGINT)
+                     AS off_sec,
+                   event_type, value
+            FROM events
+        )
+        SELECT CAST(FLOOR((sec + off_sec) / 86400.0) AS BIGINT) AS solar_day,
+               CAST(DATE '1970-01-01' + CAST(CAST(FLOOR((sec + off_sec)
+                 / 86400.0) AS BIGINT) AS INTEGER) AS TIMESTAMP) AS solar_date,
+               COUNT(*) AS n_obs,
+               CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(MIN(off_sec) AS BIGINT) AS min_off,
+               CAST(MAX(off_sec) AS BIGINT) AS max_off
+        FROM t
+        GROUP BY 1, 2
+    """,
+)
+def scalar_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+/r5: solar-day grouping — the reference's
+    ``group_by='solar_day'`` applies a LONGITUDE-dependent offset before
+    day truncation so scenes observed on the same local solar day group
+    together across the dateline (⟨pub⟩ datacube-core :
+    ``datacube/api/core.py :: Datacube.group_datasets``; the offset is
+    longitude · 240 s, i.e. 86400 s / 360°).  Longitude synthesizes from
+    ``value`` into [-180, 180); the offset floors to whole seconds and the
+    day key floors the shifted epoch — explicit FLOOR on BOTH sides (the
+    DuckDB CAST-rounds trap).  Epochs truncate to whole seconds on both
+    sides before arithmetic (nanos fixtures make raw EPOCH fractional).
+    One codegen'd projection + one grouped shuffle — the same plan as any
+    calendar-day rollup; the solar correction is free key arithmetic."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts")
+    off = F.floor(((F.col("value") % F.lit(360.0)) - F.lit(180.0)) * F.lit(240.0)).cast(
+        "bigint"
+    )
+    day = F.floor((sec + off) / F.lit(86400.0)).cast("bigint")
+    return (
+        ev.select(
+            day.alias("solar_day"),
+            F.date_add(F.lit("1970-01-01").cast("date"), day.cast("int"))
+            .cast("timestamp")
+            .alias("solar_date"),
+            "event_type",
+            off.alias("off_sec"),
+        )
+        .groupBy("solar_day", "solar_date")
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.min("off_sec").alias("min_off"),
+            F.max("off_sec").alias("max_off"),
+        )
+    )

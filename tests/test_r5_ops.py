@@ -92,3 +92,33 @@ def test_tm_projection_matches_independent_reference(spark):
     assert np.max(np.abs(got_y - y)) < 1e-6
     # sanity: the test exercised real curvature (spread across the zone)
     assert np.ptp(got_x) > 1e5 and np.ptp(got_y) > 1e6
+
+
+def test_solar_day_offset_changes_membership(spark):
+    """The longitude offset must actually move events across day
+    boundaries (else the key silently degrades to plain UTC date), and the
+    key must match an independent per-row Python recomputation."""
+    import pyspark.sql.functions as F
+
+    from odc_product_docker_images_spark.io import load
+
+    SF = "/root/testdata/sf0.001"
+    ev = load(spark, SF, "events").select("ts", "value").limit(500)
+    sec = F.unix_timestamp("ts")
+    off = F.floor(((F.col("value") % F.lit(360.0)) - F.lit(180.0)) * F.lit(240.0)).cast("bigint")
+    rows = ev.select(
+        sec.alias("sec"),
+        off.alias("off"),
+        F.floor((sec + off) / F.lit(86400.0)).cast("bigint").alias("solar_day"),
+        F.floor(sec / F.lit(86400.0)).cast("bigint").alias("utc_day"),
+    ).collect()
+    import math
+
+    moved = 0
+    for r in rows:
+        want = math.floor((r["sec"] + r["off"]) / 86400.0)
+        assert r["solar_day"] == want
+        assert -86400 <= r["off"] < 86400
+        moved += int(r["solar_day"] != r["utc_day"])
+    # with lon spread over [-180, 180) a large minority must shift days
+    assert moved > len(rows) * 0.1, f"offset never moved a day: {moved}"
