@@ -25,6 +25,10 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import davg as _davg
+from ..functions.det import dround as _dround
+from ..functions.det import sql_davg as _sql_davg
+from ..functions.det import sql_dround as _sql_dround
 from ..io import load
 from ..registry import register
 
@@ -154,4 +158,68 @@ def udf_wofs_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         wet.alias("wet_count"),
         total.alias("total_count"),
         F.round(wet / total, 6).alias("pct_water"),
+    )
+
+
+# Logistic confidence weights (binary-exact doubles: sums of powers of two,
+# so every multiply-add is one IEEE op written identically in both engines).
+_CONF_W = {"bias": -2.0, "pct": 4.0, "b1": 0.0625, "b4": -0.03125}
+
+
+@register(
+    "udf_wofs_confidence",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_suppkey,
+                   COUNT(CASE WHEN ({compile_sql(TREE)}) = 1 THEN 1 END) AS wet_count,
+                   COUNT(*) AS total_count,
+                   {_sql_davg("l_quantity", "m_b1")},
+                   {_sql_davg("(l_extendedprice / 1000)", "m_b4")}
+            FROM lineitem
+            GROUP BY l_suppkey
+        )
+        SELECT l_suppkey,
+               CAST(wet_count AS BIGINT) AS wet_count,
+               CAST(total_count AS BIGINT) AS total_count,
+               {_sql_dround(
+                   "1.0 / (1.0 + EXP(-("
+                   f"{_CONF_W['bias']!r} + {_CONF_W['pct']!r} * (wet_count / total_count)"
+                   f" + {_CONF_W['b1']!r} * m_b1 + {_CONF_W['b4']!r} * m_b4)))",
+                   6,
+               )} AS confidence
+        FROM s
+    """,
+)
+def udf_wofs_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1++/r5: the WOfS CONFIDENCE layer — the full product pairs the
+    per-observation classifier with a logistic-regression confidence band
+    over ancillary summary features (⟨pub⟩ GA WOfS / ceos-seo DEA water
+    product: sigmoid over MrVBF/slope/clear-count covariates).  Here the
+    covariates are the per-pixel wet ratio and two band means; the
+    sigmoid is one codegen'd expression over ONE grouped pass (classifier
+    fused map-side, exactly like `udf_wofs_summary`), so the confidence
+    band costs the same single shuffle as the summary it annotates.
+
+    Determinism: weights are binary-exact, the ratio is an exact int
+    division, band means take the decimal-exact davg path, and the one
+    libm op (EXP) is absorbed by dround(6)."""
+    lf = load(spark, sf_dir, "lineitem")
+    water = compile_column(TREE)
+    per = lf.groupBy("l_suppkey").agg(
+        F.count(F.when(water == 1, 1)).alias("wet_count"),
+        F.count(F.lit(1)).alias("total_count"),
+        _davg("l_quantity", "m_b1"),
+        _davg(F.col("l_extendedprice") / 1000, "m_b4"),
+    )
+    z = (
+        F.lit(_CONF_W["bias"])
+        + F.lit(_CONF_W["pct"]) * (F.col("wet_count") / F.col("total_count"))
+        + F.lit(_CONF_W["b1"]) * F.col("m_b1")
+        + F.lit(_CONF_W["b4"]) * F.col("m_b4")
+    )
+    return per.select(
+        "l_suppkey",
+        "wet_count",
+        "total_count",
+        _dround(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias("confidence"),
     )

@@ -122,3 +122,38 @@ def test_solar_day_offset_changes_membership(spark):
         moved += int(r["solar_day"] != r["utc_day"])
     # with lon spread over [-180, 180) a large minority must shift days
     assert moved > len(rows) * 0.1, f"offset never moved a day: {moved}"
+
+
+def test_wofs_confidence_matches_python_sigmoid(spark):
+    """Independent per-group recomputation of the logistic confidence from
+    raw rows (classifier + means in plain Python), to ~1e-6."""
+    import math
+
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.kernels.wofs import (
+        _CONF_W,
+        TREE,
+        classify,
+        udf_wofs_confidence,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["l_suppkey"]: r for r in udf_wofs_confidence(spark, SF).collect()}
+    raw = load(spark, SF, "lineitem").select(
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"
+    ).collect()
+    groups: dict[int, list] = {}
+    for r in raw:
+        groups.setdefault(r["l_suppkey"], []).append(r)
+    assert set(got) == set(groups)
+    for k, rows in groups.items():
+        wet = sum(classify(TREE, r.asDict()) for r in rows)
+        total = len(rows)
+        m_b1 = sum(r["l_quantity"] for r in rows) / total
+        m_b4 = sum(r["l_extendedprice"] / 1000 for r in rows) / total
+        z = (_CONF_W["bias"] + _CONF_W["pct"] * (wet / total)
+             + _CONF_W["b1"] * m_b1 + _CONF_W["b4"] * m_b4)
+        want = 1.0 / (1.0 + math.exp(-z))
+        assert got[k]["wet_count"] == wet and got[k]["total_count"] == total
+        assert abs(got[k]["confidence"] - want) < 2e-6, k
+        assert 0.0 < got[k]["confidence"] < 1.0
