@@ -157,3 +157,58 @@ def test_wofs_confidence_matches_python_sigmoid(spark):
         assert got[k]["wet_count"] == wet and got[k]["total_count"] == total
         assert abs(got[k]["confidence"] - want) < 2e-6, k
         assert 0.0 < got[k]["confidence"] < 1.0
+
+
+def _python_bpe_trainer_step(word_freq: dict[str, int], merges: list[tuple[str, str]]):
+    """Independent sequential BPE trainer iteration: symbolize each word
+    type with `merges` (greedy best-rank-first), count adjacent pairs
+    weighted by frequency, return the count table."""
+    rank = {p: i for i, p in enumerate(merges)}
+    counts: dict[tuple[str, str], int] = {}
+    for word, freq in word_freq.items():
+        sym = list(word)
+        while len(sym) > 1:
+            cands = [(rank[(sym[i], sym[i + 1])], i)
+                     for i in range(len(sym) - 1) if (sym[i], sym[i + 1]) in rank]
+            if not cands:
+                break
+            r = min(c[0] for c in cands)
+            a, b = merges[r]
+            out, i = [], 0
+            while i < len(sym):
+                if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b); i += 2
+                else:
+                    out.append(sym[i]); i += 1
+            sym = out
+        for i in range(len(sym) - 1):
+            counts[(sym[i], sym[i + 1])] = counts.get((sym[i], sym[i + 1]), 0) + freq
+    return counts
+
+
+def test_bpe_train_step_matches_sequential_trainer(spark):
+    """The distributed train step must reproduce the classic sequential
+    trainer: at K=0 AND at K=5 (greedy-symbolized state), the ranked pair
+    table matches the independent Python trainer's counts, and iterating
+    the step regenerates the trainer's merge choices."""
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.textvec.bpe import bpe_train_pair_counts
+
+    SF = "/root/testdata/sf0.001"
+    texts = [r["text"] for r in load(spark, SF, "documents").select("text").collect()]
+    wf: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w:
+                wf[w] = wf.get(w, 0) + 1
+
+    merges: list[tuple[str, str]] = []
+    for k in (0, 5):
+        while len(merges) < k:  # grow the table with the PYTHON trainer
+            c = _python_bpe_trainer_step(wf, merges)
+            merges.append(min(c, key=lambda p: (-c[p], p)))
+        want = _python_bpe_trainer_step(wf, merges)
+        got = bpe_train_pair_counts(spark, SF, list(merges), top_n=20).collect()
+        want_ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [((r["l"], r["r"]), r["pair_count"]) for r in got] == want_ranked, k
+        assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
