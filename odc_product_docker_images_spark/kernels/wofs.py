@@ -25,7 +25,7 @@ from dataclasses import dataclass
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import davg as _davg
+from ..functions.det import davg_fast as _davg
 from ..functions.det import dround as _dround
 from ..functions.det import sql_davg as _sql_davg
 from ..functions.det import sql_dround as _sql_dround
@@ -201,7 +201,9 @@ def udf_wofs_confidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     band costs the same single shuffle as the summary it annotates.
 
     Determinism: weights are binary-exact, the ratio is an exact int
-    division, band means take the decimal-exact davg path, and the one
+    division, band means take the decimal-exact davg_fast path (long-split
+    accumulation, bit-identical to davg and ~2x cheaper per row on this
+    hot two-measure aggregate — both measures are |x| < 9e8), and the one
     libm op (EXP) is absorbed by dround(6)."""
     lf = load(spark, sf_dir, "lineitem")
     water = compile_column(TREE)

@@ -4,9 +4,10 @@ Image/audio/video payloads as opaque ``binary`` columns with typed metadata
 structs — the Spark-side plumbing (schema, batch shape, partition-safe UDF
 signatures) is real and tested.  Uncompressed containers are decoded FOR
 REAL in pure Python (netpbm PGM, RIFF/WAV with chunk walking, BMP with
-bottom-up rows and stride padding); only compressed codecs (JPEG/PNG/
-ffmpeg formats) remain stubbed because their libraries are not in this
-container.
+bottom-up rows and stride padding).  Compressed codecs live in sibling
+modules with zero external libs: DEFLATE-PNG in ``png.py`` (r4b) and
+baseline JPEG in ``jpeg.py`` (r5); only exotic/ffmpeg formats remain
+stubbed.
 
 Design for 100 TB of media:
 - payload is a BinaryType column; Parquet stores it row-grouped so metadata
@@ -44,8 +45,9 @@ def _decode_pgm(payload: bytes) -> tuple[int, int, int, bytes]:
     bytes, so token-splitting the whole payload would corrupt it — and
     slice the raster.  Returns (width, height, channels, raster).
 
-    Compressed formats (JPEG/PNG/audio) still raise: their codecs are not
-    in this container (``COMPRESSED_DECODERS_AVAILABLE``); the uncompressed
+    Unknown compressed formats still raise (PNG/JPEG decode for real in
+    ``png.py`` / ``jpeg.py``; ``COMPRESSED_DECODERS_AVAILABLE`` gates
+    future ffmpeg-style codecs); the uncompressed
     netpbm path exercises the full bytes→pixels contract for real.
     """
     if not payload.startswith(b"P5"):

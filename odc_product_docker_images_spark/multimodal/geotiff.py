@@ -185,7 +185,7 @@ def _decode_scenes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         WITH c AS (
             SELECT event_type,
                    LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), {_TW - 1}) AS x,
-                   CAST(FLOOR(user_id / 100.0) AS BIGINT) AS y,
+                   LEAST(CAST(FLOOR(user_id / 100.0) AS BIGINT), {_TH - 1}) AS y,
                    LEAST(COUNT(*), 65535) AS n
             FROM events GROUP BY 1, 2, 3
         )
@@ -223,7 +223,10 @@ def sink_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
                 F.lit(_TW - 1),
             ).alias("x"),
-            F.floor(F.col("user_id") / F.lit(100.0)).cast("bigint").alias("y"),
+            F.least(
+                F.floor(F.col("user_id") / F.lit(100.0)).cast("bigint"),
+                F.lit(_TH - 1),
+            ).alias("y"),
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )

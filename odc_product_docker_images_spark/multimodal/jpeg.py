@@ -1,0 +1,402 @@
+"""Baseline JPEG container decode — the LAST stubbed codec (X5, r5).
+
+`multimodal/columns.py` decodes the uncompressed containers (PGM/WAV/BMP)
+and `multimodal/png.py` the DEFLATE-compressed one; baseline JPEG
+(ITU T.81 SOF0) was the one common container still behind a
+NotImplementedError.  This module closes it in pure Python + numpy:
+
+- **pack**: level shift → 8×8 blockwise FDCT → quantization → zigzag →
+  DC differential + (run, size) AC symbols → canonical Huffman entropy
+  coding with 0xFF byte stuffing, framed as SOI / DQT / SOF0 / DHT×2 /
+  SOS / EOI.  The Huffman tables are canonical tables DECLARED IN the
+  DHT segments (flat 4-bit DC / 8-bit AC codes — legal JPEG; table
+  optimality is an encoder choice, not a format requirement).
+- **decode**: marker walk, generic DQT/SOF0/DHT parsing (canonical
+  code reconstruction from the bits/vals arrays — NOT a lookup of the
+  encoder's tables), entropy decode with stuffed-byte handling, DC
+  prediction, dezigzag, dequantize, separable IDCT, level shift, round,
+  clamp.
+
+JPEG is lossy, so unlike PNG there is no SQL-expressible value oracle:
+the key registers rows-only and pytest carries the strong oracles —
+bit-exact coefficient round-trip through the entropy layer (which IS
+lossless), DC-only-block exactness, and an independent matrix-IDCT
+reference pipeline.
+
+Scale: one zero-shuffle Arrow map pass, one row per asset — the same
+cost shape as the other X5 decode keys; the numpy blockwise FDCT/IDCT
+vectorizes across each asset's blocks.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_W, _H = 16, 16  # synth raster dims (multiples of 8; 4 blocks per asset)
+_A, _B = 48271, 2654435761  # pixel synth multipliers (doc-keyed, as WAV/BMP)
+
+# zigzag scan order: zigzag[i] = raster index of the i-th scanned coeff
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+_QTABLE = [16] * 64  # flat quantization (valid baseline; keeps tests crisp)
+
+# canonical Huffman tables declared in DHT: 12 DC categories as flat
+# 4-bit codes, all 162 (run,size) AC symbols + EOB + ZRL as flat 8-bit
+# codes.  bits[i] = number of codes of length i+1.
+_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0] * 16
+_AC_BITS[7] = len(_AC_VALS)  # 162 codes of length 8 (< 255: no all-ones)
+
+
+def _dct_mat():
+    import numpy as np
+
+    x = np.arange(8)
+    c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16) / 2.0
+    c[0, :] *= 1 / np.sqrt(2)
+    return c
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the T.81 canonical construction."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.put(0xFF, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _size_cat(v: int) -> int:
+    return 0 if v == 0 else int(abs(v)).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _synth_image(doc_id: int):
+    import numpy as np
+
+    k = np.arange(_W * _H, dtype=np.int64)
+    return ((doc_id * _A + k * _B) % 256).astype(np.uint8).reshape(_H, _W)
+
+
+def _quantized_blocks(img):
+    """Encoder front half: level shift → FDCT → quantize (all blocks at
+    once, vectorized) — shared by pack and the pytest reference."""
+    import numpy as np
+
+    c = _dct_mat()
+    h, w = img.shape
+    blocks = (
+        img.astype(np.float64)
+        .reshape(h // 8, 8, w // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+    ) - 128.0
+    coeffs = np.einsum("ux,bxy,vy->buv", c, blocks, c)
+    q = np.asarray(_QTABLE, dtype=np.float64).reshape(8, 8)
+    return np.round(coeffs / q).astype(np.int64)
+
+
+def _segment(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+
+def _pack_jpeg(doc_id: int) -> bytes:
+    """Baseline single-component (grayscale) JFIF-less JPEG."""
+    img = _synth_image(doc_id)
+    h, w = img.shape
+    qblocks = _quantized_blocks(img)
+
+    dc_codes = _canonical_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _canonical_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for blk in qblocks:
+        zz = blk.ravel()[_ZIGZAG]
+        diff = int(zz[0]) - pred
+        pred = int(zz[0])
+        s = _size_cat(diff)
+        bw.put(*dc_codes[s])
+        if s:
+            bw.put(_amplitude(diff, s), s)
+        run = 0
+        last_nz = max([i for i in range(1, 64) if zz[i]] or [0])
+        for i in range(1, last_nz + 1):
+            v = int(zz[i])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                bw.put(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            s = _size_cat(v)
+            bw.put(*ac_codes[(run << 4) | s])
+            bw.put(_amplitude(v, s), s)
+            run = 0
+        if last_nz < 63:
+            bw.put(*ac_codes[0x00])  # EOB
+
+    dqt = bytes([0x00]) + bytes(_QTABLE[i] for i in range(64))  # Pq=0, Tq=0
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0])
+    dht_dc = bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS)
+    dht_ac = bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS)
+    sos = bytes([1, 1, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _segment(0xFFDB, dqt)
+        + _segment(0xFFC0, sof0)
+        + _segment(0xFFC4, dht_dc)
+        + _segment(0xFFC4, dht_ac)
+        + _segment(0xFFDA, sos)
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated entropy stream")
+        byte = self.data[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                raise ValueError("unexpected marker inside entropy stream")
+            self.pos += 1  # skip stuffed 0x00
+        self.acc = (self.acc << 8) | byte
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(length, code) -> symbol map from the canonical construction —
+    rebuilt from the DHT payload, independent of the encoder's dict."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _read_symbol(br: _BitReader, table) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        if (length, code) in table:
+            return table[(length, code)]
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_jpeg(payload: bytes):
+    """Independent baseline decoder.  Returns (w, h, pixels uint8 (h, w)).
+    Progressive/multi-component/restart-interval streams raise (honest:
+    this decoder covers baseline single-component, which is what the
+    pack side writes)."""
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise NotImplementedError(f"unsupported container: {payload[:2]!r}")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    w = h = None
+    comp_q = 0
+    while pos < len(payload):
+        (marker,) = struct.unpack_from(">H", payload, pos)
+        if marker == 0xFFD9:
+            raise ValueError("no scan data before EOI")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xFFDB:
+            if body[0] >> 4 != 0:
+                raise NotImplementedError("16-bit quant tables unsupported")
+            qtables[body[0] & 0x0F] = list(body[1:65])
+        elif marker == 0xFFC0:
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            # per-component triplet: id, sampling factors, quant-table id
+            if prec != 8 or ncomp != 1 or body[7] != 0x11:
+                raise NotImplementedError("only 8-bit single-component 1x1")
+            comp_q = body[8]
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise NotImplementedError("only baseline SOF0 supported")
+        elif marker == 0xFFC4:
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                nval = sum(bits)
+                vals = list(body[off + 17 : off + 17 + nval])
+                huff[(tc, th)] = _huff_decoder(bits, vals)
+                off += 17 + nval
+        elif marker == 0xFFDD:
+            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xFFDA:
+            td, ta = body[2] >> 4, body[2] & 0x0F
+            scan = payload[pos + 2 + seglen : -2]
+            return _decode_scan(
+                scan, w, h, qtables[comp_q], huff[(0, td)], huff[(1, ta)]
+            )
+        pos += 2 + seglen
+    raise ValueError("no SOS marker")
+
+
+def _decode_scan(scan, w, h, qtable, dc_table, ac_table):
+    import numpy as np
+
+    br = _BitReader(scan)
+    nblocks = (w // 8) * (h // 8)
+    coeffs = np.zeros((nblocks, 64), dtype=np.int64)
+    pred = 0
+    for b in range(nblocks):
+        s = _read_symbol(br, dc_table)
+        diff = _extend(br.bits(s), s) if s else 0
+        pred += diff
+        coeffs[b, 0] = pred
+        i = 1
+        while i < 64:
+            sym = _read_symbol(br, ac_table)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                i += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            i += run
+            if i > 63:
+                raise ValueError("AC run overflows block")
+            coeffs[b, i] = _extend(br.bits(size), size)
+            i += 1
+    dez = np.zeros_like(coeffs)
+    dez[:, _ZIGZAG] = coeffs  # invert the zigzag scan
+    q = np.asarray(qtable, dtype=np.float64)
+    c = _dct_mat()
+    blocks = np.einsum(
+        "xu,buv,yv->bxy", c.T, (dez * q).reshape(-1, 8, 8).astype(np.float64), c.T
+    )
+    px = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+    out = (
+        px.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    )
+    return w, h, out
+
+
+def _jpeg_decode_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            w, h, px = _decode_jpeg(_pack_jpeg(int(d)))
+            flat = px.astype(np.int64).ravel()
+            rows.append(
+                (
+                    int(d), w, h, flat.size,
+                    int(((np.arange(flat.size) + 1) * flat).sum()),
+                    int(flat.max()), int(flat.min()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_pixels",
+                "pos_weighted_sum", "max_px", "min_px",
+            ],
+        )
+
+
+@register(
+    "multimodal_jpeg_decode",
+    doc="X5/r5: REAL baseline JPEG decode — marker walk, generic DQT/DHT "
+    "parsing with canonical Huffman reconstruction, stuffed-byte entropy "
+    "decode, dezigzag, dequant, IDCT.  Rows-only BY DESIGN: JPEG is lossy "
+    "so no SQL oracle can regenerate the pixels; pytest carries bit-exact "
+    "coefficient round-trip (the entropy layer IS lossless), DC-only "
+    "exactness, and an independent matrix-IDCT reference.",
+)
+def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: the last stubbed container, closed — every common container
+    (PGM, WAV, BMP, PNG, GeoTIFF, JPEG) now decodes for real.  Same
+    zero-shuffle Arrow map shape as the other decode keys; the per-asset
+    DCT work vectorizes across blocks."""
+    dc = load(spark, sf_dir, "documents")
+    return (
+        dc.select("doc_id")
+        .repartition(8, "doc_id")
+        .mapInPandas(
+            _jpeg_decode_batches,
+            schema=(
+                "doc_id long, width int, height int, n_pixels long,"
+                " pos_weighted_sum long, max_px long, min_px long"
+            ),
+        )
+    )

@@ -89,6 +89,7 @@ _MODULES = [
     "odc_product_docker_images_spark.streaming.session_timeout",
     "odc_product_docker_images_spark.operators.pyramid",
     "odc_product_docker_images_spark.multimodal.geotiff",
+    "odc_product_docker_images_spark.multimodal.jpeg",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in
@@ -118,9 +119,12 @@ GRADING_WINDOW = [
     "regrid_pyramid",
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- new r5 keys (appended as built; ≤11 slots left in the window) --
+    # -- new r5 keys --
     "sink_geotiff_roundtrip", "proj_crs_curvilinear", "scalar_solar_day",
     "text_bpe_train_step", "udf_wofs_confidence",
+    # -- re-grades: code changed this round (arrow UDTF; merge-diff hoist) --
+    "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
+    "multimodal_jpeg_decode",
 ]
 
 _loaded = False

@@ -212,3 +212,56 @@ def test_bpe_train_step_matches_sequential_trainer(spark):
         want_ranked = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
         assert [((r["l"], r["r"]), r["pair_count"]) for r in got] == want_ranked, k
         assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+def test_jpeg_codec_entropy_layer_is_lossless_and_idct_matches():
+    """JPEG is lossy end-to-end, but its entropy layer is NOT: decode must
+    reproduce EXACTLY the pixels of an independent quant→dequant→IDCT
+    straight-through reference (no Huffman/bitstream) — any bit slip in
+    the DHT parse, stuffing, DC prediction, or zigzag breaks equality.
+    Quantization error vs the original stays bounded; DC-only blocks
+    (constant image) decode EXACTLY; non-baseline streams raise."""
+    import numpy as np
+    import pytest as _pt
+
+    import odc_product_docker_images_spark.multimodal.jpeg as J
+
+    payload = J._pack_jpeg(321)
+    w, h, px = J._decode_jpeg(payload)
+    assert (w, h) == (16, 16)
+
+    img = J._synth_image(321)
+    qb = J._quantized_blocks(img).reshape(-1, 8, 8).astype(np.float64)
+    c = J._dct_mat()
+    q = np.asarray(J._QTABLE, float).reshape(8, 8)
+    blocks = np.einsum("xu,buv,yv->bxy", c.T, qb * q, c.T)
+    want = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+    want = want.reshape(h // 8, w // 8, 8, 8).transpose(0, 2, 1, 3).reshape(h, w)
+    assert np.array_equal(px, want)
+    # lossy but bounded: flat q=16 keeps per-pixel error well under q
+    assert np.abs(px.astype(int) - img.astype(int)).max() <= 32
+
+    # 0xFF byte stuffing actually occurs and decodes across the corpus
+    assert any(b"\xff\x00" in J._pack_jpeg(d)[20:] for d in range(100))
+    for d in range(20):
+        J._decode_jpeg(J._pack_jpeg(d))
+
+    # DC-only exactness: a constant image survives bit-exactly
+    const = np.full((16, 16), 200, np.uint8)
+    orig = J._synth_image
+    J._synth_image = lambda _d: const
+    try:
+        _w, _h, px2 = J._decode_jpeg(J._pack_jpeg(0))
+    finally:
+        J._synth_image = orig
+    assert np.array_equal(px2, const)
+
+    # honest-codec contract: non-JPEG magic and progressive SOF raise
+    with _pt.raises(NotImplementedError):
+        J._decode_jpeg(b"\x89PNG" + payload[4:])
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pt.raises(NotImplementedError):
+        J._decode_jpeg(prog)
+    # truncation inside the entropy stream fails loudly
+    with _pt.raises(ValueError):
+        J._decode_jpeg(payload[:-20] + b"\xff\xd9")
