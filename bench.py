@@ -64,6 +64,17 @@ STORAGE = [
     "table_zorder_skipping",
 ]
 
+# Round-5 additions, timed separately so the headline total stays
+# comparable against the frozen BASELINE band across rounds.
+R5 = [
+    "sink_geotiff_roundtrip",
+    "proj_crs_curvilinear",
+    "scalar_solar_day",
+    "text_bpe_train_step",
+    "udf_wofs_confidence",
+    "multimodal_jpeg_decode",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -119,6 +130,16 @@ def main() -> None:
                 storage[key] = dt
             print(f"# [storage] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
 
+    r5: dict[str, float] = {}
+    for _pass in range(2):
+        for key in (k for k in R5 if k in qs):
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in r5 or dt < r5[key]:
+                r5[key] = dt
+            print(f"# [r5] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -128,6 +149,7 @@ def main() -> None:
                 "queries": timings,
                 "streaming": streaming,
                 "storage": storage,
+                "r5": r5,
                 "sf": sf,
             }
         )
