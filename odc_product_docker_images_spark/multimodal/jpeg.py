@@ -198,59 +198,78 @@ def _pack_jpeg(doc_id: int) -> bytes:
     )
 
 
+def _unstuff(scan: bytes) -> bytes:
+    """Drop the 0x00 after each stuffed 0xFF (vectorized); a 0xFF followed
+    by anything else inside the entropy stream is a stray marker."""
+    import numpy as np
+
+    arr = np.frombuffer(scan, dtype=np.uint8)
+    ff = np.flatnonzero(arr == 0xFF)
+    ff = ff[ff < len(arr) - 1]  # a trailing 0xFF is pad bits, legal
+    if ff.size and (arr[ff + 1] != 0x00).any():
+        raise ValueError("unexpected marker inside entropy stream")
+    return np.delete(arr, ff + 1).tobytes() if ff.size else scan
+
+
 class _BitReader:
+    """MSB-first reader over UNSTUFFED data: 16-bit peeks off a 3-byte
+    window instead of bit-at-a-time fills (the per-bit Python loop was the
+    decode hot spot at 10× scale)."""
+
     def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.n = 0
+        self.data = data + b"\x00\x00\x00"  # peek window past the tail
+        self.p = 0  # bit position
+        self.end = len(data) * 8
 
-    def _fill(self) -> None:
-        if self.pos >= len(self.data):
+    def peek16(self) -> int:
+        byte = self.p >> 3
+        window = int.from_bytes(self.data[byte : byte + 3], "big")
+        return (window >> (8 - (self.p & 7))) & 0xFFFF
+
+    def take(self, k: int) -> int:
+        if self.p + k > self.end:
             raise ValueError("truncated entropy stream")
-        byte = self.data[self.pos]
-        self.pos += 1
-        if byte == 0xFF:
-            if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
-                raise ValueError("unexpected marker inside entropy stream")
-            self.pos += 1  # skip stuffed 0x00
-        self.acc = (self.acc << 8) | byte
-        self.n += 8
-
-    def bit(self) -> int:
-        if self.n == 0:
-            self._fill()
-        self.n -= 1
-        return (self.acc >> self.n) & 1
-
-    def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        v = self.peek16() >> (16 - k)
+        self.p += k
         return v
 
 
+_LUT_CACHE: dict[tuple, tuple] = {}
+
+
 def _huff_decoder(bits: list[int], vals: list[int]):
-    """(length, code) -> symbol map from the canonical construction —
-    rebuilt from the DHT payload, independent of the encoder's dict."""
-    table, code, k = {}, 0, 0
+    """16-bit lookup tables (symbol, code length) from the canonical
+    construction — rebuilt generically from the DHT payload and cached by
+    table content (one build serves every asset sharing the tables)."""
+    import numpy as np
+
+    sig = (tuple(bits), tuple(vals))
+    if sig in _LUT_CACHE:
+        return _LUT_CACHE[sig]
+    lut_sym = np.zeros(1 << 16, dtype=np.int16)
+    lut_len = np.zeros(1 << 16, dtype=np.int8)
+    code, k = 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            lut_sym[lo:hi] = vals[k]
+            lut_len[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    _LUT_CACHE[sig] = (lut_sym, lut_len)
+    return _LUT_CACHE[sig]
 
 
 def _read_symbol(br: _BitReader, table) -> int:
-    code, length = 0, 0
-    while length < 16:
-        code = (code << 1) | br.bit()
-        length += 1
-        if (length, code) in table:
-            return table[(length, code)]
-    raise ValueError("invalid Huffman code")
+    lut_sym, lut_len = table
+    v = br.peek16()
+    length = int(lut_len[v])
+    if length == 0 or br.p + length > br.end:
+        raise ValueError("invalid Huffman code")
+    br.p += length
+    return int(lut_sym[v])
 
 
 def _extend(v: int, size: int) -> int:
@@ -313,13 +332,13 @@ def _decode_jpeg(payload: bytes):
 def _decode_scan(scan, w, h, qtable, dc_table, ac_table):
     import numpy as np
 
-    br = _BitReader(scan)
+    br = _BitReader(_unstuff(scan))
     nblocks = (w // 8) * (h // 8)
     coeffs = np.zeros((nblocks, 64), dtype=np.int64)
     pred = 0
     for b in range(nblocks):
         s = _read_symbol(br, dc_table)
-        diff = _extend(br.bits(s), s) if s else 0
+        diff = _extend(br.take(s), s) if s else 0
         pred += diff
         coeffs[b, 0] = pred
         i = 1
@@ -334,7 +353,7 @@ def _decode_scan(scan, w, h, qtable, dc_table, ac_table):
             i += run
             if i > 63:
                 raise ValueError("AC run overflows block")
-            coeffs[b, i] = _extend(br.bits(size), size)
+            coeffs[b, i] = _extend(br.take(size), size)
             i += 1
     dez = np.zeros_like(coeffs)
     dez[:, _ZIGZAG] = coeffs  # invert the zigzag scan
@@ -391,7 +410,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = load(spark, sf_dir, "documents")
     return (
         dc.select("doc_id")
-        .repartition(8, "doc_id")
+        .repartition(32, "doc_id")
         .mapInPandas(
             _jpeg_decode_batches,
             schema=(

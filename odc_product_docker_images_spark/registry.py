@@ -90,6 +90,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.pyramid",
     "odc_product_docker_images_spark.multimodal.geotiff",
     "odc_product_docker_images_spark.multimodal.jpeg",
+    "odc_product_docker_images_spark.operators.trend",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in
@@ -124,7 +125,7 @@ GRADING_WINDOW = [
     "text_bpe_train_step", "udf_wofs_confidence",
     # -- re-grades: code changed this round (arrow UDTF; merge-diff hoist) --
     "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
-    "multimodal_jpeg_decode",
+    "multimodal_jpeg_decode", "agg_mann_kendall",
 ]
 
 _loaded = False

@@ -630,3 +630,14 @@ def test_curvilinear_projection_single_shuffle_no_python(spark):
     C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
     # (no codegen-id assert: with AQE + an Exchange the pre-execution
     # formatted plan is isFinalPlan=false and prints no codegen ids)
+
+
+def test_mann_kendall_pairs_join_is_keyed_not_cartesian(spark):
+    """The pairwise stage must be an equi-join on the series key (pair
+    blow-up bounded per series), never a cartesian over observations."""
+    from odc_product_docker_images_spark.operators.trend import agg_mann_kendall
+
+    plan = C.formatted_plan(agg_mann_kendall(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    C.assert_no_python_row_path(agg_mann_kendall(spark, SF))

@@ -265,3 +265,44 @@ def test_jpeg_codec_entropy_layer_is_lossless_and_idct_matches():
     # truncation inside the entropy stream fails loudly
     with _pt.raises(ValueError):
         J._decode_jpeg(payload[:-20] + b"\xff\xd9")
+
+
+def test_mann_kendall_matches_python_reference(spark):
+    """Independent sequential MK/Theil-Sen recomputation per series."""
+    import math
+
+    from odc_product_docker_images_spark.io import load
+    from odc_product_docker_images_spark.operators.trend import agg_mann_kendall
+
+    SF = "/root/testdata/sf0.001"
+    got = {r["user_id"]: r for r in agg_mann_kendall(spark, SF).collect()}
+    rows = load(spark, SF, "events").select("user_id", "event_id", "ts", "value").collect()
+    series: dict[int, list] = {}
+    for r in rows:
+        sec = int(r["ts"].timestamp())
+        series.setdefault(r["user_id"], []).append((sec, r["event_id"], r["value"]))
+    for uid, obs in series.items():
+        obs.sort()
+        n = len(obs)
+        if n < 2:
+            assert uid not in got
+            continue
+        s = 0
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                d = obs[j][2] - obs[i][2]
+                s += (d > 0) - (d < 0)
+                dt = obs[j][0] - obs[i][0]
+                if dt > 0:
+                    slopes.append(d / dt)
+        g = got[uid]
+        assert g["n_obs"] == n and g["s_stat"] == s
+        assert g["n_pairs"] == n * (n - 1) // 2
+        var = n * (n - 1) * (2 * n + 5) / 18.0
+        z = (s - (1 if s > 0 else -1 if s < 0 else 0)) / math.sqrt(var)
+        assert abs(g["z_stat"] - z) < 2e-6
+        slopes.sort()
+        m = len(slopes)
+        med = (slopes[m // 2] if m % 2 else (slopes[m // 2 - 1] + slopes[m // 2]) / 2)
+        assert abs(g["sen_slope_ppm"] - med * 1e6) < 2e-6, uid
