@@ -184,8 +184,8 @@ def _decode_scenes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     oracle=f"""
         WITH c AS (
             SELECT event_type,
-                   LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), {_TW - 1}) AS x,
-                   LEAST(CAST(FLOOR(user_id / 100.0) AS BIGINT), {_TH - 1}) AS y,
+                   LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS BIGINT), 0), {_TW - 1}) AS x,
+                   LEAST(GREATEST(CAST(FLOOR(user_id / 100.0) AS BIGINT), 0), {_TH - 1}) AS y,
                    LEAST(COUNT(*), 65535) AS n
             FROM events GROUP BY 1, 2, 3
         )
@@ -220,11 +220,15 @@ def sink_geotiff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "event_type",
             F.least(
-                F.floor(F.col("value") / F.lit(25.0)).cast("bigint"),
+                F.greatest(
+                    F.floor(F.col("value") / F.lit(25.0)).cast("bigint"), F.lit(0)
+                ),
                 F.lit(_TW - 1),
             ).alias("x"),
             F.least(
-                F.floor(F.col("user_id") / F.lit(100.0)).cast("bigint"),
+                F.greatest(
+                    F.floor(F.col("user_id") / F.lit(100.0)).cast("bigint"), F.lit(0)
+                ),
                 F.lit(_TH - 1),
             ).alias("y"),
         )

@@ -36,7 +36,9 @@ from ..registry import register
 _Z_SQL = (
     "CASE WHEN s_stat > 0 THEN (s_stat - 1) WHEN s_stat < 0 THEN (s_stat + 1)"
     " ELSE 0 END"
-    " / SQRT(n_obs * (n_obs - 1.0) * (2.0 * n_obs + 5.0) / 18.0)"
+    " / SQRT(n_obs * (n_obs - CAST(1.0 AS DOUBLE))"
+    " * (CAST(2.0 AS DOUBLE) * n_obs + CAST(5.0 AS DOUBLE))"
+    " / CAST(18.0 AS DOUBLE))"
 )
 
 
@@ -61,7 +63,7 @@ _Z_SQL = (
         ), agg AS (
             SELECT p.user_id,
                    CAST(SUM(sgn) AS BIGINT) AS s_stat,
-                   ROUND(MEDIAN(slope) * 1e6, 6) AS sen_slope_ppm,
+                   MEDIAN(slope) * CAST(1e6 AS DOUBLE) AS sen_slope_raw,
                    COUNT(*) AS n_pairs
             FROM p GROUP BY p.user_id
         ), c AS (
@@ -72,7 +74,7 @@ _Z_SQL = (
                s_stat,
                CAST(n_pairs AS BIGINT) AS n_pairs,
                {sql_dround(_Z_SQL, 6)} AS z_stat,
-               sen_slope_ppm
+               {sql_dround('sen_slope_raw', 6)} AS sen_slope_ppm
         FROM agg JOIN c ON agg.user_id = c.user_id
     """,
 )
@@ -113,7 +115,7 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = pairs.groupBy("user_id").agg(
         F.sum("sgn").cast("bigint").alias("s_stat"),
-        F.round(F.median("slope") * F.lit(1e6), 6).alias("sen_slope_ppm"),
+        (F.median("slope") * F.lit(1e6)).alias("sen_slope_raw"),
         F.count(F.lit(1)).alias("n_pairs"),
     )
     counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_obs"))
@@ -132,5 +134,5 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_stat",
         "n_pairs",
         dround(z, 6).alias("z_stat"),
-        "sen_slope_ppm",
+        dround("sen_slope_raw", 6).alias("sen_slope_ppm"),
     )

@@ -142,7 +142,10 @@ def bpe_train_pair_counts(
     independent pure-Python trainer)."""
     wf = _word_freq(spark, sf_dir)
     if not merges:
-        pairs = wf.select(
+        # length(w) > 1 guard: sequence(1, 0) is the DESCENDING array [1, 0]
+        # in Spark, so an unguarded 1-char word emits two spurious pairs
+        # the oracle never produces (found in round-5 self-review)
+        pairs = wf.where(F.length("w") > 1).select(
             F.expr(
                 "inline(transform(sequence(1, length(w) - 1),"
                 " i -> struct(substring(w, i, 1) AS l, substring(w, i + 1, 1) AS r)))"

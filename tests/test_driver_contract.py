@@ -73,10 +73,29 @@ def test_grading_window_holds_showcase_surface():
 
     registered = set(reg.all_queries())
     must_be_graded = {k for k in reg.GRADING_WINDOW if k in registered}
-    assert "agg_multi_stat" in must_be_graded  # flagship, every round
     assert len(must_be_graded) <= 50, "grading window overflows the 50-key gate"
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
+    # LITERAL composition pin (not derived from GRADING_WINDOW, which would
+    # be tautological): the flagship + every key that must earn its first
+    # driver row in r5 — the 38 never-graded r4 keys are spot-pinned by
+    # family, the new r5 keys and changed-code re-grades exhaustively.
+    literal_pin = {
+        "agg_multi_stat",  # flagship, every round
+        # r4 never-graded rotation (one per family; full list in registry)
+        "window_ewma", "udtf_dynamic_schema", "table_restore",
+        "sim_rerank_adc_exact", "multimodal_png_decode", "sql_frontend",
+        "stream_session_timeout", "regrid_pyramid", "agg_mad_1d",
+        "source_stream_feed", "composite_q18_shape",
+        # new r5 keys — all of them
+        "sink_geotiff_roundtrip", "proj_crs_curvilinear", "scalar_solar_day",
+        "text_bpe_train_step", "udf_wofs_confidence", "agg_mann_kendall",
+        "multimodal_jpeg_decode",
+        # changed-code re-grades
+        "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
+    }
+    missing_literal = literal_pin - set(window)
+    assert not missing_literal, f"r5 pin violated: {missing_literal}"
 
 
 def test_entry_does_not_scramble_registration_order():
