@@ -91,6 +91,9 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.geotiff",
     "odc_product_docker_images_spark.multimodal.jpeg",
     "odc_product_docker_images_spark.operators.trend",
+    "odc_product_docker_images_spark.textvec.semantic",
+    "odc_product_docker_images_spark.textvec.lr_filter",
+    "odc_product_docker_images_spark.multimodal.geotiff_tiled",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in
@@ -126,6 +129,10 @@ GRADING_WINDOW = [
     # -- re-grades: code changed this round (arrow UDTF; merge-diff hoist) --
     "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
     "multimodal_jpeg_decode", "agg_mann_kendall",
+    # -- r5b: one slot left under the ~50-key window; the other r5b keys
+    #    (text_quality_lr_step, sink_geotiff_tiled, ...) head the r6
+    #    rotation list alongside anything else never driver-graded.
+    "dedup_semantic",
 ]
 
 _loaded = False

@@ -93,6 +93,9 @@ def test_grading_window_holds_showcase_surface():
         "multimodal_jpeg_decode",
         # changed-code re-grades
         "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
+        # r5b: the one new key with window room left (the other r5b keys
+        # head the r6 rotation)
+        "dedup_semantic",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r5 pin violated: {missing_literal}"

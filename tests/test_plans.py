@@ -641,3 +641,56 @@ def test_mann_kendall_pairs_join_is_keyed_not_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     C.assert_no_python_row_path(agg_mann_kendall(spark, SF))
+
+
+def test_semantic_dedup_pairs_stay_in_cluster_blocks(spark):
+    """SemDeDup's contract: assignment broadcasts the K seeds (never a
+    shuffled join against the corpus) and the quadratic stage is the
+    per-cluster applyInPandas — no cartesian/SMJ pair join anywhere."""
+    from odc_product_docker_images_spark.textvec.semantic import dedup_semantic
+
+    df = dedup_semantic(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin " not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # K-seed broadcast onto the scan
+    assert "FlatMapGroupsInPandas" in plan  # cluster-blocked gram stage
+    assert "BatchEvalPython" not in plan
+
+
+def test_lr_step_is_one_scan_one_aggregate(spark):
+    """The GD step must be a single codegen'd scan feeding one global
+    aggregate: 1 parquet scan, columns pruned to the feature/label set,
+    no Python anywhere (sigmoid/log are JVM exprs)."""
+    from odc_product_docker_images_spark.textvec.lr_filter import text_quality_lr_step
+
+    df = text_quality_lr_step(spark, SF)
+    assert C.scan_count(df) == 1
+    C.assert_columns_pruned(df, {"lang", "n_chars", "text"})
+    C.assert_no_python_row_path(df)
+    plan = C.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan
+
+
+def test_tiled_geotiff_sink_prunes_and_blocks_by_scene(spark):
+    """The tiled sink's compute side: composite prunes to the three cell
+    columns and the codec runs per scene as applyInPandas — no row-UDF."""
+    from odc_product_docker_images_spark.multimodal.geotiff_tiled import (
+        _encode_scenes,  # noqa: F401 — import check only
+    )
+    from odc_product_docker_images_spark.io import load
+    from pyspark.sql import functions as F
+
+    # pin the composite prefix (the sink itself writes to .tmp, so audit
+    # the pre-write plan the same way PLANS.md does for the striped sink)
+    cells = (
+        load(spark, SF, "events")
+        .groupBy(
+            "event_type",
+            F.floor(F.col("value") / F.lit(12.5)).alias("x"),
+            F.floor(F.col("user_id") / F.lit(50.0)).alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    C.assert_columns_pruned(cells, {"event_type", "user_id", "value"})
+    assert C.exchange_count(cells) == 1
