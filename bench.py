@@ -73,6 +73,12 @@ R5 = [
     "text_bpe_train_step",
     "udf_wofs_confidence",
     "multimodal_jpeg_decode",
+    "dedup_semantic",
+    "text_quality_lr_step",
+    "sink_geotiff_tiled",
+    "window_cusum_change",
+    "join_polygon_zone",
+    "proj_crs_roundtrip",
 ]
 
 

@@ -694,3 +694,51 @@ def test_tiled_geotiff_sink_prunes_and_blocks_by_scene(spark):
     )
     C.assert_columns_pruned(cells, {"event_type", "user_id", "value"})
     assert C.exchange_count(cells) == 1
+
+
+def test_cusum_is_pair_free_and_jvm_only(spark):
+    """CUSUM's contract vs the Mann-Kendall pair join: O(n) per series —
+    no join blow-up stage, no Python, columns pruned to the series set."""
+    from odc_product_docker_images_spark.operators.changepoint import (
+        window_cusum_change,
+    )
+
+    df = window_cusum_change(spark, SF)
+    # the first cut planned 4 scans / 7 Exchanges (groupBy+join-back mean,
+    # branch-duplicated argmax/minmax); the window form is 1 scan / 1 Exchange
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)
+    C.assert_columns_pruned(df, {"user_id", "event_id", "ts", "value"})
+
+
+def test_polygon_zone_join_broadcasts_edges(spark):
+    """The edge table must broadcast onto the point stream (BNLJ over a
+    LocalRelation) — never a shuffled join against the points — and the
+    parity test stays a hash-agg."""
+    from odc_product_docker_images_spark.operators.joins_polygon import (
+        join_polygon_zone,
+    )
+
+    df = join_polygon_zone(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin " not in plan
+    assert C.scan_count(df) == 1
+    C.assert_no_python_row_path(df)
+    C.assert_columns_pruned(df, {"event_id", "user_id", "value"})
+
+
+def test_tm_roundtrip_single_shuffle_no_python(spark):
+    """Both projection legs must ride the scan's codegen stage: one
+    Exchange (the cell composite), zero Python, pruned to three columns."""
+    from odc_product_docker_images_spark.operators.reproject_inverse import (
+        proj_crs_roundtrip,
+    )
+
+    df = proj_crs_roundtrip(spark, SF)
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)
+    # event_id rides the logical projection but no aggregate consumes it,
+    # so Catalyst prunes the scan to just the two coordinate sources
+    C.assert_columns_pruned(df, {"user_id", "value"})
