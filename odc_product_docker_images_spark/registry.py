@@ -97,6 +97,8 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.changepoint",
     "odc_product_docker_images_spark.operators.joins_polygon",
     "odc_product_docker_images_spark.operators.reproject_inverse",
+    "odc_product_docker_images_spark.textvec.substrings",
+    "odc_product_docker_images_spark.textvec.mixing",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in

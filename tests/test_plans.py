@@ -742,3 +742,31 @@ def test_tm_roundtrip_single_shuffle_no_python(spark):
     # event_id rides the logical projection but no aggregate consumes it,
     # so Catalyst prunes the scan to just the two coordinate sources
     C.assert_columns_pruned(df, {"user_id", "value"})
+
+
+def test_substring_dedup_is_linear_relational(spark):
+    """Exact-substring dedup must stay three linear shuffles: one scan,
+    no join (occurrence counts are a window over the hash partitioning),
+    no Python, no cartesian."""
+    from odc_product_docker_images_spark.textvec.substrings import (
+        dedup_substring_spans,
+    )
+
+    df = dedup_substring_spans(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan  # window-count form, not a df join-back
+    C.assert_no_python_row_path(df)
+
+
+def test_temperature_mixing_broadcasts_rate_table(spark):
+    """The derived mixture table must broadcast back onto the doc scan
+    (count pass + gated pass, both linear): 2 scans, broadcast join,
+    no shuffle of the corpus keyed on anything but source."""
+    from odc_product_docker_images_spark.textvec.mixing import data_mix_temperature
+
+    df = data_mix_temperature(spark, SF)
+    assert C.scan_count(df) == 2
+    C.assert_broadcast_join(df)
+    C.assert_no_python_row_path(df)

