@@ -79,6 +79,8 @@ R5 = [
     "window_cusum_change",
     "join_polygon_zone",
     "proj_crs_roundtrip",
+    "dedup_substring_spans",
+    "data_mix_temperature",
 ]
 
 
