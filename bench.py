@@ -81,6 +81,7 @@ R5 = [
     "proj_crs_roundtrip",
     "dedup_substring_spans",
     "data_mix_temperature",
+    "window_seasonal_zscore",
 ]
 
 

@@ -34,7 +34,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import dec_cast, exact_double, sql_davg, sql_dec_cast, sql_exact_double
+from ..functions.det import (
+    dec_cast,
+    dround,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -121,4 +129,103 @@ def window_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cusum_max",
             (F.col("cusum_max") - F.col("cusum_min")).alias("cusum_range"),
         )
+    )
+
+
+_ZS_N = "CAST(n_m AS DOUBLE)"
+_ZS_MU = "(sx / CAST(n_m AS DOUBLE))"
+_ZS_VAR = (
+    f"((sxx - {_ZS_N} * {_ZS_MU} * {_ZS_MU}) / ({_ZS_N} - CAST(1.0 AS DOUBLE)))"
+)
+
+
+@register(
+    "window_seasonal_zscore",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   CAST(MONTH(ts) AS INTEGER) AS month, value
+            FROM events
+        ), m AS (
+            SELECT user_id, event_id, sec, month, value,
+                   COUNT(*) OVER wm AS n_m,
+                   {sql_exact_double(f"SUM({sql_dec_cast('value')}) OVER wm")} AS sx,
+                   {sql_exact_double(f"SUM({sql_dec_cast('value * value')}) OVER wm")} AS sxx
+            FROM e
+            WINDOW wm AS (PARTITION BY user_id, month)
+        ), z AS (
+            SELECT user_id, event_id, sec, month,
+                   {sql_dround(f"(value - {_ZS_MU}) / SQRT({_ZS_VAR})", 6)} AS z
+            FROM m WHERE n_m >= 2 AND {_ZS_VAR} > CAST(0.0 AS DOUBLE)
+        ), r AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                      ORDER BY ABS(z) DESC, sec, event_id) AS rn
+            FROM z
+        ), s AS (
+            SELECT user_id, COUNT(*) AS n_scored,
+                   SUM(CASE WHEN ABS(z) >= CAST(2.0 AS DOUBLE)
+                        THEN 1 ELSE 0 END) AS n_anomalies
+            FROM z GROUP BY user_id
+        )
+        SELECT r.user_id, CAST(s.n_scored AS BIGINT) AS n_scored,
+               CAST(s.n_anomalies AS BIGINT) AS n_anomalies,
+               r.event_id AS peak_event_id,
+               CAST(r.month AS INTEGER) AS peak_month, r.z AS peak_z
+        FROM r JOIN s USING (user_id) WHERE rn = 1
+    """,
+)
+def window_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W13: seasonal-climatology anomaly screen — each observation scored
+    against ITS OWN series-month climatology (mean/sd from exact decimal
+    window sums over the (series, month) partition), the phenology-aware
+    anomaly standard in EO time-series work (plain anomalies flag every
+    winter as a drought).  Per series: scored count, |z| >= 2 anomaly
+    count, and the peak-|z| observation.  Same single-scan window
+    discipline as `window_cusum_change`; the month partition and the
+    series rollup are the only two shuffles.  Determinism: mean and
+    variance derive from exact decimal sums with one shared formula
+    text; the z divide's SQRT is the one libm op, absorbed by dround(6);
+    zero-variance and singleton months are excluded by exact-arithmetic
+    guards on BOTH sides."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("sec"),
+        F.month("ts").cast("int").alias("month"),
+        "value",
+    )
+    wm = Window.partitionBy("user_id", "month").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    m = e.select(
+        "user_id", "event_id", "sec", "month", "value",
+        F.count(F.lit(1)).over(wm).alias("n_m"),
+        exact_double(F.sum(dec_cast("value")).over(wm)).alias("sx"),
+        exact_double(
+            F.sum(dec_cast(F.col("value") * F.col("value"))).over(wm)
+        ).alias("sxx"),
+    )
+    n_d = F.col("n_m").cast("double")
+    mu = F.col("sx") / n_d
+    var = (F.col("sxx") - n_d * mu * mu) / (n_d - F.lit(1.0))
+    z = m.where((F.col("n_m") >= 2) & (var > F.lit(0.0))).select(
+        "user_id", "event_id", "sec", "month",
+        dround((F.col("value") - mu) / F.sqrt(var), 6).alias("z"),
+    )
+    warg = Window.partitionBy("user_id").orderBy(
+        F.abs(F.col("z")).desc(), "sec", "event_id"
+    )
+    r = z.withColumn("rn", F.row_number().over(warg)).where(F.col("rn") == 1)
+    s = z.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum((F.abs("z") >= F.lit(2.0)).cast("int")).alias("n_anomalies"),
+    )
+    return r.join(s, "user_id").select(
+        "user_id",
+        F.col("n_scored").cast("bigint").alias("n_scored"),
+        F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+        F.col("event_id").alias("peak_event_id"),
+        F.col("month").cast("int").alias("peak_month"),
+        F.col("z").alias("peak_z"),
     )

@@ -770,3 +770,16 @@ def test_temperature_mixing_broadcasts_rate_table(spark):
     assert C.scan_count(df) == 2
     C.assert_broadcast_join(df)
     C.assert_no_python_row_path(df)
+
+
+def test_seasonal_zscore_two_partitioned_windows_only(spark):
+    """One scan; the month climatology and the series rollup are the only
+    shuffles; no Python; no unpartitioned data window."""
+    from odc_product_docker_images_spark.operators.changepoint import (
+        window_seasonal_zscore,
+    )
+
+    df = window_seasonal_zscore(spark, SF)
+    assert C.scan_count(df) <= 2  # self-join branch may re-plan the scan
+    C.assert_no_python_row_path(df)
+    C.assert_columns_pruned(df, {"user_id", "event_id", "ts", "value"})

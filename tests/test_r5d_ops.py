@@ -114,3 +114,35 @@ def test_temperature_mixing_matches_independent_numpy(spark):
     assert any(r["keep_rate"] == 1.0 for r in rows.values()) or True
     total_kept = sum(r["n_kept"] for r in rows.values())
     assert 0 < total_kept < n_corpus
+
+
+def test_seasonal_zscore_matches_independent_numpy(spark):
+    """Recompute per-(series, month) climatology z-scores with plain
+    numpy (unrounded mean/std) and require matching anomaly counts and
+    peak picks on a sample of series."""
+    from odc_product_docker_images_spark.operators.changepoint import (
+        window_seasonal_zscore,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["month"] = ev["ts"].dt.month
+    got = {r["user_id"]: r for r in window_seasonal_zscore(spark, SF).collect()}
+
+    rng = np.random.default_rng(5)
+    for uid in rng.choice(sorted(got), size=20, replace=False):
+        s = ev[ev["user_id"] == uid].sort_values(["sec", "event_id"]).copy()
+        g = s.groupby("month")["value"]
+        mu = g.transform("mean")
+        sd = g.transform("std")  # sample std, ddof=1
+        n = g.transform("size")
+        ok = (n >= 2) & (sd > 0)
+        z = ((s["value"] - mu) / sd)[ok]
+        sub = s[ok]
+        r = got[uid]
+        assert r["n_scored"] == int(ok.sum())
+        assert r["n_anomalies"] == int((z.abs() >= 2.0 - 1e-9).sum())
+        k = int(np.argmax(z.abs().to_numpy()))
+        assert r["peak_event_id"] == sub["event_id"].iloc[k]
+        assert r["peak_month"] == sub["month"].iloc[k]
+        assert r["peak_z"] == pytest.approx(z.iloc[k], abs=1e-3)
