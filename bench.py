@@ -82,6 +82,7 @@ R5 = [
     "dedup_substring_spans",
     "data_mix_temperature",
     "window_seasonal_zscore",
+    "multimodal_image_resize",
 ]
 
 

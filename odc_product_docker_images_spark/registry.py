@@ -99,6 +99,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.reproject_inverse",
     "odc_product_docker_images_spark.textvec.substrings",
     "odc_product_docker_images_spark.textvec.mixing",
+    "odc_product_docker_images_spark.multimodal.resize",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in

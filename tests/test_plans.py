@@ -783,3 +783,19 @@ def test_seasonal_zscore_two_partitioned_windows_only(spark):
     assert C.scan_count(df) <= 2  # self-join branch may re-plan the scan
     C.assert_no_python_row_path(df)
     C.assert_columns_pruned(df, {"user_id", "event_id", "ts", "value"})
+
+
+def test_image_resize_is_zero_shuffle_arrow_map(spark):
+    """Resize must stay the zero-shuffle Arrow map shape: one scan, the
+    fan-out repartition as the only Exchange, a MapInPandas node, no
+    row-UDF."""
+    from odc_product_docker_images_spark.multimodal.resize import (
+        multimodal_image_resize,
+    )
+
+    df = multimodal_image_resize(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1  # the explicit fan-out repartition
+    plan = C.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

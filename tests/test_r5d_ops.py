@@ -146,3 +146,40 @@ def test_seasonal_zscore_matches_independent_numpy(spark):
         assert r["peak_event_id"] == sub["event_id"].iloc[k]
         assert r["peak_month"] == sub["month"].iloc[k]
         assert r["peak_z"] == pytest.approx(z.iloc[k], abs=1e-3)
+
+
+def test_image_resize_matches_independent_loop(spark):
+    """Recompute the 2x box downsample with an explicit per-pixel Python
+    loop over the decoded raster (no numpy slicing tricks shared with the
+    kernel) and require identical resized stats."""
+    from odc_product_docker_images_spark.multimodal.columns import (
+        _decode_bmp,
+        _pack_bmp,
+    )
+    from odc_product_docker_images_spark.multimodal.resize import (
+        _DH,
+        _DW,
+        multimodal_image_resize,
+    )
+
+    got = {r["doc_id"]: r for r in multimodal_image_resize(spark, SF).collect()}
+    assert len(got) == 500
+    for doc_id in list(got)[:5]:
+        w, h, bpp, px = _decode_bmp(_pack_bmp(int(doc_id)))
+        assert (w, h, bpp) == (31, 16, 24)
+        def b(x, y, ch):
+            return px[(y * w + x) * 3 + ch]
+        flat = []
+        for y in range(_DH):
+            for x in range(_DW):
+                for ch in range(3):
+                    s = (
+                        b(2 * x, 2 * y, ch) + b(2 * x + 1, 2 * y, ch)
+                        + b(2 * x, 2 * y + 1, ch) + b(2 * x + 1, 2 * y + 1, ch)
+                    )
+                    flat.append(s // 4)
+        r = got[doc_id]
+        assert (r["dst_w"], r["dst_h"]) == (_DW, _DH)
+        assert r["px_sum"] == sum(flat)
+        assert r["pos_weighted_sum"] == sum((i + 1) * v for i, v in enumerate(flat))
+        assert r["max_px"] == max(flat)
