@@ -83,6 +83,8 @@ R5 = [
     "data_mix_temperature",
     "window_seasonal_zscore",
     "multimodal_image_resize",
+    "agg_resample_ohlc",
+    "profile_drift_psi",
 ]
 
 

@@ -1,0 +1,148 @@
+"""Distribution drift monitor — PSI + KS over binned slices (§4+/r5e).
+
+Production pipelines watch for feature drift between a reference slice
+and a candidate slice (new cohort, new deployment, new satellite) with
+the Population Stability Index and the binned KS statistic — the
+data-quality sibling of `profile_table`/`table_constraint_check`.  Here
+the slices are the even/odd series populations and the measure is the
+event value over 10 fixed-width bins: per bin, smoothed slice
+probabilities, the PSI contribution (p−q)·ln(p/q), and the running-CDF
+gap whose maximum is the KS statistic.
+
+Spark-first: one scan, one grouped shuffle (bin counts with conditional
+map-side partials); totals and CDFs are windows over the 10-row bin
+table (the small-table window pattern — never a corpus window).  At
+100 TB the shuffle carries |bins| rows per partition, nothing else.
+Determinism: counts are exact integers; smoothing constants are exact
+binary doubles (0.5 / 5.0), so probabilities are exact IEEE divides;
+LN is the one libm op, absorbed by dround(6); CDFs accumulate through
+the exact decimal path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import (
+    dec_cast,
+    dround,
+    exact_double,
+    sql_dec_cast,
+    sql_dround,
+    sql_exact_double,
+)
+from ..io import load
+from ..registry import register
+
+_NBINS = 10
+_BW = 50.0
+
+_P_REF = "((n_ref + CAST(0.5 AS DOUBLE)) / (tot_ref + CAST(5.0 AS DOUBLE)))"
+_P_CAND = "((n_cand + CAST(0.5 AS DOUBLE)) / (tot_cand + CAST(5.0 AS DOUBLE)))"
+
+
+@register(
+    "profile_drift_psi",
+    oracle=f"""
+        WITH b AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR(value / CAST({_BW!r} AS DOUBLE))
+                       AS BIGINT), 0), {_NBINS - 1}) AS bin,
+                   CAST(user_id % 2 = 0 AS INTEGER) AS is_ref
+            FROM events
+        ), c0 AS (
+            SELECT bin,
+                   SUM(is_ref) AS n_ref,
+                   SUM(1 - is_ref) AS n_cand
+            FROM b GROUP BY bin
+        ), c AS (
+            -- full bin spine: PSI's smoothing denominator presumes every
+            -- bin present; an empty bin must appear with zero counts
+            SELECT CAST(s.i AS BIGINT) AS bin,
+                   COALESCE(n_ref, 0) AS n_ref,
+                   COALESCE(n_cand, 0) AS n_cand
+            FROM RANGE(0, 10) s(i) LEFT JOIN c0 ON c0.bin = s.i
+        ), t AS (
+            SELECT bin, n_ref, n_cand,
+                   CAST(SUM(n_ref) OVER () AS DOUBLE) AS tot_ref,
+                   CAST(SUM(n_cand) OVER () AS DOUBLE) AS tot_cand
+            FROM c
+        ), p AS (
+            SELECT bin, n_ref, n_cand,
+                   {_P_REF} AS p_ref,
+                   {_P_CAND} AS p_cand,
+                   {sql_dround(f"({_P_REF} - {_P_CAND}) * LN({_P_REF} / {_P_CAND})", 6)}
+                     AS psi_contrib
+            FROM t
+        )
+        SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand, p_ref, p_cand, psi_contrib,
+               ABS({sql_exact_double(f"SUM({sql_dec_cast('p_ref')}) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)")}
+                   - {sql_exact_double(f"SUM({sql_dec_cast('p_cand')}) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)")})
+                 AS cdf_gap
+        FROM p
+    """,
+)
+def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4+: PSI/KS drift — even-series reference vs odd-series candidate
+    over 10 fixed bins of the value distribution; per bin: counts,
+    smoothed probabilities, PSI contribution, and the running-CDF gap
+    (max over rows = the KS statistic)."""
+    b = load(spark, sf_dir, "events").select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / F.lit(_BW)).cast("bigint"), F.lit(0)),
+            F.lit(_NBINS - 1),
+        ).alias("bin"),
+        (F.col("user_id") % 2 == 0).cast("int").alias("is_ref"),
+    )
+    c0 = b.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cand"),
+    )
+    # full bin spine (empty bins carry zero counts — the smoothing
+    # denominator presumes all _NBINS bins are present)
+    spine = spark.range(_NBINS).select(F.col("id").cast("bigint").alias("bin"))
+    c = (
+        F.broadcast(spine)
+        .join(c0, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = c.select(
+        "bin",
+        "n_ref",
+        "n_cand",
+        F.sum("n_ref").over(wall).cast("double").alias("tot_ref"),
+        F.sum("n_cand").over(wall).cast("double").alias("tot_cand"),
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.col("tot_ref") + F.lit(5.0))
+    p_cand = (F.col("n_cand") + F.lit(0.5)) / (F.col("tot_cand") + F.lit(5.0))
+    p = t.select(
+        "bin",
+        "n_ref",
+        "n_cand",
+        p_ref.alias("p_ref"),
+        p_cand.alias("p_cand"),
+        dround((p_ref - p_cand) * F.log(p_ref / p_cand), 6).alias("psi_contrib"),
+    )
+    wcdf = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return p.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        "p_ref",
+        "p_cand",
+        "psi_contrib",
+        F.abs(
+            exact_double(F.sum(dec_cast("p_ref")).over(wcdf))
+            - exact_double(F.sum(dec_cast("p_cand")).over(wcdf))
+        ).alias("cdf_gap"),
+    )

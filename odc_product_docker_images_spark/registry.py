@@ -100,6 +100,8 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.substrings",
     "odc_product_docker_images_spark.textvec.mixing",
     "odc_product_docker_images_spark.multimodal.resize",
+    "odc_product_docker_images_spark.operators.resample",
+    "odc_product_docker_images_spark.operators.drift",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in

@@ -799,3 +799,29 @@ def test_image_resize_is_zero_shuffle_arrow_map(spark):
     plan = C.formatted_plan(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_ohlc_is_one_grouped_shuffle(spark):
+    """OHLC bars: min_by/max_by hash aggregate, one Exchange, map-side
+    partials, no window pass and no join."""
+    from odc_product_docker_images_spark.operators.resample import agg_resample_ohlc
+
+    df = agg_resample_ohlc(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1
+    plan = C.formatted_plan(df)
+    assert "Window" not in plan and "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    C.assert_no_python_row_path(df)
+
+
+def test_drift_psi_shuffles_bins_not_corpus(spark):
+    """Drift: one scan, the bin hash-agg as the only corpus shuffle; the
+    spine join broadcasts; CDF windows run over the 10-row bin table."""
+    from odc_product_docker_images_spark.operators.drift import profile_drift_psi
+
+    df = profile_drift_psi(spark, SF)
+    assert C.scan_count(df) == 1
+    C.assert_no_python_row_path(df)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin " not in plan

@@ -183,3 +183,59 @@ def test_image_resize_matches_independent_loop(spark):
         assert r["px_sum"] == sum(flat)
         assert r["pos_weighted_sum"] == sum((i + 1) * v for i, v in enumerate(flat))
         assert r["max_px"] == max(flat)
+
+
+def test_ohlc_matches_independent_pandas(spark):
+    """Recompute hourly bars with pandas groupby first/last/min/max and
+    require identical values (open/close are raw stored doubles)."""
+    from odc_product_docker_images_spark.operators.resample import (
+        _BUCKET_S,
+        agg_resample_ohlc,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    ev["bucket"] = ev["sec"] // _BUCKET_S
+    ev = ev.sort_values(["sec", "event_id"])
+    g = ev.groupby(["user_id", "bucket"])["value"]
+    exp = g.agg(["first", "max", "min", "last", "count", "mean"])
+
+    got = {
+        (r["user_id"], r["bucket"]): r for r in agg_resample_ohlc(spark, SF).collect()
+    }
+    assert len(got) == len(exp)
+    for (uid, bkt), row in exp.iterrows():
+        r = got[(uid, bkt)]
+        assert r["open"] == row["first"] and r["close"] == row["last"]
+        assert r["high"] == row["max"] and r["low"] == row["min"]
+        assert r["n_obs"] == row["count"]
+        assert r["mean_value"] == pytest.approx(row["mean"], abs=1e-5)
+
+
+def test_drift_psi_matches_independent_numpy(spark):
+    """Recompute PSI/KS with plain numpy histograms; the full bin spine
+    must appear (empty bins with zero counts), probabilities must sum to
+    1, and the KS statistic must match the running-CDF gap max."""
+    from odc_product_docker_images_spark.operators.drift import (
+        _BW,
+        _NBINS,
+        profile_drift_psi,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    bins = np.clip((ev["value"].to_numpy() // _BW).astype(int), 0, _NBINS - 1)
+    ref = np.bincount(bins[ev["user_id"] % 2 == 0], minlength=_NBINS)
+    cand = np.bincount(bins[ev["user_id"] % 2 == 1], minlength=_NBINS)
+    p = (ref + 0.5) / (ref.sum() + 5.0)
+    q = (cand + 0.5) / (cand.sum() + 5.0)
+    psi = ((p - q) * np.log(p / q)).sum()
+    ks = np.abs(np.cumsum(p) - np.cumsum(q)).max()
+
+    rows = sorted(profile_drift_psi(spark, SF).collect(), key=lambda r: r["bin"])
+    assert [r["bin"] for r in rows] == list(range(_NBINS))  # full spine
+    assert [r["n_ref"] for r in rows] == ref.tolist()
+    assert [r["n_cand"] for r in rows] == cand.tolist()
+    assert sum(r["p_ref"] for r in rows) == pytest.approx(1.0, abs=1e-9)
+    assert sum(r["psi_contrib"] for r in rows) == pytest.approx(psi, abs=1e-4)
+    assert max(r["cdf_gap"] for r in rows) == pytest.approx(ks, abs=1e-6)
+    assert all(r["psi_contrib"] >= 0 for r in rows)  # PSI terms are nonneg
