@@ -137,9 +137,17 @@ GRADING_WINDOW = [
     # -- re-grades: code changed this round (arrow UDTF; merge-diff hoist) --
     "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
     "multimodal_jpeg_decode", "agg_mann_kendall",
-    # -- r5b: one slot left under the ~50-key window; the other r5b keys
-    #    (text_quality_lr_step, sink_geotiff_tiled, ...) head the r6
-    #    rotation list alongside anything else never driver-graded.
+    # -- r5b: one slot left under the ~50-key window; dedup_semantic took
+    #    it.  R6 ROTATION CHECKLIST — the keys registered in r5 that have
+    #    NEVER earned a driver CORRECTNESS row (all pass local parity;
+    #    move these into the window next round, releasing the 38 r4 keys
+    #    that will have earned their rows in r5):
+    #    text_quality_lr_step, sink_geotiff_tiled, window_cusum_change,
+    #    join_polygon_zone, proj_crs_roundtrip, dedup_substring_spans,
+    #    data_mix_temperature, window_seasonal_zscore,
+    #    multimodal_image_resize, agg_resample_ohlc, profile_drift_psi
+    #    (+ any keys added after this comment — check COVERAGE.md vs
+    #    CORRECTNESS_r* row history).
     "dedup_semantic",
 ]
 
