@@ -85,6 +85,7 @@ R5 = [
     "multimodal_image_resize",
     "agg_resample_ohlc",
     "profile_drift_psi",
+    "table_clone_shallow",
 ]
 
 

@@ -57,11 +57,14 @@ class VersionedTable:
     def _uri_to_relname(self, uri: str) -> str:
         """Map an ``input_file_name()`` URI onto its manifest-relative name
         (manifest entries are ``<subdir>/<part>.parquet`` under the table
-        root)."""
+        root — or ``../<other_table>/...`` traversal refs for files a
+        SHALLOW CLONE borrows from its source table; os.path.relpath
+        yields both forms with one normalization)."""
+        import os.path
         from urllib.parse import unquote, urlparse
 
         p = Path(unquote(urlparse(uri).path))
-        return str(p.resolve().relative_to(self.path.resolve()))
+        return os.path.relpath(p.resolve(), self.path.resolve())
 
     # -- log ---------------------------------------------------------------
 
@@ -158,6 +161,27 @@ class VersionedTable:
         elif mode != "append" and mode != "overwrite":
             raise ValueError(f"mode must be append|overwrite, got {mode!r}")
         return self._commit(new_files, mode)
+
+    def clone_shallow(self, dest_path: str) -> "VersionedTable":
+        """SHALLOW CLONE (Delta ``CREATE TABLE ... SHALLOW CLONE`` analog):
+        a new table whose v0 manifest REFERENCES this table's current data
+        files (as ``..``-style traversal refs) without copying a byte.
+        Writes/merges on the clone copy-on-write into the clone's own
+        data/ directory, so the two tables diverge independently while
+        untouched files stay shared; the clone's vacuum never deletes
+        borrowed files (guarded above).  At 100 TB a clone is a manifest
+        write — O(|files|) metadata, zero data movement — which is what
+        makes dev/test forks of production tables free."""
+        import os.path
+
+        dest = VersionedTable(dest_path, stat_cols=self.stat_cols)
+        dest.path.mkdir(parents=True, exist_ok=True)
+        refs = [
+            os.path.relpath(os.path.realpath(f), dest.path.resolve())
+            for f in self.snapshot_files()
+        ]
+        dest._commit(refs, "clone")
+        return dest
 
     def compact(self, spark: SparkSession, n_files: int = 1) -> int:
         """Rewrite the LATEST snapshot into ``n_files`` files as a new
@@ -288,7 +312,10 @@ class VersionedTable:
             f
             for v in drop_vs
             for f in self._manifest(v)["files"]
-            if f not in keep_files
+            # never follow a shallow-clone traversal ref outside the table
+            # root: those files belong to the SOURCE table (Delta vacuum's
+            # own rule — only files under the table directory are eligible)
+            if f not in keep_files and ".." not in Path(f).parts
         }
         for f in sorted(drop_files):
             p = self.path / f
@@ -738,3 +765,49 @@ def table_restore(spark: SparkSession, sf_dir: str) -> DataFrame:
         for v in t.versions()
     ]
     return reduce(lambda a, b: a.unionByName(b), snaps)
+
+
+@register(
+    "table_clone_shallow",
+    oracle=f"""
+        SELECT 'clone' AS side, COUNT(*) AS n_rows,
+               {sql_dsum("value", "sum_value")}
+        FROM (
+            SELECT CASE WHEN event_id < 1000 AND event_id % 2 = 0
+                        THEN value + 1000 ELSE value END AS value
+            FROM events
+            UNION ALL
+            SELECT value * 2 AS value FROM events WHERE event_id < 100
+        )
+        UNION ALL
+        SELECT 'source', COUNT(*), {sql_dsum("value", "sum_value")}
+        FROM events
+    """,
+)
+def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: SHALLOW CLONE + divergence isolation.  v0 of the
+    clone is a manifest of traversal refs into the source's files (zero
+    data copied — pinned in tests/test_versioned.py); a MERGE into the
+    CLONE copy-on-writes only its own data directory.  The output proves
+    isolation both ways: the clone reads the merged state while the
+    source still reads its original bytes, even though the two tables
+    share every untouched file."""
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    src = _fresh_table("clsrc")
+    src.write(ev.repartitionByRange(8, "event_id"), mode="overwrite")
+    dest = src.clone_shallow(str(src.path.parent / f"{src.path.name}_clone"))
+    upd = ev.where((F.col("event_id") < 1000) & (F.col("event_id") % 2 == 0)).select(
+        "event_id", (F.col("value") + 1000).alias("value")
+    )
+    ins = ev.where(F.col("event_id") < 100).select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        (F.col("value") * 2).alias("value"),
+    )
+    dest.merge(spark, upd.unionByName(ins), key="event_id")
+    sides = [
+        t.read(spark)
+        .agg(F.count(F.lit(1)).alias("n_rows"), dsum("value", "sum_value"))
+        .select(F.lit(name).alias("side"), "n_rows", "sum_value")
+        for name, t in (("clone", dest), ("source", src))
+    ]
+    return reduce(lambda a, b: a.unionByName(b), sides)

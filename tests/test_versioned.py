@@ -232,3 +232,46 @@ def test_restore_relists_files_without_copying(spark, sf_dir):
 
     with _pt.raises(ValueError, match="does not exist"):
         t.restore(99)
+
+
+def test_shallow_clone_shares_files_and_diverges(spark):
+    """Clone v0 must copy ZERO data files (all traversal refs into the
+    source); a merge into the clone rewrites only its own data dir while
+    untouched refs stay shared; the source keeps reading its original
+    bytes; clone vacuum never deletes borrowed source files."""
+    src = _table()
+    df = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v")
+    )
+    src.write(df.repartitionByRange(4, "k"), mode="overwrite")
+    before_rows = src.read(spark).count()
+
+    dest = src.clone_shallow(str(src.path.parent / f"{src.path.name}_c"))
+    refs = dest._manifest(0)["files"]
+    assert refs and all(".." in Path(f).parts for f in refs)  # zero copy
+    assert not dest.data_dir.exists() or not list(dest.data_dir.rglob("*.parquet"))
+    assert dest.read(spark).count() == before_rows
+
+    upd = df.where("k < 100").select("k", (F.col("v") + 1.0).alias("v"))
+    dest.merge(spark, upd, key="k")
+    m1 = dest._manifest(dest.latest_version())["files"]
+    external = [f for f in m1 if ".." in Path(f).parts]
+    local = [f for f in m1 if ".." not in Path(f).parts]
+    assert external and local  # partial rewrite: shared + own files
+    assert len(external) < len(refs)  # the touched ref was dropped
+
+    # divergence isolation: the source still reads its original content
+    assert src.read(spark).count() == before_rows
+    assert src.read(spark).where("k < 100").agg(F.sum("v")).collect()[0][0] == sum(
+        2.0 * k for k in range(100)
+    )
+    assert dest.read(spark).where("k < 100").agg(F.sum("v")).collect()[0][0] == sum(
+        2.0 * k + 1.0 for k in range(100)
+    )
+
+    # vacuum on the clone drops its history but never borrowed files
+    src_files = set(src.snapshot_files())
+    deleted, dropped = dest.vacuum(retain_last=1)
+    assert dropped == 1
+    assert all(Path(f).exists() for f in src_files)
+    assert src.read(spark).count() == before_rows
