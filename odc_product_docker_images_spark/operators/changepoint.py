@@ -213,19 +213,34 @@ def window_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "sec", "month",
         dround((F.col("value") - mu) / F.sqrt(var), 6).alias("z"),
     )
+    # per-series rollup as windows over the SAME partition key (a
+    # groupBy + join-back duplicated the whole z subtree: 2 scans /
+    # 5 Exchanges — the window_cusum_change lesson applied here too)
+    wp = Window.partitionBy("user_id").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     warg = Window.partitionBy("user_id").orderBy(
         F.abs(F.col("z")).desc(), "sec", "event_id"
     )
-    r = z.withColumn("rn", F.row_number().over(warg)).where(F.col("rn") == 1)
-    s = z.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_scored"),
-        F.sum((F.abs("z") >= F.lit(2.0)).cast("int")).alias("n_anomalies"),
-    )
-    return r.join(s, "user_id").select(
-        "user_id",
-        F.col("n_scored").cast("bigint").alias("n_scored"),
-        F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
-        F.col("event_id").alias("peak_event_id"),
-        F.col("month").cast("int").alias("peak_month"),
-        F.col("z").alias("peak_z"),
+    return (
+        z.select(
+            "user_id",
+            "event_id",
+            "month",
+            "z",
+            F.count(F.lit(1)).over(wp).alias("n_scored"),
+            F.sum((F.abs("z") >= F.lit(2.0)).cast("int")).over(wp).alias(
+                "n_anomalies"
+            ),
+            F.row_number().over(warg).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n_scored").cast("bigint").alias("n_scored"),
+            F.col("n_anomalies").cast("bigint").alias("n_anomalies"),
+            F.col("event_id").alias("peak_event_id"),
+            F.col("month").cast("int").alias("peak_month"),
+            F.col("z").alias("peak_z"),
+        )
     )

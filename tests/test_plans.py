@@ -780,7 +780,10 @@ def test_seasonal_zscore_two_partitioned_windows_only(spark):
     )
 
     df = window_seasonal_zscore(spark, SF)
-    assert C.scan_count(df) <= 2  # self-join branch may re-plan the scan
+    # groupBy+join-back first cut planned 2 scans / 5 Exchanges; the
+    # all-windows form is one scan with the month + series partitions
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 2
     C.assert_no_python_row_path(df)
     C.assert_columns_pruned(df, {"user_id", "event_id", "ts", "value"})
 
