@@ -53,6 +53,46 @@ _TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
 _TYPE_SIZE = {_SHORT: 2, _LONG: 4, _DOUBLE: 8}
 
 
+def pack_ifd(entries: list[tuple[int, int, int, int]]) -> bytes:
+    """Pack an IFD: entry count + 12-byte entries (inline-left-packed for a
+    single SHORT, out-of-line offset otherwise) + the no-next-IFD pointer.
+    Shared by the striped and tiled writers — the inline-value rule lives
+    in exactly one place."""
+    out = bytearray(struct.pack("<H", len(entries)))
+    for tag, typ, cnt, val in entries:
+        if typ == _SHORT and cnt == 1:  # inline value, left-packed
+            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, val)
+    out += struct.pack("<I", 0)  # no next IFD
+    return bytes(out)
+
+
+def parse_ifd(payload: bytes) -> dict[int, tuple]:
+    """Walk a little-endian classic-TIFF header + first IFD into a
+    tag → values dict (inline vs out-of-line by size; unknown types
+    skipped per spec).  Shared by both independent decoders."""
+    if payload[:4] != b"II*\x00":
+        raise NotImplementedError(f"unsupported container: {payload[:4]!r}")
+    (ifd_off,) = struct.unpack_from("<I", payload, 4)
+    (n,) = struct.unpack_from("<H", payload, ifd_off)
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        base = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack_from("<HHI", payload, base)
+        if typ not in _TYPE_FMT:
+            continue  # unknown type: skip per spec
+        size = _TYPE_SIZE[typ] * cnt
+        off = base + 8 if size <= 4 else struct.unpack_from("<I", payload, base + 8)[0]
+        tags[tag] = struct.unpack_from("<" + _TYPE_FMT[typ] * cnt, payload, off)
+    return tags
+
+
+def geokeys(gk: tuple) -> dict[int, int]:
+    """GeoKeyDirectory (tag 34735) entries → key id → value dict."""
+    return {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range((len(gk) - 4) // 4)}
+
+
 def _pack_tiff(raster) -> bytes:
     """Encode a (h, w) uint16 raster as a striped classic TIFF with geo
     tags.  One strip per row; offset/byte-count arrays, the two double
@@ -92,13 +132,7 @@ def _pack_tiff(raster) -> bytes:
         (34735, _SHORT, 16, gk_off),  # GeoKeyDirectory
     ]
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", n_entries)
-    for tag, typ, cnt, val in entries:
-        if typ == _SHORT and cnt == 1:  # inline value, left-packed
-            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
-        else:
-            out += struct.pack("<HHII", tag, typ, cnt, val)
-    out += struct.pack("<I", 0)  # no next IFD
+    out += pack_ifd(entries)
     out += struct.pack(f"<{h}I", *offsets)
     out += struct.pack(f"<{h}I", *sbc)
     out += struct.pack("<3d", *_SCALE)
@@ -115,19 +149,7 @@ def _decode_tiff(payload: bytes):
     Returns (w, h, raster uint16 (h, w), pixel_scale, tiepoint, geokeys)."""
     import numpy as np
 
-    if payload[:4] != b"II*\x00":
-        raise NotImplementedError(f"unsupported container: {payload[:4]!r}")
-    (ifd_off,) = struct.unpack_from("<I", payload, 4)
-    (n,) = struct.unpack_from("<H", payload, ifd_off)
-    tags: dict[int, tuple] = {}
-    for i in range(n):
-        base = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack_from("<HHI", payload, base)
-        if typ not in _TYPE_FMT:
-            continue  # unknown type: skip per spec
-        size = _TYPE_SIZE[typ] * cnt
-        off = base + 8 if size <= 4 else struct.unpack_from("<I", payload, base + 8)[0]
-        tags[tag] = struct.unpack_from("<" + _TYPE_FMT[typ] * cnt, payload, off)
+    tags = parse_ifd(payload)
     w, h = tags[256][0], tags[257][0]
     if (tags[258][0], tags[259][0], tags[277][0], tags.get(339, (1,))[0]) != (16, 1, 1, 1):
         raise NotImplementedError("only uncompressed single-band uint16 supported")
@@ -159,7 +181,7 @@ def _decode_scenes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for et, payload in zip(pdf["event_type"], pdf["payload"]):
             w, h, raster, ps, tp, gk = _decode_tiff(bytes(payload))
-            keys = {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range((len(gk) - 4) // 4)}
+            keys = geokeys(gk)
             flat = raster.astype(np.int64).ravel()
             rows.append(
                 (

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from .geotiff import _DOUBLE, _LONG, _SHORT, geokeys, pack_ifd, parse_ifd
 
 _W, _H = 48, 32  # scene raster; multiples of the tile edge by construction
 _TILE = 16
@@ -47,10 +48,6 @@ _SCALE = (12.5, 50.0, 0.0)
 _TIEPOINT = (0.0, 0.0, 0.0, 0.0, 1600.0, 0.0)
 _EPSG = 4326
 _GEOKEYS = (1, 1, 0, 3, 1024, 0, 1, 2, 1025, 0, 1, 1, 2048, 0, 1, _EPSG)
-
-_SHORT, _LONG, _DOUBLE = 3, 4, 12
-_TYPE_FMT = {_SHORT: "H", _LONG: "I", _DOUBLE: "d"}
-_TYPE_SIZE = {_SHORT: 2, _LONG: 4, _DOUBLE: 8}
 
 
 def _pack_tiled(raster) -> bytes:
@@ -97,13 +94,7 @@ def _pack_tiled(raster) -> bytes:
         (34735, _SHORT, 16, gk_off),
     ]
     out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
-    out += struct.pack("<H", n_entries)
-    for tag, typ, cnt, val in entries:
-        if typ == _SHORT and cnt == 1:
-            out += struct.pack("<HHIHH", tag, typ, cnt, val, 0)
-        else:
-            out += struct.pack("<HHII", tag, typ, cnt, val)
-    out += struct.pack("<I", 0)
+    out += pack_ifd(entries)
     out += struct.pack(f"<{n_tiles}I", *offsets)
     out += struct.pack(f"<{n_tiles}I", *tbc)
     out += struct.pack("<3d", *_SCALE)
@@ -119,19 +110,7 @@ def _decode_tiled(payload: bytes):
     row-major, crop any tile padding back to (ImageLength, ImageWidth)."""
     import numpy as np
 
-    if payload[:4] != b"II*\x00":
-        raise NotImplementedError(f"unsupported container: {payload[:4]!r}")
-    (ifd_off,) = struct.unpack_from("<I", payload, 4)
-    (n,) = struct.unpack_from("<H", payload, ifd_off)
-    tags: dict[int, tuple] = {}
-    for i in range(n):
-        base = ifd_off + 2 + 12 * i
-        tag, typ, cnt = struct.unpack_from("<HHI", payload, base)
-        if typ not in _TYPE_FMT:
-            continue
-        size = _TYPE_SIZE[typ] * cnt
-        off = base + 8 if size <= 4 else struct.unpack_from("<I", payload, base + 8)[0]
-        tags[tag] = struct.unpack_from("<" + _TYPE_FMT[typ] * cnt, payload, off)
+    tags = parse_ifd(payload)
     w, h = tags[256][0], tags[257][0]
     if (tags[258][0], tags[259][0], tags[277][0], tags.get(339, (1,))[0]) != (16, 8, 1, 1):
         raise NotImplementedError("only Deflate single-band uint16 supported")
@@ -169,7 +148,7 @@ def _decode_scenes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rows = []
         for et, payload in zip(pdf["event_type"], pdf["payload"]):
             w, h, raster, ps, tp, gk = _decode_tiled(bytes(payload))
-            keys = {gk[4 + 4 * i]: gk[7 + 4 * i] for i in range((len(gk) - 4) // 4)}
+            keys = geokeys(gk)
             flat = raster.astype(np.int64).ravel()
             rows.append(
                 (

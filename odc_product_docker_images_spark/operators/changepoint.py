@@ -93,7 +93,12 @@ def window_cusum_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     n_obs = F.count(F.lit(1)).over(wp)
-    mu = exact_double(F.sum(dec_cast("value")).over(wp)) / n_obs.cast("double")
+    # divide by COUNT(value), not COUNT(*): the oracle's sql_davg twin
+    # skips NULLs in the denominator — identical today (no NULLs in the
+    # fixture) but a latent divergence if a scale tier introduces them
+    mu = exact_double(F.sum(dec_cast("value")).over(wp)) / F.count("value").over(
+        wp
+    ).cast("double")
     wsum = (
         Window.partitionBy("user_id")
         .orderBy("sec", "event_id")

@@ -61,7 +61,7 @@ _P_CAND = "((n_cand + CAST(0.5 AS DOUBLE)) / (tot_cand + CAST(5.0 AS DOUBLE)))"
             SELECT CAST(s.i AS BIGINT) AS bin,
                    COALESCE(n_ref, 0) AS n_ref,
                    COALESCE(n_cand, 0) AS n_cand
-            FROM RANGE(0, 10) s(i) LEFT JOIN c0 ON c0.bin = s.i
+            FROM RANGE(0, {_NBINS}) s(i) LEFT JOIN c0 ON c0.bin = s.i
         ), t AS (
             SELECT bin, n_ref, n_cand,
                    CAST(SUM(n_ref) OVER () AS DOUBLE) AS tot_ref,

@@ -105,7 +105,10 @@ def join_polygon_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     event stream, count ray crossings per (point, zone), keep odd parity,
     roll up per-zone stats.  The data-driven sibling of the literal
     `filter_polygon` predicate."""
-    ev = load(spark, sf_dir, "events").select(
+    # repartition before the broadcast fan-out: the single-file fixture
+    # is one partition, and the 11-edge multiply + parity partials would
+    # otherwise run in a single serialized task (CLAUDE.md rule)
+    ev = load(spark, sf_dir, "events").repartition(32).select(
         "event_id", F.col("value").alias("px"),
         F.col("user_id").cast("double").alias("py"), "value",
     )

@@ -145,7 +145,8 @@ GRADING_WINDOW = [
     #    text_quality_lr_step, sink_geotiff_tiled, window_cusum_change,
     #    join_polygon_zone, proj_crs_roundtrip, dedup_substring_spans,
     #    data_mix_temperature, window_seasonal_zscore,
-    #    multimodal_image_resize, agg_resample_ohlc, profile_drift_psi
+    #    multimodal_image_resize, agg_resample_ohlc, profile_drift_psi,
+    #    table_clone_shallow
     #    (+ any keys added after this comment — check COVERAGE.md vs
     #    CORRECTNESS_r* row history).
     "dedup_semantic",

@@ -179,12 +179,15 @@ def bpe_train_pair_counts(
             FROM (SELECT UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents) t
             WHERE w <> ''
             GROUP BY 1
+        ), wi AS (
+            -- length-driven per-row UNNEST (no fixed word-length cap)
+            SELECT w, freq, UNNEST(RANGE(1, CAST(LEN(w) AS BIGINT))) AS i
+            FROM wf
         ), p AS (
             SELECT SUBSTRING(w, CAST(i AS INTEGER), 1) AS l,
                    SUBSTRING(w, CAST(i AS INTEGER) + 1, 1) AS r,
                    SUM(freq) AS pair_count
-            FROM wf, RANGE(1, 64) t(i)
-            WHERE i <= LEN(w) - 1
+            FROM wi
             GROUP BY 1, 2
         )
         SELECT l, r, CAST(pair_count AS BIGINT) AS pair_count,

@@ -11,7 +11,7 @@ sibling of the fixed-rate mixer, the way `text_quality_lr_step` is the
 learned sibling of the heuristic quality gate.
 
 Spark-first: source counts are one grouped shuffle; the corpus total is
-a 1-row broadcast (cross join); the 20-row rate table broadcasts back
+a 1-row broadcast (cross join); the |langs|-row rate table broadcasts back
 onto the document scan where the deterministic multiplicative-hash gate
 (same `_bucket` as sample_split — no rand(), reproducible across
 engines and partitionings) applies the rate.  At 100 TB this is the
@@ -26,10 +26,8 @@ an integer bucket against rate·100 — identical doubles both sides.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-
-from pyspark.sql import Window
 
 from ..functions.det import dec_cast, dround, exact_double, sql_dround, sql_dsum
 from ..io import load
@@ -44,37 +42,37 @@ _BUDGET = 0.3  # target sample fraction of the corpus
     "data_mix_temperature",
     oracle=f"""
         WITH c AS (
-            SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+            SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
         ), w AS (
-            SELECT source, n_docs,
+            SELECT lang, n_docs,
                    {sql_dround(f"POW(CAST(n_docs AS DOUBLE), CAST({_ALPHA!r} AS DOUBLE))")} AS wgt
             FROM c
         ), tot AS (
             SELECT {sql_dsum("wgt", "total")}, SUM(n_docs) AS n_corpus FROM w
         ), r AS (
-            SELECT source, n_docs, wgt, wgt / total AS p_sample,
+            SELECT lang, n_docs, wgt, wgt / total AS p_sample,
                    LEAST(CAST(1.0 AS DOUBLE),
                          CAST({_BUDGET!r} AS DOUBLE) * n_corpus * (wgt / total)
                            / CAST(n_docs AS DOUBLE)) AS keep_rate
             FROM w CROSS JOIN tot
         )
-        SELECT r.source, CAST(r.n_docs AS BIGINT) AS n_docs, r.wgt AS weight,
+        SELECT r.lang, CAST(r.n_docs AS BIGINT) AS n_docs, r.wgt AS weight,
                r.p_sample, r.keep_rate,
                CAST(SUM(CASE WHEN {_sql_bucket()} < keep_rate * 100.0
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
-        FROM r JOIN documents d ON r.source = d.source
+        FROM r JOIN documents d ON r.lang = d.lang
         GROUP BY 1, 2, 3, 4, 5
     """,
 )
 def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4+++: temperature mixture — derive p_s ∝ n_s^α and budgeted keep
     rates from the corpus, then apply them through the deterministic hash
-    gate; one row per source with the derived weight, mixture
+    gate; one row per language with the derived weight, mixture
     probability, keep rate, and realized kept count."""
     dc = load(spark, sf_dir, "documents")
-    c = dc.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    c = dc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
     w = c.select(
-        "source",
+        "lang",
         "n_docs",
         dround(F.pow(F.col("n_docs").cast("double"), F.lit(_ALPHA))).alias("wgt"),
     )
@@ -85,13 +83,13 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     r = w.select(
-        "source",
+        "lang",
         "n_docs",
         "wgt",
         exact_double(F.sum(dec_cast("wgt")).over(wall)).alias("total"),
         F.sum("n_docs").over(wall).alias("n_corpus"),
     ).select(
-        "source",
+        "lang",
         "n_docs",
         "wgt",
         (F.col("wgt") / F.col("total")).alias("p_sample"),
@@ -103,11 +101,11 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double"),
         ).alias("keep_rate"),
     )
-    gated = dc.select("doc_id", "source", _bucket().alias("bucket")).join(
-        F.broadcast(r), "source"
+    gated = dc.select("doc_id", "lang", _bucket().alias("bucket")).join(
+        F.broadcast(r), "lang"
     )
     return gated.groupBy(
-        "source", "n_docs", "wgt", "p_sample", "keep_rate"
+        "lang", "n_docs", "wgt", "p_sample", "keep_rate"
     ).agg(
         F.sum(
             (F.col("bucket") < F.col("keep_rate") * F.lit(100.0)).cast("int")
@@ -115,7 +113,7 @@ def data_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_kept")
     ).select(
-        "source",
+        "lang",
         F.col("n_docs").cast("bigint").alias("n_docs"),
         F.col("wgt").alias("weight"),
         "p_sample",

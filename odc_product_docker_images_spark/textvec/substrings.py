@@ -47,12 +47,19 @@ _W = 8  # window width in tokens (the corpus's 8-gram convention)
             SELECT doc_id, STRING_SPLIT(text, ' ') AS toks,
                    LEN(STRING_SPLIT(text, ' ')) AS n_tok
             FROM documents
+        ), wp AS (
+            -- per-row UNNEST(RANGE(...)) is length-driven (no fixed cap a
+            -- longer fixture could silently exceed) and yields no rows for
+            -- docs shorter than the window
+            SELECT doc_id, n_tok,
+                   UNNEST(RANGE(1, CAST(n_tok AS BIGINT) - {_W - 2})) AS pos,
+                   toks
+            FROM t
         ), w AS (
-            SELECT doc_id, n_tok, CAST(i AS BIGINT) AS pos,
-                   MD5(ARRAY_TO_STRING(LIST_SLICE(toks, CAST(i AS INTEGER),
-                       CAST(i + {_W - 1} AS INTEGER)), ' ')) AS h
-            FROM t, RANGE(1, 128) r(i)
-            WHERE i <= n_tok - {_W - 1}
+            SELECT doc_id, n_tok, pos,
+                   MD5(ARRAY_TO_STRING(LIST_SLICE(toks, CAST(pos AS INTEGER),
+                       CAST(pos + {_W - 1} AS INTEGER)), ' ')) AS h
+            FROM wp
         ), occ AS (
             SELECT doc_id, n_tok, pos,
                    COUNT(*) OVER (PARTITION BY h) AS n_occ

@@ -83,24 +83,24 @@ def test_temperature_mixing_matches_independent_numpy(spark):
     from odc_product_docker_images_spark.textvec.pipeline import _KNUTH
 
     docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
-    counts = docs.groupby("source").size()
+    counts = docs.groupby("lang").size()  # genuinely non-uniform (source is flat)
     w = counts.to_numpy(np.float64) ** _ALPHA
     p = w / w.sum()
     n_corpus = counts.sum()
     rate = np.minimum(1.0, _BUDGET * n_corpus * p / counts.to_numpy(np.float64))
-    rate_by_src = dict(zip(counts.index, rate))
+    rate_by_lang = dict(zip(counts.index, rate))
     kept = {
         s: int(
             sum(
                 1
-                for d in docs[docs["source"] == s]["doc_id"]
-                if (d * _KNUTH) % 100 < rate_by_src[s] * 100.0
+                for d in docs[docs["lang"] == s]["doc_id"]
+                if (d * _KNUTH) % 100 < rate_by_lang[s] * 100.0
             )
         )
         for s in counts.index
     }
 
-    rows = {r["source"]: r for r in data_mix_temperature(spark, SF).collect()}
+    rows = {r["lang"]: r for r in data_mix_temperature(spark, SF).collect()}
     assert set(rows) == set(counts.index)
     assert sum(r["p_sample"] for r in rows.values()) == pytest.approx(1.0, abs=1e-9)
     for i, s in enumerate(counts.index):
@@ -110,8 +110,12 @@ def test_temperature_mixing_matches_independent_numpy(spark):
         assert r["p_sample"] == pytest.approx(p[i], abs=1e-6)
         assert r["keep_rate"] == pytest.approx(rate[i], abs=1e-6)
         assert r["n_kept"] == kept[s]
-    # the budget must actually bind somewhere and saturate somewhere else
-    assert any(r["keep_rate"] == 1.0 for r in rows.values()) or True
+    # the temperature property must actually hold: alpha < 1 upweights
+    # the tail, so the smallest language keeps a HIGHER rate than the largest
+    smallest = counts.idxmin()
+    largest = counts.idxmax()
+    assert counts[smallest] < counts[largest]  # the fixture is non-uniform
+    assert rows[smallest]["keep_rate"] > rows[largest]["keep_rate"]
     total_kept = sum(r["n_kept"] for r in rows.values())
     assert 0 < total_kept < n_corpus
 
