@@ -86,6 +86,9 @@ R5 = [
     "agg_resample_ohlc",
     "profile_drift_psi",
     "table_clone_shallow",
+    "agg_funnel_steps",
+    "agg_retention_cohort",
+    "proj_unpivot_bands",
 ]
 
 

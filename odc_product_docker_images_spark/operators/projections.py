@@ -125,3 +125,49 @@ def filter_bitmask(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(qa, 3).bitwiseAND(F.lit(1)).cast("bigint").alias("cloud_bit"),
         )
     )
+
+
+@register(
+    "proj_unpivot_bands",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, band, value FROM (
+            SELECT l_orderkey, l_linenumber, 'quantity' AS band,
+                   l_quantity AS value FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'discount', l_discount
+            FROM lineitem
+            UNION ALL
+            SELECT l_orderkey, l_linenumber, 'tax', l_tax FROM lineitem
+        ) WHERE l_orderkey % 7 = 0
+    """,
+)
+def proj_unpivot_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/r5f: wide→long band reshaping — the UNPIVOT/melt direction
+    `agg_pivot` inverts.  The datacube's measurement columns become
+    (key, band, value) rows, the layout every per-band groupBy/window
+    in this engine consumes.  Spark-first: the native ``unpivot``
+    (Expand node — one scan, zero shuffle, each input row fans out
+    map-side); the oracle states the same reshape as the portable
+    UNION ALL.  Values are raw stored doubles — no arithmetic, no
+    rounding, nothing to diverge."""
+    lf = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") % 7 == 0)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_quantity").alias("quantity"),
+            F.col("l_extendedprice").alias("extendedprice"),
+            F.col("l_discount").alias("discount"),
+            F.col("l_tax").alias("tax"),
+        )
+    )
+    return lf.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["quantity", "extendedprice", "discount", "tax"],
+        "band",
+        "value",
+    )

@@ -102,6 +102,7 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.resize",
     "odc_product_docker_images_spark.operators.resample",
     "odc_product_docker_images_spark.operators.drift",
+    "odc_product_docker_images_spark.operators.funnel",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in
@@ -146,7 +147,8 @@ GRADING_WINDOW = [
     #    join_polygon_zone, proj_crs_roundtrip, dedup_substring_spans,
     #    data_mix_temperature, window_seasonal_zscore,
     #    multimodal_image_resize, agg_resample_ohlc, profile_drift_psi,
-    #    table_clone_shallow
+    #    table_clone_shallow, agg_funnel_steps, agg_retention_cohort,
+    #    proj_unpivot_bands
     #    (+ any keys added after this comment — check COVERAGE.md vs
     #    CORRECTNESS_r* row history).
     "dedup_semantic",

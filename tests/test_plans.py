@@ -828,3 +828,40 @@ def test_drift_psi_shuffles_bins_not_corpus(spark):
     C.assert_no_python_row_path(df)
     plan = C.formatted_plan(df)
     assert "SortMergeJoin " not in plan
+
+
+def test_funnel_is_single_scan_single_exchange(spark):
+    """Cascaded conditional-MIN windows and the rollup all share one user
+    partitioning: 1 scan, 1 Exchange, no join, no Python."""
+    from odc_product_docker_images_spark.operators.funnel import agg_funnel_steps
+
+    df = agg_funnel_steps(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_unpivot_is_map_side_expand(spark):
+    """UNPIVOT must plan as an Expand over the scan: zero shuffles, the
+    fan-out happens map-side."""
+    from odc_product_docker_images_spark.operators.projections import (
+        proj_unpivot_bands,
+    )
+
+    df = proj_unpivot_bands(spark, SF)
+    assert C.exchange_count(df) == 0
+    assert "Expand" in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_retention_single_scan_windowed_cohort_size(spark):
+    """Cohort sizes come from a window over the distinct rows, not a
+    join-back (which duplicated the subtree: 2 scans / 5 Exchanges)."""
+    from odc_product_docker_images_spark.operators.funnel import agg_retention_cohort
+
+    df = agg_retention_cohort(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 SF = "/root/testdata/sf0.01"
 
@@ -243,3 +244,97 @@ def test_drift_psi_matches_independent_numpy(spark):
     assert sum(r["psi_contrib"] for r in rows) == pytest.approx(psi, abs=1e-4)
     assert max(r["cdf_gap"] for r in rows) == pytest.approx(ks, abs=1e-6)
     assert all(r["psi_contrib"] >= 0 for r in rows)  # PSI terms are nonneg
+
+
+def test_funnel_matches_independent_pandas(spark):
+    """Recompute the strictly-ordered funnel per user with a plain Python
+    scan over the sorted events and require identical step times."""
+    from odc_product_docker_images_spark.operators.funnel import agg_funnel_steps
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["sec"] = ev["ts"].astype("datetime64[s]").astype("int64")
+    got = {r["user_id"]: r for r in agg_funnel_steps(spark, SF).collect()}
+    assert len(got) == ev["user_id"].nunique()
+
+    for uid, g in ev.groupby("user_id"):
+        t1 = g.loc[g["event_type"] == "view", "sec"].min()
+        t1 = None if np.isnan(t1) else int(t1)
+        t2 = t3 = None
+        if t1 is not None:
+            c = g.loc[(g["event_type"] == "click") & (g["sec"] > t1), "sec"].min()
+            t2 = None if np.isnan(c) else int(c)
+        if t2 is not None:
+            pch = g.loc[(g["event_type"] == "purchase") & (g["sec"] > t2), "sec"].min()
+            t3 = None if np.isnan(pch) else int(pch)
+        r = got[uid]
+        assert (r["t_view"], r["t_click"], r["t_purchase"]) == (t1, t2, t3)
+        assert r["stage"] == sum(t is not None for t in (t1, t2, t3))
+    # the fixture must exercise partial funnels as well as full ones
+    stages = {r["stage"] for r in got.values()}
+    assert 3 in stages
+
+
+def test_retention_cohort_matches_independent_pandas(spark):
+    """Recompute the cohort matrix with pandas; retention must be the
+    exact integer ratio and offset-0 retention exactly 1.0."""
+    from odc_product_docker_images_spark.operators.funnel import (
+        _WEEK,
+        agg_retention_cohort,
+    )
+
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["week"] = ev["ts"].astype("datetime64[s]").astype("int64") // _WEEK
+    first = ev.groupby("user_id")["week"].min().rename("cohort")
+    j = ev.join(first, on="user_id")
+    j["off"] = j["week"] - j["cohort"]
+    cells = j.drop_duplicates(["user_id", "cohort", "off"])
+    exp = cells.groupby(["cohort", "off"]).size()
+    cohort_sizes = first.value_counts()
+
+    rows = agg_retention_cohort(spark, SF).collect()
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert r["n_active"] == exp[(r["cohort_week"], r["week_offset"])]
+        assert r["n_cohort"] == cohort_sizes[r["cohort_week"]]
+        assert r["retention"] == r["n_active"] / r["n_cohort"]
+        if r["week_offset"] == 0:
+            assert r["retention"] == 1.0
+
+
+def test_unpivot_is_exact_fanout(spark):
+    """Every kept input row must fan out to exactly 4 band rows with the
+    raw stored values."""
+    from odc_product_docker_images_spark.operators.projections import (
+        proj_unpivot_bands,
+    )
+
+    lf = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    kept = lf[lf["l_orderkey"] % 7 == 0]
+    df = proj_unpivot_bands(spark, SF)
+    assert df.count() == 4 * len(kept)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic fixture
+    # (45,832 distinct pairs of 60,000 rows), so compare the MULTISET of
+    # (band, value) rows for one key pair against pandas
+    one = kept.iloc[0]
+    sub = kept[
+        (kept["l_orderkey"] == one["l_orderkey"])
+        & (kept["l_linenumber"] == one["l_linenumber"])
+    ]
+    got_rows = sorted(
+        (r["band"], r["value"])
+        for r in df.where(
+            (F.col("l_orderkey") == int(one["l_orderkey"]))
+            & (F.col("l_linenumber") == int(one["l_linenumber"]))
+        ).collect()
+    )
+    exp_rows = sorted(
+        (band, row[src])
+        for _, row in sub.iterrows()
+        for band, src in [
+            ("quantity", "l_quantity"),
+            ("extendedprice", "l_extendedprice"),
+            ("discount", "l_discount"),
+            ("tax", "l_tax"),
+        ]
+    )
+    assert got_rows == exp_rows
