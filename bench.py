@@ -89,6 +89,8 @@ R5 = [
     "agg_funnel_steps",
     "agg_retention_cohort",
     "proj_unpivot_bands",
+    "profile_skew_keys",
+    "stream_ohlc_bars",
 ]
 
 

@@ -120,3 +120,65 @@ def table_constraint_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("l_extendedprice") <= 0).cast("int")).alias("price_positive_viol"),
     ]
     return lf.agg(F.count(F.lit(1)).alias("n_rows"), *viol)
+
+
+_SKEW_KEYS = ["l_orderkey", "l_partkey", "l_suppkey"]
+# hot-key pick packs (count, key) into one orderable BIGINT: count·10^12 −
+# key — max count wins, ties break to the SMALLEST key.  Holds while
+# count < 9·10^6 and key < 10^12 (orders beyond any fixture tier).
+_PACK = 1_000_000_000_000
+
+
+@register(
+    "profile_skew_keys",
+    oracle=f"""
+        WITH k AS (
+            SELECT 'l_orderkey' AS key_col, l_orderkey AS key_value
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_partkey', l_partkey FROM lineitem
+            UNION ALL
+            SELECT 'l_suppkey', l_suppkey FROM lineitem
+        ), c AS (
+            SELECT key_col, key_value, COUNT(*) AS cnt
+            FROM k GROUP BY key_col, key_value
+        )
+        SELECT key_col,
+               CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               COUNT(*) AS n_distinct,
+               ARG_MAX(key_value, cnt * {_PACK} - key_value) AS hot_key,
+               CAST(MAX(cnt) AS BIGINT) AS hot_rows,
+               CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_rows,
+               CAST(MAX(cnt) AS DOUBLE)
+                 / (CAST(SUM(cnt) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+                 AS skew_factor
+        FROM c GROUP BY key_col
+    """,
+)
+def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§4+/r5f: join-key skew profiler — the DETECTION tool you run before
+    reaching for `join_skew_salted`'s mitigation: per candidate key, row
+    and distinct counts, the hottest key and its row count, and the skew
+    factor (hot-key rows over the mean).  Spark-first: the three key
+    columns unpivot through one map-side Expand over a single scan, so
+    profiling K candidate keys costs one pass, not K; two grouped
+    shuffles do the rest.  All integer counts + exact IEEE divides —
+    nothing to round."""
+    lf = load(spark, sf_dir, "lineitem").select(*_SKEW_KEYS)
+    k = lf.unpivot([], _SKEW_KEYS, "key_col", "key_value")
+    c = k.groupBy("key_col", "key_value").agg(F.count(F.lit(1)).alias("cnt"))
+    return c.groupBy("key_col").agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max_by(
+            "key_value", F.col("cnt") * F.lit(_PACK) - F.col("key_value")
+        ).alias("hot_key"),
+        F.max("cnt").cast("bigint").alias("hot_rows"),
+        (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_rows"
+        ),
+        (
+            F.max("cnt").cast("double")
+            / (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double"))
+        ).alias("skew_factor"),
+    )

@@ -416,3 +416,47 @@ def stream_available_now(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.copy(f, feed / f.name)
         run_available_now()  # invocation 2: resumes checkpoint, sees only new files
     return spark.table(name).select("event_type", "n", "sum_value")
+
+
+@register(
+    "stream_ohlc_bars",
+    oracle="""
+        SELECT DATE_TRUNC('hour', ts) AS w_start,
+               DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR AS w_end,
+               event_type,
+               COUNT(*) AS n,
+               ARG_MIN(value, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                       * 10000000 + event_id) AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               ARG_MAX(value, CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                       * 10000000 + event_id) AS close
+        FROM events
+        GROUP BY DATE_TRUNC('hour', ts), event_type
+    """,
+)
+def stream_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+/r5f: event-time OHLC bars — the batch twin of
+    `streams.ohlc_bars`: the SAME window + min_by/max_by expressions the
+    watermarked stream maintains incrementally (order-dependent
+    open/close carry one (value, key) pair of state per bar side, so
+    bars stream exactly like counts; verified against the live stream in
+    tests/test_streaming.py).  open/close pick RAW stored doubles over
+    the packed (sec, event_id) total order — nothing to round."""
+    ev = load(spark, sf_dir, "events")
+    okey = F.unix_timestamp("ts") * F.lit(10_000_000) + F.col("event_id")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n", "open", "high", "low", "close",
+        )
+    )

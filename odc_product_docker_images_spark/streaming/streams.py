@@ -289,3 +289,28 @@ def small_state(spark, n: int = 4):
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def ohlc_bars(stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """T1+/A14 streaming form: per-window OHLC bars — ORDER-DEPENDENT
+    open/close via min_by/max_by over the packed (epoch-sec, event_id)
+    key inside a watermarked tumbling window.  min_by/max_by are
+    declarative aggregates, so the incremental state is one (value, key)
+    pair per bar side — the stream maintains bars exactly like counts."""
+    okey = F.unix_timestamp("ts") * F.lit(10_000_000) + F.col("event_id")
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min_by("value", okey).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", okey).alias("close"),
+        )
+        .select(
+            F.col("w.start").alias("w_start"),
+            F.col("w.end").alias("w_end"),
+            "event_type", "n", "open", "high", "low", "close",
+        )
+    )

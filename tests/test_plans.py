@@ -865,3 +865,14 @@ def test_retention_single_scan_windowed_cohort_size(spark):
     assert C.exchange_count(df) <= 3
     assert "Join" not in C.formatted_plan(df)
     C.assert_no_python_row_path(df)
+
+
+def test_skew_profiler_is_one_pass_over_k_keys(spark):
+    """Profiling K candidate keys must cost ONE scan (map-side Expand),
+    not K passes."""
+    from odc_product_docker_images_spark.operators.profile import profile_skew_keys
+
+    df = profile_skew_keys(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "Expand" in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)

@@ -372,3 +372,36 @@ def test_session_timeout_splits_same_user_sessions(spark):
         (7, "2024-01-01 10:00:00", "2024-01-01 10:00:00", 1, 1.0),
         (7, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1, 2.0),
     ], rows
+
+
+def test_stream_ohlc_matches_batch_form(spark, scratch, sf_dir):
+    """Order-dependent open/close must stream correctly: the watermarked
+    min_by/max_by bars over a 3-file staged replay equal the batch twin
+    on the same data — incremental bar state == one-shot."""
+    from odc_product_docker_images_spark.streaming.batch_forms import (
+        stream_ohlc_bars,
+    )
+
+    src = scratch / "ohlc_replay"
+    S.stage_events_dir(spark, sf_dir, str(src), n_files=3)
+    stream = S.events_stream(spark, str(src), max_files_per_trigger=1)
+    bars = S.ohlc_bars(stream)
+    name = "ohlc_" + uuid.uuid4().hex[:6]
+    q = bars.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+        got = {
+            (r["w_start"], r["event_type"]): (
+                r["n"], r["open"], r["high"], r["low"], r["close"]
+            )
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+    exp = {
+        (r["w_start"], r["event_type"]): (
+            r["n"], r["open"], r["high"], r["low"], r["close"]
+        )
+        for r in stream_ohlc_bars(spark, sf_dir).collect()
+    }
+    assert got == exp
