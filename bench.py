@@ -91,6 +91,7 @@ R5 = [
     "proj_unpivot_bands",
     "profile_skew_keys",
     "stream_ohlc_bars",
+    "sim_mmr_rerank",
 ]
 
 

@@ -103,6 +103,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.resample",
     "odc_product_docker_images_spark.operators.drift",
     "odc_product_docker_images_spark.operators.funnel",
+    "odc_product_docker_images_spark.textvec.mmr",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in

@@ -1,0 +1,165 @@
+"""Maximal Marginal Relevance (MMR) diversified re-ranking (X3+, r5f).
+
+The last stage of a production retrieval funnel: after BM25/ANN recall
+and exact re-scoring (`sim_rerank_adc_exact`), the TOP OF THE LIST is
+diversified — each pick maximizes λ·relevance − (1−λ)·max-similarity to
+what's already picked (Carbonell & Goldstein 1998).  Greedy selection is
+inherently sequential in K, but K is tiny and FIXED, so the loop unrolls
+into the PLAN: each step is a left-anti join against the picks so far, a
+max-similarity aggregate over the pair table restricted to those picks,
+and a 1-row TakeOrdered — no driver-side data access, no collect.  The
+oracle unrolls the same K steps as chained CTEs with correlated MAX
+subqueries, so the greedy trajectory itself is hash-gated.
+
+Scale: the candidate set is bounded by construction (top-N from the
+recall stages — rerankers everywhere run on ≤10³ candidates), so the
+N² pair table is small regardless of corpus size; for MANY probes the
+production shape shards this per probe (each probe's candidates are a
+group), which composes with this exact kernel unchanged.
+
+Determinism: relevance and pair cosines take the dround(6) exact path
+BEFORE any comparison; λ-arithmetic is exact IEEE on rounded operands
+with every literal CAST to DOUBLE in the oracle; every argmax carries a
+(score desc, vec_id) tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.det import dround, sql_dround
+from ..io import load
+from ..registry import register
+
+_PROBE = 0  # query vector: vec_id 0
+_N = 20  # candidate pool (top-N by relevance)
+_K = 5  # diversified picks
+_LAM = 0.7
+_DIM = 64
+
+_COS = (
+    "LIST_SUM(LIST_TRANSFORM(RANGE(1, " + str(_DIM + 1) + "), i -> {a}[i] * {b}[i]))"
+    " / ({na} * {nb})"
+)
+
+
+def _mmr_oracle() -> str:
+    cos_q = _COS.format(a="v.e", b="q.e", na="v.nrm", nb="q.nrm")
+    cos_p = _COS.format(a="a.e", b="b.e", na="a.nrm", nb="b.nrm")
+    sql = f"""
+        WITH v AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT e, nrm FROM v WHERE vec_id = {_PROBE}
+        ), rel AS (
+            SELECT v.vec_id, {sql_dround(cos_q)} AS rel
+            FROM v, q WHERE v.vec_id != {_PROBE}
+            ORDER BY rel DESC, v.vec_id LIMIT {_N}
+        ), p AS (
+            SELECT a.vec_id AS ia, b.vec_id AS ib, {sql_dround(cos_p)} AS sim
+            FROM (SELECT v.* FROM v JOIN rel USING (vec_id)) a
+            JOIN (SELECT v.* FROM v JOIN rel USING (vec_id)) b
+              ON a.vec_id != b.vec_id
+        )"""
+    prev: list[str] = []
+    for k in range(1, _K + 1):
+        notin = (
+            f" WHERE r.vec_id NOT IN (SELECT vec_id FROM picks{k - 1})"
+            if prev
+            else ""
+        )
+        union_prev = (
+            " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, k))
+            or "SELECT NULL AS rank, NULL AS vec_id, NULL AS rel, NULL AS mmr_score WHERE 1=0"
+        )
+        sql += f""", picks{k - 1} AS (
+            SELECT vec_id FROM ({union_prev})
+        ), s{k} AS (
+            SELECT CAST({k} AS INTEGER) AS rank, r.vec_id, r.rel,
+                   CAST({_LAM!r} AS DOUBLE) * r.rel
+                   - CAST({1 - _LAM!r} AS DOUBLE)
+                     * COALESCE((SELECT MAX(p.sim) FROM p
+                                 WHERE p.ib = r.vec_id
+                                   AND p.ia IN (SELECT vec_id FROM picks{k - 1})),
+                                CAST(0.0 AS DOUBLE)) AS mmr_score
+            FROM rel r{notin}
+            ORDER BY mmr_score DESC, r.vec_id LIMIT 1
+        )"""
+        prev.append(f"s{k}")
+    sql += "\n        " + " UNION ALL ".join(f"SELECT * FROM s{i}" for i in range(1, _K + 1))
+    return sql
+
+
+@register("sim_mmr_rerank", oracle=_mmr_oracle())
+def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: MMR diversified top-K — greedy λ-tradeoff picks over the
+    top-N relevance pool, unrolled into K plan stages (anti-join against
+    prior picks + max-sim aggregate + 1-row TakeOrdered each)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    nrm = F.sqrt(F.aggregate(F.transform("e", lambda x: x * x), F.lit(0.0), lambda a, x: a + x))
+    v = v.withColumn("nrm", nrm)
+    q = v.where(F.col("vec_id") == _PROBE).select(
+        F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+
+    def cos(ea, eb, na, nb):
+        dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+        return dround(dot / (na * nb))
+
+    # persist the two shared subtrees: every unrolled step references the
+    # candidate pool and the pair table, and without materialization the
+    # plan re-computes the scoring sort O(K) times (the dedup_clusters
+    # iterative-propagation precedent)
+    rel = (
+        v.where(F.col("vec_id") != _PROBE)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", "e", "nrm", cos(F.col("e"), F.col("qe"), F.col("nrm"), F.col("qn")).alias("rel"))
+        .orderBy(F.desc("rel"), "vec_id")
+        .limit(_N)
+    ).persist()
+    a = rel.select(F.col("vec_id").alias("ia"), F.col("e").alias("ea"), F.col("nrm").alias("na"))
+    b = rel.select(F.col("vec_id").alias("ib"), F.col("e").alias("eb"), F.col("nrm").alias("nb"))
+    p = (
+        a.join(b, F.col("ia") != F.col("ib"))
+        .select("ia", "ib", cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("sim"))
+    ).persist()
+    cand = rel.select("vec_id", "rel")
+
+    picks: DataFrame | None = None
+    for k in range(1, _K + 1):
+        if picks is None:
+            pool = cand
+            maxsim = None
+        else:
+            pool = cand.join(picks.select("vec_id"), "vec_id", "left_anti")
+            maxsim = (
+                p.join(picks.select(F.col("vec_id").alias("ia")), "ia")
+                .groupBy("ib")
+                .agg(F.max("sim").alias("maxsim"))
+            )
+        if maxsim is not None:
+            pool = pool.join(maxsim, pool.vec_id == maxsim.ib, "left").drop("ib")
+        else:
+            pool = pool.withColumn("maxsim", F.lit(None).cast("double"))
+        score = F.lit(_LAM) * F.col("rel") - F.lit(1 - _LAM) * F.coalesce(
+            F.col("maxsim"), F.lit(0.0)
+        )
+        pick = (
+            pool.select(
+                F.lit(k).cast("int").alias("rank"),
+                "vec_id",
+                "rel",
+                score.alias("mmr_score"),
+            )
+            .orderBy(F.desc("mmr_score"), "vec_id")
+            .limit(1)
+        ).persist()  # each later step re-reads every prior pick: without
+        # this the unrolled DAG re-executes the pick chain O(K^2) times
+        picks = pick if picks is None else picks.unionByName(pick)
+    return picks

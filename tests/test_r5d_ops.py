@@ -338,3 +338,54 @@ def test_unpivot_is_exact_fanout(spark):
         ]
     )
     assert got_rows == exp_rows
+
+
+def test_mmr_matches_independent_greedy(spark):
+    """Recompute the MMR trajectory with a plain numpy greedy loop
+    (unrounded cosines) and require the same picks in the same order;
+    the diversified list must also genuinely diversify (its mean
+    pairwise similarity stays below the top-K-by-relevance baseline)."""
+    from odc_product_docker_images_spark.textvec.mmr import (
+        _K,
+        _LAM,
+        _N,
+        _PROBE,
+        sim_mmr_rerank,
+    )
+    from test_r5b_ops import _load_embeddings
+
+    ids, M = _load_embeddings()
+    N = M / np.linalg.norm(M, axis=1, keepdims=True)
+    qi = int(np.where(ids == _PROBE)[0][0])
+    rel = N @ N[qi]
+    order = [
+        i for i in np.lexsort((ids, -rel)) if ids[i] != _PROBE
+    ][:_N]
+    cand = list(order)
+    picked = []
+    for _ in range(_K):
+        best, best_score = None, None
+        for i in cand:
+            if picked:
+                maxsim = max(float(N[i] @ N[j]) for j in picked)
+            else:
+                maxsim = 0.0
+            score = _LAM * rel[i] - (1 - _LAM) * maxsim
+            if best_score is None or score > best_score + 1e-12 or (
+                abs(score - best_score) <= 1e-12 and ids[i] < ids[best]
+            ):
+                best, best_score = i, score
+        picked.append(best)
+        cand.remove(best)
+
+    rows = sorted(sim_mmr_rerank(spark, SF).collect(), key=lambda r: r["rank"])
+    assert [r["vec_id"] for r in rows] == [int(ids[i]) for i in picked]
+    for r, i in zip(rows, picked):
+        assert r["rel"] == pytest.approx(rel[i], abs=1e-5)
+
+    # diversity property vs the relevance-only top-K
+    topk = order[:_K]
+    def mean_pairsim(sel):
+        sims = [float(N[i] @ N[j]) for ai, i in enumerate(sel) for j in sel[ai + 1:]]
+        return sum(sims) / len(sims)
+    assert mean_pairsim(picked) < mean_pairsim(topk)
