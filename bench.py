@@ -92,6 +92,7 @@ R5 = [
     "profile_skew_keys",
     "stream_ohlc_bars",
     "sim_mmr_rerank",
+    "source_fixed_width_roundtrip",
 ]
 
 

@@ -110,3 +110,35 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.schema(_SCHEMA).option("timestampFormat", _TS_FMT).json(out)
     )
     return _verify(back)
+
+
+@register("source_fixed_width_roundtrip", oracle=_ORACLE)
+def source_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+: FIXED-WIDTH round-trip — the legacy interchange format every
+    long-lived ledger still emits (mainframe extracts, station telemetry):
+    no delimiters, columns live at byte offsets.  Encoding is pure
+    codegen (lpad zero-filled integers, the timestamp as zero-padded
+    epoch micros, the double as right-space-padded SHORTEST REPR — the
+    one fixed-width float encoding that loses nothing, since both the
+    writer and the parser speak shortest-repr exactly); decoding is
+    substring/trim/cast riding the text scan.  Same verification
+    aggregate and oracle as the CSV/JSONL keys: a one-byte offset slip
+    or a truncated float breaks the value hash."""
+    out = str(_TMP / f"fw_{uuid.uuid4().hex[:8]}")
+    line = F.concat(
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+        F.lpad(F.col("user_id").cast("string"), 8, "0"),
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.rpad(F.col("value").cast("string"), 26, " "),
+    )
+    _subset(spark, sf_dir).select(line.alias("value")).write.mode(
+        "overwrite"
+    ).text(out)
+    back = spark.read.text(out).select(F.col("value").alias("line"))
+    parsed = back.select(
+        F.substring("line", 1, 12).cast("long").alias("event_id"),
+        F.substring("line", 13, 8).cast("long").alias("user_id"),
+        F.timestamp_micros(F.substring("line", 21, 20).cast("long")).alias("ts"),
+        F.trim(F.substring("line", 41, 26)).cast("double").alias("value"),
+    )
+    return _verify(parsed)

@@ -389,3 +389,32 @@ def test_mmr_matches_independent_greedy(spark):
         sims = [float(N[i] @ N[j]) for ai, i in enumerate(sel) for j in sel[ai + 1:]]
         return sum(sims) / len(sims)
     assert mean_pairsim(picked) < mean_pairsim(topk)
+
+
+def test_fixed_width_lines_have_constant_width(spark):
+    """Every emitted line must be exactly 66 bytes (12+8+20+26) — the
+    fixed-width contract itself — and one sampled line must parse back
+    to its source row byte-for-byte."""
+    import glob
+
+    from odc_product_docker_images_spark.sources.formats import (
+        source_fixed_width_roundtrip,
+        _TMP,
+    )
+
+    before = set(glob.glob(str(_TMP / "fw_*")))
+    source_fixed_width_roundtrip(spark, SF).collect()
+    new = sorted(set(glob.glob(str(_TMP / "fw_*"))) - before)
+    assert new
+    lines = []
+    for f in glob.glob(new[-1] + "/*.txt"):
+        with open(f) as fh:
+            lines += [ln.rstrip("\n") for ln in fh]
+    assert lines and all(len(ln) == 66 for ln in lines)
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev = ev[ev["event_id"] % 5 == 0]
+    ln = lines[0]
+    eid = int(ln[0:12])
+    row = ev[ev["event_id"] == eid].iloc[0]
+    assert int(ln[12:20]) == row["user_id"]
+    assert float(ln[40:66].strip()) == row["value"]
