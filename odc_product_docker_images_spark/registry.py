@@ -149,7 +149,8 @@ GRADING_WINDOW = [
     #    data_mix_temperature, window_seasonal_zscore,
     #    multimodal_image_resize, agg_resample_ohlc, profile_drift_psi,
     #    table_clone_shallow, agg_funnel_steps, agg_retention_cohort,
-    #    proj_unpivot_bands
+    #    proj_unpivot_bands, profile_skew_keys, stream_ohlc_bars,
+    #    sim_mmr_rerank, source_fixed_width_roundtrip
     #    (+ any keys added after this comment — check COVERAGE.md vs
     #    CORRECTNESS_r* row history).
     "dedup_semantic",
