@@ -93,6 +93,8 @@ R5 = [
     "stream_ohlc_bars",
     "sim_mmr_rerank",
     "source_fixed_width_roundtrip",
+    "graph_subtree_rollup",
+    "agg_gini",
 ]
 
 

@@ -104,6 +104,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.drift",
     "odc_product_docker_images_spark.operators.funnel",
     "odc_product_docker_images_spark.textvec.mmr",
+    "odc_product_docker_images_spark.operators.hierarchy",
 ]
 
 # Round-5 grading window: the driver grades ~the first 50 keys in

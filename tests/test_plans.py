@@ -876,3 +876,31 @@ def test_skew_profiler_is_one_pass_over_k_keys(spark):
     assert C.scan_count(df) == 1
     assert "Expand" in C.formatted_plan(df)
     C.assert_no_python_row_path(df)
+
+
+def test_subtree_rollup_has_no_joins_or_iterations(spark):
+    """The closed-form closure must compile to scan -> explode -> one
+    grouped shuffle: no join, no Python, 1 scan."""
+    from odc_product_docker_images_spark.operators.hierarchy import (
+        graph_subtree_rollup,
+    )
+
+    df = graph_subtree_rollup(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_gini_rank_is_distributed_not_three_tasks(spark):
+    """The per-group rank must be the range-partitioned prefix-sum form
+    (local windows keyed (pid, group) + broadcast offsets), never a
+    3-partition global window — the plan must carry a partition-id
+    projection and a broadcast join."""
+    from odc_product_docker_images_spark.operators.aggregates import agg_gini
+
+    df = agg_gini(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)

@@ -418,3 +418,56 @@ def test_fixed_width_lines_have_constant_width(spark):
     row = ev[ev["event_id"] == eid].iloc[0]
     assert int(ln[12:20]) == row["user_id"]
     assert float(ln[40:66].strip()) == row["value"]
+
+
+def test_subtree_rollup_matches_independent_python(spark):
+    """Recompute the ancestor closure with an explicit parent-chain walk
+    (k -> k//10 -> ... -> 0) and require identical subtree counts and
+    price sums."""
+    from odc_product_docker_images_spark.operators.hierarchy import (
+        graph_subtree_rollup,
+    )
+
+    pt = pq.read_table(f"{SF}/part.parquet").to_pandas()
+    exp_n: dict[int, int] = {}
+    exp_s: dict[int, float] = {}
+    for k, price in zip(pt["p_partkey"], pt["p_retailprice"]):
+        node, seen = int(k), set()
+        while True:
+            if node not in seen:
+                seen.add(node)
+                if node < 100:
+                    exp_n[node] = exp_n.get(node, 0) + 1
+                    exp_s[node] = exp_s.get(node, 0.0) + price
+            if node == 0:
+                break
+            node //= 10
+    got = {r["ancestor"]: r for r in graph_subtree_rollup(spark, SF).collect()}
+    assert got.keys() == exp_n.keys()
+    for a, n in exp_n.items():
+        assert got[a]["n_subtree"] == n
+        assert got[a]["subtree_price"] == pytest.approx(exp_s[a], abs=1e-3)
+    # the root subtree covers every part exactly once
+    assert got[0]["n_subtree"] == len(pt)
+
+
+def test_gini_matches_independent_numpy(spark):
+    """Recompute per-group Gini with a numpy sort (unrounded) and check
+    the bounds/ordering properties a broken rank offset would violate."""
+    from odc_product_docker_images_spark.operators.aggregates import agg_gini
+
+    lf = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    rows = {r["l_returnflag"]: r for r in agg_gini(spark, SF).collect()}
+    assert set(rows) == set(lf["l_returnflag"].unique())
+    for flag, g in lf.groupby("l_returnflag"):
+        x = np.sort(g["l_extendedprice"].to_numpy(np.float64))
+        n = len(x)
+        gini = 2.0 * (np.arange(1, n + 1) * x).sum() / (n * x.sum()) - (n + 1) / n
+        r = rows[flag]
+        assert r["n"] == n
+        # the 2^-30 scaling rounds each addend at the decimal path's
+        # 10 dp (6 significant digits at this magnitude) — deterministic
+        # but ~5e-7 relative vs the unrounded pandas sum
+        assert r["sum_price_scaled"] == pytest.approx(x.sum(), rel=2e-6)
+        assert r["gini"] == pytest.approx(gini, abs=1e-6)
+        assert 0.0 < r["gini"] < 1.0

@@ -44,7 +44,7 @@ AUDIT = [
     "data_mix_temperature", "window_seasonal_zscore",
     "multimodal_image_resize", "agg_resample_ohlc", "profile_drift_psi", "agg_funnel_steps",
     "agg_retention_cohort", "proj_unpivot_bands", "profile_skew_keys",
-    "stream_ohlc_bars", "sim_mmr_rerank",
+    "stream_ohlc_bars", "sim_mmr_rerank", "graph_subtree_rollup", "agg_gini",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
