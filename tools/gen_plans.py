@@ -135,6 +135,13 @@ def main() -> None:
             "  runtime (verified: `dedup_ngram_jaccard`'s executed plan\n"
             "  carries 3 ReusedExchange nodes — the shingle stream is\n"
             "  built once and fed to both sides and the size agg).\n"
+            "- r5 lesson, enforced across cusum/seasonal/retention/mixing:\n"
+            "  per-group stats are WINDOWS over one partition key, never a\n"
+            "  groupBy + join-back (branch duplication re-plans the whole\n"
+            "  subtree — 2-4x the scans/Exchanges in this very table).\n"
+            "- low-cardinality ranks (agg_gini) use the range-partitioned\n"
+            "  prefix-sum form (shard_pack pattern): a 3-group window would\n"
+            "  sort a third of the table in ONE task.\n"
         )
     print(f"wrote {out}: {len(rows)} keys audited")
 
