@@ -64,11 +64,11 @@ def test_grading_window_holds_showcase_surface():
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
     window = json.loads(out.stdout.strip().splitlines()[-1])
-    # Round-5 rotation (VERDICT r4 "Next round" item 1): the 38 keys that
-    # passed judge-run local parity in r4 but never earned a driver
-    # CORRECTNESS row, plus the flagship.  GRADING_WINDOW in registry.py is
-    # the source of truth; this pins that its registered members actually
-    # surface in the first 50 of a FRESH process.
+    # Round-6 rotation: the r5 grading cycle produced no driver artifacts,
+    # so 67 keys still lack a driver CORRECTNESS row; the r6 window holds
+    # the flagship + 49 of them (unique families first).  GRADING_WINDOW in
+    # registry.py is the source of truth; this pins that its registered
+    # members actually surface in the first 50 of a FRESH process.
     from odc_product_docker_images_spark import registry as reg
 
     registered = set(reg.all_queries())
@@ -77,28 +77,29 @@ def test_grading_window_holds_showcase_surface():
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
     # LITERAL composition pin (not derived from GRADING_WINDOW, which would
-    # be tautological): the flagship + every key that must earn its first
-    # driver row in r5 — the 38 never-graded r4 keys are spot-pinned by
-    # family, the new r5 keys and changed-code re-grades exhaustively.
+    # be tautological): the flagship + one representative per rotated
+    # family, spot-pinned so a registry edit can't silently drop a family.
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # r4 never-graded rotation (one per family; full list in registry)
-        "window_ewma", "udtf_dynamic_schema", "table_restore",
-        "sim_rerank_adc_exact", "multimodal_png_decode", "sql_frontend",
-        "stream_session_timeout", "regrid_pyramid", "agg_mad_1d",
-        "source_stream_feed", "composite_q18_shape",
-        # new r5 keys — all of them
-        "sink_geotiff_roundtrip", "proj_crs_curvilinear", "scalar_solar_day",
-        "text_bpe_train_step", "udf_wofs_confidence", "agg_mann_kendall",
-        "multimodal_jpeg_decode",
-        # changed-code re-grades
-        "udtf_chunk_text", "table_merge_upsert", "table_change_feed",
-        # r5b: the one new key with window room left (the other r5b keys
-        # head the r6 rotation)
-        "dedup_semantic",
+        # r5 geo/product family
+        "sink_geotiff_tiled", "proj_crs_roundtrip", "scalar_solar_day",
+        "udf_wofs_confidence", "join_polygon_zone",
+        # r5 LLM-pipeline family
+        "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",
+        "dedup_substring_spans", "sim_mmr_rerank", "data_mix_temperature",
+        # r5 analytics/monitoring family
+        "agg_mann_kendall", "window_cusum_change", "agg_resample_ohlc",
+        "profile_drift_psi", "agg_funnel_steps", "agg_retention_cohort",
+        "agg_gini", "graph_subtree_rollup",
+        # streaming / sources / storage
+        "stream_ohlc_bars", "source_jsonl_roundtrip", "table_clone_shallow",
+        # r4 stragglers still in rotation
+        "window_ewma", "udtf_dynamic_schema", "multimodal_png_decode",
+        "sim_rerank_adc_exact", "sql_frontend", "stream_session_timeout",
+        "multimodal_image_resize",
     }
     missing_literal = literal_pin - set(window)
-    assert not missing_literal, f"r5 pin violated: {missing_literal}"
+    assert not missing_literal, f"r6 pin violated: {missing_literal}"
 
 
 def test_entry_does_not_scramble_registration_order():
