@@ -66,6 +66,18 @@ STORAGE = [
 
 # Round-5 additions, timed separately so the headline total stays
 # comparable against the frozen BASELINE band across rounds.
+# Round-6 additions, same separate-section contract.
+R6 = [
+    "join_bloom_prefilter",
+    "join_partition_pruned",
+    "agg_ttest_welch",
+    "agg_rolling_distinct",
+    "window_rolling_slope",
+    "table_scd2_build",
+    "graph_triangle_count",
+    "join_range_bucket",
+]
+
 R5 = [
     "sink_geotiff_roundtrip",
     "proj_crs_curvilinear",
@@ -162,6 +174,16 @@ def main() -> None:
                 r5[key] = dt
             print(f"# [r5] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
 
+    r6: dict[str, float] = {}
+    for _pass in range(2):
+        for key in (k for k in R6 if k in qs):
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in r6 or dt < r6[key]:
+                r6[key] = dt
+            print(f"# [r6] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -172,6 +194,7 @@ def main() -> None:
                 "streaming": streaming,
                 "storage": storage,
                 "r5": r5,
+                "r6": r6,
                 "sf": sf,
             }
         )

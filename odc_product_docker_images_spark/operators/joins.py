@@ -376,3 +376,63 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+_RB_DAYS = 7  # interval width AND grid-cell width (cells/interval <= 2)
+
+
+@register(
+    "join_range_bucket",
+    oracle=f"""
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_pairs,
+               {sql_dsum('o.o_totalprice', 'sum_price')}
+        FROM lineitem l
+        JOIN orders o
+          ON o.o_orderpriority = '1-URGENT'
+         AND o.o_orderdate >= l.l_shipdate
+         AND o.o_orderdate < l.l_shipdate + INTERVAL {_RB_DAYS} DAY
+        GROUP BY l.l_returnflag
+    """,
+)
+def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6+ at scale: interval-point range join where the INTERVAL side is
+    the big table — the case ``join_range``'s broadcast nested-loop form
+    cannot touch (a nested-loop over 600k intervals × 150k points is
+    quadratic; a theta-join has no shuffle key at all).  The scalable
+    form quantizes both sides onto a fixed 7-day grid: each ``[shipdate,
+    shipdate+7d)`` interval covers at most TWO grid cells (cell width ≥
+    interval width) and explodes into them; points map to exactly one
+    cell; a plain EQUI-join on the cell key co-locates every candidate
+    pair, and the exact interval predicate filters residents of the
+    shared cell that don't actually overlap.  Cost: 2×|intervals| +
+    |points| shuffle rows plus the true-match fan-out — linear, skew
+    governed by cell population, no nested loop anywhere (pinned: the
+    plan contains no BroadcastNestedLoopJoin/CartesianProduct).  The
+    oracle is the declarative theta-join (DuckDB plans it as an IEJoin).
+    Decimal ``dsum`` (not the fast long-split path) because the pair
+    fan-out at sf0.1 pushes the per-group Σ|x| past dsum_fast's domain.
+    """
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    epoch_days_l = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
+    epoch_days_o = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    cell_l = F.floor(epoch_days_l / _RB_DAYS)
+    intervals = li.select(
+        "l_returnflag",
+        "l_shipdate",
+        F.explode(F.array(cell_l, cell_l + 1)).alias("cell"),
+    )
+    points = od.select(
+        "o_orderdate",
+        "o_totalprice",
+        F.floor(epoch_days_o / _RB_DAYS).alias("cell"),
+    )
+    upper = F.col("l_shipdate") + F.expr(f"INTERVAL {_RB_DAYS} DAYS")
+    pairs = intervals.join(points, "cell").where(
+        (F.col("o_orderdate") >= F.col("l_shipdate")) & (F.col("o_orderdate") < upper)
+    )
+    return pairs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -1,0 +1,264 @@
+"""Experiment / product-metric analytics over the event stream
+(SURVEY.md §2.3 aggregate-family extension — the A/B-testing and
+engagement rollups an analytics deployment runs daily).
+
+Three shapes, all single-scan and shuffle-minimal:
+
+- **Welch two-sample t-test** (`agg_ttest_welch`): one hash-agg computes
+  per-variant moment sums; the tiny summary folds into a single array
+  row and crosses with itself into all variant pairs (no self-join — a
+  self-join re-plans the scan per side).  The fact table is touched ONCE
+  regardless of how many pairs are compared — the classic "sufficient
+  statistics first" pattern that scales to any event volume.
+- **Rolling distinct users** (`agg_rolling_distinct`): trailing-7-day WAU
+  and same-day DAU from ONE pass — the (day, user) grid explodes into its
+  7 target days and a single grouped agg computes both distinct counts
+  (the off=0 slice is DAU).  Cost is 7x the DISTINCT grid (not 7x the
+  corpus), the standard scalable form for sliding count-distinct.
+- **Rolling regression slope** (`window_rolling_slope`): per-user trend
+  of the last 7 events via closed-form least squares over windowed sums —
+  O(1) state per row, no per-window refit, all inside one partitioned
+  sort.
+
+Determinism: moment sums ride the decimal-exact det.py path; variance /
+t / df are then pure IEEE (+,-,*,/,sqrt) chains on bit-identical inputs,
+so they need NO rounding (det.py policy) — POWER() is deliberately
+avoided (libm) in favour of explicit multiplication on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import (
+    dec_cast,
+    dround,
+    dsum_fast,
+    exact_double,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
+from ..io import load
+from ..registry import register
+
+
+@register(
+    "agg_ttest_welch",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type,
+                   CAST(COUNT(value) AS DOUBLE) AS n,
+                   {sql_dsum('value', 'sx')},
+                   {sql_dsum('value*value', 'sxx')}
+            FROM events
+            GROUP BY event_type
+        ), e AS (
+            SELECT event_type, n,
+                   sx / n AS m,
+                   (sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE)) AS v
+            FROM s
+        )
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               a.n AS n_a,
+               b.n AS n_b,
+               (a.m - b.m) / SQRT(a.v / a.n + b.v / b.n) AS t_stat,
+               ((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n))
+                 / ((a.v / a.n) * (a.v / a.n) / (a.n - CAST(1.0 AS DOUBLE))
+                    + (b.v / b.n) * (b.v / b.n) / (b.n - CAST(1.0 AS DOUBLE))) AS df
+        FROM e a JOIN e b ON a.event_type < b.event_type
+    """,
+)
+def agg_ttest_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: Welch's unequal-variance t-test between every pair of event
+    types on ``value``.  One grouped pass computes (n, Σx, Σx²) per
+    variant — sufficient statistics, decimal-exact; the tiny summary then
+    expands into ordered pairs via a one-row array self-cross and the t
+    statistic and Welch–Satterthwaite df come out of pure IEEE arithmetic
+    (bit-identical across engines, unrounded).  At 100 TB the fact scan
+    happens once and everything after it is O(variants²) in a one-row
+    stage — no second scan, no join, nothing driver-side.
+    """
+    ev = load(spark, sf_dir, "events")
+    one = F.lit(1.0)
+    s = ev.groupBy("event_type").agg(
+        F.count("value").cast("double").alias("n"),
+        dsum_fast("value", "sx"),
+        dsum_fast(F.col("value") * F.col("value"), "sxx"),
+    )
+    e = s.select(
+        "event_type",
+        "n",
+        (F.col("sx") / F.col("n")).alias("m"),
+        ((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - one)).alias("v"),
+    )
+    # Pair expansion WITHOUT a self-join: a self-join would re-plan (and
+    # re-scan) the whole summary subtree per side (the branch-duplication
+    # trap).  Fold the <=variants summary rows into ONE array row
+    # (collect_list — an executor-side aggregate, not a driver collect)
+    # and cross the array with itself via two explodes: single scan, no
+    # join, O(variants²) rows out of a one-row stage.
+    arr = e.agg(F.collect_list(F.struct("event_type", "n", "m", "v")).alias("arr"))
+    pairs = (
+        arr.select(F.explode("arr").alias("a"), "arr")
+        .select("a", F.explode("arr").alias("b"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+    )
+    va_na = F.col("a.v") / F.col("a.n")
+    vb_nb = F.col("b.v") / F.col("b.n")
+    se2 = va_na + vb_nb
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("n_a"),
+        F.col("b.n").alias("n_b"),
+        ((F.col("a.m") - F.col("b.m")) / F.sqrt(se2)).alias("t_stat"),
+        (
+            (se2 * se2)
+            / (
+                va_na * va_na / (F.col("a.n") - one)
+                + vb_nb * vb_nb / (F.col("b.n") - one)
+            )
+        ).alias("df"),
+    )
+
+
+@register(
+    "agg_rolling_distinct",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+        ), expanded AS (
+            SELECT daily.day + CAST(t.o AS INTEGER) AS day, daily.user_id, t.o
+            FROM daily CROSS JOIN (SELECT UNNEST(RANGE(0, 7)) AS o) t
+        ), rolled AS (
+            SELECT day,
+                   COUNT(DISTINCT CASE WHEN o = 0 THEN user_id END) AS dau,
+                   COUNT(DISTINCT user_id) AS wau7
+            FROM expanded
+            GROUP BY day
+        )
+        SELECT CAST(day AS VARCHAR) AS day, dau, wau7,
+               {sql_dround('CAST(dau AS DOUBLE) / CAST(wau7 AS DOUBLE)')} AS stickiness
+        FROM rolled
+        WHERE dau > 0
+    """,
+)
+def agg_rolling_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: DAU / trailing-7-day WAU / stickiness per day.  Sliding
+    COUNT(DISTINCT) does not decompose into window frames, so the
+    scalable form is: dedupe to the (day, user) grid, explode each grid
+    row into the 7 days it contributes to, and run ONE grouped
+    two-distinct agg — the off=0 slice is same-day DAU, the whole group
+    is WAU.  Shuffle volume is 7 × |grid| (users×days), independent of
+    raw event count; days with no activity are exactly the dau=0 groups
+    and are dropped.  Stickiness is the DAU/WAU ratio on the decimal
+    round path (quotients of small ints hit exact midpoints).
+    """
+    ev = load(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    expanded = daily.select(
+        F.explode(F.array(*[F.lit(o) for o in range(7)])).alias("o"),
+        "day",
+        "user_id",
+    ).select(F.date_add("day", F.col("o")).alias("day"), "user_id", "o")
+    rolled = expanded.groupBy("day").agg(
+        F.count_distinct(F.when(F.col("o") == 0, F.col("user_id"))).alias("dau"),
+        F.count_distinct("user_id").alias("wau7"),
+    )
+    # DATE output columns canonicalize differently across engines (date vs
+    # midnight-timestamp render) — emit the ISO day string on both sides.
+    return rolled.where(F.col("dau") > 0).select(
+        F.col("day").cast("string").alias("day"),
+        "dau",
+        "wau7",
+        dround(F.col("dau").cast("double") / F.col("wau7").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+_SLOPE_W = 7
+
+
+def _wsum_sql(expr: str) -> str:
+    """DuckDB twin of the windowed decimal-exact sum (det.py policy)."""
+    return sql_exact_double(f"SUM({sql_dec_cast(expr)}) OVER w")
+
+
+@register(
+    "window_rolling_slope",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, value,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS DOUBLE) AS x
+            FROM events
+        ), sums AS (
+            SELECT user_id, event_id,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                   {_wsum_sql('x')} AS sx,
+                   {_wsum_sql('value')} AS sy,
+                   {_wsum_sql('x * value')} AS sxy,
+                   {_wsum_sql('x * x')} AS sxx
+            FROM seq
+            WINDOW w AS (
+                PARTITION BY user_id ORDER BY x
+                ROWS BETWEEN {_SLOPE_W - 1} PRECEDING AND CURRENT ROW
+            )
+        )
+        SELECT user_id, event_id,
+               CASE WHEN n * sxx - sx * sx = CAST(0.0 AS DOUBLE) THEN NULL
+                    ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx)
+               END AS slope
+        FROM sums
+    """,
+)
+def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: per-user rolling least-squares slope of ``value`` over the
+    last 7 events — the trend detector form: slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²) with x the per-user event index.  All four running
+    sums share ONE partitioned sort (user_id, x); the slope is a pure
+    IEEE combination of decimal-exact windowed sums, so no refit, no
+    Python, O(1) per row.  n=1 frames (and any zero-variance x frame)
+    yield NULL via an exact bit-identical zero test.
+    """
+    ev = load(spark, sf_dir, "events")
+    wseq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.row_number().over(wseq).cast("double").alias("x"),
+    )
+    w7 = (
+        Window.partitionBy("user_id")
+        .orderBy("x")
+        .rowsBetween(-(_SLOPE_W - 1), Window.currentRow)
+    )
+
+    def wsum(col):
+        return exact_double(F.sum(dec_cast(col)).over(w7))
+
+    sums = seq.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w7).cast("double").alias("n"),
+        wsum(F.col("x")).alias("sx"),
+        wsum(F.col("value")).alias("sy"),
+        wsum(F.col("x") * F.col("value")).alias("sxy"),
+        wsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return sums.select(
+        "user_id",
+        "event_id",
+        F.when(denom == F.lit(0.0), F.lit(None).cast("double"))
+        .otherwise(num / denom)
+        .alias("slope"),
+    )

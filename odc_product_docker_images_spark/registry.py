@@ -105,6 +105,9 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.funnel",
     "odc_product_docker_images_spark.textvec.mmr",
     "odc_product_docker_images_spark.operators.hierarchy",
+    "odc_product_docker_images_spark.operators.runtime_filters",
+    "odc_product_docker_images_spark.operators.metrics",
+    "odc_product_docker_images_spark.operators.scd",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -124,7 +127,9 @@ GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
     # -- new r6 keys (each addition displaces the rotation tail) --
-    # (none yet)
+    "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
+    "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
+    "graph_triangle_count", "join_range_bucket",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -147,15 +152,13 @@ GRADING_WINDOW = [
     "table_clone_shallow", "table_restore", "table_constraint_check",
     # multimodal
     "multimodal_image_resize", "multimodal_png_decode",
-    # windows / scalars / similarity
-    "window_ewma", "window_streak", "scalar_variant",
-    "sim_ann_pq_adc", "sim_rerank_adc_exact", "agg_percentile_composite",
-    # tail: each has an in-window sibling (pop from here first)
-    "udtf_dynamic_schema", "join_interval_overlap",
     # R7 DEFER LIST — never driver-graded keys left out of the r6 window
     # (all pass local parity; rotate them in next round once the r6 keys
     # above have earned their rows):
-    #   oracled: agg_mad_1d, composite_q18_shape, join_nearest_neighbor,
+    #   oracled: join_interval_overlap, udtf_dynamic_schema,
+    #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
+    #     sim_rerank_adc_exact, agg_percentile_composite,
+    #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,
     #     profile_table, proj_unpivot_bands, raster_morph_close,
     #     regrid_pyramid, sim_quantize_pq, source_csv_roundtrip,
     #     source_fixed_width_roundtrip, table_schema_evolution,

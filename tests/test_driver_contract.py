@@ -81,6 +81,10 @@ def test_grading_window_holds_showcase_surface():
     # family, spot-pinned so a registry edit can't silently drop a family.
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
+        # new r6 keys — all of them
+        "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
+        "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
+        "graph_triangle_count", "join_range_bucket",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_roundtrip", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",
@@ -94,8 +98,7 @@ def test_grading_window_holds_showcase_surface():
         # streaming / sources / storage
         "stream_ohlc_bars", "source_jsonl_roundtrip", "table_clone_shallow",
         # r4 stragglers still in rotation
-        "window_ewma", "udtf_dynamic_schema", "multimodal_png_decode",
-        "sim_rerank_adc_exact", "sql_frontend", "stream_session_timeout",
+        "multimodal_png_decode", "sql_frontend", "stream_session_timeout",
         "multimodal_image_resize",
     }
     missing_literal = literal_pin - set(window)

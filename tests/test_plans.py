@@ -904,3 +904,111 @@ def test_gini_rank_is_distributed_not_three_tasks(spark):
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_bloom_prefilter_probes_are_broadcast_map_side(spark):
+    """The Bloom pre-filter's whole point is that the fact table never
+    shuffles before elimination: both bitmap probes and the exact verify
+    must be broadcast joins (the bitmap is <= 1024 rows; the dim side is
+    the filtered key set), with zero SortMergeJoin anywhere."""
+    from odc_product_docker_images_spark.operators.runtime_filters import (
+        join_bloom_prefilter,
+    )
+
+    df = join_bloom_prefilter(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # 2 probes + exact verify
+    C.assert_no_python_row_path(df)
+
+
+def test_partition_pruned_join_carries_dpp_subquery(spark):
+    """The year-partitioned fact scan must be pruned by the dim filter AT
+    RUNTIME: the scan's PartitionFilters must carry a
+    dynamicpruningexpression (static pruning can't apply — the filter is
+    on the dim attribute, not the partition column)."""
+    from odc_product_docker_images_spark.operators.runtime_filters import (
+        join_partition_pruned,
+    )
+
+    df = join_partition_pruned(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_range_bucket_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join exists to REPLACE the nested loop: the
+    interval-point pairing must ride an equi-join on the grid cell (any
+    hash/sort-merge join node), with no BroadcastNestedLoopJoin and no
+    CartesianProduct anywhere in the plan."""
+    from odc_product_docker_images_spark.operators.joins import join_range_bucket
+
+    df = join_range_bucket(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_ttest_fact_scan_is_single_pass(spark):
+    """Welch t-test must scan events ONCE (sufficient statistics first);
+    the pair expansion is the one-row array self-cross — no join node at
+    all (a self-join would re-plan the scan per side)."""
+    from odc_product_docker_images_spark.operators.metrics import agg_ttest_welch
+
+    df = agg_ttest_welch(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_rolling_slope_shares_one_partitioned_sort(spark):
+    """All four running sums and the row index must share the user_id
+    partitioning: exactly one Exchange, no join-back."""
+    from odc_product_docker_images_spark.operators.metrics import window_rolling_slope
+
+    df = window_rolling_slope(spark, SF)
+    assert C.exchange_count(df) == 1
+    plan = C.formatted_plan(df)
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_scd2_build_is_single_shuffle(spark):
+    """Both window passes (lag-collapse, lead-intervals) reuse the same
+    (user_id) partitioning — one Exchange, no joins."""
+    from odc_product_docker_images_spark.operators.scd import table_scd2_build
+
+    df = table_scd2_build(spark, SF)
+    assert C.exchange_count(df) == 1
+    plan = C.formatted_plan(df)
+    assert "Join" not in plan
+
+
+def test_rolling_distinct_is_one_grouped_pass(spark):
+    """DAU and WAU must come from ONE grouped aggregation over the
+    exploded grid — no join between separate DAU/WAU branches (the
+    off=0-slice trick), no nested-loop."""
+    from odc_product_docker_images_spark.operators.metrics import agg_rolling_distinct
+
+    df = agg_rolling_distinct(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "Join" not in plan
+    assert C.scan_count(df) == 1
+
+
+def test_triangle_count_reads_materialized_orientation(spark):
+    """All five consumers (wedge sides, closure, degrees, edge count)
+    must read the write-once oriented-edge artifact — no re-derivation of
+    the self-join/degree subtree per branch, no cartesian anywhere."""
+    from odc_product_docker_images_spark.operators.graph import graph_triangle_count
+
+    df = graph_triangle_count(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    # wedge + closure pairing must be equi-joins (the 1-row scalar combine
+    # at the end is allowed to be a broadcast nested loop)
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # every parquet scan is the .tmp artifact, not lineitem
+    assert "lineitem" not in plan

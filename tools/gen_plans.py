@@ -45,6 +45,9 @@ AUDIT = [
     "multimodal_image_resize", "agg_resample_ohlc", "profile_drift_psi", "agg_funnel_steps",
     "agg_retention_cohort", "proj_unpivot_bands", "profile_skew_keys",
     "stream_ohlc_bars", "sim_mmr_rerank", "graph_subtree_rollup", "agg_gini",
+    "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
+    "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
+    "graph_triangle_count", "join_range_bucket",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
