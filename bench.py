@@ -76,6 +76,9 @@ R6 = [
     "table_scd2_build",
     "graph_triangle_count",
     "join_range_bucket",
+    "text_lm_bigram",
+    "agg_assoc_rules",
+    "sample_weighted",
 ]
 
 R5 = [

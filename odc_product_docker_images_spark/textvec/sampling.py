@@ -30,6 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import dround, sql_dround
 from ..io import load
 from ..registry import register
 
@@ -72,4 +73,60 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ranked.where(
         F.col("rk") <= F.ceil(F.lit(_RATE) * F.col("stratum_n")).cast("long")
+    )
+
+
+_K_WEIGHTED = 5
+_KNUTH = 2654435761
+_UPRIME = 1000003  # hash-uniform grid
+
+_U_SQL = (
+    f"(((doc_id * {_KNUTH}) % {_UPRIME}) + CAST(0.5 AS DOUBLE))"
+    f" / CAST({float(_UPRIME)!r} AS DOUBLE)"
+)
+_WKEY_SQL = sql_dround(f"POWER({_U_SQL}, CAST(1.0 AS DOUBLE) / CAST(n_chars AS DOUBLE))")
+
+
+@register(
+    "sample_weighted",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT source, doc_id, n_chars,
+                   {_WKEY_SQL} AS wkey
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id, n_chars, wkey,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY wkey DESC, doc_id
+                   ) AS BIGINT) AS rk
+            FROM keyed
+        )
+        SELECT source, doc_id, n_chars, wkey, rk
+        FROM ranked WHERE rk <= {_K_WEIGHTED}
+    """,
+)
+def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: weighted sampling WITHOUT replacement, k per stratum, fully
+    deterministic — the Efraimidis–Spirakis A-ES scheme with the random
+    draw replaced by a multiplicative-hash uniform: key = u^(1/w) with
+    u = ((doc_id·2654435761) mod p + 0.5)/p and w = n_chars; the k
+    largest keys per source are the sample, and inclusion probability is
+    proportional to weight.  Reproducible across runs, engines, and
+    cluster sizes (no rand(): a reshuffled corpus selects the same docs —
+    the property ``data_mix_sample``'s hash gate has, now for weighted
+    draws).  One window pass per stratum, same scale shape as
+    ``sample_stratified`` (including its two-pass hash-threshold escape
+    hatch for huge strata).  pow is libm → the key rounds 6 dp on both
+    engines BEFORE ranking (bit-identical keys ⇒ identical order; doc_id
+    breaks rounded ties)."""
+    dc = load(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(_KNUTH)) % F.lit(_UPRIME) + F.lit(0.5)
+    ) / F.lit(float(_UPRIME))
+    wkey = dround(F.pow(u, F.lit(1.0) / F.col("n_chars").cast("double")))
+    keyed = dc.select("source", "doc_id", "n_chars", wkey.alias("wkey"))
+    wr = Window.partitionBy("source").orderBy(F.col("wkey").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .where(F.col("rk") <= _K_WEIGHTED)
     )

@@ -84,7 +84,8 @@ def test_grading_window_holds_showcase_surface():
         # new r6 keys — all of them
         "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
         "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
-        "graph_triangle_count", "join_range_bucket",
+        "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
+        "agg_assoc_rules", "sample_weighted",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_roundtrip", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",
@@ -98,8 +99,7 @@ def test_grading_window_holds_showcase_surface():
         # streaming / sources / storage
         "stream_ohlc_bars", "source_jsonl_roundtrip", "table_clone_shallow",
         # r4 stragglers still in rotation
-        "multimodal_png_decode", "sql_frontend", "stream_session_timeout",
-        "multimodal_image_resize",
+        "sql_frontend", "stream_session_timeout", "multimodal_image_resize",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r6 pin violated: {missing_literal}"

@@ -1012,3 +1012,38 @@ def test_triangle_count_reads_materialized_orientation(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     # every parquet scan is the .tmp artifact, not lineitem
     assert "lineitem" not in plan
+
+
+def test_lm_bigram_two_corpus_touches_only(spark):
+    """Fit + score: the corpus may be scanned at most twice; the model
+    windows (context totals, vocab rank) run over the TYPE table only —
+    and the bigram stream comes from a doc-partitioned lag window, never
+    a positional self-join."""
+    from odc_product_docker_images_spark.textvec.lm_bigram import text_lm_bigram
+
+    df = text_lm_bigram(spark, SF)
+    assert C.scan_count(df) <= 2
+    C.assert_no_python_row_path(df)
+
+
+def test_assoc_rules_consumers_share_grid_artifact(spark):
+    """Pairs (both aliases), item marginals, and the basket total all read
+    the write-once grid artifact — no lineitem re-scan, no cartesian; the
+    1-row basket total rides a broadcast."""
+    from odc_product_docker_images_spark.operators.assoc import agg_assoc_rules
+
+    df = agg_assoc_rules(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "lineitem" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_weighted_sample_is_one_stratum_window(spark):
+    """A-ES keying is map-side arithmetic; the only shuffle is the
+    stratum-partitioned ranking window (never a global sort)."""
+    from odc_product_docker_images_spark.textvec.sampling import sample_weighted
+
+    df = sample_weighted(spark, SF)
+    assert C.exchange_count(df) == 1
+    assert C.scan_count(df) == 1
+    C.assert_no_python_row_path(df)

@@ -47,7 +47,8 @@ AUDIT = [
     "stream_ohlc_bars", "sim_mmr_rerank", "graph_subtree_rollup", "agg_gini",
     "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
     "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
-    "graph_triangle_count", "join_range_bucket",
+    "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
+    "agg_assoc_rules", "sample_weighted",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
