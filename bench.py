@@ -79,6 +79,8 @@ R6 = [
     "text_lm_bigram",
     "agg_assoc_rules",
     "sample_weighted",
+    "agg_attribution",
+    "graph_link_prediction",
 ]
 
 R5 = [

@@ -136,6 +136,48 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once oriented co-purchase edge artifact (src, dst, deg_src,
+    deg_dst): parts sharing an order, each undirected edge oriented from
+    its (deg, id)-lesser endpoint.  Shared by the triangle and
+    link-prediction keys — the derivation (self-join + two degree joins)
+    re-plans per consumer otherwise (first cut: 18 static scans)."""
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"tri_oriented_{tag}"
+    if not (edge_path / "_SUCCESS").exists():
+        lf = load(spark, sf_dir, "lineitem")
+        a = lf.select("l_orderkey", F.col("l_partkey").alias("u"))
+        b = lf.select("l_orderkey", F.col("l_partkey").alias("v"))
+        pairs = (
+            a.join(b, "l_orderkey").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+        )
+        degs = (
+            pairs.select(F.col("u").alias("node"))
+            .unionAll(pairs.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        # Orient u->v from the (deg, id)-lesser endpoint; keep endpoint
+        # degrees for the wedge-side tuple compare (no global rank window).
+        du = degs.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+        dv = degs.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+        ed = pairs.join(du, "u").join(dv, "v")
+        u_first = (F.col("deg_u") < F.col("deg_v")) | (
+            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+        )
+        (
+            ed.select(
+                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+                F.when(u_first, F.col("deg_u")).otherwise(F.col("deg_v")).alias("deg_src"),
+                F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
+            )
+            .write.mode("overwrite")
+            .parquet(str(edge_path))
+        )
+    return spark.read.parquet(str(edge_path))
+
+
 @register(
     "graph_triangle_count",
     oracle=f"""
@@ -187,40 +229,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     every consumer down to one cheap columnar read.  Wedge count
     Σ deg·(deg−1)/2 stays in exact integer arithmetic (``div``/``//`` on
     both sides); the coefficient ratio takes the decimal round path."""
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"tri_oriented_{tag}"
-    if not (edge_path / "_SUCCESS").exists():
-        lf = load(spark, sf_dir, "lineitem")
-        a = lf.select("l_orderkey", F.col("l_partkey").alias("u"))
-        b = lf.select("l_orderkey", F.col("l_partkey").alias("v"))
-        pairs = (
-            a.join(b, "l_orderkey").where(F.col("u") < F.col("v")).select("u", "v").distinct()
-        )
-        degs = (
-            pairs.select(F.col("u").alias("node"))
-            .unionAll(pairs.select(F.col("v").alias("node")))
-            .groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-        )
-        # Orient u->v from the (deg, id)-lesser endpoint; keep endpoint
-        # degrees for the wedge-side tuple compare (no global rank window).
-        du = degs.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
-        dv = degs.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
-        ed = pairs.join(du, "u").join(dv, "v")
-        u_first = (F.col("deg_u") < F.col("deg_v")) | (
-            (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
-        )
-        (
-            ed.select(
-                F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-                F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-                F.when(u_first, F.col("deg_u")).otherwise(F.col("deg_v")).alias("deg_src"),
-                F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
-            )
-            .write.mode("overwrite")
-            .parquet(str(edge_path))
-        )
-    oriented = spark.read.parquet(str(edge_path))
+    oriented = _oriented_copurchase_edges(spark, sf_dir)
     o1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"), F.col("deg_dst").alias("deg_b")
     )
@@ -253,3 +262,109 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tri))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles", cc.alias("cc_global"))
     )
+
+
+_LP_HUB_CAP = 50  # wedge-center degree cap (link-prediction convention)
+_LP_TOPN = 100
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM lineitem a
+            JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), degs AS (
+            SELECT node, COUNT(*) AS deg FROM (
+                SELECT u AS node FROM pairs UNION ALL SELECT v FROM pairs
+            ) GROUP BY node
+        ), adj AS (
+            SELECT u AS a, v AS n FROM pairs
+            UNION ALL
+            SELECT v AS a, u AS n FROM pairs
+        ), wedge AS (
+            SELECT x.n AS b, y.n AS c, COUNT(*) AS common
+            FROM adj x
+            JOIN adj y ON x.a = y.a AND x.n < y.n
+            JOIN degs d ON d.node = x.a
+            WHERE d.deg <= {_LP_HUB_CAP}
+            GROUP BY x.n, y.n
+        ), cand AS (
+            SELECT b, c, common FROM wedge
+            ANTI JOIN pairs ON pairs.u = wedge.b AND pairs.v = wedge.c
+        ), scored AS (
+            SELECT b, c, common, db.deg AS deg_b, dc.deg AS deg_c,
+                   {sql_dround('CAST(common AS DOUBLE)'
+                               ' / CAST(db.deg + dc.deg - common AS DOUBLE)')} AS jaccard
+            FROM cand
+            JOIN degs db ON db.node = cand.b
+            JOIN degs dc ON dc.node = cand.c
+        )
+        SELECT b, c, common, deg_b, deg_c, jaccard
+        FROM scored
+        ORDER BY jaccard DESC, common DESC, b, c
+        LIMIT {_LP_TOPN}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: common-neighbors / Jaccard link prediction over the part
+    co-purchase graph — the top-{_LP_TOPN} NON-edges most likely to form,
+    scored jaccard = |N(b)∩N(c)| / |N(b)∪N(c)|.  Spark-first: undirected
+    adjacency unfolds from the SAME write-once oriented artifact the
+    triangle key builds; candidate (b,c) pairs enumerate as wedges at
+    shared neighbors with a HUB CAP on the wedge center (deg ≤
+    {_LP_HUB_CAP} — the production convention that bounds the Σdeg² wedge
+    fan-out; super-hub co-membership carries no signal), one grouped agg
+    counts common neighbors, an anti-join removes existing edges, and two
+    degree joins price the union.  The top-N is a
+    ``TakeOrderedAndProject``, never a global sort.  Exact integer
+    counts; the Jaccard ratio takes the decimal round path; ordering
+    carries (common, b, c) tie-breaks so the LIMIT frontier is
+    deterministic on both engines."""
+    oriented = _oriented_copurchase_edges(spark, sf_dir)
+    adj = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("n"), F.col("deg_src").alias("deg_a")
+    ).unionAll(
+        oriented.select(
+            F.col("dst").alias("a"), F.col("src").alias("n"), F.col("deg_dst").alias("deg_a")
+        )
+    )
+    x = adj.where(F.col("deg_a") <= _LP_HUB_CAP).select("a", F.col("n").alias("b"))
+    y = adj.where(F.col("deg_a") <= _LP_HUB_CAP).select("a", F.col("n").alias("c"))
+    wedge = (
+        x.join(y, "a")
+        .where(F.col("b") < F.col("c"))
+        .groupBy("b", "c")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    edges = oriented.select(
+        F.least("src", "dst").alias("b"), F.greatest("src", "dst").alias("c")
+    )
+    cand = wedge.join(edges, ["b", "c"], "left_anti")
+    node_degs = (
+        oriented.select(F.col("src").alias("node"), F.col("deg_src").alias("deg"))
+        .unionAll(oriented.select(F.col("dst").alias("node"), F.col("deg_dst").alias("deg")))
+        .distinct()
+    )
+    db = node_degs.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))
+    dc_ = node_degs.select(F.col("node").alias("c"), F.col("deg").alias("deg_c"))
+    scored = (
+        cand.join(db, "b")
+        .join(dc_, "c")
+        .select(
+            "b",
+            "c",
+            "common",
+            "deg_b",
+            "deg_c",
+            dround(
+                F.col("common").cast("double")
+                / (F.col("deg_b") + F.col("deg_c") - F.col("common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.col("jaccard").desc(), F.col("common").desc(), "b", "c"
+    ).limit(_LP_TOPN)

@@ -386,7 +386,8 @@ _RB_DAYS = 7  # interval width AND grid-cell width (cells/interval <= 2)
     oracle=f"""
         SELECT l.l_returnflag,
                COUNT(*) AS n_pairs,
-               {sql_dsum('o.o_totalprice', 'sum_price')}
+               {sql_dsum('o.o_totalprice * CAST(9.5367431640625e-07 AS DOUBLE)',
+                         'sum_price_scaled')}
         FROM lineitem l
         JOIN orders o
           ON o.o_orderpriority = '1-URGENT'
@@ -410,8 +411,11 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     governed by cell population, no nested loop anywhere (pinned: the
     plan contains no BroadcastNestedLoopJoin/CartesianProduct).  The
     oracle is the declarative theta-join (DuckDB plans it as an IEJoin).
-    Decimal ``dsum`` (not the fast long-split path) because the pair
-    fan-out at sf0.1 pushes the per-group Σ|x| past dsum_fast's domain.
+    The summed measure is pre-scaled by 2⁻²⁰ (an exact power of two —
+    the agg_gini lesson): the pair fan-out grows quadratically with SF
+    and the raw price sum blew past the decimal path's int64 hop at the
+    10× replica (measured CAST_OVERFLOW at Σ≈4e14); the scaled sum keeps
+    Σ|x| inside the domain at every tier with bit-exact semantics.
     """
     li = load(spark, sf_dir, "lineitem")
     od = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
@@ -434,5 +438,5 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        dsum("o_totalprice", "sum_price"),
+        dsum(F.col("o_totalprice") * F.lit(9.5367431640625e-07), "sum_price_scaled"),
     )

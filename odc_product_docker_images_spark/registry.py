@@ -110,6 +110,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.scd",
     "odc_product_docker_images_spark.textvec.lm_bigram",
     "odc_product_docker_images_spark.operators.assoc",
+    "odc_product_docker_images_spark.operators.attribution",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -132,7 +133,8 @@ GRADING_WINDOW = [
     "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
     "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
-    "agg_assoc_rules", "sample_weighted",
+    "agg_assoc_rules", "sample_weighted", "agg_attribution",
+    "graph_link_prediction",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -142,7 +144,7 @@ GRADING_WINDOW = [
     # r5 LLM-pipeline path
     "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",
     "dedup_substring_spans", "data_mix_temperature", "sim_mmr_rerank",
-    "sample_stratified", "dedup_boilerplate", "sim_kmeans_step",
+    "sim_kmeans_step",
     # r5 analytics/monitoring
     "agg_mann_kendall", "window_cusum_change", "window_seasonal_zscore",
     "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
@@ -160,6 +162,7 @@ GRADING_WINDOW = [
     # above have earned their rows):
     #   oracled: join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
+    #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
     #     sim_rerank_adc_exact, agg_percentile_composite,
     #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,

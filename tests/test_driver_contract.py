@@ -85,7 +85,8 @@ def test_grading_window_holds_showcase_surface():
         "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
         "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
         "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
-        "agg_assoc_rules", "sample_weighted",
+        "agg_assoc_rules", "sample_weighted", "agg_attribution",
+        "graph_link_prediction",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_roundtrip", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",

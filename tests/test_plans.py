@@ -1047,3 +1047,30 @@ def test_weighted_sample_is_one_stratum_window(spark):
     assert C.exchange_count(df) == 1
     assert C.scan_count(df) == 1
     C.assert_no_python_row_path(df)
+
+
+def test_attribution_pairing_is_equi_join_one_window(spark):
+    """The lookback pairing must be the grid-cell EQUI-join (no nested
+    loop) and both attribution models must come from windows over the one
+    pair stream (no join-back, no second purchase branch)."""
+    from odc_product_docker_images_spark.operators.attribution import agg_attribution
+
+    df = agg_attribution(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert C.scan_count(df) == 2  # purchases + touches slices of events
+    C.assert_no_python_row_path(df)
+
+
+def test_link_prediction_caps_hubs_and_takes_ordered_topn(spark):
+    """Wedge centers must be degree-capped BEFORE the self-join (pushed
+    filter on deg), every scan reads the oriented artifact, and the top-N
+    must compile to TakeOrderedAndProject, not a global sort."""
+    from odc_product_docker_images_spark.operators.graph import graph_link_prediction
+
+    df = graph_link_prediction(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "lineitem" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -48,7 +48,8 @@ AUDIT = [
     "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
     "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
-    "agg_assoc_rules", "sample_weighted",
+    "agg_assoc_rules", "sample_weighted", "agg_attribution",
+    "graph_link_prediction",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
