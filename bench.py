@@ -81,6 +81,9 @@ R6 = [
     "sample_weighted",
     "agg_attribution",
     "graph_link_prediction",
+    "agg_chi_square",
+    "agg_survival_curve",
+    "stream_cdc_apply",
 ]
 
 R5 = [

@@ -262,3 +262,71 @@ def window_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(num / denom)
         .alias("slope"),
     )
+
+
+@register(
+    "agg_chi_square",
+    oracle=f"""
+        WITH obs AS (
+            SELECT event_type,
+                   CAST(EXTRACT(dow FROM ts) AS BIGINT) AS dow,
+                   CAST(COUNT(*) AS DOUBLE) AS o
+            FROM events
+            GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, dow, o,
+                   SUM(o) OVER (PARTITION BY event_type) AS row_tot,
+                   SUM(o) OVER (PARTITION BY dow) AS col_tot,
+                   SUM(o) OVER () AS n
+            FROM obs
+        ), cells AS (
+            SELECT event_type, dow, o,
+                   row_tot * col_tot / n AS e
+            FROM tot
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+               {sql_dsum('(o - e) * (o - e) / e', 'chi2')},
+               CAST((COUNT(DISTINCT event_type) - 1)
+                    * (COUNT(DISTINCT dow) - 1) AS BIGINT) AS dof
+        FROM cells
+    """,
+)
+def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: chi-square independence test between event type and
+    day-of-week — the sample-ratio-mismatch / seasonality screen run
+    before trusting an experiment readout.  One grouped pass builds the
+    contingency table (|types|×7 cells — tiny regardless of event
+    volume); marginals and the grand total are windows over the CELL
+    table; each cell's (o−e)²/e contribution is pure IEEE arithmetic on
+    exact integer counts, and the statistic sums contributions through
+    the decimal-exact path (summation order across engines is never
+    pinned, even over 35 cells).  Spark's ``dayofweek`` (1=Sunday) is
+    shifted to DuckDB's ``dow`` numbering (0=Sunday) so the contingency
+    keys align.  Scale: fact scan once, everything after is O(cells)."""
+    ev = load(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type",
+        F.dayofweek("ts").cast("long").alias("dow_raw"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    # Spark dayofweek: 1=Sunday..7=Saturday; DuckDB dow: 0=Sunday..6 —
+    # align to DuckDB's numbering.
+    obs = obs.select(
+        "event_type", (F.col("dow_raw") - 1).alias("dow"), "o"
+    )
+    wr = Window.partitionBy("event_type")
+    wc = Window.partitionBy("dow")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cells = obs.select(
+        "event_type",
+        "dow",
+        "o",
+        (F.sum("o").over(wr) * F.sum("o").over(wc) / F.sum("o").over(wall)).alias("e"),
+    )
+    contrib = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return cells.agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        dsum_fast(contrib, "chi2"),
+        (
+            (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
+        ).cast("long").alias("dof"),
+    )

@@ -111,6 +111,8 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.lm_bigram",
     "odc_product_docker_images_spark.operators.assoc",
     "odc_product_docker_images_spark.operators.attribution",
+    "odc_product_docker_images_spark.operators.survival",
+    "odc_product_docker_images_spark.streaming.cdc_apply",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -134,11 +136,12 @@ GRADING_WINDOW = [
     "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
     "agg_assoc_rules", "sample_weighted", "agg_attribution",
-    "graph_link_prediction",
+    "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
+    "stream_cdc_apply",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
-    "proj_crs_roundtrip", "scalar_solar_day", "udf_wofs_confidence",
+    "scalar_solar_day", "udf_wofs_confidence",
     "product_burn_mapping", "regrid_conservative", "raster_focal_mean",
     "agg_zonal_stats", "join_polygon_zone",
     # r5 LLM-pipeline path
@@ -146,7 +149,7 @@ GRADING_WINDOW = [
     "dedup_substring_spans", "data_mix_temperature", "sim_mmr_rerank",
     "sim_kmeans_step",
     # r5 analytics/monitoring
-    "agg_mann_kendall", "window_cusum_change", "window_seasonal_zscore",
+    "agg_mann_kendall", "window_cusum_change",
     "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
     "agg_funnel_steps", "agg_retention_cohort", "agg_gini",
     "graph_subtree_rollup",
@@ -154,7 +157,7 @@ GRADING_WINDOW = [
     "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
     "source_jsonl_roundtrip", "sql_frontend",
     # storage
-    "table_clone_shallow", "table_constraint_check",
+    "table_clone_shallow",
     # multimodal
     "multimodal_image_resize",
     # R7 DEFER LIST — never driver-graded keys left out of the r6 window
@@ -163,6 +166,7 @@ GRADING_WINDOW = [
     #   oracled: join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
+    #     window_seasonal_zscore, proj_crs_roundtrip, table_constraint_check,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
     #     sim_rerank_adc_exact, agg_percentile_composite,
     #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,

@@ -86,9 +86,10 @@ def test_grading_window_holds_showcase_surface():
         "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
         "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
         "agg_assoc_rules", "sample_weighted", "agg_attribution",
-        "graph_link_prediction",
+        "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
+        "stream_cdc_apply",
         # r5 geo/product family
-        "sink_geotiff_tiled", "proj_crs_roundtrip", "scalar_solar_day",
+        "sink_geotiff_tiled", "proj_crs_curvilinear", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",
         # r5 LLM-pipeline family
         "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",

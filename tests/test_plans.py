@@ -1074,3 +1074,25 @@ def test_link_prediction_caps_hubs_and_takes_ordered_topn(spark):
     assert "lineitem" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_chi_square_single_scan_cell_windows(spark):
+    """The contingency build scans events once; marginals are windows
+    over the tiny cell table — no joins anywhere."""
+    from odc_product_docker_images_spark.operators.metrics import agg_chi_square
+
+    df = agg_chi_square(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
+
+
+def test_survival_curve_single_scan_small_windows(spark):
+    """The only corpus-sized work is the per-user MIN/MAX agg (one scan);
+    the KM chain runs on the per-duration table with no joins."""
+    from odc_product_docker_images_spark.operators.survival import agg_survival_curve
+
+    df = agg_survival_curve(spark, SF)
+    assert C.scan_count(df) == 1
+    assert "Join" not in C.formatted_plan(df)
+    C.assert_no_python_row_path(df)
