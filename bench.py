@@ -84,6 +84,7 @@ R6 = [
     "agg_chi_square",
     "agg_survival_curve",
     "stream_cdc_apply",
+    "scalar_geohash",
 ]
 
 R5 = [

@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import davg as _davg
+from ..functions.det import sql_davg as _sql_davg
 from ..io import load
 from ..registry import register
 
@@ -362,4 +364,103 @@ def scalar_solar_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("off_sec").alias("min_off"),
             F.max("off_sec").alias("max_off"),
         )
+    )
+
+
+_GH_BITS = 15  # per-axis bits -> 6 base32 chars (30 interleaved bits)
+_GH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+_sql_davg_value = _sql_davg("value", "avg_value")
+
+
+def _gh_cell_sql(expr: str, domain: float) -> str:
+    """DuckDB twin of the per-axis cell index (floor + clamp)."""
+    n = 1 << _GH_BITS
+    return (
+        f"LEAST(CAST(FLOOR(({expr}) / CAST({domain!r} AS DOUBLE)"
+        f" * CAST({float(n)!r} AS DOUBLE)) AS BIGINT), {n - 1})"
+    )
+
+
+def _gh_interleave_sql(ix: str, iy: str) -> str:
+    """Morton-interleave two 15-bit indices (x takes even bit slots)."""
+    # Each shift term is fully parenthesized: SQL's + binds tighter than
+    # <<, so a bare `a << 2 + b << 3` chain regroups catastrophically.
+    terms = []
+    for k in range(_GH_BITS):
+        terms.append(f"(((({ix}) >> {k}) & 1) << {2 * k})")
+        terms.append(f"(((({iy}) >> {k}) & 1) << {2 * k + 1})")
+    return " + ".join(terms)
+
+
+def _gh_b32_sql(code: str, nchars: int) -> str:
+    """Base32-encode the top ``nchars`` 5-bit digits of a 30-bit code."""
+    parts = []
+    for i in range(nchars):
+        shift = (6 - 1 - i) * 5
+        parts.append(
+            f"SUBSTRING('{_GH_ALPHABET}', CAST((({code}) >> {shift}) & 31 AS INTEGER) + 1, 1)"
+        )
+    return " || ".join(parts)
+
+
+@register(
+    "scalar_geohash",
+    oracle=f"""
+        WITH cells AS (
+            SELECT value,
+                   {_gh_cell_sql('value', 490.0)} AS ix,
+                   {_gh_cell_sql('CAST(user_id AS DOUBLE)', 150.0)} AS iy
+            FROM events
+        ), coded AS (
+            SELECT value, {_gh_interleave_sql('ix', 'iy')} AS code FROM cells
+        )
+        SELECT {_gh_b32_sql('code', 4)} AS geohash4,
+               COUNT(*) AS n,
+               {_sql_davg_value}
+        FROM coded
+        GROUP BY 1
+    """,
+)
+def scalar_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10/S6+: geohash spatial-key encoding — the string form of the
+    Z-order curve the storage layer already clusters by
+    (``table_zorder_skipping``), here as a pure scalar expression chain:
+    per-axis cell index (floor + clamp on the synthetic (value, user_id)
+    coordinate convention the polygon keys use), 15+15-bit Morton
+    interleave as a shift/mask sum, base32 digits via substring lookup —
+    all codegen'd integer arithmetic, no UDF, identical literal-for-
+    literal on both engines (floor runs on the same IEEE product, so the
+    cell boundary is the same bit pattern).  Rolled up at 4-char
+    precision: cell, count, mean value.  At 100 TB the geohash prefix is
+    the canonical spatial partition/bucket key — this expression IS the
+    ingest-time clustering function."""
+    n = 1 << _GH_BITS
+
+    def cell(col, domain: float):
+        raw = F.floor(col / F.lit(domain) * F.lit(float(n))).cast("long")
+        return F.least(raw, F.lit(n - 1))
+
+    ix = cell(F.col("value"), 490.0)
+    iy = cell(F.col("user_id").cast("double"), 150.0)
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select("value", ix.alias("ix"), iy.alias("iy"))
+    code = None
+    for k in range(_GH_BITS):
+        xbit = F.shiftleft(F.shiftright(F.col("ix"), k).bitwiseAND(F.lit(1)), 2 * k)
+        ybit = F.shiftleft(
+            F.shiftright(F.col("iy"), k).bitwiseAND(F.lit(1)), 2 * k + 1
+        )
+        term = xbit + ybit
+        code = term if code is None else code + term
+    coded = cells.select("value", code.alias("code"))
+    gh = F.concat(
+        *[
+            F.expr(
+                f"SUBSTRING('{_GH_ALPHABET}', CAST((code >> {(6 - 1 - i) * 5}) & 31 AS INT) + 1, 1)"
+            )
+            for i in range(4)
+        ]
+    )
+    return coded.groupBy(gh.alias("geohash4")).agg(
+        F.count(F.lit(1)).alias("n"), _davg("value", "avg_value")
     )

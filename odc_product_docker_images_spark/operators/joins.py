@@ -24,7 +24,7 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dsum, sql_davg, sql_dsum
+from ..functions.det import davg, dsum, dsum_fast, sql_davg, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -379,6 +379,7 @@ def join_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RB_DAYS = 7  # interval width AND grid-cell width (cells/interval <= 2)
+_RB_MIN_QTY = 45  # interval-side predicate: bounds the pair fan-out ~8x
 
 
 @register(
@@ -393,6 +394,7 @@ _RB_DAYS = 7  # interval width AND grid-cell width (cells/interval <= 2)
           ON o.o_orderpriority = '1-URGENT'
          AND o.o_orderdate >= l.l_shipdate
          AND o.o_orderdate < l.l_shipdate + INTERVAL {_RB_DAYS} DAY
+        WHERE l.l_quantity >= {_RB_MIN_QTY}
         GROUP BY l.l_returnflag
     """,
 )
@@ -412,12 +414,18 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan contains no BroadcastNestedLoopJoin/CartesianProduct).  The
     oracle is the declarative theta-join (DuckDB plans it as an IEJoin).
     The summed measure is pre-scaled by 2⁻²⁰ (an exact power of two —
-    the agg_gini lesson): the pair fan-out grows quadratically with SF
-    and the raw price sum blew past the decimal path's int64 hop at the
-    10× replica (measured CAST_OVERFLOW at Σ≈4e14); the scaled sum keeps
-    Σ|x| inside the domain at every tier with bit-exact semantics.
+    the agg_gini lesson): the pair fan-out grows with SF² and the raw
+    price sum blew past the decimal path's int64 hop at the 10× replica
+    (measured CAST_OVERFLOW at Σ≈4e14); scaling puts the sum inside
+    dsum_fast's domain at every tier (bit-exact semantics, ~2× cheaper
+    per pair — the decimal-BigDecimal add dominated the 24M-pair agg,
+    measured 75 s at sf0.1).  The interval side also carries a pushed
+    quantity predicate: the demonstration needs the fact×fact JOIN
+    geometry, not an unbounded fan-out — the filter is pushed to the
+    parquet scan and cuts pairs ~8× (the realistic "recent high-value
+    lines" slice).
     """
-    li = load(spark, sf_dir, "lineitem")
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= _RB_MIN_QTY)
     od = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
     epoch_days_l = F.datediff(F.col("l_shipdate"), F.lit("1970-01-01"))
     epoch_days_o = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
@@ -438,5 +446,5 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pairs.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        dsum(F.col("o_totalprice") * F.lit(9.5367431640625e-07), "sum_price_scaled"),
+        dsum_fast(F.col("o_totalprice") * F.lit(9.5367431640625e-07), "sum_price_scaled"),
     )

@@ -137,7 +137,7 @@ GRADING_WINDOW = [
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
     "agg_assoc_rules", "sample_weighted", "agg_attribution",
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-    "stream_cdc_apply",
+    "stream_cdc_apply", "scalar_geohash",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -147,7 +147,6 @@ GRADING_WINDOW = [
     # r5 LLM-pipeline path
     "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",
     "dedup_substring_spans", "data_mix_temperature", "sim_mmr_rerank",
-    "sim_kmeans_step",
     # r5 analytics/monitoring
     "agg_mann_kendall", "window_cusum_change",
     "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
@@ -167,6 +166,7 @@ GRADING_WINDOW = [
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
     #     window_seasonal_zscore, proj_crs_roundtrip, table_constraint_check,
+    #     sim_kmeans_step,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
     #     sim_rerank_adc_exact, agg_percentile_composite,
     #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,

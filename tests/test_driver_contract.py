@@ -87,7 +87,7 @@ def test_grading_window_holds_showcase_surface():
         "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
         "agg_assoc_rules", "sample_weighted", "agg_attribution",
         "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-        "stream_cdc_apply",
+        "stream_cdc_apply", "scalar_geohash",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_curvilinear", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",

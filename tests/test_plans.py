@@ -1096,3 +1096,14 @@ def test_survival_curve_single_scan_small_windows(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in C.formatted_plan(df)
     C.assert_no_python_row_path(df)
+
+
+def test_geohash_is_pure_codegen_single_shuffle(spark):
+    """The whole encode (cell index, Morton interleave, base32) must ride
+    the scan's codegen stage: no UDF, one scan, one grouped Exchange."""
+    from odc_product_docker_images_spark.functions.scalars import scalar_geohash
+
+    df = scalar_geohash(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 1
+    C.assert_no_python_row_path(df)
