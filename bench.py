@@ -85,6 +85,7 @@ R6 = [
     "agg_survival_curve",
     "stream_cdc_apply",
     "scalar_geohash",
+    "forecast_holt",
 ]
 
 R5 = [

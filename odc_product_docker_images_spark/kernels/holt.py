@@ -1,0 +1,102 @@
+"""Holt double-exponential smoothing per series (SURVEY.md §2.5/§2.10 —
+the forecasting step past `window_ewma`'s single smoother).
+
+A coupled two-state recursion (level, trend) is not expressible as a
+window frame, so the Spark side runs an Arrow-batched grouped kernel
+(`applyInPandas` — one shuffle on the series key, the geomedian
+contract) while the oracle runs the SAME recursion as a DuckDB
+``WITH RECURSIVE`` CTE (the `graph_subtree_rollup` precedent: the
+recursion lives in the oracle, the engine side compiles it away — here
+into a per-group sequential kernel).
+
+Determinism without rounding: the smoothing constants are EXACT BINARY
+fractions (α=0.5, β=0.25), and both sides evaluate the recurrence with
+the identical operation order — so every intermediate double is
+bit-identical across numpy and DuckDB and the outputs hash unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load
+from ..registry import register
+
+_ALPHA = 0.5  # level gain  (exact binary)
+_BETA = 0.25  # trend gain  (exact binary)
+
+
+@register(
+    "forecast_holt",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i
+            FROM events
+        ), n AS (
+            SELECT user_id, MAX(i) AS n FROM seq GROUP BY user_id
+        ), rec AS (
+            SELECT user_id, 1 AS i, value AS level,
+                   CAST(0.0 AS DOUBLE) AS trend
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT r.user_id, r.i + 1,
+                   CAST({_ALPHA!r} AS DOUBLE) * s.value
+                     + CAST({1 - _ALPHA!r} AS DOUBLE) * (r.level + r.trend),
+                   CAST({_BETA!r} AS DOUBLE)
+                     * ((CAST({_ALPHA!r} AS DOUBLE) * s.value
+                         + CAST({1 - _ALPHA!r} AS DOUBLE) * (r.level + r.trend))
+                        - r.level)
+                     + CAST({1 - _BETA!r} AS DOUBLE) * r.trend
+            FROM rec r
+            JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT rec.user_id,
+               CAST(n.n AS BIGINT) AS n_obs,
+               rec.level AS level,
+               rec.trend AS trend,
+               rec.level + rec.trend AS forecast_1
+        FROM rec JOIN n ON rec.user_id = n.user_id
+        WHERE rec.i = n.n
+    """,
+)
+def forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15: Holt linear-trend smoothing over each user's value series —
+    level_t = α·x_t + (1−α)(level+trend), trend_t = β·Δlevel + (1−β)·trend,
+    initialized (level₁=x₁, trend₁=0); emits each series' final state and
+    one-step forecast.  One shuffle on the series key, then an
+    Arrow-batched per-group kernel (numpy scalar loop — the recursion IS
+    sequential per series; parallelism comes from series count, which is
+    the 100 TB axis).  The oracle replays the recursion as a recursive
+    CTE; α and β are exact binary fractions and the operation order is
+    written identically on both sides, so the chain is bit-identical with
+    NO rounding anywhere."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        level = float(xs[0])
+        trend = 0.0
+        for x in xs[1:]:
+            new_level = _ALPHA * float(x) + (1 - _ALPHA) * (level + trend)
+            trend = _BETA * (new_level - level) + (1 - _BETA) * trend
+            level = new_level
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "forecast_1": [level + trend],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit, "user_id LONG, n_obs LONG, level DOUBLE, trend DOUBLE, forecast_1 DOUBLE"
+    )

@@ -113,6 +113,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.attribution",
     "odc_product_docker_images_spark.operators.survival",
     "odc_product_docker_images_spark.streaming.cdc_apply",
+    "odc_product_docker_images_spark.kernels.holt",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -137,7 +138,7 @@ GRADING_WINDOW = [
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
     "agg_assoc_rules", "sample_weighted", "agg_attribution",
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-    "stream_cdc_apply", "scalar_geohash",
+    "stream_cdc_apply", "scalar_geohash", "forecast_holt",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -154,7 +155,7 @@ GRADING_WINDOW = [
     "graph_subtree_rollup",
     # streaming / sources
     "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
-    "source_jsonl_roundtrip", "sql_frontend",
+    "sql_frontend",
     # storage
     "table_clone_shallow",
     # multimodal
@@ -166,7 +167,7 @@ GRADING_WINDOW = [
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
     #     window_seasonal_zscore, proj_crs_roundtrip, table_constraint_check,
-    #     sim_kmeans_step,
+    #     sim_kmeans_step, source_jsonl_roundtrip,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
     #     sim_rerank_adc_exact, agg_percentile_composite,
     #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,

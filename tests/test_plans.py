@@ -1107,3 +1107,15 @@ def test_geohash_is_pure_codegen_single_shuffle(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) == 1
     C.assert_no_python_row_path(df)
+
+
+def test_holt_kernel_is_arrow_grouped_single_shuffle(spark):
+    """The recursion runs as an Arrow-batched grouped kernel after ONE
+    shuffle on the series key — never row-at-a-time Python."""
+    from odc_product_docker_images_spark.kernels.holt import forecast_holt
+
+    df = forecast_holt(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert C.exchange_count(df) == 1

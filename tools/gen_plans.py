@@ -50,7 +50,7 @@ AUDIT = [
     "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
     "agg_assoc_rules", "sample_weighted", "agg_attribution",
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-    "scalar_geohash",
+    "scalar_geohash", "forecast_holt",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
