@@ -86,6 +86,9 @@ R6 = [
     "stream_cdc_apply",
     "scalar_geohash",
     "forecast_holt",
+    "agg_markov_transitions",
+    "agg_rfm_segments",
+    "profile_benford",
 ]
 
 R5 = [

@@ -10,7 +10,7 @@ reordering and broadcast decisions.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -181,4 +181,95 @@ def profile_skew_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("cnt").cast("double")
             / (F.sum("cnt").cast("double") / F.count(F.lit(1)).cast("double"))
         ).alias("skew_factor"),
+    )
+
+
+# Benford first-digit expectation log10(1 + 1/d), computed once in Python
+# so BOTH engines parse the identical double literal (DuckDB casts the
+# string form to DOUBLE — a bare literal would parse as DECIMAL).
+_BENFORD_P = {
+    1: 0.3010299956639812,
+    2: 0.17609125905568124,
+    3: 0.12493873660829992,
+    4: 0.09691001300805642,
+    5: 0.07918124604762482,
+    6: 0.06694678963061322,
+    7: 0.05799194697768673,
+    8: 0.05115252244738129,
+    9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN CAST('{p!r}' AS DOUBLE)" for d, p in _BENFORD_P.items()
+)
+
+
+@register(
+    "profile_benford",
+    oracle=f"""
+        WITH d AS (
+            SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER)
+                   AS first_digit
+            FROM orders WHERE o_totalprice >= 1.0
+        ), c AS (
+            SELECT first_digit, COUNT(*) AS n_obs FROM d GROUP BY first_digit
+        ), t AS (
+            SELECT first_digit, n_obs,
+                   CAST(SUM(n_obs) OVER () AS DOUBLE) AS n_total,
+                   CASE first_digit {_BENFORD_CASE} END AS p_expected
+            FROM c
+        )
+        SELECT first_digit, CAST(n_obs AS BIGINT) AS n_obs, p_expected,
+               n_total * p_expected AS expected,
+               (CAST(n_obs AS DOUBLE) - n_total * p_expected)
+                   * (CAST(n_obs AS DOUBLE) - n_total * p_expected)
+                   / (n_total * p_expected) AS chi_term
+        FROM t
+    """,
+)
+def profile_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over the order-value measure —
+    the classic fabricated/corrupted-numeric-data detector in data-quality
+    profiling.  First significant digit is extracted through the exact
+    integer path (FLOOR → BIGINT → leading char; values are ≥ 1 by the
+    guard), never via log10, so no libm sits on the digit boundary.
+    Output is ≤9 rows post-aggregation, so the total-count window is
+    bounded — the only corpus-sized stage is one grouped count.  The
+    chi-square term is pure IEEE arithmetic on exact counts and the
+    Python-folded Benford constants — left unrounded."""
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("first_digit")
+        )
+    )
+    c = digits.groupBy("first_digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    # ≤9 rows from here on: the no-partition window is bounded by design
+    t = c.withColumn(
+        "n_total", F.sum("n_obs").over(Window.partitionBy()).cast("double")
+    ).withColumn(
+        "p_expected",
+        F.element_at(
+            F.create_map(
+                *[F.lit(x) for dp in _BENFORD_P.items() for x in dp]
+            ),
+            F.col("first_digit"),
+        ),
+    )
+    n_obs_d = F.col("n_obs").cast("double")
+    expected = F.col("n_total") * F.col("p_expected")
+    return t.select(
+        "first_digit",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        "p_expected",
+        expected.alias("expected"),
+        ((n_obs_d - expected) * (n_obs_d - expected) / expected).alias(
+            "chi_term"
+        ),
     )

@@ -114,6 +114,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.survival",
     "odc_product_docker_images_spark.streaming.cdc_apply",
     "odc_product_docker_images_spark.kernels.holt",
+    "odc_product_docker_images_spark.operators.behavior",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -139,6 +140,7 @@ GRADING_WINDOW = [
     "agg_assoc_rules", "sample_weighted", "agg_attribution",
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
     "stream_cdc_apply", "scalar_geohash", "forecast_holt",
+    "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -155,15 +157,11 @@ GRADING_WINDOW = [
     "graph_subtree_rollup",
     # streaming / sources
     "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
-    "sql_frontend",
-    # storage
-    "table_clone_shallow",
-    # multimodal
-    "multimodal_image_resize",
     # R7 DEFER LIST — never driver-graded keys left out of the r6 window
     # (all pass local parity; rotate them in next round once the r6 keys
     # above have earned their rows):
-    #   oracled: join_interval_overlap, udtf_dynamic_schema,
+    #   oracled: sql_frontend, table_clone_shallow, multimodal_image_resize,
+    #     join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
     #     window_seasonal_zscore, proj_crs_roundtrip, table_constraint_check,

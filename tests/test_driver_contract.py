@@ -88,6 +88,7 @@ def test_grading_window_holds_showcase_surface():
         "agg_assoc_rules", "sample_weighted", "agg_attribution",
         "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
         "stream_cdc_apply", "scalar_geohash", "forecast_holt",
+        "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_curvilinear", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",
@@ -99,9 +100,9 @@ def test_grading_window_holds_showcase_surface():
         "profile_drift_psi", "agg_funnel_steps", "agg_retention_cohort",
         "agg_gini", "graph_subtree_rollup",
         # streaming / sources / storage
-        "stream_ohlc_bars", "source_stream_feed", "table_clone_shallow",
+        "stream_ohlc_bars", "source_stream_feed",
         # r4 stragglers still in rotation
-        "sql_frontend", "stream_session_timeout", "multimodal_image_resize",
+        "stream_session_timeout",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r6 pin violated: {missing_literal}"

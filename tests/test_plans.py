@@ -1119,3 +1119,57 @@ def test_holt_kernel_is_arrow_grouped_single_shuffle(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert C.exchange_count(df) == 1
+
+
+def test_markov_transitions_reuses_user_partitioning(spark):
+    """The per-user lag window must ride the explicit user_id
+    repartition (no second corpus-sized Exchange); the normalisation
+    window runs on the |types|²-bounded matrix."""
+    from odc_product_docker_images_spark.operators.behavior import (
+        agg_markov_transitions,
+    )
+
+    df = agg_markov_transitions(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    C.assert_no_python_row_path(df)
+
+
+def test_rfm_ranks_are_distributed_not_single_task(spark):
+    """Each of the three global quartile orderings must be the
+    range-partitioned prefix-offset form (agg_gini pattern): partition-id
+    projection + range partitioning + broadcast offset joins, never a
+    single-task NTILE window over the customer dimension."""
+    import re
+
+    from odc_product_docker_images_spark.operators.behavior import (
+        agg_rfm_segments,
+    )
+
+    df = agg_rfm_segments(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "SPARK_PARTITION_ID" in plan.upper()
+    assert plan.lower().count("rangepartitioning") >= 3
+    assert "BroadcastHashJoin" in plan
+    # distinct Exchange nodes (the raw string count is inflated by the
+    # cached-subplan printing): 3 × (range + offsets-agg + offsets-window
+    # + broadcast) + the orders→customer agg
+    assert len(set(re.findall(r"\((\d+)\) Exchange", plan))) <= 13
+    C.assert_no_python_row_path(df)
+
+
+def test_benford_total_window_is_digit_bounded(spark):
+    """The only corpus-sized stage is the grouped digit count; the
+    no-partition total window runs on ≤9 rows, and the digit extraction
+    is the exact integer path (no log10 in the plan)."""
+    from odc_product_docker_images_spark.operators.profile import (
+        profile_benford,
+    )
+
+    df = profile_benford(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 2
+    assert "LOG10" not in plan.upper()
+    C.assert_no_python_row_path(df)
