@@ -89,6 +89,8 @@ R6 = [
     "agg_markov_transitions",
     "agg_rfm_segments",
     "profile_benford",
+    "window_interpolate_linear",
+    "text_inverted_index",
 ]
 
 R5 = [

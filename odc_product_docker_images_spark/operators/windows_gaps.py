@@ -166,3 +166,109 @@ def window_despike(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("is_spike"),
     )
+
+
+@register(
+    "window_interpolate_linear",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   event_type,
+                   CASE WHEN event_type <> 'error' THEN value END AS v,
+                   CASE WHEN event_type <> 'error'
+                        THEN CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                   END AS vt
+            FROM events
+        ), w AS (
+            SELECT user_id, event_id, sec, event_type,
+                   LAST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pv,
+                   LAST_VALUE(vt IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS pt,
+                   FIRST_VALUE(v IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nv,
+                   FIRST_VALUE(vt IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING
+                   ) AS nt
+            FROM e
+        )
+        SELECT user_id, event_id,
+               CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+                        pv + (nv - pv) * (CAST(sec - pt AS DOUBLE)
+                                          / CAST(nt - pt AS DOUBLE))
+                    WHEN pv IS NOT NULL THEN pv
+                    ELSE nv END AS value_filled,
+               CASE WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+                    WHEN pv IS NOT NULL THEN 'ffill'
+                    WHEN nv IS NOT NULL THEN 'bfill'
+                    ELSE 'empty' END AS fill_kind
+        FROM w WHERE event_type = 'error'
+    """,
+)
+def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: time-weighted linear interpolation of missing observations —
+    the `xr.DataArray.interpolate_na('time')` analog one step past
+    ``window_gap_fill``'s carry-forward.  Rows flagged invalid (the
+    'error' event type stands in for the cloud-masked observation) take
+    v_prev + (v_next − v_prev)·(t − t_prev)/(t_next − t_prev) from the
+    nearest valid neighbors in the (ts, event_id) series order; a missing
+    side degrades to forward/backward fill, an empty series to NULL.
+
+    Scale shape: all four neighbor lookups are IGNORE-NULLS window
+    functions sharing ONE (user) partition spec and sort — a single
+    Exchange of the observation table, no self-join, no corpus re-scan
+    (pinned).  Determinism: neighbor values/epochs are carried exactly;
+    the blend is a fixed-order IEEE chain on bit-identical operands —
+    left unrounded."""
+    valid = F.col("event_type") != "error"
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+            F.when(valid, F.col("value")).alias("v"),
+            F.when(valid, F.unix_timestamp("ts")).alias("vt"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    wprev = order.rowsBetween(Window.unboundedPreceding, -1)
+    wnext = order.rowsBetween(1, Window.unboundedFollowing)
+    w = e.select(
+        "user_id",
+        "event_id",
+        "sec",
+        "event_type",
+        F.last("v", ignorenulls=True).over(wprev).alias("pv"),
+        F.last("vt", ignorenulls=True).over(wprev).alias("pt"),
+        F.first("v", ignorenulls=True).over(wnext).alias("nv"),
+        F.first("vt", ignorenulls=True).over(wnext).alias("nt"),
+    )
+    both = F.col("pv").isNotNull() & F.col("nv").isNotNull()
+    blend = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        (F.col("sec") - F.col("pt")).cast("double")
+        / (F.col("nt") - F.col("pt")).cast("double")
+    )
+    return w.where(F.col("event_type") == "error").select(
+        "user_id",
+        "event_id",
+        F.when(both, blend)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("value_filled"),
+        F.when(both, "interp")
+        .when(F.col("pv").isNotNull(), "ffill")
+        .when(F.col("nv").isNotNull(), "bfill")
+        .otherwise("empty")
+        .alias("fill_kind"),
+    )

@@ -141,6 +141,8 @@ GRADING_WINDOW = [
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
     "stream_cdc_apply", "scalar_geohash", "forecast_holt",
     "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
+    "window_interpolate_linear", "text_inverted_index",
+    "table_incremental_join",
     # -- rotation: never driver-graded, unique families first --
     # r5 geo/product path
     "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
@@ -155,12 +157,12 @@ GRADING_WINDOW = [
     "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
     "agg_funnel_steps", "agg_retention_cohort", "agg_gini",
     "graph_subtree_rollup",
-    # streaming / sources
-    "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
     # R7 DEFER LIST — never driver-graded keys left out of the r6 window
     # (all pass local parity; rotate them in next round once the r6 keys
     # above have earned their rows):
-    #   oracled: sql_frontend, table_clone_shallow, multimodal_image_resize,
+    #   oracled: stream_ohlc_bars, stream_session_timeout,
+    #     source_stream_feed,
+    #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,
     #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,

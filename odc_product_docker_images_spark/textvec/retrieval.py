@@ -9,7 +9,7 @@ Own module so the key registers in the driver grading window
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
@@ -136,5 +136,79 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             matched.cast("bigint").alias("n_terms_matched"),
             bm25.alias("bm25"),
+        )
+    )
+
+
+_IDX_SHARDS = 8
+_IDX_MIN_DF = 50
+
+
+@register(
+    "text_inverted_index",
+    oracle=f"""
+        WITH tf AS (
+            SELECT w AS token, doc_id, COUNT(*) AS tf
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY w, doc_id
+        ), d AS (
+            SELECT token, doc_id, tf,
+                   COUNT(*) OVER (PARTITION BY token) AS df
+            FROM tf
+        )
+        SELECT token, CAST(doc_id % {_IDX_SHARDS} AS BIGINT) AS shard,
+               COUNT(*) AS n_docs_seg,
+               CAST(SUM(tf) AS BIGINT) AS sum_tf_seg,
+               STRING_AGG(CAST(doc_id AS VARCHAR) || ':' ||
+                          CAST(tf AS VARCHAR), ',' ORDER BY doc_id)
+                   AS postings
+        FROM d WHERE df >= {_IDX_MIN_DF}
+        GROUP BY token, doc_id % {_IDX_SHARDS}
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: segmented inverted-index build — term → sorted posting-list
+    segments (doc:tf), the physical structure behind ``text_bm25``'s
+    scoring.  The posting list for a term is SHARDED by doc-id modulus
+    (the Lucene-segment shape): no single reducer ever materializes a
+    stopword's full posting list, and segment merge at query time is a
+    k-way concatenation because every segment arrives doc-sorted.
+
+    Scale shape: tf is one (token, doc) hash agg with map-side partials;
+    df rides a window over the DEDUPED (token, doc) stream, so the hot
+    partition for the worst stopword is bounded by |docs|, never by raw
+    token volume; the segment rollup re-shuffles on (token, shard),
+    splitting exactly the hot keys the df window concentrated.  Postings
+    serialize as strings (bigint rendering is engine-identical); only
+    terms with df ≥ {_IDX_MIN_DF} emit (the long-list regime the sharding
+    exists for)."""
+    from .text_analysis import _toks
+
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .select("doc_id", F.explode(_toks()).alias("token"))
+    )
+    tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    d = tf.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("token")))
+    return (
+        d.where(F.col("df") >= _IDX_MIN_DF)
+        .groupBy(
+            "token",
+            F.pmod(F.col("doc_id"), F.lit(_IDX_SHARDS)).cast("bigint").alias("shard"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_seg"),
+            F.sum("tf").cast("bigint").alias("sum_tf_seg"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda x: F.concat_ws(
+                        ":", x["doc_id"].cast("string"), x["tf"].cast("string")
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
         )
     )

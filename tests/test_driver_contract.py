@@ -89,6 +89,8 @@ def test_grading_window_holds_showcase_surface():
         "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
         "stream_cdc_apply", "scalar_geohash", "forecast_holt",
         "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
+        "window_interpolate_linear", "text_inverted_index",
+        "table_incremental_join",
         # r5 geo/product family
         "sink_geotiff_tiled", "proj_crs_curvilinear", "scalar_solar_day",
         "udf_wofs_confidence", "join_polygon_zone",
@@ -99,10 +101,6 @@ def test_grading_window_holds_showcase_surface():
         "agg_mann_kendall", "window_cusum_change", "agg_resample_ohlc",
         "profile_drift_psi", "agg_funnel_steps", "agg_retention_cohort",
         "agg_gini", "graph_subtree_rollup",
-        # streaming / sources / storage
-        "stream_ohlc_bars", "source_stream_feed",
-        # r4 stragglers still in rotation
-        "stream_session_timeout",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r6 pin violated: {missing_literal}"

@@ -1173,3 +1173,47 @@ def test_benford_total_window_is_digit_bounded(spark):
     assert C.exchange_count(df) <= 2
     assert "LOG10" not in plan.upper()
     C.assert_no_python_row_path(df)
+
+
+def test_interpolation_shares_one_window_sort(spark):
+    """All four IGNORE-NULLS neighbor lookups must share a single (user)
+    partition spec: one scan, one Exchange, one Window, one Sort."""
+    import re
+
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        window_interpolate_linear,
+    )
+
+    df = window_interpolate_linear(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert len(set(re.findall(r"\((\d+)\) Sort", plan))) == 1
+    C.assert_no_python_row_path(df)
+
+
+def test_inverted_index_has_no_corpus_rescan(spark):
+    """One documents scan feeds tf → df-window → segment rollup; the df
+    window runs on the deduped (token, doc) stream, never raw tokens."""
+    from odc_product_docker_images_spark.textvec.retrieval import (
+        text_inverted_index,
+    )
+
+    df = text_inverted_index(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    C.assert_no_python_row_path(df)
+
+
+def test_incremental_join_refresh_broadcasts_dimension(spark):
+    """The IVM refresh joins the change-feed delta to the dimension via
+    broadcast (never shuffling the feed), and the whole path stays off
+    row-at-a-time Python."""
+    from odc_product_docker_images_spark.sources.incremental import (
+        table_incremental_join,
+    )
+
+    df = table_incremental_join(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)

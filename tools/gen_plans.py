@@ -52,6 +52,8 @@ AUDIT = [
     "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
     "scalar_geohash", "forecast_holt",
     "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
+    "window_interpolate_linear", "text_inverted_index",
+    "table_incremental_join",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
