@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import dec_cast, exact_double, sql_dec_cast, sql_exact_double
 from ..io import load
 from ..registry import register
 
@@ -178,4 +179,111 @@ def agg_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retention"
             ),
         )
+    )
+
+
+@register(
+    "agg_cohort_ltv",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id,
+                   CAST(FLOOR(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                        / {_WEEK}) AS BIGINT) AS week,
+                   CASE WHEN event_type = 'purchase' THEN value END AS rev
+            FROM events
+        ), f AS (
+            SELECT user_id, week, rev,
+                   MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+            FROM e
+        ), u AS (
+            SELECT user_id, cohort_week,
+                   week - cohort_week AS week_offset,
+                   SUM({sql_dec_cast('rev')}) AS rev_user
+            FROM f GROUP BY user_id, cohort_week, week - cohort_week
+        ), cells AS (
+            SELECT cohort_week, week_offset,
+                   COUNT(*) AS n_active,
+                   COALESCE(SUM(rev_user),
+                            CAST(0 AS DECIMAL(38,10))) AS rev_dec
+            FROM u GROUP BY cohort_week, week_offset
+        ), sized AS (
+            SELECT cohort_week, week_offset, n_active, rev_dec,
+                   CAST(SUM(CASE WHEN week_offset = 0 THEN n_active ELSE 0 END)
+                       OVER (PARTITION BY cohort_week) AS BIGINT) AS n_cohort,
+                   SUM(rev_dec) OVER (
+                       PARTITION BY cohort_week ORDER BY week_offset
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_dec
+            FROM cells
+        )
+        SELECT cohort_week, week_offset, n_active, n_cohort,
+               {sql_exact_double('rev_dec')} AS rev,
+               {sql_exact_double('cum_dec')} AS cum_rev,
+               {sql_exact_double('cum_dec')}
+                   / CAST(n_cohort AS DOUBLE) AS ltv_per_user
+        FROM sized
+    """,
+)
+def agg_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16+: cohort lifetime-value curve — the revenue companion to
+    ``agg_retention_cohort``: purchases bucketed by (signup cohort week,
+    week offset), with the cumulative revenue per cohort and the running
+    LTV per user (cum revenue / cohort size) that growth models read off
+    the curve's asymptote.
+
+    Shares the retention key's shapes: first-seen via one user-partition
+    window; cohort size is the offset-0 conditional sum over the CELL
+    table (every user contributes exactly one offset-0 row — no
+    join-back, no subtree duplication); the cumulative sum is a
+    |cohorts|·|weeks|-row window, never corpus-sized.  Revenue runs the
+    decimal-exact path end to end (cell sum → cumulative window sum in
+    decimal, one exact_double at the edge); the LTV divide is a single
+    IEEE op on the rounded double."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(_WEEK)).cast("bigint").alias("week"),
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias("rev"),
+    )
+    f = e.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    u = (
+        f.groupBy(
+            "user_id",
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.sum(dec_cast("rev")).alias("rev_user"))
+    )
+    cells = u.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.coalesce(
+            F.sum("rev_user"), F.lit(0).cast("decimal(38,10)")
+        ).alias("rev_dec"),
+    )
+    wc = Window.partitionBy("cohort_week")
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = cells.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        F.sum(
+            F.when(F.col("week_offset") == 0, F.col("n_active")).otherwise(0)
+        ).over(wc).alias("n_cohort"),
+        "rev_dec",
+        F.sum("rev_dec").over(wcum).alias("cum_dec"),
+    )
+    cum = exact_double(F.col("cum_dec"), 6)
+    return sized.select(
+        "cohort_week",
+        "week_offset",
+        "n_active",
+        "n_cohort",
+        exact_double(F.col("rev_dec"), 6).alias("rev"),
+        cum.alias("cum_rev"),
+        (cum / F.col("n_cohort").cast("double")).alias("ltv_per_user"),
     )

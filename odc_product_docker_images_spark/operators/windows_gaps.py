@@ -272,3 +272,79 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("empty")
         .alias("fill_kind"),
     )
+
+
+@register(
+    "window_rolling_median",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   value
+            FROM events
+        ), w AS (
+            SELECT user_id, event_id,
+                   list_sort(LIST(value) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                   )) AS arr
+            FROM e
+        )
+        SELECT user_id, event_id,
+               CAST(LEN(arr) AS INTEGER) AS n_window,
+               list_extract(arr,
+                   CAST(FLOOR(CAST(LEN(arr) + 1 AS DOUBLE) / 2) AS INTEGER))
+                   AS med,
+               list_extract(arr,
+                   CAST(FLOOR(CAST(9 * LEN(arr) + 9 AS DOUBLE) / 10)
+                        AS INTEGER)) AS p90
+        FROM w
+    """,
+)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: rolling exact quantiles — lower median and discrete p90 of
+    each series' trailing 7 observations, the robust companion to
+    ``window_rolling``'s mean (a rolling median is what despike/denoise
+    pipelines actually subtract).  Quantiles don't decompose into frame
+    aggregates, so the frame is collected (≤7 values), sorted, and
+    indexed: med = element ⌊(n+1)/2⌋, p90 = element ⌈9n/10⌉ — explicit
+    discrete selection, identical on both engines regardless of their
+    quantile interpolation conventions.
+
+    Scale shape: ONE user-partition window Exchange+Sort carries both
+    quantiles (plan-pinned); per-row state is the 7-element frame, so
+    memory is O(frame), not O(series).  Determinism: selected elements
+    are carried bit-exact — no arithmetic, no rounding; the only float
+    op is an exact small-integer divide under FLOOR."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    w = e.select(
+        "user_id",
+        "event_id",
+        F.array_sort(F.collect_list("value").over(frame)).alias("arr"),
+    )
+    n = F.size("arr")
+    return w.select(
+        "user_id",
+        "event_id",
+        n.cast("int").alias("n_window"),
+        F.element_at(
+            "arr", F.floor((n + 1).cast("double") / 2).cast("int")
+        ).alias("med"),
+        F.element_at(
+            "arr", F.floor((9 * n + 9).cast("double") / 10).cast("int")
+        ).alias("p90"),
+    )

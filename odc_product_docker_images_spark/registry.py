@@ -115,6 +115,7 @@ _MODULES = [
     "odc_product_docker_images_spark.streaming.cdc_apply",
     "odc_product_docker_images_spark.kernels.holt",
     "odc_product_docker_images_spark.operators.behavior",
+    "odc_product_docker_images_spark.textvec.urls",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -162,6 +163,8 @@ GRADING_WINDOW = [
     # above have earned their rows):
     #   oracled: stream_ohlc_bars, stream_session_timeout,
     #     source_stream_feed,
+    #     dedup_url_canonical, window_rolling_median, agg_cohort_ltv,
+    #     text_token_entropy (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, sql_davg
+from ..functions.det import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -406,4 +406,81 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(raw, F.lit(_EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(raw, F.lit(_IP_RE)).cast("bigint").alias("n_ips"),
         F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+@register(
+    "text_token_entropy",
+    oracle=f"""
+        WITH tf AS (
+            SELECT doc_id, w AS token, COUNT(*) AS c
+            FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                  FROM documents)
+            GROUP BY doc_id, w
+        ), a AS (
+            SELECT doc_id,
+                   CAST(SUM(c) AS BIGINT) AS n,
+                   COUNT(*) AS n_types,
+                   {sql_dsum(
+                       "CAST(c AS DOUBLE) * "
+                       + sql_dround("LN(CAST(c AS DOUBLE))"),
+                       "s_clnc",
+                   )}
+            FROM tf GROUP BY doc_id
+        ), h AS (
+            SELECT doc_id, n, n_types,
+                   {sql_dround("LN(CAST(n AS DOUBLE))")}
+                       - s_clnc / CAST(n AS DOUBLE) AS entropy
+            FROM a
+        )
+        SELECT doc_id, n AS n_tokens, n_types, entropy,
+               CASE WHEN n_types > 1
+                    THEN entropy
+                         / ({sql_dround("LN(CAST(n_types AS DOUBLE))")})
+                    ELSE CAST(0.0 AS DOUBLE) END AS norm_entropy
+        FROM h
+    """,
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document Shannon token entropy — the vocabulary-diversity
+    quality signal (machine-generated spam and keyword-stuffed pages sit
+    far below natural text; `text_repetition` catches the extreme case,
+    entropy ranks the whole spectrum).  H(d) = ln n − (Σ c·ln c)/n over
+    the doc's token counts (the algebraic form needs NO second pass for
+    p = c/n — one grouped aggregate after the (doc, token) count), plus
+    the normalized H/ln(types) in [0, 1].
+
+    Scale shape: token explode → (doc, token) hash count → per-doc agg;
+    two linear shuffles on doc-sided keys, state bounded by per-doc
+    vocabulary.  Determinism: the libm ln is rounded at 6 dp per term
+    (the survival-curve policy), c·ln-term products ride the decimal-sum
+    path, and the closing ops are single IEEE expressions on identical
+    operands."""
+    tf = (
+        load(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .select("doc_id", F.explode(_toks()).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    a = tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+        dsum(cd * dround(F.log(cd)), "s_clnc"),
+    )
+    h = dround(F.log(F.col("n").cast("double"))) - F.col("s_clnc") / F.col(
+        "n"
+    ).cast("double")
+    return a.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_types",
+        h.alias("entropy"),
+        F.when(
+            F.col("n_types") > 1,
+            h / dround(F.log(F.col("n_types").cast("double"))),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
     )

@@ -1217,3 +1217,56 @@ def test_incremental_join_refresh_broadcasts_dimension(spark):
     plan = C.formatted_plan(df)
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_url_dedup_is_one_hash_shuffle(spark):
+    """Canonicalization is codegen string/array exprs riding the scan;
+    the dedup rollup is the repartition + one canonical-key hash agg."""
+    from odc_product_docker_images_spark.textvec.urls import dedup_url_canonical
+
+    df = dedup_url_canonical(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 2
+    C.assert_no_python_row_path(df)
+
+
+def test_rolling_median_shares_one_frame_sort(spark):
+    """Both quantiles index ONE sorted frame collection: a single window
+    Exchange+Sort, no self-join, no second scan."""
+    import re
+
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        window_rolling_median,
+    )
+
+    df = window_rolling_median(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert len(set(re.findall(r"\((\d+)\) Sort", plan))) == 1
+    C.assert_no_python_row_path(df)
+
+
+def test_cohort_ltv_windows_stay_cell_sized(spark):
+    """First-seen is the only corpus-sized window; cohort size and the
+    cumulative revenue ride windows over the CELL table (no join-back,
+    no subtree duplication — the retention-key discipline)."""
+    from odc_product_docker_images_spark.operators.funnel import agg_cohort_ltv
+
+    df = agg_cohort_ltv(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    C.assert_no_python_row_path(df)
+
+
+def test_token_entropy_reuses_doc_partitioning(spark):
+    """The explicit doc_id repartition satisfies BOTH grouped aggregates
+    (hash(doc_id) clusters (doc_id, token) too): one Exchange total."""
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_token_entropy,
+    )
+
+    df = text_token_entropy(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)

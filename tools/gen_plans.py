@@ -54,6 +54,8 @@ AUDIT = [
     "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
     "window_interpolate_linear", "text_inverted_index",
     "table_incremental_join",
+    "dedup_url_canonical", "window_rolling_median", "agg_cohort_ltv",
+    "text_token_entropy",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
