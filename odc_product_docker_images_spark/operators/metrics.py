@@ -330,3 +330,160 @@ def agg_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count_distinct("event_type") - 1) * (F.count_distinct("dow") - 1)
         ).cast("long").alias("dof"),
     )
+
+
+_CUPED_WEEK = 7 * 86400
+_CUPED_SPLIT = 2819  # epoch week splitting pre-period from experiment period
+
+
+@register(
+    "agg_cuped",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   CAST(FLOOR(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                        / {_CUPED_WEEK}) AS BIGINT) AS week,
+                   value
+            FROM events
+        ), u AS (
+            SELECT user_id, arm,
+                   COALESCE({sql_exact_double(
+                       f"SUM(CASE WHEN week < {_CUPED_SPLIT} THEN "
+                       + sql_dec_cast('value') + " END)")},
+                       CAST(0.0 AS DOUBLE)) AS x,
+                   COALESCE({sql_exact_double(
+                       f"SUM(CASE WHEN week >= {_CUPED_SPLIT} THEN "
+                       + sql_dec_cast('value') + " END)")},
+                       CAST(0.0 AS DOUBLE)) AS y
+            FROM e GROUP BY user_id, arm
+        ), s AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('x', 'sx')},
+                   {sql_dsum('y', 'sy')},
+                   {sql_dsum('x*x', 'sxx')},
+                   {sql_dsum('y*y', 'syy')},
+                   {sql_dsum('x*y', 'sxy')}
+            FROM u GROUP BY arm
+        ), g AS (
+            SELECT arm, n, sx, sy, sxx, syy, sxy,
+                   SUM(n) OVER () AS gn,
+                   SUM(sx) OVER () AS gsx,
+                   SUM(sy) OVER () AS gsy,
+                   SUM(sxx) OVER () AS gsxx,
+                   SUM(sxy) OVER () AS gsxy
+            FROM s
+        ), t AS (
+            SELECT arm, n, sx, sy, sxx, syy, sxy,
+                   gsx / gn AS gmx,
+                   (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn) AS theta
+            FROM g
+        )
+        SELECT CAST(arm AS BIGINT) AS arm,
+               CAST(n AS BIGINT) AS n_users,
+               sy / n AS mean_post,
+               sy / n - theta * (sx / n - gmx) AS mean_adj,
+               (syy - sy * sy / n) / (n - CAST(1.0 AS DOUBLE)) AS var_post,
+               (syy - sy * sy / n) / (n - CAST(1.0 AS DOUBLE))
+                 - CAST(2.0 AS DOUBLE) * theta
+                   * ((sxy - sx * sy / n) / (n - CAST(1.0 AS DOUBLE)))
+                 + theta * theta
+                   * ((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE)))
+                 AS var_adj,
+               theta
+        FROM t
+    """,
+)
+def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: CUPED variance reduction — the pre-experiment-covariate
+    adjustment every modern experimentation platform applies before the
+    t-test (θ = cov(pre, post)/var(pre), adjusted = post − θ(pre − μ̄pre);
+    Deng et al. 2013, WSDM).  Per-arm adjusted mean and variance come out
+    CLOSED-FORM from per-arm sufficient statistics (mean_adj = μy −
+    θ(μx − μ̄x); var_adj = var_y − 2θcov + θ²var_x), so nothing ever
+    joins back to the user table: events → per-user (pre, post) sums →
+    per-arm moment sums (2 rows) → 2-row global window for the pooled θ.
+    The fact table is touched once; everything after the first agg is
+    O(arms).
+
+    Determinism: per-user sums and per-arm moments ride the decimal
+    path; global sums add exactly TWO doubles (IEEE addition is
+    commutative, so partition order can't change the bits); θ and every
+    downstream stat are fixed-order IEEE chains — unrounded."""
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(_CUPED_WEEK)).cast("bigint")
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        (F.col("user_id") % 2).alias("arm"),
+        wk.alias("week"),
+        "value",
+    )
+    zero = F.lit(0.0)
+    u = e.groupBy("user_id", "arm").agg(
+        F.coalesce(
+            exact_double(
+                F.sum(
+                    F.when(F.col("week") < _CUPED_SPLIT, dec_cast("value"))
+                )
+            ),
+            zero,
+        ).alias("x"),
+        F.coalesce(
+            exact_double(
+                F.sum(
+                    F.when(F.col("week") >= _CUPED_SPLIT, dec_cast("value"))
+                )
+            ),
+            zero,
+        ).alias("y"),
+    )
+    s = u.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum_fast("x", "sx"),
+        dsum_fast("y", "sy"),
+        dsum_fast(F.col("x") * F.col("x"), "sxx"),
+        dsum_fast(F.col("y") * F.col("y"), "syy"),
+        dsum_fast(F.col("x") * F.col("y"), "sxy"),
+    )
+    wg = Window.partitionBy()
+    g = s.select(
+        "*",
+        F.sum("n").over(wg).alias("gn"),
+        F.sum("sx").over(wg).alias("gsx"),
+        F.sum("sy").over(wg).alias("gsy"),
+        F.sum("sxx").over(wg).alias("gsxx"),
+        F.sum("sxy").over(wg).alias("gsxy"),
+    )
+    theta = (
+        F.col("gsxy") - F.col("gsx") * F.col("gsy") / F.col("gn")
+    ) / (F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("gn"))
+    t = g.select(
+        "arm", "n", "sx", "sy", "sxx", "syy", "sxy",
+        (F.col("gsx") / F.col("gn")).alias("gmx"),
+        theta.alias("theta"),
+    )
+    one = F.lit(1.0)
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
+        F.col("n") - one
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("n") - one
+    )
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
+        F.col("n") - one
+    )
+    return t.select(
+        F.col("arm").cast("bigint").alias("arm"),
+        F.col("n").cast("bigint").alias("n_users"),
+        (F.col("sy") / F.col("n")).alias("mean_post"),
+        (
+            F.col("sy") / F.col("n")
+            - F.col("theta") * (F.col("sx") / F.col("n") - F.col("gmx"))
+        ).alias("mean_adj"),
+        var_y.alias("var_post"),
+        (
+            var_y
+            - F.lit(2.0) * F.col("theta") * cov
+            + F.col("theta") * F.col("theta") * var_x
+        ).alias("var_adj"),
+        "theta",
+    )

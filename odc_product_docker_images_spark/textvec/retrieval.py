@@ -46,9 +46,7 @@ def _sql_matched() -> str:
     return " + ".join(f"CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END" for t in _Q)
 
 
-@register(
-    "text_bm25",
-    oracle=f"""
+_BM25_SQL = f"""
         WITH toks AS (
             SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w FROM documents
         ), per_doc AS (
@@ -66,8 +64,10 @@ def _sql_matched() -> str:
                {" + ".join(f"({_sql_term(t)})" for t in _Q)} AS bm25
         FROM per_doc CROSS JOIN stats
         WHERE {" OR ".join(f"tf_{t} > 0" for t in _Q)}
-    """,
-)
+"""
+
+
+@register("text_bm25", oracle=_BM25_SQL)
 def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 retrieval: Okapi BM25 of every document against a fixed probe
     query — ``score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
@@ -212,3 +212,102 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("postings"),
         )
     )
+
+
+_RRF_K = 60  # rank-fusion damping constant (Cormack et al. 2009)
+_RRF_DEPTH = 50  # candidates taken from each ranker
+_RRF_OUT = 20
+# probe vector: exact binary fractions (k/16) — identical parse on both
+# engines with no float-literal ambiguity
+_PROBE = [((i * 37) % 16 - 8) / 16.0 for i in range(64)]
+
+
+@register(
+    "sim_hybrid_rrf",
+    oracle=f"""
+        WITH bm AS ({_BM25_SQL}),
+        lex AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS r_lex
+            FROM bm
+            QUALIFY r_lex <= {_RRF_DEPTH}
+        ), emb AS (
+            SELECT vec_id AS doc_id,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE)
+                            * CAST((LIST_TRANSFORM({_PROBE!r},
+                                    x -> CAST(x AS DOUBLE)))[i] AS DOUBLE)))
+                   / SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS score
+            FROM embeddings
+        ), den AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_dense
+            FROM emb
+            QUALIFY r_dense <= {_RRF_DEPTH}
+        ), fused AS (
+            SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+                   lex.r_lex AS r_lex, den.r_dense AS r_dense,
+                   COALESCE(CAST(1.0 AS DOUBLE)
+                            / CAST({_RRF_K} + lex.r_lex AS DOUBLE),
+                            CAST(0.0 AS DOUBLE))
+                   + COALESCE(CAST(1.0 AS DOUBLE)
+                              / CAST({_RRF_K} + den.r_dense AS DOUBLE),
+                              CAST(0.0 AS DOUBLE)) AS rrf
+            FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id
+        )
+        SELECT doc_id, r_lex, r_dense, rrf
+        FROM fused ORDER BY rrf DESC, doc_id LIMIT {_RRF_OUT}
+    """,
+)
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/X4 hybrid retrieval: reciprocal-rank fusion of the BM25 lexical
+    ranking and the embedding-cosine dense ranking — the standard hybrid
+    first stage (RRF, Cormack et al. SIGIR'09: score = Σ 1/(k + rankᵢ),
+    k=60) feeding rerankers like ``sim_rerank_adc_exact``.
+
+    Spark-first shape: each ranker's top-{_RRF_DEPTH} comes from
+    ``orderBy().limit()`` — TakeOrderedAndProject, a per-partition heap +
+    O(depth) merge, never a global sort (text_zipf's pattern); the
+    row_number that turns the bounded candidate set into ranks and the
+    full-outer fusion join run on ≤2·{_RRF_DEPTH} constant-bounded rows.
+    The lexical side reuses ``text_bm25``'s one-pass sufficient-statistic
+    plan; the dense side is a codegen'd fold against a literal probe
+    vector (exact binary fractions — no parse ambiguity).  1/(k+r) is an
+    exact-operand IEEE divide; the fusion add is one op on two such
+    values — unrounded."""
+    from .similarity import dot, with_norm
+
+    lex_scores = text_bm25(spark, sf_dir)
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = (
+        lex_scores.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .select("doc_id", "bm25")
+        .withColumn("r_lex", F.row_number().over(w_lex))
+        .select("doc_id", "r_lex")
+    )
+    probe = F.array(*[F.lit(v) for v in _PROBE])
+    n = with_norm(load(spark, sf_dir, "embeddings"))
+    emb = n.select(
+        F.col("vec_id").alias("doc_id"),
+        (dot(F.col("embedding"), probe) / F.col("nrm")).alias("score"),
+    )
+    w_den = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    den = (
+        emb.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(_RRF_DEPTH)
+        .withColumn("r_dense", F.row_number().over(w_den))
+        .select("doc_id", "r_dense")
+    )
+    zero = F.lit(0.0)
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_lex")).cast("double"), zero
+    ) + F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_dense")).cast("double"), zero
+    )
+    fused = (
+        lex.join(den, "doc_id", "full")
+        .select("doc_id", "r_lex", "r_dense", rrf.alias("rrf"))
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(_RRF_OUT)

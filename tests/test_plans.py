@@ -1270,3 +1270,28 @@ def test_token_entropy_reuses_doc_partitioning(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_cuped_is_sufficient_statistics_only(spark):
+    """Events are scanned once; after the per-user and per-arm aggs the
+    pooled-θ stage is a 2-row SinglePartition window — no join back to
+    the user table, nothing corpus-sized past the first Exchange."""
+    from odc_product_docker_images_spark.operators.metrics import agg_cuped
+
+    df = agg_cuped(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    C.assert_no_python_row_path(df)
+
+
+def test_hybrid_rrf_rankers_use_takeordered(spark):
+    """Both ranker candidate sets come from TakeOrderedAndProject (a
+    per-partition heap), never a global sort of the corpus; the fusion
+    join runs on constant-bounded rows."""
+    from odc_product_docker_images_spark.textvec.retrieval import sim_hybrid_rrf
+
+    df = sim_hybrid_rrf(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert C.scan_count(df) <= 3  # bm25's stats rollup + join-back, embeddings
+    C.assert_no_python_row_path(df)
