@@ -100,3 +100,118 @@ def forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fit, "user_id LONG, n_obs LONG, level DOUBLE, trend DOUBLE, forecast_1 DOUBLE"
     )
+
+
+_GAMMA = 0.25  # seasonal gain (exact binary)
+_PERIOD = 7  # seasonal period (observation index modulo, additive form)
+
+
+@register(
+    "forecast_holt_winters",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i
+            FROM events
+        ), n AS (
+            SELECT user_id, MAX(i) AS n FROM seq GROUP BY user_id
+        ), rec AS (
+            SELECT user_id, 1 AS i, value AS level,
+                   CAST(0.0 AS DOUBLE) AS trend,
+                   LIST_TRANSFORM(RANGE(1, {_PERIOD + 1}),
+                                  j -> CAST(0.0 AS DOUBLE)) AS season
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT r.user_id, r.i + 1,
+                   CAST({_ALPHA!r} AS DOUBLE)
+                     * (s.value - r.season[((r.i) % {_PERIOD}) + 1])
+                     + CAST({1 - _ALPHA!r} AS DOUBLE) * (r.level + r.trend),
+                   CAST({_BETA!r} AS DOUBLE)
+                     * ((CAST({_ALPHA!r} AS DOUBLE)
+                         * (s.value - r.season[((r.i) % {_PERIOD}) + 1])
+                         + CAST({1 - _ALPHA!r} AS DOUBLE) * (r.level + r.trend))
+                        - r.level)
+                     + CAST({1 - _BETA!r} AS DOUBLE) * r.trend,
+                   LIST_TRANSFORM(RANGE(1, {_PERIOD + 1}), j ->
+                       CASE WHEN j = ((r.i) % {_PERIOD}) + 1
+                            THEN CAST({_GAMMA!r} AS DOUBLE)
+                                 * (s.value
+                                    - (CAST({_ALPHA!r} AS DOUBLE)
+                                       * (s.value
+                                          - r.season[((r.i) % {_PERIOD}) + 1])
+                                       + CAST({1 - _ALPHA!r} AS DOUBLE)
+                                         * (r.level + r.trend)))
+                                 + CAST({1 - _GAMMA!r} AS DOUBLE)
+                                   * r.season[((r.i) % {_PERIOD}) + 1]
+                            ELSE r.season[j] END)
+            FROM rec r
+            JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT rec.user_id,
+               CAST(n.n AS BIGINT) AS n_obs,
+               rec.level AS level,
+               rec.trend AS trend,
+               rec.season[((n.n) % {_PERIOD}) + 1] AS season_next,
+               rec.level + rec.trend
+                 + rec.season[((n.n) % {_PERIOD}) + 1] AS forecast_1
+        FROM rec JOIN n ON rec.user_id = n.user_id
+        WHERE rec.i = n.n
+    """,
+)
+def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15+: additive Holt-Winters triple smoothing per series — the
+    seasonal step past ``forecast_holt``: level/trend as before plus a
+    {_PERIOD}-slot seasonal state updated at index (i−1) mod {_PERIOD}
+    (level_t = α(x−s_old)+(1−α)(level+trend); s_new = γ(x−level_t)+
+    (1−γ)s_old), initialized level₁=x₁, trend=0, s≡0.  Emits the final
+    state, the next slot's seasonal, and the one-step forecast
+    level+trend+s_next.
+
+    Same execution contract as the Holt key: ONE shuffle on the series
+    key into an Arrow-batched per-group kernel (the recursion is
+    inherently sequential per series; the 100 TB axis is series count).
+    The oracle replays the identical recursion as a recursive CTE
+    carrying the seasonal VECTOR as a list column.  α, β, γ are exact
+    binary fractions and the operation order matches term for term, so
+    every state double is bit-identical across numpy and DuckDB —
+    unrounded."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        xs = pdf["value"].to_numpy()
+        level = float(xs[0])
+        trend = 0.0
+        season = [0.0] * _PERIOD
+        i = 1  # 1-based index of the last consumed observation
+        for x in xs[1:]:
+            slot = i % _PERIOD  # 0-based slot of observation i+1
+            s_old = season[slot]
+            new_level = _ALPHA * (float(x) - s_old) + (1 - _ALPHA) * (
+                level + trend
+            )
+            trend = _BETA * (new_level - level) + (1 - _BETA) * trend
+            season[slot] = _GAMMA * (float(x) - new_level) + (1 - _GAMMA) * s_old
+            level = new_level
+            i += 1
+        s_next = season[i % _PERIOD]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [len(xs)],
+                "level": [level],
+                "trend": [trend],
+                "season_next": [s_next],
+                "forecast_1": [level + trend + s_next],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit,
+        "user_id LONG, n_obs LONG, level DOUBLE, trend DOUBLE, "
+        "season_next DOUBLE, forecast_1 DOUBLE",
+    )

@@ -487,3 +487,130 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("var_adj"),
         "theta",
     )
+
+
+_BOOT_R = 100  # bootstrap replicates
+# Poisson(1) surrogate over one md5 byte (0-255): P(0)=94/256≈e⁻¹,
+# P(1)=94/256, P(2)=47/256, P(3)=15/256, P(4)=6/256 — mean ≈ 1.004
+_BOOT_CUTS = (94, 188, 235, 250)
+
+
+@register(
+    "agg_bootstrap_ci",
+    oracle=f"""
+        WITH reps AS (
+            SELECT event_type, event_id, value, r
+            FROM events, UNNEST(RANGE(-1, {_BOOT_R})) AS t(r)
+        ), w AS (
+            SELECT event_type, r, value,
+                   CASE WHEN r = -1 THEN 1 ELSE (
+                     CASE
+                       WHEN b < {_BOOT_CUTS[0]} THEN 0
+                       WHEN b < {_BOOT_CUTS[1]} THEN 1
+                       WHEN b < {_BOOT_CUTS[2]} THEN 2
+                       WHEN b < {_BOOT_CUTS[3]} THEN 3
+                       ELSE 4 END) END AS wt
+            FROM (
+                SELECT event_type, r, value,
+                       (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(CAST(event_id AS VARCHAR) || ':'
+                                      || CAST(r AS VARCHAR)), 1, 1)) - 1) * 16
+                       + (STRPOS('0123456789abcdef',
+                           SUBSTR(MD5(CAST(event_id AS VARCHAR) || ':'
+                                      || CAST(r AS VARCHAR)), 2, 1)) - 1) AS b
+                FROM reps
+            )
+        ), rm AS (
+            SELECT event_type, r,
+                   CAST(SUM(wt) AS BIGINT) AS n_eff,
+                   {sql_dsum('CAST(wt AS DOUBLE) * value', 'swv')}
+            FROM w GROUP BY event_type, r
+        ), m AS (
+            SELECT event_type, r,
+                   swv / CAST(n_eff AS DOUBLE) AS mean_r,
+                   n_eff
+            FROM rm WHERE n_eff > 0
+        )
+        SELECT event_type,
+               MAX(CASE WHEN r = -1 THEN n_eff END) AS n_obs,
+               MAX(CASE WHEN r = -1 THEN mean_r END) AS mean_full,
+               list_extract(list_sort(LIST(mean_r) FILTER (WHERE r >= 0)), 3)
+                   AS ci_lo,
+               list_extract(list_sort(LIST(mean_r) FILTER (WHERE r >= 0)), 98)
+                   AS ci_hi
+        FROM m GROUP BY event_type
+    """,
+)
+def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: single-pass Poisson bootstrap CI of the per-variant mean —
+    the streaming-scale bootstrap (Chamandy et al., Google 2012): instead
+    of resampling rows, every row gets {_BOOT_R} DETERMINISTIC
+    Poisson-surrogate weights derived from one md5 byte of
+    (event_id, replicate) — no data movement per replicate, no RNG state,
+    reproducible across engines and runs.  Replicate means collapse per
+    (variant, replicate); the 2.5/97.5 percentile band comes from
+    explicit sorted-element selection over the {_BOOT_R} replicate means
+    (constant-bounded per variant).  Replicate -1 carries weight 1
+    everywhere = the full-sample point estimate in the SAME pass.
+
+    Scale shape: one scan, a {_BOOT_R + 1}-way row explode (map-side),
+    one (variant, replicate) hash agg with partials, then an O(variants)
+    rollup — the shuffled volume is variants·replicates rows, not the
+    corpus.  Determinism: md5 bytes are engine-identical; weighted sums
+    ride the decimal path; each replicate mean is one IEEE divide; the
+    CI picks carried elements bit-exact."""
+    e = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "event_id", "value")
+        .repartition(32)  # single-file input: parallelize the explode+md5
+    )
+    reps = e.select(
+        "*", F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_R - 1))).alias("r")
+    ).select(
+        "event_type",
+        "r",
+        "value",
+        # one md5 per (row, replicate); both nibbles read the same column
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("event_id").cast("string"),
+                    F.lit(":"),
+                    F.col("r").cast("string"),
+                )
+            ),
+            1,
+            2,
+        ).alias("hx"),
+    )
+    digits = "0123456789abcdef"
+    byte = (
+        F.expr(f"locate(substr(hx, 1, 1), '{digits}') - 1") * 16
+    ) + F.expr(f"locate(substr(hx, 2, 1), '{digits}') - 1")
+    wt = F.when(F.col("r") == -1, F.lit(1)).otherwise(
+        F.when(byte < _BOOT_CUTS[0], 0)
+        .when(byte < _BOOT_CUTS[1], 1)
+        .when(byte < _BOOT_CUTS[2], 2)
+        .when(byte < _BOOT_CUTS[3], 3)
+        .otherwise(4)
+    )
+    w = reps.select("event_type", "r", "value", wt.alias("wt"))
+    rm = w.groupBy("event_type", "r").agg(
+        F.sum("wt").cast("bigint").alias("n_eff"),
+        dsum_fast(F.col("wt").cast("double") * F.col("value"), "swv"),
+    )
+    m = rm.where(F.col("n_eff") > 0).select(
+        "event_type",
+        "r",
+        (F.col("swv") / F.col("n_eff").cast("double")).alias("mean_r"),
+        "n_eff",
+    )
+    boot = F.array_sort(
+        F.collect_list(F.when(F.col("r") >= 0, F.col("mean_r")))
+    )
+    return m.groupBy("event_type").agg(
+        F.max(F.when(F.col("r") == -1, F.col("n_eff"))).alias("n_obs"),
+        F.max(F.when(F.col("r") == -1, F.col("mean_r"))).alias("mean_full"),
+        F.element_at(boot, 3).alias("ci_lo"),
+        F.element_at(boot, 98).alias("ci_hi"),
+    )

@@ -164,7 +164,8 @@ GRADING_WINDOW = [
     #   oracled: stream_ohlc_bars, stream_session_timeout,
     #     source_stream_feed,
     #     dedup_url_canonical, window_rolling_median, agg_cohort_ltv,
-    #     text_token_entropy, agg_cuped, sim_hybrid_rrf
+    #     text_token_entropy, agg_cuped, sim_hybrid_rrf,
+    #     forecast_holt_winters, agg_bootstrap_ci
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

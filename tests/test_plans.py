@@ -1295,3 +1295,27 @@ def test_hybrid_rrf_rankers_use_takeordered(spark):
     assert "TakeOrderedAndProject" in plan
     assert C.scan_count(df) <= 3  # bm25's stats rollup + join-back, embeddings
     C.assert_no_python_row_path(df)
+
+
+def test_holt_winters_is_one_series_shuffle(spark):
+    """Triple smoothing: one Exchange on the series key into the Arrow
+    grouped kernel — same contract as forecast_holt."""
+    from odc_product_docker_images_spark.kernels.holt import forecast_holt_winters
+
+    df = forecast_holt_winters(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_bootstrap_ci_shuffles_replicate_cells_only(spark):
+    """The 101-way explode and per-replicate md5 weights are map-side;
+    the only shuffles carry (variant, replicate) cells and the O(variants)
+    rollup — never the exploded corpus unaggregated."""
+    from odc_product_docker_images_spark.operators.metrics import agg_bootstrap_ci
+
+    df = agg_bootstrap_ci(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    C.assert_no_python_row_path(df)
