@@ -12,7 +12,7 @@ from __future__ import annotations
 import re
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import (
@@ -368,3 +368,106 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("jaccard").desc(), F.col("common").desc(), "b", "c"
     ).limit(_LP_TOPN)
+
+
+_MOD_K = 5  # deterministic community assignment: node_id % K
+
+
+@register(
+    "graph_modularity",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), ends AS (
+            SELECT src AS id, src % {_MOD_K} AS comm,
+                   CAST(src % {_MOD_K} = dst % {_MOD_K} AS INTEGER) AS intra
+            FROM edges
+            UNION ALL
+            SELECT dst, dst % {_MOD_K},
+                   CAST(src % {_MOD_K} = dst % {_MOD_K} AS INTEGER)
+            FROM edges
+        ), c AS (
+            SELECT comm,
+                   COUNT(DISTINCT id) AS n_nodes,
+                   COUNT(*) AS deg_sum,
+                   CAST(FLOOR(SUM(intra) / 2) AS BIGINT) AS intra_edges
+            FROM ends GROUP BY comm
+        ), t AS (
+            SELECT comm, n_nodes, deg_sum, intra_edges,
+                   CAST(FLOOR(SUM(deg_sum) OVER () / 2) AS BIGINT) AS m
+            FROM c
+        )
+        SELECT CAST(comm AS BIGINT) AS comm, n_nodes, deg_sum, intra_edges, m,
+               CAST(intra_edges AS DOUBLE) / CAST(m AS DOUBLE)
+                 - (CAST(deg_sum AS DOUBLE)
+                    / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE)))
+                   * (CAST(deg_sum AS DOUBLE)
+                      / (CAST(2 AS DOUBLE) * CAST(m AS DOUBLE))) AS q_term
+        FROM t
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: Newman modularity per community — Q_c = intra_c/m −
+    (deg_c/2m)², the quality functional every community-detection loop
+    (Louvain/Leiden) maximizes; this key verifies the EVALUATION step the
+    same way ``graph_pagerank_step``/``sim_kmeans_step`` verify their
+    loops' induction steps.  Communities are the deterministic id % {_MOD_K}
+    assignment — the metric, not the partition search, is under test.
+
+    Spark-first: one distinct-edge pass EXPLODES into its two endpoint
+    rows carrying an intra-community flag, so per-community degree sums,
+    intra-edge counts, and node counts all come from ONE grouped agg
+    (deg_c = endpoint rows, intra_c = intra endpoint rows / 2 — each
+    intra edge contributes exactly two).  The global edge count m rides a
+    {_MOD_K}-row window; every q_term input is integer-exact, the closing
+    arithmetic a fixed IEEE chain — unrounded."""
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + _DST_OFF).alias("dst"),
+        )
+        .distinct()
+    )
+    intra = (F.col("src") % _MOD_K == F.col("dst") % _MOD_K).cast("int")
+    ends = edges.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("id"),
+                    (F.col("src") % _MOD_K).alias("comm"),
+                    intra.alias("intra"),
+                ),
+                F.struct(
+                    F.col("dst").alias("id"),
+                    (F.col("dst") % _MOD_K).alias("comm"),
+                    intra.alias("intra"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.id", "e.comm", "e.intra")
+    c = ends.groupBy("comm").agg(
+        F.count_distinct("id").alias("n_nodes"),
+        F.count(F.lit(1)).alias("deg_sum"),
+        F.floor(F.sum("intra") / 2).cast("bigint").alias("intra_edges"),
+    )
+    t = c.select(
+        "*",
+        F.floor(F.sum("deg_sum").over(Window.partitionBy()) / 2)
+        .cast("bigint")
+        .alias("m"),
+    )
+    two_m = F.lit(2.0) * F.col("m").cast("double")
+    frac = F.col("deg_sum").cast("double") / two_m
+    return t.select(
+        F.col("comm").cast("bigint").alias("comm"),
+        "n_nodes",
+        "deg_sum",
+        "intra_edges",
+        "m",
+        (
+            F.col("intra_edges").cast("double") / F.col("m").cast("double")
+            - frac * frac
+        ).alias("q_term"),
+    )

@@ -348,3 +348,85 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             "arr", F.floor((9 * n + 9).cast("double") / 10).cast("int")
         ).alias("p90"),
     )
+
+
+_SESSION_GAP = 1800  # 30-minute inactivity gap
+
+
+@register(
+    "agg_sessionize",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec
+            FROM events
+        ), g AS (
+            SELECT user_id, event_id, event_type, sec,
+                   CASE WHEN LAG(sec) OVER w IS NULL
+                             OR sec - LAG(sec) OVER w > {_SESSION_GAP}
+                        THEN 1 ELSE 0 END AS is_start
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ), s AS (
+            SELECT user_id, event_id, event_type, sec,
+                   CAST(SUM(is_start) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS session_idx
+            FROM g
+        )
+        SELECT user_id, session_idx,
+               MIN(sec) AS start_sec,
+               MAX(sec) AS end_sec,
+               MAX(sec) - MIN(sec) AS duration_sec,
+               COUNT(*) AS n_events,
+               CAST(CASE WHEN COUNT(*) = 1 THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_bounce,
+               COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases
+        FROM s GROUP BY user_id, session_idx
+    """,
+)
+def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: batch sessionization ledger — split each user's event stream
+    at >{_SESSION_GAP}s inactivity gaps (the classic gaps-and-islands
+    form) and emit one row PER SESSION: bounds, duration, event count,
+    bounce flag, purchase count.  The per-session LEDGER is the artifact
+    product analytics joins everything else against — distinct from
+    ``stream_session``'s windowed aggregate view of the same semantics.
+
+    Scale shape: the gap flag (lag) and the running session index
+    (cumulative sum) are two window passes over ONE (user) partition
+    spec and sort, and the session rollup groups on (user, session_idx)
+    — a superset of the window's hash key, so Spark reuses the same
+    Exchange: one corpus shuffle total (pinned).  Whole-second integer
+    arithmetic end to end."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("sec"),
+        )
+    )
+    order = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("sec").over(order)
+    g = e.withColumn(
+        "is_start",
+        F.when(
+            prev.isNull() | (F.col("sec") - prev > _SESSION_GAP), 1
+        ).otherwise(0),
+    )
+    s = g.withColumn(
+        "session_idx", F.sum("is_start").over(cum).cast("bigint")
+    )
+    return s.groupBy("user_id", "session_idx").agg(
+        F.min("sec").alias("start_sec"),
+        F.max("sec").alias("end_sec"),
+        (F.max("sec") - F.min("sec")).alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.count(F.lit(1)) == 1).cast("int").alias("is_bounce"),
+        F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+    )

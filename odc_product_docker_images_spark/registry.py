@@ -165,7 +165,8 @@ GRADING_WINDOW = [
     #     source_stream_feed,
     #     dedup_url_canonical, window_rolling_median, agg_cohort_ltv,
     #     text_token_entropy, agg_cuped, sim_hybrid_rrf,
-    #     forecast_holt_winters, agg_bootstrap_ci
+    #     forecast_holt_winters, agg_bootstrap_ci, agg_sessionize,
+    #     graph_modularity
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -1319,3 +1319,33 @@ def test_bootstrap_ci_shuffles_replicate_cells_only(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 3
     C.assert_no_python_row_path(df)
+
+
+def test_sessionize_reuses_one_user_exchange(spark):
+    """Gap flag, running session index, and the session rollup all ride
+    ONE (user) hash partitioning: single Exchange, single Sort."""
+    import re
+
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        agg_sessionize,
+    )
+
+    df = agg_sessionize(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert len(set(re.findall(r"\((\d+)\) Sort", plan))) == 1
+    C.assert_no_python_row_path(df)
+
+
+def test_modularity_is_one_endpoint_pass(spark):
+    """Degrees, intra counts, and node counts all come from one grouped
+    agg over the exploded endpoint stream; the global m is a K-row
+    window — no edge-table re-scan, no join."""
+    from odc_product_docker_images_spark.operators.graph import graph_modularity
+
+    df = graph_modularity(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
+    C.assert_no_python_row_path(df)
