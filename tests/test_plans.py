@@ -1349,3 +1349,18 @@ def test_modularity_is_one_endpoint_pass(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan or "BroadcastNestedLoopJoin" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_tar_index_is_pack_then_arrow_walk(spark):
+    """One corpus shuffle into the shard packer, then an Arrow map pass
+    over shard blobs — no second documents scan, no join."""
+    from odc_product_docker_images_spark.multimodal.tar_shards import (
+        multimodal_tar_index,
+    )
+
+    df = multimodal_tar_index(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
