@@ -117,6 +117,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.behavior",
     "odc_product_docker_images_spark.textvec.urls",
     "odc_product_docker_images_spark.multimodal.tar_shards",
+    "odc_product_docker_images_spark.multimodal.safetensors",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -167,7 +168,8 @@ GRADING_WINDOW = [
     #     dedup_url_canonical, window_rolling_median, agg_cohort_ltv,
     #     text_token_entropy, agg_cuped, sim_hybrid_rrf,
     #     forecast_holt_winters, agg_bootstrap_ci, agg_sessionize,
-    #     graph_modularity, multimodal_tar_index
+    #     graph_modularity, multimodal_tar_index,
+    #     multimodal_safetensors_roundtrip
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

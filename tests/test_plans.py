@@ -1364,3 +1364,18 @@ def test_tar_index_is_pack_then_arrow_walk(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_safetensors_roundtrip_is_pack_then_arrow_decode(spark):
+    """One embeddings shuffle into the batch packer, then an Arrow map
+    decode over blobs — no second scan, no join."""
+    from odc_product_docker_images_spark.multimodal.safetensors import (
+        multimodal_safetensors_roundtrip,
+    )
+
+    df = multimodal_safetensors_roundtrip(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "Join" not in plan
