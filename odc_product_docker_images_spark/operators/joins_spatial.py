@@ -134,3 +134,116 @@ def join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.st_id").alias("nearest_id"),
         F.col("m.d2").alias("d2"),
     )
+
+
+_EARTH_KM = 6371.0
+_RADIUS_KM = 50.0  # search radius; 1-degree cells stay exact to |lat|<=60
+_MIX2 = 40503
+
+
+def _ll(key: str):
+    """Deterministic lat/lon synthesis: |lat| <= 60 (keeps 1 deg of
+    longitude >= 55.6 km > radius), lon in [-170, 170) (no antimeridian
+    wrap, so cell adjacency is exact)."""
+    k = F.col(key).cast("long")
+    lat = (k * _MIX % 120000) / F.lit(1000.0) - F.lit(60.0)
+    lon = (k * _MIX2 % 340000) / F.lit(1000.0) - F.lit(170.0)
+    return lat, lon
+
+
+def _ll_sql(key: str) -> tuple[str, str]:
+    k = f"CAST({key} AS BIGINT)"
+    return (
+        f"({k} * {_MIX} % 120000) / 1000.0 - 60.0",
+        f"({k} * {_MIX2} % 340000) / 1000.0 - 170.0",
+    )
+
+
+@register(
+    "join_haversine_radius",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS cid,
+                   {_ll_sql('c_custkey')[0]} AS clat,
+                   {_ll_sql('c_custkey')[1]} AS clon
+            FROM customer
+        ), s AS (
+            SELECT CAST(s_suppkey AS BIGINT) AS sid,
+                   {_ll_sql('s_suppkey')[0]} AS slat,
+                   {_ll_sql('s_suppkey')[1]} AS slon
+            FROM supplier
+        ), pairs AS (
+            SELECT cid, sid,
+                   ROUND(2.0 * {_EARTH_KM!r} * ASIN(SQRT(
+                       SIN(RADIANS(slat - clat) / 2.0)
+                         * SIN(RADIANS(slat - clat) / 2.0)
+                       + COS(RADIANS(clat)) * COS(RADIANS(slat))
+                         * SIN(RADIANS(slon - clon) / 2.0)
+                         * SIN(RADIANS(slon - clon) / 2.0))), 6) AS dist_km
+            FROM c CROSS JOIN s
+        )
+        SELECT cid, sid, dist_km
+        FROM pairs WHERE dist_km <= {_RADIUS_KM!r}
+    """,
+)
+def join_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: geodesic radius join — every (customer, supplier) point pair
+    within {_RADIUS_KM} km great-circle distance, via 1°-cell blocking:
+    the small side replicates into its 3×3 cell neighborhood, candidates
+    meet on a CELL EQUI-JOIN, and only co-blocked pairs pay the
+    haversine.  Blocking is EXACT by construction: |lat| ≤ 60° keeps one
+    longitude degree ≥ 55.6 km > R and one latitude degree ≥ 111 km > R,
+    so a qualifying pair can differ by at most one cell per axis; lon
+    stays inside [-170, 170) so no antimeridian wrap escapes adjacency.
+    The oracle runs the BRUTE-FORCE cross product — blocked == exhaustive,
+    the ``join_nearest_neighbor`` proof pattern.
+
+    At scale: shuffle is points + 9× the small side on near-uniform cell
+    keys — never |A|×|B|; the haversine is codegen'd libm, its distance
+    ROUNDED 6 dp on both engines before the threshold compare so the
+    cut never sits on a cross-engine ulp."""
+    clat, clon = _ll("c_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cid"),
+        clat.alias("clat"),
+        clon.alias("clon"),
+        F.floor(clon).cast("long").alias("cx"),
+        F.floor(clat).cast("long").alias("cy"),
+    )
+    slat, slon = _ll("s_suppkey")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").cast("long").alias("sid"),
+        slat.alias("slat"),
+        slon.alias("slon"),
+        F.floor(slon).cast("long").alias("sx"),
+        F.floor(slat).cast("long").alias("sy"),
+    )
+    s9 = (
+        s.select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"))
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
+        .select(
+            "sid", "slat", "slon",
+            (F.col("sx") + F.col("dx")).alias("cx"),
+            (F.col("sy") + F.col("dy")).alias("cy"),
+        )
+    )
+    half_dlat = F.radians(F.col("slat") - F.col("clat")) / 2.0
+    half_dlon = F.radians(F.col("slon") - F.col("clon")) / 2.0
+    dist = F.round(
+        2.0
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(half_dlat) * F.sin(half_dlat)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.sin(half_dlon) * F.sin(half_dlon)
+            )
+        ),
+        6,
+    )
+    return (
+        c.join(s9, ["cx", "cy"])
+        .select("cid", "sid", dist.alias("dist_km"))
+        .where(F.col("dist_km") <= _RADIUS_KM)
+    )

@@ -169,7 +169,8 @@ GRADING_WINDOW = [
     #     text_token_entropy, agg_cuped, sim_hybrid_rrf,
     #     forecast_holt_winters, agg_bootstrap_ci, agg_sessionize,
     #     graph_modularity, multimodal_tar_index,
-    #     multimodal_safetensors_roundtrip
+    #     multimodal_safetensors_roundtrip, text_keyphrase_rake,
+    #     join_haversine_radius
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

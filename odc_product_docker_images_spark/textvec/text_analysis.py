@@ -484,3 +484,103 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+_RAKE_STOP = ("a", "the")  # delimiter stopwords for phrase carving
+
+
+@register(
+    "text_keyphrase_rake",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, w, pos,
+                   w IN {_RAKE_STOP!r} AS stop
+            FROM (SELECT doc_id,
+                         UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                         GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+                  FROM documents)
+        ), nonstop AS (
+            SELECT doc_id, w, pos,
+                   pos - ROW_NUMBER() OVER (
+                       PARTITION BY doc_id ORDER BY pos) AS island
+            FROM toks WHERE NOT stop
+        ), plen AS (
+            SELECT doc_id, w, pos, island,
+                   COUNT(*) OVER (PARTITION BY doc_id, island) AS phrase_len
+            FROM nonstop
+        ), wstat AS (
+            SELECT doc_id, w, pos, island, phrase_len,
+                   COUNT(*) OVER (PARTITION BY w) AS freq,
+                   CAST(SUM(phrase_len) OVER (PARTITION BY w) AS BIGINT)
+                       AS degree
+            FROM plen
+        )
+        SELECT doc_id,
+               STRING_AGG(w, ' ' ORDER BY pos) AS phrase,
+               COUNT(*) AS n_words,
+               {sql_dsum(
+                   'CAST(degree AS DOUBLE) / CAST(freq AS DOUBLE)', 'score'
+               )}
+        FROM wstat
+        GROUP BY doc_id, island
+        HAVING COUNT(*) >= 2
+    """,
+)
+def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: RAKE keyphrase extraction (Rose et al. 2010) — carve each
+    document into candidate phrases at stopword delimiters
+    (gaps-and-islands over token positions), score words by
+    degree/frequency over the whole candidate corpus, and score each
+    phrase as the sum of its word scores.
+
+    Spark-first: word frequency AND degree are WINDOWS over the single
+    phrase-word stream (partition by word), and phrase length is a
+    window over (doc, island) — no join-back of word scores onto
+    phrases, so the candidate subtree plans once (the branch-duplication
+    rule).  One scan, three hash Exchanges (doc-island, word, final
+    group), everything else map-side.  Determinism: degree/freq is one
+    IEEE divide of exact ints; the per-phrase sum rides the decimal
+    path."""
+    toks = (
+        load(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .select("doc_id", F.posexplode(_toks()).alias("pos0", "w"))
+        .select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
+    )
+    nonstop = toks.where(~F.col("w").isin(*_RAKE_STOP)).withColumn(
+        "island",
+        F.col("pos")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+    )
+    plen = nonstop.withColumn(
+        "phrase_len",
+        F.count(F.lit(1)).over(Window.partitionBy("doc_id", "island")),
+    )
+    ww = Window.partitionBy("w")
+    wstat = plen.select(
+        "doc_id",
+        "w",
+        "pos",
+        "island",
+        F.count(F.lit(1)).over(ww).alias("freq"),
+        F.sum("phrase_len").over(ww).cast("bigint").alias("degree"),
+    )
+    return (
+        wstat.groupBy("doc_id", "island")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+            dsum(
+                F.col("degree").cast("double") / F.col("freq").cast("double"),
+                "score",
+            ),
+        )
+        .where(F.col("n_words") >= 2)
+        .drop("island")
+    )

@@ -1379,3 +1379,33 @@ def test_safetensors_roundtrip_is_pack_then_arrow_decode(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert "MapInPandas" in plan
     assert "Join" not in plan
+
+
+def test_rake_scores_words_via_windows_not_joinback(spark):
+    """Word freq/degree are windows over the single phrase-word stream —
+    the candidate subtree plans once (1 scan), no score join-back."""
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_keyphrase_rake,
+    )
+
+    df = text_keyphrase_rake(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 3
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_haversine_join_blocks_on_cells(spark):
+    """Candidates meet on a cell equi-join (hash join), never a
+    cross/nested-loop product of the point sets."""
+    from odc_product_docker_images_spark.operators.joins_spatial import (
+        join_haversine_radius,
+    )
+
+    df = join_haversine_radius(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert C.scan_count(df) == 2
+    C.assert_no_python_row_path(df)
