@@ -215,3 +215,93 @@ def forecast_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id LONG, n_obs LONG, level DOUBLE, trend DOUBLE, "
         "season_next DOUBLE, forecast_1 DOUBLE",
     )
+
+
+_KF_Q = 0.25  # process variance (exact binary)
+_KF_R = 1.0  # measurement variance (exact binary)
+
+
+@register(
+    "forecast_kalman_1d",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i
+            FROM events
+        ), n AS (
+            SELECT user_id, MAX(i) AS n FROM seq GROUP BY user_id
+        ), rec AS (
+            SELECT user_id, 1 AS i, value AS x,
+                   CAST(1.0 AS DOUBLE) AS p,
+                   CAST(0.0 AS DOUBLE) AS k
+            FROM seq WHERE i = 1
+            UNION ALL
+            SELECT r.user_id, r.i + 1,
+                   r.x + ((r.p + CAST({_KF_Q!r} AS DOUBLE))
+                          / ((r.p + CAST({_KF_Q!r} AS DOUBLE))
+                             + CAST({_KF_R!r} AS DOUBLE)))
+                         * (s.value - r.x),
+                   (CAST(1.0 AS DOUBLE)
+                    - (r.p + CAST({_KF_Q!r} AS DOUBLE))
+                      / ((r.p + CAST({_KF_Q!r} AS DOUBLE))
+                         + CAST({_KF_R!r} AS DOUBLE)))
+                     * (r.p + CAST({_KF_Q!r} AS DOUBLE)),
+                   (r.p + CAST({_KF_Q!r} AS DOUBLE))
+                     / ((r.p + CAST({_KF_Q!r} AS DOUBLE))
+                        + CAST({_KF_R!r} AS DOUBLE))
+            FROM rec r
+            JOIN seq s ON s.user_id = r.user_id AND s.i = r.i + 1
+        )
+        SELECT rec.user_id,
+               CAST(n.n AS BIGINT) AS n_obs,
+               rec.x AS estimate,
+               rec.p AS variance,
+               rec.k AS gain
+        FROM rec JOIN n ON rec.user_id = n.user_id
+        WHERE rec.i = n.n
+    """,
+)
+def forecast_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15++: 1-D Kalman filter per series (random-walk state model) —
+    the optimal-gain denoiser beside the fixed-gain smoothers
+    (EWMA/Holt/Holt-Winters).  Per step: predict p⁺ = p + q; gain
+    k = p⁺/(p⁺ + r); update x ← x + k(z − x), p ← (1−k)p⁺; initialized
+    x₁ = z₁, p₁ = 1.  Emits the final estimate, posterior variance, and
+    last gain.
+
+    Same contract as the smoothing keys: one series-key shuffle into an
+    Arrow grouped kernel; the oracle replays the identical recursion as
+    a recursive CTE.  q and r are exact binary fractions and each state
+    update is written with the SAME operation order on both sides —
+    bit-identical, unrounded."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        zs = pdf["value"].to_numpy()
+        x = float(zs[0])
+        p = 1.0
+        k = 0.0
+        for z in zs[1:]:
+            pp = p + _KF_Q
+            k = pp / (pp + _KF_R)
+            x = x + k * (float(z) - x)
+            p = (1.0 - k) * pp
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_obs": [len(zs)],
+                "estimate": [x],
+                "variance": [p],
+                "gain": [k],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit,
+        "user_id LONG, n_obs LONG, estimate DOUBLE, variance DOUBLE, gain DOUBLE",
+    )

@@ -1409,3 +1409,15 @@ def test_haversine_join_blocks_on_cells(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert C.scan_count(df) == 2
     C.assert_no_python_row_path(df)
+
+
+def test_kalman_is_one_series_shuffle(spark):
+    """Optimal-gain filter: one Exchange on the series key into the
+    Arrow grouped kernel — the smoothing-family contract."""
+    from odc_product_docker_images_spark.kernels.holt import forecast_kalman_1d
+
+    df = forecast_kalman_1d(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert "FlatMapGroupsInPandas" in plan
