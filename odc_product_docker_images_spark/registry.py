@@ -170,7 +170,8 @@ GRADING_WINDOW = [
     #     forecast_holt_winters, agg_bootstrap_ci, agg_sessionize,
     #     graph_modularity, multimodal_tar_index,
     #     multimodal_safetensors_roundtrip, text_keyphrase_rake,
-    #     join_haversine_radius, forecast_kalman_1d
+    #     join_haversine_radius, forecast_kalman_1d,
+    #     table_delete_vectors
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -811,3 +811,61 @@ def table_clone_shallow(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, t in (("clone", dest), ("source", src))
     ]
     return reduce(lambda a, b: a.unionByName(b), sides)
+
+
+@register(
+    "table_delete_vectors",
+    oracle=f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n_rows,
+               {sql_dsum("o_totalprice", "sum_price")}
+        FROM orders
+        WHERE NOT (o_orderkey % 13 = 0)
+        GROUP BY o_orderpriority
+    """,
+)
+def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: merge-on-read DELETE via deletion vectors — the
+    Delta/Iceberg-v2 alternative to ``table_merge_upsert``'s
+    copy-on-write.  The delete writes NO data files: it materializes a
+    sidecar of (file, row-position) tombstones — positions from the
+    parquet reader's ``_metadata.file_path`` / ``_metadata.row_index``
+    columns (the engine-stable row identity DVs are defined over) — and
+    the read path subtracts them with a position ANTI-JOIN.  The final
+    aggregate must equal recomputation over the logically-surviving rows,
+    which proves the position plumbing end to end: the DV is BUILT once
+    from the predicate and the read side never sees the predicate, only
+    positions.
+
+    At scale: a delete touching 0.1% of a 100 TB table writes O(matched
+    positions) instead of rewriting every hit file; reads pay a
+    broadcast anti-join of the (compact) DV until compaction folds it
+    in.  Cost moves from write amplification to a bounded read-side
+    join — exactly the DV trade."""
+    od = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    t = _fresh_table("dvx")
+    t.write(od.repartitionByRange(8, "o_orderkey"), mode="overwrite")
+
+    data = t.read(spark).select(
+        F.col("_metadata.file_path").alias("__file"),
+        F.col("_metadata.row_index").alias("__pos"),
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+    )
+    dv_path = str(Path(t.path) / "deletes" / "dv0.parquet")
+    # the DELETE: predicate evaluated ONCE, persisted as positions only
+    data.where(F.col("o_orderkey") % 13 == 0).select(
+        "__file", "__pos"
+    ).write.mode("overwrite").parquet(dv_path)
+
+    dv = spark.read.parquet(dv_path)
+    live = data.join(
+        F.broadcast(dv), ["__file", "__pos"], "left_anti"
+    )
+    return live.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    )

@@ -1421,3 +1421,17 @@ def test_kalman_is_one_series_shuffle(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_delete_vectors_read_is_broadcast_anti_join(spark):
+    """The merge-on-read path subtracts tombstones with a broadcast
+    position anti-join — no predicate re-evaluation, no data rewrite."""
+    from odc_product_docker_images_spark.sources.versioned import (
+        table_delete_vectors,
+    )
+
+    df = table_delete_vectors(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)
