@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from ..functions.det import (
     dec_cast,
     dround,
+    dsum,
     dsum_fast,
     exact_double,
     sql_dec_cast,
@@ -613,4 +614,57 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("r") == -1, F.col("mean_r"))).alias("mean_full"),
         F.element_at(boot, 3).alias("ci_lo"),
         F.element_at(boot, 98).alias("ci_hi"),
+    )
+
+
+@register(
+    "agg_hhi_concentration",
+    oracle=f"""
+        WITH spend AS (
+            SELECT o_orderpriority AS market,
+                   o_custkey,
+                   {sql_dsum('o_totalprice', 'firm_spend')}
+            FROM orders GROUP BY o_orderpriority, o_custkey
+        ), shares AS (
+            SELECT market, firm_spend,
+                   firm_spend / ({sql_exact_double(
+                       f"SUM({sql_dec_cast('firm_spend')})"
+                       " OVER (PARTITION BY market)"
+                   )}) AS share
+            FROM spend
+        )
+        SELECT market,
+               COUNT(*) AS n_firms,
+               {sql_dsum('share * share', 'hhi')}
+        FROM shares GROUP BY market
+    """,
+)
+def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: Herfindahl-Hirschman concentration index per market — HHI =
+    Σ shareᵢ² over each firm's spend share (the antitrust / marketplace
+    concentration screen; 0.25+ reads as highly concentrated).
+
+    Shapes: per-(market, firm) spend is one decimal hash agg; the market
+    total rides a WINDOW over the firm table (no join-back — the
+    retention-key discipline, and the firm table is dimension-sized);
+    the HHI rollup is a second decimal sum of the squared shares.
+    Determinism: spends exact_double(6); each share one IEEE divide;
+    share² one more IEEE op; the Σ share² sum rides the decimal path
+    (6 dp — HHI's native reporting scale is 4 significant digits)."""
+    spend = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("market"), "o_custkey")
+        .agg(dsum_fast("o_totalprice", "firm_spend"))
+    )
+    wm = Window.partitionBy("market")
+    shares = spend.select(
+        "market",
+        (
+            F.col("firm_spend")
+            / exact_double(F.sum(dec_cast("firm_spend")).over(wm), 6)
+        ).alias("share"),
+    )
+    return shares.groupBy("market").agg(
+        F.count(F.lit(1)).alias("n_firms"),
+        dsum(F.col("share") * F.col("share"), "hhi"),
     )

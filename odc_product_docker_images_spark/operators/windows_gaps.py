@@ -430,3 +430,108 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) == 1).cast("int").alias("is_bounce"),
         F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
     )
+
+
+_TS_K = 7  # trailing window width for the Theil-Sen slope
+
+
+def _ts_pairs_sql() -> str:
+    """The 21 pairwise-slope CASE expressions over lag columns t0..t6 /
+    y0..y6 (0 = current row, 6 = oldest) — identical operand order to the
+    Spark side."""
+    terms = []
+    for i in range(_TS_K - 1, 0, -1):  # older point
+        for j in range(i - 1, -1, -1):  # newer point
+            terms.append(
+                f"CASE WHEN t{j} IS NOT NULL AND t{i} IS NOT NULL"
+                f" AND t{j} <> t{i}"
+                f" THEN (y{j} - y{i}) / CAST(t{j} - t{i} AS DOUBLE) END"
+            )
+    return ", ".join(terms)
+
+
+@register(
+    "window_theil_sen",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   value
+            FROM events
+        ), lagged AS (
+            SELECT user_id, event_id,
+                   {", ".join(
+                       f"LAG(sec, {k}) OVER w AS t{k}, "
+                       f"LAG(value, {k}) OVER w AS y{k}"
+                       for k in range(_TS_K)
+                   )}
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        ), slopes AS (
+            SELECT user_id, event_id,
+                   list_sort(list_filter([{_ts_pairs_sql()}],
+                                         x -> x IS NOT NULL)) AS sl
+            FROM lagged
+        )
+        SELECT user_id, event_id,
+               CAST(LEN(sl) AS INTEGER) AS n_pairs,
+               CASE WHEN LEN(sl) > 0 THEN list_extract(sl,
+                   CAST(FLOOR(CAST(LEN(sl) + 1 AS DOUBLE) / 2) AS INTEGER))
+               END AS ts_slope
+        FROM slopes
+    """,
+)
+def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W19: rolling Theil-Sen slope — the lower median of all pairwise
+    slopes among each series' trailing {_TS_K} observations, the ROBUST
+    trend companion to ``window_rolling_slope``'s least squares (one
+    spike corrupts OLS; Theil-Sen tolerates ~29% outliers) and the slope
+    twin of ``agg_mann_kendall``'s trend test.
+
+    Spark-first: the {_TS_K} frame points arrive as lag columns off ONE
+    window spec (the window_ewma tap pattern — same single Exchange+Sort
+    any one lag needs); the C({_TS_K},2)=21 pairwise slopes are a fixed
+    codegen'd expression array → compact → sort → explicit lower-median
+    selection.  Equal-timestamp pairs are excluded (slope undefined);
+    series heads yield fewer pairs, never NULL-poisoned ones.
+    Determinism: each slope is one IEEE subtract-divide on exactly
+    carried operands; the median element is carried bit-exact."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    lagged = e.select(
+        "user_id",
+        "event_id",
+        *[F.lag("sec", k).over(w).alias(f"t{k}") for k in range(_TS_K)],
+        *[F.lag("value", k).over(w).alias(f"y{k}") for k in range(_TS_K)],
+    )
+    slope_exprs = []
+    for i in range(_TS_K - 1, 0, -1):
+        for j in range(i - 1, -1, -1):
+            ti, tj = F.col(f"t{i}"), F.col(f"t{j}")
+            yi, yj = F.col(f"y{i}"), F.col(f"y{j}")
+            slope_exprs.append(
+                F.when(
+                    ti.isNotNull() & tj.isNotNull() & (tj != ti),
+                    (yj - yi) / (tj - ti).cast("double"),
+                )
+            )
+    sl = F.array_sort(F.array_compact(F.array(*slope_exprs)))
+    n = F.size(sl)
+    return lagged.select(
+        "user_id",
+        "event_id",
+        n.cast("int").alias("n_pairs"),
+        F.when(
+            n > 0,
+            F.element_at(sl, F.floor((n + 1).cast("double") / 2).cast("int")),
+        ).alias("ts_slope"),
+    )

@@ -1435,3 +1435,34 @@ def test_delete_vectors_read_is_broadcast_anti_join(spark):
     assert "LeftAnti" in plan
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_theil_sen_taps_share_one_window(spark):
+    """All 14 lag taps (7 t + 7 y) ride one window spec: one Exchange,
+    one Sort; the 21 pairwise slopes are a codegen'd expression array."""
+    import re
+
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        window_theil_sen,
+    )
+
+    df = window_theil_sen(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    assert len(set(re.findall(r"\((\d+)\) Sort", plan))) == 1
+    C.assert_no_python_row_path(df)
+
+
+def test_hhi_market_total_is_window_not_joinback(spark):
+    """The market spend total rides a window over the firm table — no
+    join-back, firm table is dimension-sized."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_hhi_concentration,
+    )
+
+    df = agg_hhi_concentration(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

@@ -60,7 +60,7 @@ AUDIT = [
     "agg_sessionize", "graph_modularity", "multimodal_tar_index",
     "multimodal_safetensors_roundtrip",
     "text_keyphrase_rake", "join_haversine_radius", "forecast_kalman_1d",
-    "table_delete_vectors",
+    "table_delete_vectors", "window_theil_sen", "agg_hhi_concentration",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
