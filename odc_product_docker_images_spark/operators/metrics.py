@@ -668,3 +668,105 @@ def agg_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_firms"),
         dsum(F.col("share") * F.col("share"), "hhi"),
     )
+
+
+_GMM_MU = (50.0, 250.0)  # component means at iteration start (exact)
+_GMM_TWO_VAR = 20000.0  # 2·sigma² (shared initial variance 1e4, exact)
+
+
+@register(
+    "ml_gmm_em_step",
+    oracle=f"""
+        WITH r AS (
+            SELECT value AS x,
+                   CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + {sql_dround(
+                       f"EXP(((value - {_GMM_MU[0]!r}) * (value - {_GMM_MU[0]!r})"
+                       f" - (value - {_GMM_MU[1]!r}) * (value - {_GMM_MU[1]!r}))"
+                       f" / {_GMM_TWO_VAR!r})"
+                   )}) AS r1
+            FROM events
+        ), s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('r1', 'sr1')},
+                   {sql_dsum('r1 * x', 'srx1')},
+                   {sql_dsum('r1 * x * x', 'srxx1')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1)', 'sr2')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1) * x', 'srx2')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1) * x * x', 'srxx2')}
+            FROM r
+        )
+        SELECT k, weight, mu, var FROM (
+            SELECT 1 AS k, sr1 / n AS weight, srx1 / sr1 AS mu,
+                   srxx1 / sr1 - (srx1 / sr1) * (srx1 / sr1) AS var
+            FROM s
+            UNION ALL
+            SELECT 2, sr2 / n, srx2 / sr2,
+                   srxx2 / sr2 - (srx2 / sr2) * (srx2 / sr2)
+            FROM s
+        ) ORDER BY k
+    """,
+)
+def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML: one verified EM iteration of a 1-D two-component Gaussian
+    mixture over ``value`` — the ``sim_kmeans_step`` induction discipline
+    applied to soft clustering: responsibilities (E) and the updated
+    weights/means/variances (M) from ONE pass of sufficient statistics
+    (Σr, Σrx, Σrx² per component; σ²' = Σrx²/Σr − μ'²).
+
+    Equal initial weights and variances collapse the responsibility to a
+    logistic of the squared-distance gap: r₁ = 1/(1 + exp(((x−μ₁)² −
+    (x−μ₂)²)/2σ²)) — explicit multiplication everywhere (no POWER), the
+    one libm exp rounded 6 dp through the decimal path, every product of
+    (deterministic r, exact x) decimal-summed.  The closing divides are
+    fixed IEEE chains on identical operands — unrounded.
+
+    At 100 TB: the E-step is map-side codegen; the M-step is one global
+    agg with map-side partials (a 1-row stage); K components widen the
+    aggregate list, never add passes — the same scaling story as the
+    k-means step."""
+    one = F.lit(1.0)
+    x = F.col("value")
+    t = (
+        (x - _GMM_MU[0]) * (x - _GMM_MU[0])
+        - (x - _GMM_MU[1]) * (x - _GMM_MU[1])
+    ) / F.lit(_GMM_TWO_VAR)
+    r1 = one / (one + dround(F.exp(t)))
+    r = load(spark, sf_dir, "events").select(
+        x.alias("x"), r1.alias("r1")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum("r1", "sr1"),
+        dsum(F.col("r1") * F.col("x"), "srx1"),
+        dsum(F.col("r1") * F.col("x") * F.col("x"), "srxx1"),
+        dsum(one - F.col("r1"), "sr2"),
+        dsum((one - F.col("r1")) * F.col("x"), "srx2"),
+        dsum((one - F.col("r1")) * F.col("x") * F.col("x"), "srxx2"),
+    )
+    comps = s.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("k"),
+                    (F.col("sr1") / F.col("n")).alias("weight"),
+                    (F.col("srx1") / F.col("sr1")).alias("mu"),
+                    (
+                        F.col("srxx1") / F.col("sr1")
+                        - (F.col("srx1") / F.col("sr1"))
+                        * (F.col("srx1") / F.col("sr1"))
+                    ).alias("var"),
+                ),
+                F.struct(
+                    F.lit(2).alias("k"),
+                    (F.col("sr2") / F.col("n")).alias("weight"),
+                    (F.col("srx2") / F.col("sr2")).alias("mu"),
+                    (
+                        F.col("srxx2") / F.col("sr2")
+                        - (F.col("srx2") / F.col("sr2"))
+                        * (F.col("srx2") / F.col("sr2"))
+                    ).alias("var"),
+                ),
+            )
+        ).alias("c")
+    )
+    return comps.select("c.k", "c.weight", "c.mu", "c.var").orderBy("k")

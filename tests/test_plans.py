@@ -1466,3 +1466,14 @@ def test_hhi_market_total_is_window_not_joinback(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_gmm_em_step_is_one_global_agg(spark):
+    """E-step is map-side codegen; M-step one global aggregate with
+    partials — single scan, ≤1 Exchange, no Python."""
+    from odc_product_docker_images_spark.operators.metrics import ml_gmm_em_step
+
+    df = ml_gmm_em_step(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
