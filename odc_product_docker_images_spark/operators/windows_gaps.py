@@ -535,3 +535,75 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(sl, F.floor((n + 1).cast("double") / 2).cast("int")),
         ).alias("ts_slope"),
     )
+
+
+@register(
+    "window_drawdown",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   value
+            FROM events
+        ), cum AS (
+            SELECT user_id, event_id, value,
+                   MAX(value) OVER (
+                       PARTITION BY user_id ORDER BY sec, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS peak
+            FROM e
+        ), dd AS (
+            SELECT user_id, value, peak,
+                   (peak - value) / peak AS drawdown
+            FROM cum
+        )
+        SELECT user_id,
+               MAX(peak) AS max_value,
+               MAX(drawdown) AS max_drawdown,
+               CAST(COUNT(CASE WHEN drawdown = 0.0 THEN 1 END) AS BIGINT)
+                   AS n_at_peak
+        FROM dd GROUP BY user_id
+    """,
+)
+def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W20: maximum drawdown per series — the running-peak-to-trough
+    loss ((peak − x)/peak over the cumulative max), the risk summary
+    every monitoring/financial series report carries alongside trend.
+
+    Shape: the running peak is a cumulative MAX window; the per-series
+    rollup groups on the window's own partition key, so the whole
+    operator is ONE Exchange (reuse pinned).  value > 0 in the fixture,
+    so the ratio is well-defined; drawdown == 0 counts the at-peak
+    observations.  Determinism: cumulative max carries values bit-exact;
+    the ratio is one IEEE subtract-divide — unrounded."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+    cum = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dd = e.select(
+        "user_id",
+        "value",
+        F.max("value").over(cum).alias("peak"),
+    ).select(
+        "user_id",
+        "peak",
+        ((F.col("peak") - F.col("value")) / F.col("peak")).alias("drawdown"),
+    )
+    return dd.groupBy("user_id").agg(
+        F.max("peak").alias("max_value"),
+        F.max("drawdown").alias("max_drawdown"),
+        F.count(F.when(F.col("drawdown") == 0.0, 1)).cast("bigint").alias(
+            "n_at_peak"
+        ),
+    )

@@ -1477,3 +1477,16 @@ def test_gmm_em_step_is_one_global_agg(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_drawdown_rollup_reuses_window_exchange(spark):
+    """Running-peak window and the per-series rollup share one (user)
+    partitioning — single Exchange total."""
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        window_drawdown,
+    )
+
+    df = window_drawdown(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
