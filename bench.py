@@ -116,6 +116,8 @@ R6C = [
     "agg_hhi_concentration",
     "ml_gmm_em_step",
     "window_drawdown",
+    "join_scd2_asof",
+    "ml_ridge_closed_form",
 ]
 
 R5 = [

@@ -79,3 +79,88 @@ def table_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         valid_to.alias("valid_to"),
         valid_to.isNull().alias("is_current"),
     )
+
+
+@register(
+    "join_scd2_asof",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ), changes AS (
+            SELECT user_id, event_type, ts, event_id
+            FROM ordered
+            WHERE prev_type IS NULL OR event_type <> prev_type
+        ), dim AS (
+            SELECT user_id,
+                   event_type AS state,
+                   CAST(ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS BIGINT) AS version,
+                   ts AS valid_from,
+                   LEAD(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS valid_to
+            FROM changes
+        ), fact AS (
+            SELECT user_id, event_id, ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT f.user_id, f.event_id, f.ts, f.value,
+               d.state AS state_at_purchase, d.version
+        FROM fact f JOIN dim d
+          ON f.user_id = d.user_id
+         AND f.ts >= d.valid_from
+         AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+    """,
+)
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8+: point-in-time (AS OF) lookup against the SCD2 dimension —
+    the read side of ``table_scd2_build``: each purchase joins the
+    version whose ``[valid_from, valid_to)`` interval covers its
+    timestamp, recovering "what was true when" (the bitemporal lookup
+    every audit/attribution backfill runs).
+
+    Spark-first: the interval predicate rides an EQUI-join on the
+    dimension key — per-key fan-out is the user's version count (bounded
+    by their change history), never a nested-loop over intervals; the
+    covering interval is unique by construction (intervals partition the
+    timeline), so no dedup pass is needed.  Two scans total (history
+    build + fact slice), one dimension-key shuffle each side."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .where(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+        .drop("prev_type")
+    )
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("state"),
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+    fact = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    cond = (
+        (fact["user_id"] == dim["d_user"])
+        & (fact["ts"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (fact["ts"] < dim["valid_to"]))
+    )
+    return fact.join(dim, cond).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.col("state").alias("state_at_purchase"),
+        "version",
+    )

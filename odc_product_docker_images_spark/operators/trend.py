@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dround, sql_dround
+from ..functions.det import dround, dsum, sql_dround, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -135,4 +135,111 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         dround(z, 6).alias("z_stat"),
         dround("sen_slope_raw", 6).alias("sen_slope_ppm"),
+    )
+
+
+_RIDGE_LAMBDA = 10.0  # L2 penalty (exact binary; intercept unpenalized)
+
+# Closing arithmetic SHARED AS TEXT: Spark evaluates these with F.expr and
+# the oracle inlines the identical strings, so operand order is equal by
+# construction (both engines parse the same +-*/ grammar).
+_A = {
+    "a11": "n",
+    "a12": "sx1",
+    "a13": "sx2",
+    "a22": f"(sx1x1 + {_RIDGE_LAMBDA!r})",
+    "a23": "sx1x2",
+    "a33": f"(sx2x2 + {_RIDGE_LAMBDA!r})",
+    "b1": "sy",
+    "b2": "sx1y",
+    "b3": "sx2y",
+}
+
+
+def _cramer(col_replaced: int | None) -> str:
+    """Cofactor expansion along the first row of the (symmetric) normal
+    matrix, with column ``col_replaced`` (0-2) swapped for b."""
+    c = dict(_A)
+    if col_replaced == 0:
+        c["a11"], c["a12_r"], c["a13_r"] = c["b1"], c["a12"], c["a13"]
+        return (
+            f"{c['b1']}*({c['a22']}*{c['a33']} - {c['a23']}*{c['a23']})"
+            f" - {c['a12']}*({c['b2']}*{c['a33']} - {c['a23']}*{c['b3']})"
+            f" + {c['a13']}*({c['b2']}*{c['a23']} - {c['a22']}*{c['b3']})"
+        )
+    if col_replaced == 1:
+        return (
+            f"{c['a11']}*({c['b2']}*{c['a33']} - {c['a23']}*{c['b3']})"
+            f" - {c['b1']}*({c['a12']}*{c['a33']} - {c['a23']}*{c['a13']})"
+            f" + {c['a13']}*({c['a12']}*{c['b3']} - {c['b2']}*{c['a13']})"
+        )
+    if col_replaced == 2:
+        return (
+            f"{c['a11']}*({c['a22']}*{c['b3']} - {c['b2']}*{c['a23']})"
+            f" - {c['a12']}*({c['a12']}*{c['b3']} - {c['b2']}*{c['a13']})"
+            f" + {c['b1']}*({c['a12']}*{c['a23']} - {c['a22']}*{c['a13']})"
+        )
+    return (
+        f"{c['a11']}*({c['a22']}*{c['a33']} - {c['a23']}*{c['a23']})"
+        f" - {c['a12']}*({c['a12']}*{c['a33']} - {c['a23']}*{c['a13']})"
+        f" + {c['a13']}*({c['a12']}*{c['a23']} - {c['a22']}*{c['a13']})"
+    )
+
+
+@register(
+    "ml_ridge_closed_form",
+    oracle=f"""
+        WITH s AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('l_quantity', 'sx1')},
+                   {sql_dsum('l_discount', 'sx2')},
+                   {sql_dsum('l_quantity * l_quantity', 'sx1x1')},
+                   {sql_dsum('l_discount * l_discount', 'sx2x2')},
+                   {sql_dsum('l_quantity * l_discount', 'sx1x2')},
+                   {sql_dsum('l_extendedprice', 'sy')},
+                   {sql_dsum('l_quantity * l_extendedprice', 'sx1y')},
+                   {sql_dsum('l_discount * l_extendedprice', 'sx2y')}
+            FROM lineitem
+        )
+        SELECT CAST(n AS BIGINT) AS n_rows,
+               ({_cramer(0)}) / ({_cramer(None)}) AS beta0,
+               ({_cramer(1)}) / ({_cramer(None)}) AS beta1,
+               ({_cramer(2)}) / ({_cramer(None)}) AS beta2
+        FROM s
+    """,
+)
+def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML2: closed-form ridge regression (2 features + intercept) —
+    y = extendedprice on (quantity, discount), solving the 3×3 normal
+    equations (X'X + λ·diag(0,1,1))β = X'y by CRAMER'S RULE over nine
+    decimal-exact sufficient sums (the BigDecimal dsum path — the
+    quantity*price product addends exceed dsum_fast's long-split domain
+    at 10x scale, the agg_assoc_rules lesson).  The distributed-regression pattern at
+    its purest: ONE aggregate pass over the fact table (map-side
+    partials), then a 1-row fixed-arithmetic solve — no iteration, no
+    driver linalgebra, and p features cost a wider aggregate list, never
+    another pass.
+
+    Determinism: the closing cofactor arithmetic is SHARED AS TEXT —
+    Spark runs the identical expression strings through ``F.expr`` that
+    the oracle inlines, so operand order is equal by construction;
+    inputs are exact_double(6) decimal sums — unrounded output."""
+    li = load(spark, sf_dir, "lineitem")
+    q, d, y = F.col("l_quantity"), F.col("l_discount"), F.col("l_extendedprice")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q, "sx1"),
+        dsum(d, "sx2"),
+        dsum(q * q, "sx1x1"),
+        dsum(d * d, "sx2x2"),
+        dsum(q * d, "sx1x2"),
+        dsum(y, "sy"),
+        dsum(q * y, "sx1y"),
+        dsum(d * y, "sx2y"),
+    )
+    return s.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.expr(f"({_cramer(0)}) / ({_cramer(None)})").alias("beta0"),
+        F.expr(f"({_cramer(1)}) / ({_cramer(None)})").alias("beta1"),
+        F.expr(f"({_cramer(2)}) / ({_cramer(None)})").alias("beta2"),
     )

@@ -1490,3 +1490,28 @@ def test_drawdown_rollup_reuses_window_exchange(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_scd2_asof_is_key_equijoin(spark):
+    """The interval predicate rides a dimension-key equi-join — no
+    nested-loop over intervals."""
+    from odc_product_docker_images_spark.operators.scd import join_scd2_asof
+
+    df = join_scd2_asof(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_ridge_is_one_aggregate_pass(spark):
+    """Nine sufficient sums from one fact aggregate; the Cramer solve is
+    a 1-row fixed-arithmetic stage."""
+    from odc_product_docker_images_spark.operators.trend import (
+        ml_ridge_closed_form,
+    )
+
+    df = ml_ridge_closed_form(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
