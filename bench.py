@@ -118,6 +118,7 @@ R6C = [
     "window_drawdown",
     "join_scd2_asof",
     "ml_ridge_closed_form",
+    "ml_pca_power_step",
 ]
 
 R5 = [

@@ -13,7 +13,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dround, sql_davg, sql_dround
+from ..functions.det import (
+    davg,
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -96,4 +107,82 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(davg("val", "new_val"))
         .join(F.broadcast(sizes), "centroid_id")
         .select("centroid_id", "dim", "new_val", "n_members")
+    )
+
+
+# power-iteration seed: exact binary fractions (k/16), no parse ambiguity
+_PCA_V0 = [((j * 37) % 16 - 8) / 16.0 for j in range(64)]
+
+
+@register(
+    "ml_pca_power_step",
+    oracle=f"""
+        WITH pv AS (
+            SELECT LIST_TRANSFORM({_PCA_V0!r}, x -> CAST(x AS DOUBLE)) AS v0
+        ), proj AS (
+            SELECT vec_id, embedding,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                       i -> CAST(embedding[i] AS DOUBLE) * v0[i])) AS s
+            FROM embeddings CROSS JOIN pv
+        ), contrib AS (
+            SELECT UNNEST(GENERATE_SERIES(1, 64)) AS dim_idx,
+                   vec_id, embedding, s
+            FROM proj
+        ), w AS (
+            SELECT CAST(dim_idx AS INTEGER) AS dim_idx,
+                   {sql_dsum(
+                       "CAST(embedding[dim_idx] AS DOUBLE) * s", "w"
+                   )}
+            FROM contrib GROUP BY dim_idx
+        ), nrm AS (
+            SELECT dim_idx, w,
+                   SQRT({sql_exact_double(
+                       f"SUM({sql_dec_cast('w * w')}) OVER ()"
+                   )}) AS norm
+            FROM w
+        )
+        SELECT dim_idx, w, w / norm AS v_next
+        FROM nrm
+    """,
+)
+def ml_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3: one verified power-iteration step toward the top principal
+    component of the embedding covariance — v' = normalize(Σ x·⟨x, v⟩)
+    (the Gram matrix is never materialized: C·v folds into a projection
+    pass plus per-dimension sums).  The kmeans/pagerank induction
+    discipline applied to PCA.
+
+    Spark-first: ⟨x, v⟩ is a codegen'd fold against the literal seed;
+    the per-dimension sums come from a posexplode → 64-key hash agg with
+    map-side partials (shuffle is 64 × partitions rows, not the corpus);
+    the norm rides a 64-row window.  Determinism: seed is exact binary
+    fractions; fold order matches LIST_SUM; products decimal-summed;
+    sqrt is IEEE-correctly-rounded (not libm-dependent) — unrounded."""
+    probe = F.array(*[F.lit(v) for v in _PCA_V0])
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    s = F.aggregate(
+        F.zip_with(
+            F.col("embedding"),
+            probe,
+            lambda x, y: x.cast("double") * y,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    proj = em.select("vec_id", "embedding", s.alias("s"))
+    contrib = proj.select(
+        F.posexplode("embedding").alias("j0", "xj"), "s"
+    ).select(
+        (F.col("j0") + 1).cast("int").alias("dim_idx"),
+        (F.col("xj").cast("double") * F.col("s")).alias("term"),
+    )
+    w = contrib.groupBy("dim_idx").agg(dsum("term", "w"))
+    norm = F.sqrt(
+        exact_double(
+            F.sum(dec_cast(F.col("w") * F.col("w"))).over(Window.partitionBy()),
+            6,
+        )
+    )
+    return w.select(
+        "dim_idx", "w", (F.col("w") / norm).alias("v_next")
     )

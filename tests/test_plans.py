@@ -1515,3 +1515,16 @@ def test_ridge_is_one_aggregate_pass(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_pca_step_shuffles_dimension_cells_only(spark):
+    """The Gram matrix is never materialized: projection rides the scan,
+    the only corpus shuffle carries 64-key partial sums, the norm is a
+    64-row window."""
+    from odc_product_docker_images_spark.textvec.kmeans import ml_pca_power_step
+
+    df = ml_pca_power_step(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
