@@ -119,6 +119,7 @@ R6C = [
     "join_scd2_asof",
     "ml_ridge_closed_form",
     "ml_pca_power_step",
+    "ml_lift_table",
 ]
 
 R5 = [

@@ -770,3 +770,93 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c")
     )
     return comps.select("c.k", "c.weight", "c.mu", "c.var").orderBy("k")
+
+
+@register(
+    "ml_lift_table",
+    oracle=f"""
+        WITH ranked AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk,
+                   COUNT(*) OVER () AS n
+            FROM events
+        ), deciled AS (
+            SELECT CAST(FLOOR(CAST((n - rk) * 10 AS DOUBLE) / n) + 1
+                        AS INTEGER) AS decile,
+                   CAST(event_type = 'purchase' AS INTEGER) AS conv
+            FROM ranked
+        ), cells AS (
+            SELECT decile,
+                   COUNT(*) AS n_rows,
+                   CAST(SUM(conv) AS BIGINT) AS n_conv
+            FROM deciled GROUP BY decile
+        ), t AS (
+            SELECT decile, n_rows, n_conv,
+                   CAST(SUM(n_conv) OVER () AS BIGINT) AS total_conv,
+                   CAST(SUM(n_rows) OVER () AS BIGINT) AS total_rows
+            FROM cells
+        )
+        SELECT decile, n_rows, n_conv,
+               CAST(n_conv AS DOUBLE) / CAST(n_rows AS DOUBLE) AS conv_rate,
+               (CAST(n_conv AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                 / (CAST(total_conv AS DOUBLE) / CAST(total_rows AS DOUBLE))
+                 AS lift
+        FROM t
+    """,
+)
+def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML4: decile lift / gains table — rank the population by model
+    score (``value`` plays the score), cut into global deciles (1 = top
+    scores), and report each decile's conversion rate against the base
+    rate: the standard campaign-targeting / model-evaluation report.
+
+    The global decile needs a TOTAL ordering — a plain global
+    row_number would sort the corpus in one task, so the rank is
+    DISTRIBUTED (the agg_gini pattern): range-partition on the full
+    sort key, row_number within each partition, plus per-partition
+    offsets from a ≤32-row broadcast rollup; the global n rides the
+    same tiny rollup.  Decile arithmetic is exact integers under FLOOR
+    (both-sides convention); rates and lift are IEEE divides of exact
+    counts.  The oracle states the same semantics in its native global
+    window form — distributed rank == global rank is the proof."""
+    rp = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .repartitionByRange(32, "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+    ).persist()
+    wloc = Window.partitionBy("pid").orderBy("value", "event_id")
+    loc = rp.withColumn("local_rn", F.row_number().over(wloc).cast("bigint"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .withColumn("off", F.coalesce(F.sum("pn").over(woff), F.lit(0)))
+        .withColumn("n", F.sum("pn").over(Window.partitionBy()))
+        .select("pid", "off", "n")
+    )
+    ranked = loc.join(F.broadcast(offsets), "pid").select(
+        (F.col("off") + F.col("local_rn")).alias("rk"),
+        "n",
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    decile = (
+        F.floor(((F.col("n") - F.col("rk")) * 10).cast("double") / F.col("n"))
+        + 1
+    ).cast("int")
+    cells = ranked.groupBy(decile.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("conv").cast("bigint").alias("n_conv"),
+    )
+    wall = Window.partitionBy()
+    t = cells.select(
+        "*",
+        F.sum("n_conv").over(wall).cast("bigint").alias("total_conv"),
+        F.sum("n_rows").over(wall).cast("bigint").alias("total_rows"),
+    )
+    rate = F.col("n_conv").cast("double") / F.col("n_rows").cast("double")
+    base = F.col("total_conv").cast("double") / F.col("total_rows").cast("double")
+    return t.select(
+        "decile", "n_rows", "n_conv", rate.alias("conv_rate"),
+        (rate / base).alias("lift"),
+    )

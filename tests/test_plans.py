@@ -1528,3 +1528,15 @@ def test_pca_step_shuffles_dimension_cells_only(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_lift_table_rank_is_distributed_not_single_task(spark):
+    """The global decile rank is range-partitioned + offset-broadcast
+    (the agg_gini pattern) — no corpus-wide single-task window."""
+    from odc_product_docker_images_spark.operators.metrics import ml_lift_table
+
+    df = ml_lift_table(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)
