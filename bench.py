@@ -120,6 +120,8 @@ R6C = [
     "ml_ridge_closed_form",
     "ml_pca_power_step",
     "ml_lift_table",
+    "agg_mann_whitney",
+    "text_feature_hashing",
 ]
 
 R5 = [

@@ -860,3 +860,102 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", "n_rows", "n_conv", rate.alias("conv_rate"),
         (rate / base).alias("lift"),
     )
+
+
+@register(
+    "agg_mann_whitney",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (ORDER BY value, event_id) AS rk
+            FROM events
+        ), tied AS (
+            SELECT event_type,
+                   (CAST(MIN(rk) OVER (PARTITION BY value) AS DOUBLE)
+                    + CAST(MAX(rk) OVER (PARTITION BY value) AS DOUBLE))
+                   / CAST(2.0 AS DOUBLE) AS ark
+            FROM ranked
+        ), s AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(ark * 2.0 AS BIGINT)) AS DOUBLE)
+                     / CAST(2.0 AS DOUBLE) AS rsum
+            FROM tied GROUP BY event_type
+        )
+        SELECT a.event_type AS type_a,
+               b.event_type AS type_b,
+               CAST(a.n AS BIGINT) AS n_a,
+               CAST(b.n AS BIGINT) AS n_b,
+               a.rsum - a.n * (a.n + CAST(1.0 AS DOUBLE))
+                 / CAST(2.0 AS DOUBLE) AS u_a,
+               (a.rsum - a.n * (a.n + CAST(1.0 AS DOUBLE))
+                 / CAST(2.0 AS DOUBLE)) / (a.n * b.n) AS auc
+        FROM s a JOIN s b ON a.event_type < b.event_type
+    """,
+)
+def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: Mann-Whitney U (rank-sum) between every variant pair — the
+    NON-PARAMETRIC companion to ``agg_ttest_welch`` (U/(n₁n₂) is the AUC
+    probability a random a-draw exceeds a random b-draw), with the
+    midrank tie correction the textbook statistic requires.
+
+    Spark-first: the global order comes from the DISTRIBUTED rank
+    (range-partition + offset broadcast — the agg_gini pattern);
+    midranks are (min+max)/2 windows over each tied VALUE partition;
+    per-variant rank sums are exact (midranks are halves, so 2·ark sums
+    as integers and halves once at the edge); the variant-pair expansion
+    reuses the t-test's one-row array self-cross.  Determinism: pure
+    integer arithmetic until two final IEEE divides."""
+    rp = (
+        load(spark, sf_dir, "events")
+        .select("event_type", "value", "event_id")
+        .repartitionByRange(32, "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+    ).persist()
+    wloc = Window.partitionBy("pid").orderBy("value", "event_id")
+    loc = rp.withColumn("local_rn", F.row_number().over(wloc).cast("bigint"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        rp.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("pn"))
+        .withColumn("off", F.coalesce(F.sum("pn").over(woff), F.lit(0)))
+        .select("pid", "off")
+    )
+    ranked = loc.join(F.broadcast(offsets), "pid").select(
+        "event_type", "value", (F.col("off") + F.col("local_rn")).alias("rk")
+    )
+    wv = Window.partitionBy("value")
+    tied = ranked.select(
+        "event_type",
+        (
+            (
+                F.min("rk").over(wv).cast("double")
+                + F.max("rk").over(wv).cast("double")
+            )
+            / F.lit(2.0)
+        ).alias("ark"),
+    )
+    s = tied.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        (
+            F.sum((F.col("ark") * F.lit(2.0)).cast("bigint")).cast("double")
+            / F.lit(2.0)
+        ).alias("rsum"),
+    )
+    arr = s.agg(F.collect_list(F.struct("event_type", "n", "rsum")).alias("arr"))
+    pairs = (
+        arr.select(F.explode("arr").alias("a"), "arr")
+        .select("a", F.explode("arr").alias("b"))
+        .where(F.col("a.event_type") < F.col("b.event_type"))
+    )
+    one = F.lit(1.0)
+    two = F.lit(2.0)
+    u_a = F.col("a.rsum") - F.col("a.n") * (F.col("a.n") + one) / two
+    return pairs.select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").cast("bigint").alias("n_a"),
+        F.col("b.n").cast("bigint").alias("n_b"),
+        u_a.alias("u_a"),
+        (u_a / (F.col("a.n") * F.col("b.n"))).alias("auc"),
+    )

@@ -584,3 +584,72 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_words") >= 2)
         .drop("island")
     )
+
+
+_FH_BUCKETS = 256  # hashed feature space (power of two)
+
+
+@register(
+    "text_feature_hashing",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w
+                FROM documents)
+        ), hashed AS (
+            SELECT doc_id,
+                   ((STRPOS('0123456789abcdef', SUBSTR(MD5(w), 1, 1)) - 1) * 16
+                    + (STRPOS('0123456789abcdef', SUBSTR(MD5(w), 2, 1)) - 1))
+                   % {_FH_BUCKETS} AS bucket
+            FROM tok
+        ), cells AS (
+            SELECT doc_id, bucket, COUNT(*) AS c
+            FROM hashed GROUP BY doc_id, bucket
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_buckets,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               STRING_AGG(CAST(bucket AS VARCHAR) || ':' ||
+                          CAST(c AS VARCHAR), ',' ORDER BY bucket)
+                   AS features
+        FROM cells GROUP BY doc_id
+    """,
+)
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: hashing-trick featurization (the HashingVectorizer /
+    Weinberger et al. 2009 shape) — tokens hash into a fixed
+    {_FH_BUCKETS}-bucket feature space, per-doc bucket counts serialize
+    as a sparse ``bucket:count`` vector.  No vocabulary pass, no fit
+    state, memory independent of vocabulary size — the featurizer that
+    works when the corpus is 100 TB and the vocab is unbounded.
+
+    Scale shape: hash + bucket are map-side codegen on the token stream
+    (md5 first byte — engine-identical, the bootstrap-key discipline);
+    ONE (doc, bucket) hash agg with map-side partials, then the per-doc
+    rollup reuses the doc-prefix partitioning.  All integers; the sparse
+    string renders identically on both engines."""
+    digits = "0123456789abcdef"
+    bucket = (
+        F.expr(f"locate(substr(md5(w), 1, 1), '{digits}') - 1") * 16
+        + F.expr(f"locate(substr(md5(w), 2, 1), '{digits}') - 1")
+    ) % _FH_BUCKETS
+    cells = (
+        load(spark, sf_dir, "documents")
+        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .select("doc_id", F.explode(_toks()).alias("w"))
+        .groupBy("doc_id", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return cells.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "c"))),
+                lambda x: F.concat_ws(
+                    ":", x["bucket"].cast("string"), x["c"].cast("string")
+                ),
+            ),
+            ",",
+        ).alias("features"),
+    )

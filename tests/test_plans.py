@@ -1540,3 +1540,28 @@ def test_lift_table_rank_is_distributed_not_single_task(spark):
     assert "RangePartitioning" in plan or "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_mann_whitney_rank_is_distributed(spark):
+    """Global midranks come from the range-partitioned rank + tie
+    windows, never a corpus single-task sort; pairs via the one-row
+    array self-cross (no self-join of the summary subtree)."""
+    from odc_product_docker_images_spark.operators.metrics import agg_mann_whitney
+
+    df = agg_mann_whitney(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    C.assert_no_python_row_path(df)
+
+
+def test_feature_hashing_reuses_doc_partitioning(spark):
+    """Hash+bucket ride the scan; (doc, bucket) agg and the per-doc
+    rollup share the explicit doc partitioning — one Exchange."""
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_feature_hashing,
+    )
+
+    df = text_feature_hashing(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
