@@ -122,6 +122,8 @@ R6C = [
     "ml_lift_table",
     "agg_mann_whitney",
     "text_feature_hashing",
+    "geo_dbscan_core",
+    "text_quality_gopher",
 ]
 
 R5 = [

@@ -247,3 +247,119 @@ def join_haversine_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("cid", "sid", dist.alias("dist_km"))
         .where(F.col("dist_km") <= _RADIUS_KM)
     )
+
+
+_DBSCAN_MIN_PTS = 3  # neighbors (excluding self) for a core point
+
+
+def _ll_dense(key: str):
+    """Denser synthesis for the density keys: lat in [-5, 5), lon in
+    [-10, 10) — mean spacing ~40 km at the fixture sizes, so 50 km
+    neighborhoods are populated while 1° cells stay exact (lon degree
+    ≥ 110.7 km at |lat| ≤ 5)."""
+    k = F.col(key).cast("long")
+    lat = (k * _MIX % 10000) / F.lit(1000.0) - F.lit(5.0)
+    lon = (k * _MIX2 % 20000) / F.lit(1000.0) - F.lit(10.0)
+    return lat, lon
+
+
+def _ll_dense_sql(key: str) -> tuple[str, str]:
+    k = f"CAST({key} AS BIGINT)"
+    return (
+        f"({k} * {_MIX} % 10000) / 1000.0 - 5.0",
+        f"({k} * {_MIX2} % 20000) / 1000.0 - 10.0",
+    )
+
+
+@register(
+    "geo_dbscan_core",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS cid,
+                   {_ll_dense_sql('c_custkey')[0]} AS lat,
+                   {_ll_dense_sql('c_custkey')[1]} AS lon
+            FROM customer
+        ), pairs AS (
+            SELECT a.cid AS cid,
+                   ROUND(2.0 * {_EARTH_KM!r} * ASIN(SQRT(
+                       SIN(RADIANS(b.lat - a.lat) / 2.0)
+                         * SIN(RADIANS(b.lat - a.lat) / 2.0)
+                       + COS(RADIANS(a.lat)) * COS(RADIANS(b.lat))
+                         * SIN(RADIANS(b.lon - a.lon) / 2.0)
+                         * SIN(RADIANS(b.lon - a.lon) / 2.0))), 6) AS d
+            FROM c a CROSS JOIN c b
+            WHERE a.cid <> b.cid
+        ), deg AS (
+            SELECT cid, COUNT(CASE WHEN d <= {_RADIUS_KM!r} THEN 1 END)
+                       AS n_neighbors
+            FROM pairs GROUP BY cid
+        )
+        SELECT cid, n_neighbors,
+               CAST(n_neighbors >= {_DBSCAN_MIN_PTS} AS INTEGER) AS is_core
+        FROM deg WHERE n_neighbors > 0
+    """,
+)
+def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12+: DBSCAN core-point detection — each point's ε-neighborhood
+    count ({_RADIUS_KM} km haversine) and the ≥{_DBSCAN_MIN_PTS}-neighbor
+    core flag, the first (and only shuffling) stage of density
+    clustering: cores + ε-edges feed the same min-label propagation
+    ``dedup_clusters`` already runs, so this key completes the DBSCAN
+    decomposition into verified relational steps.
+
+    Same exact 3×3 cell blocking as ``join_haversine_radius`` (|lat| ≤
+    60° keeps both axes' degree > ε): the self-join candidates meet on a
+    CELL EQUI-JOIN and only co-blocked pairs pay the haversine; the
+    neighbor count is one grouped agg.  Oracle = brute-force all-pairs:
+    blocked == exhaustive.  Points with zero in-radius neighbors drop on
+    both sides (noise tier)."""
+    lat, lon = _ll_dense("c_custkey")
+    pts = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cid"),
+        lat.alias("lat"),
+        lon.alias("lon"),
+        F.floor(lon).cast("long").alias("cx"),
+        F.floor(lat).cast("long").alias("cy"),
+    )
+    probe = pts.select(
+        F.col("cid").alias("bid"),
+        F.col("lat").alias("blat"),
+        F.col("lon").alias("blon"),
+        "cx",
+        "cy",
+    )
+    b9 = (
+        probe.select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"))
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
+        .select(
+            "bid", "blat", "blon",
+            (F.col("cx") + F.col("dx")).alias("cx"),
+            (F.col("cy") + F.col("dy")).alias("cy"),
+        )
+    )
+    half_dlat = F.radians(F.col("blat") - F.col("lat")) / 2.0
+    half_dlon = F.radians(F.col("blon") - F.col("lon")) / 2.0
+    d = F.round(
+        2.0
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(half_dlat) * F.sin(half_dlat)
+                + F.cos(F.radians("lat"))
+                * F.cos(F.radians("blat"))
+                * F.sin(half_dlon) * F.sin(half_dlon)
+            )
+        ),
+        6,
+    )
+    deg = (
+        pts.join(b9, ["cx", "cy"])
+        .where(F.col("cid") != F.col("bid"))
+        .groupBy("cid")
+        .agg(F.count(F.when(d <= _RADIUS_KM, 1)).alias("n_neighbors"))
+    )
+    return deg.where(F.col("n_neighbors") > 0).select(
+        "cid",
+        "n_neighbors",
+        (F.col("n_neighbors") >= _DBSCAN_MIN_PTS).cast("int").alias("is_core"),
+    )

@@ -174,7 +174,8 @@ GRADING_WINDOW = [
     #     table_delete_vectors, window_theil_sen, agg_hhi_concentration,
     #     ml_gmm_em_step, window_drawdown, join_scd2_asof,
     #     ml_ridge_closed_form, ml_pca_power_step, ml_lift_table,
-    #     agg_mann_whitney, text_feature_hashing
+    #     agg_mann_whitney, text_feature_hashing, geo_dbscan_core,
+    #     text_quality_gopher
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

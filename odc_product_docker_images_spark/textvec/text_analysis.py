@@ -653,3 +653,91 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features"),
     )
+
+
+_GOPHER_STOPS = ("the", "a", "value", "table", "row")  # ≥2 must appear
+
+
+@register(
+    "text_quality_gopher",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   STRING_SPLIT(text, ' ') AS ws,
+                   LEN(STRING_SPLIT(text, ' ')) AS n_words
+            FROM documents
+        ), m AS (
+            SELECT doc_id, n_words,
+                   LIST_SUM(LIST_TRANSFORM(ws, w -> CAST(LEN(w) AS DOUBLE)))
+                     / CAST(n_words AS DOUBLE) AS mean_wlen,
+                   CAST(LEN(LIST_FILTER(ws,
+                       w -> REGEXP_MATCHES(w, '[#%$]'))) AS DOUBLE)
+                     / CAST(n_words AS DOUBLE) AS symbol_ratio,
+                   CAST(LEN(LIST_FILTER(ws,
+                       w -> REGEXP_MATCHES(w, '[a-z]'))) AS DOUBLE)
+                     / CAST(n_words AS DOUBLE) AS alpha_ratio,
+                   CAST(LEN(LIST_INTERSECT(LIST_DISTINCT(ws),
+                       {list(_GOPHER_STOPS)!r})) AS INTEGER) AS n_stop_hits
+            FROM t
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               ROUND(mean_wlen, 6) AS mean_wlen,
+               ROUND(symbol_ratio, 6) AS symbol_ratio,
+               ROUND(alpha_ratio, 6) AS alpha_ratio,
+               n_stop_hits,
+               CAST(n_words BETWEEN 50 AND 100000
+                    AND mean_wlen BETWEEN CAST(3.0 AS DOUBLE)
+                                      AND CAST(10.0 AS DOUBLE)
+                    AND symbol_ratio <= CAST(0.1 AS DOUBLE)
+                    AND alpha_ratio >= CAST(0.8 AS DOUBLE)
+                    AND n_stop_hits >= 2 AS INTEGER) AS passes_gopher
+        FROM m
+    """,
+)
+def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: the Gopher quality-rule battery (Rae et al. 2021, App. A) —
+    the published heuristic gate beside ``text_quality``'s C4-style
+    check: word-count band, mean word length 3-10, symbol-to-word ratio,
+    alphabetic-word ratio, and the ≥2-stopword requirement.  Real
+    curation stacks run exactly this battery before any model-based
+    filter.
+
+    All pure codegen array/ratio expressions riding the scan — zero
+    shuffles (plan-pinned); ratios are single IEEE divides of exact
+    counts compared against exact-decimal thresholds (same operands both
+    engines), rounded 6 dp only for OUTPUT."""
+    ws = _toks()
+    n = F.size(ws)
+    nd = n.cast("double")
+    mean_wlen = (
+        F.aggregate(
+            F.transform(ws, lambda w: F.length(w).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / nd
+    )
+    symbol_ratio = (
+        F.size(F.filter(ws, lambda w: w.rlike("[#%$]"))).cast("double") / nd
+    )
+    alpha_ratio = (
+        F.size(F.filter(ws, lambda w: w.rlike("[a-z]"))).cast("double") / nd
+    )
+    stops = F.array(*[F.lit(s) for s in _GOPHER_STOPS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(ws), stops)).cast("int")
+    passes = (
+        n.between(50, 100000)
+        & mean_wlen.between(3.0, 10.0)
+        & (symbol_ratio <= 0.1)
+        & (alpha_ratio >= 0.8)
+        & (n_stop >= 2)
+    ).cast("int")
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        F.round(mean_wlen, 6).alias("mean_wlen"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        n_stop.alias("n_stop_hits"),
+        passes.alias("passes_gopher"),
+    )

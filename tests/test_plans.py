@@ -1565,3 +1565,29 @@ def test_feature_hashing_reuses_doc_partitioning(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_dbscan_core_blocks_on_cells(spark):
+    """Self-join candidates meet on the cell equi-join, never a
+    cartesian/NL product."""
+    from odc_product_docker_images_spark.operators.joins_spatial import (
+        geo_dbscan_core,
+    )
+
+    df = geo_dbscan_core(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_gopher_battery_is_zero_shuffle(spark):
+    """The whole rule battery rides the scan as codegen array exprs."""
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_quality_gopher,
+    )
+
+    df = text_quality_gopher(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 0
+    C.assert_no_python_row_path(df)
