@@ -124,6 +124,7 @@ R6C = [
     "text_feature_hashing",
     "geo_dbscan_core",
     "text_quality_gopher",
+    "join_asof_nearest",
 ]
 
 R5 = [

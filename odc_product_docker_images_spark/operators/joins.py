@@ -448,3 +448,91 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         dsum_fast(F.col("o_totalprice") * F.lit(9.5367431640625e-07), "sum_price_scaled"),
     )
+
+
+_ASOF_TOL = 3600  # nearest-match tolerance, seconds
+
+
+@register(
+    "join_asof_nearest",
+    oracle=f"""
+        WITH p AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS psec
+            FROM events WHERE event_type = 'purchase'
+        ), v AS (
+            SELECT user_id, event_id AS v_event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS vsec
+            FROM events WHERE event_type = 'view'
+        ), cand AS (
+            SELECT p.user_id, p.event_id, p.psec, v.v_event_id, v.vsec,
+                   ABS(p.psec - v.vsec) AS adist
+            FROM p JOIN v ON p.user_id = v.user_id
+            WHERE ABS(p.psec - v.vsec) <= {_ASOF_TOL}
+        ), ranked AS (
+            SELECT user_id, event_id, v_event_id, vsec, adist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, event_id
+                       ORDER BY adist, vsec, v_event_id
+                   ) AS rk
+            FROM cand
+        )
+        SELECT user_id, event_id, v_event_id AS nearest_view_id,
+               CAST(adist AS BIGINT) AS gap_sec
+        FROM ranked WHERE rk = 1
+    """,
+)
+def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7+: nearest-in-time AS-OF join with tolerance — pandas
+    ``merge_asof(direction='nearest', tolerance=…)`` semantics: each
+    purchase matches its closest view event within ±{_ASOF_TOL}s (ties →
+    earlier event, then id), purchases with no in-tolerance view drop.
+    Completes the as-of family beside ``join_asof``'s backward-only
+    match.
+
+    Spark-first: the candidates-then-argmin pattern IN TIME — both sides
+    key on (user, ⌊sec/T⌋) and the probe side explodes into its ±1
+    adjacent buckets, so a nearest match within T is ALWAYS co-bucketed
+    (never a per-user all-pairs); the winner is one min-of-struct
+    aggregate (|Δ|, vsec, id — deterministic tie order), no window over
+    the candidate set.  The oracle runs the per-user all-pairs form:
+    bucketed == exhaustive.  Whole-second integers end to end."""
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_timestamp("ts").alias("sec")
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            "event_id",
+            F.col("sec").alias("psec"),
+            F.floor(F.col("sec") / _ASOF_TOL).cast("long").alias("b"),
+        )
+        .select(
+            "*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("db")
+        )
+        .select(
+            "user_id", "event_id", "psec", (F.col("b") + F.col("db")).alias("bkt")
+        )
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("v_event_id"),
+        F.col("sec").alias("vsec"),
+        F.floor(F.col("sec") / _ASOF_TOL).cast("long").alias("bkt"),
+    )
+    adist = F.abs(F.col("psec") - F.col("vsec"))
+    cand = (
+        p.join(v, (p["user_id"] == v["v_user"]) & (p["bkt"] == v["bkt"]))
+        .where(adist <= _ASOF_TOL)
+        .select("user_id", "event_id", adist.alias("adist"), "vsec", "v_event_id")
+    )
+    m = cand.groupBy("user_id", "event_id").agg(
+        F.min(F.struct("adist", "vsec", "v_event_id")).alias("m")
+    )
+    return m.select(
+        "user_id",
+        "event_id",
+        F.col("m.v_event_id").alias("nearest_view_id"),
+        F.col("m.adist").cast("bigint").alias("gap_sec"),
+    )

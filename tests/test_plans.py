@@ -1591,3 +1591,16 @@ def test_gopher_battery_is_zero_shuffle(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) == 0
     C.assert_no_python_row_path(df)
+
+
+def test_asof_nearest_buckets_then_argmin(spark):
+    """Candidates meet on the (user, time-bucket) equi-join and the
+    winner is a min-of-struct aggregate — no per-user all-pairs, no
+    window over the candidate set."""
+    from odc_product_docker_images_spark.operators.joins import join_asof_nearest
+
+    df = join_asof_nearest(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    C.assert_no_python_row_path(df)
