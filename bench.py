@@ -125,6 +125,7 @@ R6C = [
     "geo_dbscan_core",
     "text_quality_gopher",
     "join_asof_nearest",
+    "ml_target_encoding",
 ]
 
 R5 = [

@@ -959,3 +959,86 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         u_a.alias("u_a"),
         (u_a / (F.col("a.n") * F.col("b.n"))).alias("auc"),
     )
+
+
+_TE_SMOOTH = 20.0  # prior weight for the smoothed variant (exact binary-ish)
+
+
+@register(
+    "ml_target_encoding",
+    oracle=f"""
+        WITH e AS (
+            SELECT event_id, event_type,
+                   CAST(event_type = 'purchase' AS INTEGER) AS y,
+                   user_id % 50 AS cat
+            FROM events
+        ), stats AS (
+            SELECT event_id, cat, y,
+                   CAST(COUNT(*) OVER (PARTITION BY cat) AS BIGINT) AS n_cat,
+                   CAST(SUM(y) OVER (PARTITION BY cat) AS BIGINT) AS s_cat,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n_all,
+                   CAST(SUM(y) OVER () AS BIGINT) AS s_all
+            FROM e
+        )
+        SELECT event_id, CAST(cat AS BIGINT) AS cat, n_cat,
+               CAST(s_cat - y AS DOUBLE)
+                 / CAST(n_cat - 1 AS DOUBLE) AS te_loo,
+               (CAST(s_cat AS DOUBLE)
+                + CAST({_TE_SMOOTH!r} AS DOUBLE)
+                  * (CAST(s_all AS DOUBLE) / CAST(n_all AS DOUBLE)))
+                 / (CAST(n_cat AS DOUBLE) + CAST({_TE_SMOOTH!r} AS DOUBLE))
+                 AS te_smooth
+        FROM stats
+    """,
+)
+def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML5: target encoding of a categorical feature, in both the
+    leave-one-out form ((Σy − yᵢ)/(n−1) — the self-exclusion that stops
+    target leakage) and the smoothed form ((Σy + m·prior)/(n + m),
+    m={_TE_SMOOTH:g}) — the standard high-cardinality categorical
+    treatment in tabular ML pipelines.
+
+    Spark-first: category sums/counts are WINDOWS over the category
+    partition (no join-back of an aggregate table — the retention
+    discipline), the global prior rides a
+    1-row broadcast (a per-row global window would funnel the corpus
+    through one task); the LOO subtraction is per-row arithmetic on
+    exact integers.  Determinism: integer sums,
+    two IEEE divides — unrounded."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize windows
+        .select(
+            "event_id",
+            (F.col("event_type") == "purchase").cast("int").alias("y"),
+            (F.col("user_id") % 50).alias("cat"),
+        )
+    )
+    wc = Window.partitionBy("cat")
+    # the global prior is a 1-row broadcast (the bm25 stats pattern) — a
+    # per-ROW global window would funnel the corpus through one task
+    g = e.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_all"),
+        F.sum("y").cast("bigint").alias("s_all"),
+    )
+    s = e.select(
+        "event_id",
+        "cat",
+        "y",
+        F.count(F.lit(1)).over(wc).cast("bigint").alias("n_cat"),
+        F.sum("y").over(wc).cast("bigint").alias("s_cat"),
+    ).crossJoin(F.broadcast(g))
+    prior = F.col("s_all").cast("double") / F.col("n_all").cast("double")
+    return s.select(
+        "event_id",
+        F.col("cat").cast("bigint").alias("cat"),
+        "n_cat",
+        (
+            (F.col("s_cat") - F.col("y")).cast("double")
+            / (F.col("n_cat") - 1).cast("double")
+        ).alias("te_loo"),
+        (
+            (F.col("s_cat").cast("double") + F.lit(_TE_SMOOTH) * prior)
+            / (F.col("n_cat").cast("double") + F.lit(_TE_SMOOTH))
+        ).alias("te_smooth"),
+    )

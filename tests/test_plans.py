@@ -1604,3 +1604,22 @@ def test_asof_nearest_buckets_then_argmin(spark):
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_target_encoding_has_no_global_window(spark):
+    """Category stats are windows on the cat partition; the global prior
+    is a 1-row broadcast — never a corpus-wide SinglePartition window."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        ml_target_encoding,
+    )
+
+    import re
+
+    df = ml_target_encoding(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2  # base + prior rollup (exchange-reused)
+    assert "BroadcastExchange" in plan
+    # exactly ONE Window node (the cat partition) — the global prior must
+    # not add a SinglePartition window over the corpus
+    assert len(set(re.findall(r"\((\d+)\) Window", plan))) == 1
+    C.assert_no_python_row_path(df)
