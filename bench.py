@@ -126,6 +126,8 @@ R6C = [
     "text_quality_gopher",
     "join_asof_nearest",
     "ml_target_encoding",
+    "agg_spc_rules",
+    "table_wap_publish",
 ]
 
 R5 = [

@@ -607,3 +607,91 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_at_peak"
         ),
     )
+
+
+@register(
+    "agg_spc_rules",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   value
+            FROM events
+        ), lim AS (
+            SELECT user_id, event_id, sec, value,
+                   AVG(value) OVER (PARTITION BY user_id) AS mu,
+                   STDDEV_SAMP(value) OVER (PARTITION BY user_id) AS sd
+            FROM e
+        ), z AS (
+            SELECT user_id, event_id, sec,
+                   ROUND((value - mu) / sd, 6) AS zr
+            FROM lim
+        ), flags AS (
+            SELECT user_id, event_id,
+                   CAST(ABS(zr) > 3.0 AS INTEGER) AS r1,
+                   CAST(zr > 2.0 AS INTEGER
+                        ) + CAST(LAG(zr > 2.0) OVER w AS INTEGER
+                        ) + CAST(LAG(zr > 2.0, 2) OVER w AS INTEGER) AS hi2,
+                   CAST(zr < -2.0 AS INTEGER
+                        ) + CAST(LAG(zr < -2.0) OVER w AS INTEGER
+                        ) + CAST(LAG(zr < -2.0, 2) OVER w AS INTEGER) AS lo2
+            FROM z
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        )
+        SELECT user_id,
+               CAST(SUM(r1) AS BIGINT) AS n_rule1,
+               CAST(SUM(CASE WHEN hi2 >= 2 OR lo2 >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rule2,
+               COUNT(*) AS n_obs
+        FROM flags GROUP BY user_id
+    """,
+)
+def agg_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W21: statistical-process-control screen (Western Electric rules 1
+    and 2) per series — Rule 1: a point beyond ±3σ; Rule 2: ≥2 of 3
+    consecutive points beyond the same 2σ limit.  The monitoring rule
+    battery quality pipelines run on sensor/metric streams.
+
+    Spark forbids nothing here: control limits (μ, σ) are per-series
+    windows; z-scores round 6 dp BEFORE the limit compares (multi-pass
+    stats policy — the compare must not sit on a cross-engine ulp); the
+    2-of-3 runs are lag-flag sums on the SAME ordered window spec; the
+    rollup reuses the user partitioning — one Exchange total (pinned)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize windows
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            "value",
+        )
+    )
+    wp = Window.partitionBy("user_id")
+    z = e.select(
+        "user_id",
+        "event_id",
+        "sec",
+        F.round(
+            (F.col("value") - F.avg("value").over(wp))
+            / F.stddev_samp("value").over(wp),
+            6,
+        ).alias("zr"),
+    )
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    hi = (F.col("zr") > 2.0).cast("int")
+    lo = (F.col("zr") < -2.0).cast("int")
+    flags = z.select(
+        "user_id",
+        "event_id",
+        (F.abs("zr") > 3.0).cast("int").alias("r1"),
+        (hi + F.lag(hi).over(w) + F.lag(hi, 2).over(w)).alias("hi2"),
+        (lo + F.lag(lo).over(w) + F.lag(lo, 2).over(w)).alias("lo2"),
+    )
+    return flags.groupBy("user_id").agg(
+        F.sum("r1").cast("bigint").alias("n_rule1"),
+        F.sum(
+            F.when((F.col("hi2") >= 2) | (F.col("lo2") >= 2), 1).otherwise(0)
+        ).cast("bigint").alias("n_rule2"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )

@@ -869,3 +869,88 @@ def table_delete_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         dsum("o_totalprice", "sum_price"),
     )
+
+
+@register(
+    "table_wap_publish",
+    oracle=f"""
+        WITH audited AS (
+            SELECT o_orderkey, o_totalprice
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 1000000000, o_totalprice * 0.5
+            FROM orders WHERE o_orderkey % 11 = 0
+        )
+        SELECT 'published' AS stage,
+               COUNT(*) AS n_rows,
+               {sql_dsum("o_totalprice", "sum_price")}
+        FROM audited
+        UNION ALL
+        SELECT 'rolled_back',
+               COUNT(*),
+               {sql_dsum("o_totalprice", "sum_price")}
+        FROM orders
+        ORDER BY stage
+    """,
+)
+def table_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage layer: Write-Audit-Publish — the Iceberg/Netflix WAP
+    pattern: every load lands as a STAGED snapshot, a constraint audit
+    runs against it, and the table head either publishes (audit clean)
+    or RESTOREs to the pre-load version (audit failed) — readers never
+    see unaudited data because the staged version is simply not the head
+    they read until the publish step.
+
+    Exercised both ways on the versioned table: a clean batch (halved
+    prices, valid) stages → audit passes (0 violations) → stays
+    published; then a poison batch (negative prices) stages → audit
+    counts violations → ``restore()`` rolls the head back — and the
+    emitted (stage, rows, sum) pairs prove the reader-visible state
+    after each outcome.  Audit cost is one aggregate pass over the
+    STAGED snapshot only; publish/rollback are manifest pointer moves,
+    O(1) in data volume."""
+    od = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t = _fresh_table("wap")
+    t.write(od.repartition(4), mode="overwrite")
+    v_base = t.latest_version()
+
+    # -- load 1: clean batch → stage, audit, publish (keep) ---------------
+    good = od.where(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + 1_000_000_000).alias("o_orderkey"),
+        (F.col("o_totalprice") * 0.5).alias("o_totalprice"),
+    )
+    t.write(good, mode="append")  # staged snapshot (not yet "the" head for readers)
+    staged = t.read(spark)
+    audit1 = staged.agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).alias("neg"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey")).alias("dup"),
+    )
+    # the audit outcome gates the pointer move: first() of a ONE-ROW
+    # aggregate — a control-flow decision (what any WAP orchestrator
+    # reads), never row data
+    gate = audit1.first()
+    assert gate["neg"] == 0 and gate["dup"] == 0
+    v_published = t.latest_version()
+
+    # -- load 2: poison batch → stage, audit, ROLLBACK --------------------
+    bad = od.limit(50).select(
+        (F.col("o_orderkey") + 2_000_000_000).alias("o_orderkey"),
+        (-F.col("o_totalprice")).alias("o_totalprice"),
+    )
+    t.write(bad, mode="append")
+    audit2 = t.read(spark).agg(
+        F.sum((F.col("o_totalprice") <= 0).cast("int")).alias("neg")
+    )
+    n_bad = audit2.first()["neg"]
+    assert n_bad > 0
+    t.restore(v_published)  # pointer move — the poison files never publish
+
+    pub = t.read(spark).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    ).select(F.lit("published").alias("stage"), "n_rows", "sum_price")
+    base = t.read(spark, v_base).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum("o_totalprice", "sum_price"),
+    ).select(F.lit("rolled_back").alias("stage"), "n_rows", "sum_price")
+    return pub.unionByName(base).orderBy("stage")

@@ -1623,3 +1623,16 @@ def test_target_encoding_has_no_global_window(spark):
     # not add a SinglePartition window over the corpus
     assert len(set(re.findall(r"\((\d+)\) Window", plan))) == 1
     C.assert_no_python_row_path(df)
+
+
+def test_spc_rollup_reuses_series_exchange(spark):
+    """Control limits, lag flags, and the rule rollup all ride one
+    (user) partitioning — single Exchange."""
+    from odc_product_docker_images_spark.operators.windows_gaps import (
+        agg_spc_rules,
+    )
+
+    df = agg_spc_rules(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
