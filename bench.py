@@ -128,6 +128,7 @@ R6C = [
     "ml_target_encoding",
     "agg_spc_rules",
     "table_wap_publish",
+    "agg_fifo_allocation",
 ]
 
 R5 = [

@@ -536,3 +536,89 @@ def join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.v_event_id").alias("nearest_view_id"),
         F.col("m.adist").cast("bigint").alias("gap_sec"),
     )
+
+
+@register(
+    "agg_fifo_allocation",
+    oracle="""
+        WITH ins AS (
+            SELECT l_partkey AS part,
+                   l_orderkey * 10 + l_linenumber AS in_id,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS hi
+            FROM lineitem WHERE l_returnflag = 'N'
+        ), outs AS (
+            SELECT l_partkey AS part,
+                   l_orderkey * 10 + l_linenumber AS out_id,
+                   CAST(FLOOR(l_quantity) AS BIGINT) AS q,
+                   CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) OVER (
+                       PARTITION BY l_partkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS hi
+            FROM lineitem WHERE l_returnflag = 'R'
+        )
+        SELECT i.part, i.in_id, o.out_id,
+               LEAST(i.hi, o.hi)
+                 - GREATEST(i.hi - i.q, o.hi - o.q) AS qty_alloc
+        FROM ins i JOIN outs o ON i.part = o.part
+        WHERE LEAST(i.hi, o.hi) > GREATEST(i.hi - i.q, o.hi - o.q)
+    """,
+)
+def agg_fifo_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: FIFO lot allocation — match each outbound lot against
+    inbound lots in first-in-first-out order (inventory costing, tax-lot
+    accounting, queue attribution).  The classic relational solution:
+    both sides become half-open intervals on their own RUNNING-QUANTITY
+    axis ([cum−q, cum)), and FIFO matching IS interval overlap — out lot
+    o consumes min(hi_i, hi_o) − max(lo_i, lo_o) units of in lot i
+    wherever the intervals intersect.  No loops, no per-lot state.
+
+    Spark-first: two cumulative windows share the (part, date, id)
+    ordering; candidates meet on the PART equi-join (per-part lot counts
+    bound the fan-out; a global interval index isn't needed because the
+    axis is per-part).  All integer arithmetic — quantities floor to
+    bigint on both engines (the double/integer cast convention)."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_shipdate",
+        "l_returnflag",
+        F.floor("l_quantity").cast("bigint").alias("q"),
+    )
+    w = (
+        Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    def lots(flag: str, id_alias: str) -> DataFrame:
+        return (
+            li.where(F.col("l_returnflag") == flag)
+            .select(
+                F.col("l_partkey").alias("part"),
+                (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias(id_alias),
+                "q",
+                F.sum("q").over(w).cast("bigint").alias("hi"),
+                "l_shipdate",
+                "l_orderkey",
+                "l_linenumber",
+            )
+            .drop("l_shipdate", "l_orderkey", "l_linenumber")
+        )
+
+    ins = lots("N", "in_id").withColumnsRenamed({"q": "iq", "hi": "ihi"})
+    outs = lots("R", "out_id").withColumnsRenamed({"q": "oq", "hi": "ohi"})
+    lo_i = F.col("ihi") - F.col("iq")
+    lo_o = F.col("ohi") - F.col("oq")
+    alloc = F.least("ihi", "ohi") - F.greatest(lo_i, lo_o)
+    return (
+        ins.join(outs, "part")
+        .where(alloc > 0)
+        .select("part", "in_id", "out_id", alloc.alias("qty_alloc"))
+    )

@@ -1636,3 +1636,16 @@ def test_spc_rollup_reuses_series_exchange(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_fifo_allocation_joins_on_part_only(spark):
+    """FIFO matching is a part equi-join of the two interval streams —
+    a hash/sort-merge join, never cartesian; both cumulative windows
+    share one ordering."""
+    from odc_product_docker_images_spark.operators.joins import agg_fifo_allocation
+
+    df = agg_fifo_allocation(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    C.assert_no_python_row_path(df)
