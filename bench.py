@@ -129,6 +129,8 @@ R6C = [
     "agg_spc_rules",
     "table_wap_publish",
     "agg_fifo_allocation",
+    "agg_revenue_bridge",
+    "agg_skyline_2d",
 ]
 
 R5 = [

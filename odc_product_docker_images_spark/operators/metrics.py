@@ -1042,3 +1042,171 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_cat").cast("double") + F.lit(_TE_SMOOTH))
         ).alias("te_smooth"),
     )
+
+
+_BRIDGE_SPLIT = "1998-06-01"  # period boundary (P1 < split <= P2)
+_B_P1 = (
+    f"CASE WHEN o_orderdate < TIMESTAMP '{_BRIDGE_SPLIT}'"
+    " THEN o_totalprice END"
+)
+_B_P2 = (
+    f"CASE WHEN o_orderdate >= TIMESTAMP '{_BRIDGE_SPLIT}'"
+    " THEN o_totalprice END"
+)
+
+
+@register(
+    "agg_revenue_bridge",
+    oracle=f"""
+        WITH c AS (
+            SELECT o_custkey,
+                   COALESCE({sql_exact_double(f"SUM({sql_dec_cast(_B_P1)})")},
+                            CAST(0.0 AS DOUBLE)) AS r1,
+                   COALESCE({sql_exact_double(f"SUM({sql_dec_cast(_B_P2)})")},
+                            CAST(0.0 AS DOUBLE)) AS r2
+            FROM orders GROUP BY o_custkey
+        ), tagged AS (
+            SELECT o_custkey, r1, r2,
+                   CASE WHEN r1 = 0.0 AND r2 > 0.0 THEN 'new'
+                        WHEN r1 > 0.0 AND r2 = 0.0 THEN 'churned'
+                        WHEN r2 > r1 THEN 'expansion'
+                        WHEN r2 < r1 THEN 'contraction'
+                        ELSE 'flat' END AS bucket
+            FROM c
+        )
+        SELECT bucket,
+               COUNT(*) AS n_customers,
+               {sql_dsum('r1', 'rev_p1')},
+               {sql_dsum('r2', 'rev_p2')},
+               {sql_dsum('r2 - r1', 'delta')}
+        FROM tagged GROUP BY bucket
+    """,
+)
+def agg_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: period-over-period revenue bridge — decompose the P1→P2
+    revenue movement into new / expansion / contraction / churned /
+    flat customer buckets (the SaaS waterfall every revenue review
+    opens with; buckets sum exactly to the total delta).
+
+    ONE scan, one customer hash agg with CONDITIONAL decimal sums for
+    both periods (never two period scans joined back), then an
+    O(customers) classify + a 5-row bucket rollup.  Sums ride the
+    decimal path end to end; zero-revenue compares hit exact 0.0 (the
+    conditional sum's COALESCE), never a float epsilon."""
+    split = F.lit(_BRIDGE_SPLIT).cast("date")
+    zero = F.lit(0.0)
+    c = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.coalesce(
+                exact_double(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") < split, dec_cast("o_totalprice")
+                        )
+                    )
+                ),
+                zero,
+            ).alias("r1"),
+            F.coalesce(
+                exact_double(
+                    F.sum(
+                        F.when(
+                            F.col("o_orderdate") >= split, dec_cast("o_totalprice")
+                        )
+                    )
+                ),
+                zero,
+            ).alias("r2"),
+        )
+    )
+    bucket = (
+        F.when((F.col("r1") == 0.0) & (F.col("r2") > 0.0), "new")
+        .when((F.col("r1") > 0.0) & (F.col("r2") == 0.0), "churned")
+        .when(F.col("r2") > F.col("r1"), "expansion")
+        .when(F.col("r2") < F.col("r1"), "contraction")
+        .otherwise("flat")
+    )
+    return (
+        c.select("r1", "r2", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("r1", "rev_p1"),
+            dsum("r2", "rev_p2"),
+            dsum(F.col("r2") - F.col("r1"), "delta"),
+        )
+    )
+
+
+@register(
+    "agg_skyline_2d",
+    oracle="""
+        WITH pts AS (
+            SELECT l_orderkey * 10 + l_linenumber AS pid,
+                   l_extendedprice AS x, l_discount AS y
+            FROM lineitem
+        ), scanned AS (
+            SELECT pid, x, y,
+                   MIN(y) OVER (
+                       ORDER BY x DESC, y ASC, pid ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) AS best_y
+            FROM pts
+        )
+        SELECT pid, x, y
+        FROM scanned WHERE best_y IS NULL OR y < best_y
+    """,
+)
+def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: 2-D skyline (Pareto front) — the points no other point
+    dominates (higher price AND lower discount): the multi-objective
+    shortlist operator (Börzsönyi et al. ICDE'01).  In 2-D the skyline
+    falls out of ONE ordered pass: scanning by x descending, a point
+    survives iff its y beats the running minimum of everything scanned
+    before it — O(n log n), never the O(n²) dominance join.
+
+    The global order would single-task a corpus window, so the running
+    minimum is DISTRIBUTED (the prefix-sum pattern generalized to MIN):
+    range-partition on the sort key, per-partition prefix-min, plus each
+    partition's incoming best from a ≤32-row broadcast prefix-min of
+    partition minima.  Determinism: the scan order carries full unique
+    tie-breaks; compares are on exactly-carried doubles — no arithmetic
+    at all."""
+    pts = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("pid"),
+            F.col("l_extendedprice").alias("x"),
+            F.col("l_discount").alias("y"),
+        )
+        .repartitionByRange(32, F.desc("x"), F.asc("y"), F.asc("pid"))
+        .withColumn("pid_part", F.spark_partition_id())
+    ).persist()
+    wloc = (
+        Window.partitionBy("pid_part")
+        .orderBy(F.desc("x"), F.asc("y"), F.asc("pid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    loc = pts.withColumn("local_best", F.min("y").over(wloc))
+    wpre = (
+        Window.orderBy("pid_part").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        pts.groupBy("pid_part")
+        .agg(F.min("y").alias("part_min"))
+        .withColumn("carry_best", F.min("part_min").over(wpre))
+        .select("pid_part", "carry_best")
+    )
+    s = loc.join(F.broadcast(offsets), "pid_part").select(
+        "pid",
+        "x",
+        "y",
+        F.least(
+            F.col("local_best"), F.col("carry_best")
+        ).alias("best_y"),  # least() skips NULLs — min over both prefixes
+    )
+    return s.where(
+        F.col("best_y").isNull() | (F.col("y") < F.col("best_y"))
+    ).select("pid", "x", "y")

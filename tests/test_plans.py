@@ -1649,3 +1649,31 @@ def test_fifo_allocation_joins_on_part_only(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_revenue_bridge_is_one_conditional_agg(spark):
+    """Both periods come from conditional sums in ONE customer agg —
+    never two period scans joined back."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_revenue_bridge,
+    )
+
+    df = agg_revenue_bridge(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_skyline_prefix_min_is_distributed(spark):
+    """The running minimum is range-partitioned + carry-broadcast — no
+    corpus-wide SinglePartition window."""
+    import re
+
+    from odc_product_docker_images_spark.operators.metrics import agg_skyline_2d
+
+    df = agg_skyline_2d(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "rangepartitioning" in plan.lower()
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)
