@@ -131,6 +131,8 @@ R6C = [
     "agg_fifo_allocation",
     "agg_revenue_bridge",
     "agg_skyline_2d",
+    "forecast_backtest_metrics",
+    "agg_diff_in_diff",
 ]
 
 R5 = [

@@ -17,9 +17,10 @@ bit-identical across numpy and DuckDB and the outputs hash unrounded.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import davg, dround, sql_davg, sql_dround
 from ..io import load
 from ..registry import register
 
@@ -304,4 +305,64 @@ def forecast_kalman_1d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         fit,
         "user_id LONG, n_obs LONG, estimate DOUBLE, variance DOUBLE, gain DOUBLE",
+    )
+
+
+@register(
+    "forecast_backtest_metrics",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, value,
+                   LAG(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev,
+                   CAST({_ALPHA!r} AS DOUBLE) AS alpha
+            FROM events
+        ), s AS (
+            SELECT user_id, value, prev,
+                   ABS(value - prev) AS ae
+            FROM e WHERE prev IS NOT NULL
+        )
+        SELECT user_id,
+               COUNT(*) AS n_forecasts,
+               {sql_davg('ae', 'mae_naive')},
+               {sql_davg(
+                   'CASE WHEN ABS(value) + ABS(prev) > 0.0 THEN '
+                   + sql_dround(
+                       '200.0 * ABS(value - prev) / (ABS(value) + ABS(prev))'
+                   )
+                   + ' ELSE 0.0 END',
+                   'smape_naive',
+               )}
+        FROM s GROUP BY user_id
+    """,
+)
+def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W15+++: rolling-origin backtest metrics for the naive (last-value)
+    forecaster — per series: MAE and sMAPE of the one-step-ahead naive
+    prediction.  This is the BASELINE row of every forecast evaluation
+    (MASE normalizes against exactly this MAE), closing the loop on the
+    smoothing-kernel family: fit keys produce forecasts, this key
+    produces the yardstick.
+
+    One lag window + one grouped agg on the same series partitioning —
+    single Exchange.  sMAPE's per-row ratio is libm-free but multi-op,
+    rounded 6 dp per term before the decimal mean (the survival-curve
+    policy); MAE rides the decimal mean directly."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    e = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_id", "value")
+        .withColumn("prev", F.lag("value").over(w))
+        .where(F.col("prev").isNotNull())
+    )
+    ae = F.abs(F.col("value") - F.col("prev"))
+    denom = F.abs("value") + F.abs("prev")
+    smape_term = F.when(
+        denom > 0.0, dround(F.lit(200.0) * ae / denom)
+    ).otherwise(F.lit(0.0))
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_forecasts"),
+        davg(ae, "mae_naive"),
+        davg(smape_term, "smape_naive"),
     )

@@ -1210,3 +1210,84 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.where(
         F.col("best_y").isNull() | (F.col("y") < F.col("best_y"))
     ).select("pid", "x", "y")
+
+
+_DID_SPLIT = 2819  # epoch week: pre period < split <= post period
+
+
+@register(
+    "agg_diff_in_diff",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id % 2 AS treat,
+                   CAST(FLOOR(CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT)
+                        / {7 * 86400}) AS BIGINT) >= {_DID_SPLIT} AS post,
+                   value
+            FROM events
+        ), cells AS (
+            SELECT CAST(treat AS BIGINT) AS treat,
+                   CAST(post AS INTEGER) AS post,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum('value', 'sv')}
+            FROM e GROUP BY treat, post
+        ), wide AS (
+            SELECT
+                MAX(CASE WHEN treat = 1 AND post = 1
+                    THEN sv / CAST(n AS DOUBLE) END) AS m_t1,
+                MAX(CASE WHEN treat = 1 AND post = 0
+                    THEN sv / CAST(n AS DOUBLE) END) AS m_t0,
+                MAX(CASE WHEN treat = 0 AND post = 1
+                    THEN sv / CAST(n AS DOUBLE) END) AS m_c1,
+                MAX(CASE WHEN treat = 0 AND post = 0
+                    THEN sv / CAST(n AS DOUBLE) END) AS m_c0,
+                CAST(SUM(n) AS BIGINT) AS n_total
+            FROM cells
+        )
+        SELECT n_total, m_t0, m_t1, m_c0, m_c1,
+               (m_t1 - m_t0) - (m_c1 - m_c0) AS did_estimate
+        FROM wide
+    """,
+)
+def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24: difference-in-differences — the 2×2 natural-experiment
+    estimator (treated/control × pre/post): DiD = (ȳ_T,post − ȳ_T,pre)
+    − (ȳ_C,post − ȳ_C,pre), removing both group level and common time
+    trend (Card-Krueger shape).  Completes the causal corner beside
+    CUPED (randomized) and the survival/attribution keys.
+
+    ONE grouped pass builds the four cell sums (decimal path, map-side
+    partials); the 2×2 pivot and the estimator are a 1-row stage of
+    fixed IEEE arithmetic — unrounded."""
+    wk = F.floor(F.unix_timestamp("ts") / F.lit(7 * 86400)).cast("bigint")
+    e = load(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("treat"),
+        (wk >= _DID_SPLIT).cast("int").alias("post"),
+        "value",
+    )
+    cells = e.groupBy("treat", "post").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        dsum_fast("value", "sv"),
+    )
+    m = lambda t, p: F.max(  # noqa: E731
+        F.when(
+            (F.col("treat") == t) & (F.col("post") == p),
+            F.col("sv") / F.col("n").cast("double"),
+        )
+    )
+    wide = cells.agg(
+        m(1, 1).alias("m_t1"),
+        m(1, 0).alias("m_t0"),
+        m(0, 1).alias("m_c1"),
+        m(0, 0).alias("m_c0"),
+        F.sum("n").cast("bigint").alias("n_total"),
+    )
+    return wide.select(
+        "n_total",
+        "m_t0",
+        "m_t1",
+        "m_c0",
+        "m_c1",
+        (
+            (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
+        ).alias("did_estimate"),
+    )

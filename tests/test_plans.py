@@ -1677,3 +1677,27 @@ def test_skyline_prefix_min_is_distributed(spark):
     assert "rangepartitioning" in plan.lower()
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_backtest_metrics_share_series_exchange(spark):
+    """Lag window and the metric rollup ride one series partitioning."""
+    from odc_product_docker_images_spark.kernels.holt import (
+        forecast_backtest_metrics,
+    )
+
+    df = forecast_backtest_metrics(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
+
+
+def test_did_is_one_cell_pass(spark):
+    """Four conditional cell sums from one grouped pass; the estimator
+    is a 1-row stage."""
+    from odc_product_docker_images_spark.operators.metrics import agg_diff_in_diff
+
+    df = agg_diff_in_diff(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
