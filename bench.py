@@ -133,6 +133,8 @@ R6C = [
     "agg_skyline_2d",
     "forecast_backtest_metrics",
     "agg_diff_in_diff",
+    "dedup_survivorship",
+    "graph_bfs_step",
 ]
 
 R5 = [

@@ -471,3 +471,87 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             - frac * frac
         ).alias("q_term"),
     )
+
+
+_BFS_SEED_MOD = 100  # seeds: suppliers with id % 100 == 0
+
+
+@register(
+    "graph_bfs_step",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), und AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst, src FROM edges
+        ), d0 AS (
+            SELECT DISTINCT src AS node FROM edges
+            WHERE src % {_BFS_SEED_MOD} = 0
+        ), d1 AS (
+            SELECT DISTINCT u.dst AS node
+            FROM und u JOIN d0 ON u.src = d0.node
+            WHERE u.dst NOT IN (SELECT node FROM d0)
+        ), d2 AS (
+            SELECT DISTINCT u.dst AS node
+            FROM und u JOIN d1 ON u.src = d1.node
+            WHERE u.dst NOT IN (SELECT node FROM d0)
+              AND u.dst NOT IN (SELECT node FROM d1)
+        )
+        SELECT node, 0 AS depth FROM d0
+        UNION ALL SELECT node, 1 FROM d1
+        UNION ALL SELECT node, 2 FROM d2
+    """,
+)
+def graph_bfs_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: two verified BFS frontier expansions from a seed set over
+    the undirected supplier–part graph — each node labeled with its true
+    distance (0/1/2).  The traversal primitive behind reachability,
+    shortest-path layers, and contamination-spread analysis; the full
+    BFS is this step iterated with the SAME semi/anti-join algebra
+    (frontier ⋈ edges, minus visited) — the pagerank/kmeans induction
+    discipline.
+
+    Spark-first: the undirected edge list is derived once and PERSISTED
+    (three consumers would re-plan the distinct otherwise — the
+    graph_triangle_count lesson); each expansion is one equi-join plus
+    LEFT ANTI joins against the visited tiers (broadcast — frontiers are
+    small); `distinct` bounds every tier at |nodes|.  All exact integer
+    identity — no arithmetic at all."""
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + _DST_OFF).alias("dst"),
+        )
+        .distinct()
+    )
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    d0 = (
+        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .persist()
+    )
+    d1 = (
+        und.join(F.broadcast(d0), und["src"] == d0["node"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(F.broadcast(d0), "node", "left_anti")
+        .persist()
+    )
+    d2 = (
+        und.join(F.broadcast(d1), und["src"] == d1["node"])
+        .select(F.col("dst").alias("node"))
+        .distinct()
+        .join(F.broadcast(d0), "node", "left_anti")
+        .join(F.broadcast(d1), "node", "left_anti")
+    )
+    return (
+        d0.select("node", F.lit(0).alias("depth"))
+        .unionByName(d1.select("node", F.lit(1).alias("depth")))
+        .unionByName(d2.select("node", F.lit(2).alias("depth")))
+    )

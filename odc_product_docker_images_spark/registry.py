@@ -178,7 +178,8 @@ GRADING_WINDOW = [
     #     text_quality_gopher, join_asof_nearest, ml_target_encoding,
     #     agg_spc_rules, table_wap_publish, agg_fifo_allocation,
     #     agg_revenue_bridge, agg_skyline_2d,
-    #     forecast_backtest_metrics, agg_diff_in_diff
+    #     forecast_backtest_metrics, agg_diff_in_diff,
+    #     dedup_survivorship, graph_bfs_step
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

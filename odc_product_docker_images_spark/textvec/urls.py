@@ -25,7 +25,7 @@ the canonical key with map-side partials, the same shape that keys a
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load
@@ -160,4 +160,87 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("members"),
+    )
+
+
+@register(
+    "dedup_survivorship",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_id,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   CASE WHEN event_type <> 'error' THEN event_type END
+                       AS etype,
+                   CASE WHEN value > 100.0 THEN value END AS big_value,
+                   JSON_EXTRACT_STRING(props, '$.k') AS k
+            FROM events
+        ), ordered AS (
+            SELECT user_id,
+                   LAST_VALUE(etype IGNORE NULLS) OVER w AS last_type,
+                   LAST_VALUE(big_value IGNORE NULLS) OVER w AS last_big,
+                   LAST_VALUE(k IGNORE NULLS) OVER w AS last_k,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY sec DESC, event_id DESC
+                   ) AS rn,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_records
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND UNBOUNDED FOLLOWING)
+        )
+        SELECT user_id, CAST(n_records AS BIGINT) AS n_records,
+               last_type, last_big, last_k
+        FROM ordered WHERE rn = 1
+    """,
+)
+def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1++: golden-record survivorship — the MDM merge step after
+    dedup clustering: collapse each entity's duplicate records into one
+    survivor taking the MOST RECENT NON-NULL value per field
+    independently (recency survivorship; a priority-ranked source order
+    is the same window with a different sort key).  Fields here: the
+    last valid event type, the last value above threshold, the last
+    props key — three fields with different null patterns.
+
+    One (entity) window partitioning serves every per-field
+    LAST IGNORE NULLS over the full frame plus the survivor row_number —
+    single Exchange (pinned); no per-field join-backs, no
+    groupBy-then-rejoin.  Values are carried, never computed — bit-exact
+    by construction."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_timestamp("ts").alias("sec"),
+            F.when(F.col("event_type") != "error", F.col("event_type")).alias(
+                "etype"
+            ),
+            F.when(F.col("value") > 100.0, F.col("value")).alias("big_value"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("sec"), F.desc("event_id")
+    )
+    o = e.select(
+        "user_id",
+        F.last("etype", ignorenulls=True).over(frame).alias("last_type"),
+        F.last("big_value", ignorenulls=True).over(frame).alias("last_big"),
+        F.last("k", ignorenulls=True).over(frame).alias("last_k"),
+        F.row_number().over(pick).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n_records"),
+    )
+    return o.where(F.col("rn") == 1).select(
+        "user_id",
+        F.col("n_records").cast("bigint").alias("n_records"),
+        "last_type",
+        "last_big",
+        "last_k",
     )

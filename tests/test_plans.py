@@ -1701,3 +1701,26 @@ def test_did_is_one_cell_pass(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_survivorship_is_one_entity_exchange(spark):
+    """All three LAST-IGNORE-NULLS fields, the survivor pick, and the
+    record count share one (entity) partitioning — single Exchange."""
+    from odc_product_docker_images_spark.textvec.urls import dedup_survivorship
+
+    df = dedup_survivorship(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
+
+
+def test_bfs_frontiers_are_anti_joins_not_rescans(spark):
+    """Expansions are equi-joins on the persisted undirected edge list
+    plus broadcast anti-joins against visited tiers — no cartesian."""
+    from odc_product_docker_images_spark.operators.graph import graph_bfs_step
+
+    df = graph_bfs_step(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan
+    C.assert_no_python_row_path(df)
