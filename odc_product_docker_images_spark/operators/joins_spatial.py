@@ -314,12 +314,15 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked == exhaustive.  Points with zero in-radius neighbors drop on
     both sides (noise tier)."""
     lat, lon = _ll_dense("c_custkey")
+    # 0.5-degree cells: still >= eps on both axes at |lat| <= 5
+    # (0.5 deg lon = 55.4 km, 0.5 deg lat = 55.6 km, eps = 50 km), and
+    # quartering cell area quarters the candidate-pair volume
     pts = load(spark, sf_dir, "customer").select(
         F.col("c_custkey").cast("long").alias("cid"),
         lat.alias("lat"),
         lon.alias("lon"),
-        F.floor(lon).cast("long").alias("cx"),
-        F.floor(lat).cast("long").alias("cy"),
+        F.floor(lon * 2).cast("long").alias("cx"),
+        F.floor(lat * 2).cast("long").alias("cy"),
     )
     probe = pts.select(
         F.col("cid").alias("bid"),
