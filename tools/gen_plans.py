@@ -159,6 +159,15 @@ def main() -> None:
             "- low-cardinality ranks (agg_gini) use the range-partitioned\n"
             "  prefix-sum form (shard_pack pattern): a 3-group window would\n"
             "  sort a third of the table in ONE task.\n"
+            "- r6c extensions of the same machinery: the prefix pattern\n"
+            "  generalizes to MIN (agg_skyline_2d's carry-broadcast running\n"
+            "  minimum) and to global ranks (ml_lift_table, agg_mann_whitney);\n"
+            "  global SCALARS ride a 1-row broadcast, never a per-row\n"
+            "  SinglePartition window (ml_target_encoding pins exactly one\n"
+            "  Window node); an explicit repartition on a grouping-key PREFIX\n"
+            "  satisfies every downstream agg clustered on a superset\n"
+            "  (text_token_entropy / text_feature_hashing: 1 Exchange serves\n"
+            "  two grouped aggs).\n"
         )
     print(f"wrote {out}: {len(rows)} keys audited")
 
