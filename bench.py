@@ -135,6 +135,7 @@ R6C = [
     "agg_diff_in_diff",
     "dedup_survivorship",
     "graph_bfs_step",
+    "agg_markov_absorption",
 ]
 
 R5 = [

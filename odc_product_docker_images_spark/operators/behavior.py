@@ -208,3 +208,121 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f_score",
         "m_score",
     )
+
+
+_ABS_T = ("click", "signup", "view")  # transient states (alphabetical)
+_ABS_TARGET = "purchase"  # absorbing state of interest
+
+
+def _c3(e: dict, col: int | None) -> str:
+    """General 3x3 Cramer determinant text over entry names; column
+    ``col`` (1-3) replaced by the RHS names r1..r3.  Shared verbatim by
+    F.expr and the oracle (the ridge-key idiom)."""
+    m = [[e[f"a{i}{j}"] for j in (1, 2, 3)] for i in (1, 2, 3)]
+    if col is not None:
+        for i in range(3):
+            m[i][col - 1] = e[f"r{i + 1}"]
+    (a, b, c), (d, f, g), (h, i_, j) = m
+    return (
+        f"{a}*({f}*{j} - {g}*{i_})"
+        f" - {b}*({d}*{j} - {g}*{h})"
+        f" + {c}*({d}*{i_} - {f}*{h})"
+    )
+
+
+_ABS_E = {
+    **{
+        f"a{i}{j}": (
+            f"(CAST(1.0 AS DOUBLE) - q{i}{j})" if i == j else f"(0.0 - q{i}{j})"
+        )
+        for i in (1, 2, 3)
+        for j in (1, 2, 3)
+    },
+    "r1": "r1",
+    "r2": "r2",
+    "r3": "r3",
+}
+
+
+def _abs_cells_sql() -> str:
+    parts = []
+    for i, src in enumerate(_ABS_T, start=1):
+        for j, dst in enumerate(_ABS_T, start=1):
+            parts.append(
+                f"MAX(CASE WHEN prev = '{src}' AND next = '{dst}'"
+                f" THEN p ELSE 0.0 END) AS q{i}{j}"
+            )
+        parts.append(
+            f"MAX(CASE WHEN prev = '{src}' AND next = '{_ABS_TARGET}'"
+            f" THEN p ELSE 0.0 END) AS r{i}"
+        )
+    return ", ".join(parts)
+
+
+@register(
+    "agg_markov_absorption",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LEAD(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS next
+            FROM events
+        ), c AS (
+            SELECT event_type AS prev, next, COUNT(*) AS n
+            FROM seq WHERE next IS NOT NULL
+            GROUP BY event_type, next
+        ), p AS (
+            SELECT prev, next,
+                   CAST(n AS DOUBLE)
+                     / CAST(SUM(n) OVER (PARTITION BY prev) AS DOUBLE) AS p
+            FROM c
+        ), wide AS (
+            SELECT {_abs_cells_sql()} FROM p
+        )
+        SELECT ({_c3(_ABS_E, None)}) AS det,
+               ({_c3(_ABS_E, 1)}) / ({_c3(_ABS_E, None)}) AS b_click,
+               ({_c3(_ABS_E, 2)}) / ({_c3(_ABS_E, None)}) AS b_signup,
+               ({_c3(_ABS_E, 3)}) / ({_c3(_ABS_E, None)}) AS b_view
+        FROM wide
+    """,
+)
+def agg_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25+: absorbing-chain conversion probabilities — from the
+    empirical transition matrix, the probability that a journey starting
+    in each transient state (click/signup/view) is absorbed at
+    '{_ABS_TARGET}': b = (I−Q)⁻¹R, the fundamental-matrix form behind
+    Markov attribution and funnel-leak analysis.  Closes the loop on
+    ``agg_markov_transitions``: that key ESTIMATES the chain, this one
+    SOLVES it.
+
+    The 3×3 solve is Cramer's rule with the general (non-symmetric)
+    determinant text SHARED VERBATIM between F.expr and the oracle (the
+    ridge-key idiom), running in a 1-row stage; everything corpus-sized
+    is one lag window + one (prev, next) count — transition probabilities
+    are exact integer divides over the ≤|types|² cell table.  Empirical
+    semantics: probabilities condition on an observed next event
+    (end-of-sequence rows drop on both sides)."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("prev"),
+        F.lead("event_type").over(w).alias("next"),
+    ).where(F.col("next").isNotNull())
+    c = seq.groupBy("prev", "next").agg(F.count(F.lit(1)).alias("n"))
+    p = c.select(
+        "prev",
+        "next",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev")).cast("double")
+        ).alias("p"),
+    )
+    wide = p.agg(*[F.expr(x) for x in _abs_cells_sql().split(", ")])
+    return wide.select(
+        F.expr(f"({_c3(_ABS_E, None)})").alias("det"),
+        F.expr(f"({_c3(_ABS_E, 1)}) / ({_c3(_ABS_E, None)})").alias("b_click"),
+        F.expr(f"({_c3(_ABS_E, 2)}) / ({_c3(_ABS_E, None)})").alias("b_signup"),
+        F.expr(f"({_c3(_ABS_E, 3)}) / ({_c3(_ABS_E, None)})").alias("b_view"),
+    )

@@ -1724,3 +1724,17 @@ def test_bfs_frontiers_are_anti_joins_not_rescans(spark):
     assert "CartesianProduct" not in plan
     assert "LeftAnti" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_markov_absorption_solve_is_one_row_stage(spark):
+    """Corpus work is one lag window + one pair count; the (I-Q)^-1 R
+    Cramer solve runs in a 1-row stage."""
+    from odc_product_docker_images_spark.operators.behavior import (
+        agg_markov_absorption,
+    )
+
+    df = agg_markov_absorption(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
