@@ -136,6 +136,7 @@ R6C = [
     "dedup_survivorship",
     "graph_bfs_step",
     "agg_markov_absorption",
+    "product_phenology",
 ]
 
 R5 = [

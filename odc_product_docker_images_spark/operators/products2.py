@@ -7,7 +7,7 @@ note in ``registry._MODULES``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
@@ -80,4 +80,83 @@ def product_burn_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "l_suppkey", "nbr_pre", "nbr_post",
         dnbr.alias("dnbr"), sev.alias("severity"), "n_pre", "n_post",
+    )
+
+
+@register(
+    "product_phenology",
+    oracle="""
+        WITH e AS (
+            SELECT user_id AS pixel,
+                   CAST(EPOCH(DATE_TRUNC('second', ts)) AS BIGINT) AS sec,
+                   value AS ndvi
+            FROM events
+        ), lim AS (
+            SELECT pixel, sec, ndvi,
+                   MAX(ndvi) OVER (PARTITION BY pixel) AS vmax,
+                   MIN(ndvi) OVER (PARTITION BY pixel) AS vmin
+            FROM e
+        ), thr AS (
+            SELECT pixel, sec, ndvi, vmax, vmin,
+                   (vmax + vmin) / CAST(2.0 AS DOUBLE) AS thresh
+            FROM lim
+        )
+        SELECT pixel,
+               MAX(vmax) AS peak_value,
+               MIN(CASE WHEN ndvi = vmax THEN sec END) AS peak_sec,
+               MIN(CASE WHEN ndvi >= thresh THEN sec END) AS sos_sec,
+               MAX(CASE WHEN ndvi >= thresh THEN sec END) AS eos_sec,
+               MAX(CASE WHEN ndvi >= thresh THEN sec END)
+                 - MIN(CASE WHEN ndvi >= thresh THEN sec END) AS season_len,
+               CAST(COUNT(CASE WHEN ndvi >= thresh THEN 1 END) AS BIGINT)
+                   AS n_above
+        FROM thr GROUP BY pixel
+    """,
+)
+def product_phenology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product: land-surface phenology metrics per pixel series — peak
+    value and timing, start/end of season at the half-amplitude
+    threshold (vmin + (vmax−vmin)/2), season length, and above-threshold
+    count: the DEA/MODIS phenology product shape (SOS/POS/EOS) reduced
+    to its relational core.  ``value`` plays the NDVI series; ``user_id``
+    the pixel.
+
+    Spark-first: amplitude limits are per-pixel windows, every timing
+    metric is a CONDITIONAL aggregate over the same pixel partitioning
+    (the funnel key's cascaded-conditional discipline — no sort-and-pick
+    per pixel, no argmax join-back; 'peak_sec' = MIN sec among rows
+    equal to the max, deterministic under ties).  One Exchange total
+    (pinned).  The threshold is one IEEE add-divide on exactly-carried
+    extrema — both engines compare identical doubles."""
+    e = (
+        load(spark, sf_dir, "events")
+        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .select(
+            F.col("user_id").alias("pixel"),
+            F.unix_timestamp("ts").alias("sec"),
+            F.col("value").alias("ndvi"),
+        )
+    )
+    wp = Window.partitionBy("pixel")
+    lim = e.select(
+        "pixel",
+        "sec",
+        "ndvi",
+        F.max("ndvi").over(wp).alias("vmax"),
+        F.min("ndvi").over(wp).alias("vmin"),
+    )
+    thresh = (F.col("vmax") + F.col("vmin")) / F.lit(2.0)
+    thr = lim.withColumn("thresh", thresh)
+    above = F.col("ndvi") >= F.col("thresh")
+    sos = F.min(F.when(above, F.col("sec")))
+    eos = F.max(F.when(above, F.col("sec")))
+    return thr.groupBy("pixel").agg(
+        F.max("vmax").alias("peak_value"),
+        F.min(F.when(F.col("ndvi") == F.col("vmax"), F.col("sec"))).alias(
+            "peak_sec"
+        ),
+        sos.alias("sos_sec"),
+        eos.alias("eos_sec"),
+        (eos - sos).alias("season_len"),
+        F.count(F.when(above, 1)).cast("bigint").alias("n_above"),
     )

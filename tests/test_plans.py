@@ -1738,3 +1738,16 @@ def test_markov_absorption_solve_is_one_row_stage(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_phenology_metrics_share_one_pixel_exchange(spark):
+    """Amplitude windows and every conditional timing aggregate ride the
+    same pixel partitioning — single Exchange."""
+    from odc_product_docker_images_spark.operators.products2 import (
+        product_phenology,
+    )
+
+    df = product_phenology(spark, SF)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)
