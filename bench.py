@@ -137,6 +137,7 @@ R6C = [
     "graph_bfs_step",
     "agg_markov_absorption",
     "product_phenology",
+    "agg_logrank_test",
 ]
 
 R5 = [

@@ -21,6 +21,8 @@ from pyspark.sql import functions as F
 from ..functions.det import (
     dec_cast,
     dround,
+    dsum,
+    sql_dsum,
     exact_double,
     sql_dec_cast,
     sql_dround,
@@ -143,4 +145,122 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("exhausted") == 1, F.lit(0.0))
         .otherwise(dround(F.exp("lns")))
         .alias("survival"),
+    )
+
+
+@register(
+    "agg_logrank_test",
+    oracle=f"""
+        WITH users AS (
+            SELECT user_id, user_id % 2 AS arm,
+                   MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+                   MIN(CASE WHEN event_type = 'purchase'
+                            AND value > {_CONV_VALUE!r}
+                       THEN ts END) AS conv_ts
+            FROM events GROUP BY user_id
+        ), lifetimes AS (
+            SELECT arm,
+                   DATE_DIFF('day', CAST(first_ts AS DATE),
+                             CAST(COALESCE(conv_ts, last_ts) AS DATE)) AS t,
+                   CAST(conv_ts IS NOT NULL AS INTEGER) AS ev
+            FROM users
+        ), by_at AS (
+            SELECT arm, t,
+                   CAST(SUM(ev) AS DOUBLE) AS d,
+                   CAST(COUNT(*) AS DOUBLE) AS m
+            FROM lifetimes GROUP BY arm, t
+        ), risk AS (
+            SELECT arm, t, d,
+                   SUM(m) OVER (
+                       PARTITION BY arm ORDER BY t
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS n
+            FROM by_at
+        ), pooled AS (
+            SELECT t,
+                   SUM(CASE WHEN arm = 1 THEN d ELSE 0.0 END) AS d1,
+                   SUM(d) AS dt,
+                   SUM(CASE WHEN arm = 1 THEN n ELSE 0.0 END) AS n1,
+                   SUM(n) AS nt
+            FROM risk GROUP BY t
+        ), terms AS (
+            SELECT t, d1,
+                   dt * (n1 / nt) AS e1,
+                   CASE WHEN nt > 1.0
+                        THEN dt * (n1 / nt) * (1.0 - n1 / nt)
+                             * (nt - dt) / (nt - 1.0)
+                        ELSE 0.0 END AS v
+            FROM pooled WHERE dt > 0.0
+        )
+        SELECT CAST(SUM(CAST(d1 AS BIGINT)) AS BIGINT) AS o1,
+               {sql_dsum('e1', 'e1')},
+               {sql_dsum('v', 'var1')}
+        FROM terms
+    """,
+)
+def agg_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24+: log-rank (Mantel-Cox) test between the two arms'
+    time-to-conversion curves — observed vs expected arm-1 events over
+    the pooled risk sets, with the hypergeometric variance: the standard
+    companion test to ``agg_survival_curve``'s KM estimate (χ² =
+    (O−E)²/V against χ²₁ is the reader's last step on exact O/E/V).
+
+    Same scale shape as the KM key: the ONLY corpus-sized work is the
+    per-user MIN/MAX aggregate; risk sets are reverse-cumulative windows
+    per arm and every remaining stage runs on the ≤2·span-row duration
+    table.  Determinism: d/n are exact integer counts; each time's E and
+    V terms are fixed IEEE chains on those integers, summed through the
+    decimal path; O is an exact integer sum."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("value") > F.lit(_CONV_VALUE)),
+                F.col("ts"),
+            )
+        ).alias("conv_ts"),
+    )
+    lifetimes = users.select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.datediff(F.coalesce("conv_ts", "last_ts"), "first_ts").alias("t"),
+        F.col("conv_ts").isNotNull().cast("int").alias("ev"),
+    )
+    by_at = lifetimes.groupBy("arm", "t").agg(
+        F.sum("ev").cast("double").alias("d"),
+        F.count(F.lit(1)).cast("double").alias("m"),
+    )
+    wrisk = (
+        Window.partitionBy("arm")
+        .orderBy("t")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    risk = by_at.select("arm", "t", "d", F.sum("m").over(wrisk).alias("n"))
+    pooled = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("arm") == 1, F.col("d")).otherwise(0.0)).alias("d1"),
+        F.sum("d").alias("dt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n")).otherwise(0.0)).alias("n1"),
+        F.sum("n").alias("nt"),
+    )
+    frac = F.col("n1") / F.col("nt")
+    terms = pooled.where(F.col("dt") > 0.0).select(
+        "d1",
+        (F.col("dt") * frac).alias("e1"),
+        F.when(
+            F.col("nt") > 1.0,
+            F.col("dt")
+            * frac
+            * (F.lit(1.0) - frac)
+            * (F.col("nt") - F.col("dt"))
+            / (F.col("nt") - F.lit(1.0)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("v"),
+    )
+    return terms.agg(
+        F.sum(F.col("d1").cast("bigint")).cast("bigint").alias("o1"),
+        dsum("e1", "e1"),
+        dsum("v", "var1"),
     )

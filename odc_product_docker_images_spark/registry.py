@@ -180,7 +180,7 @@ GRADING_WINDOW = [
     #     agg_revenue_bridge, agg_skyline_2d,
     #     forecast_backtest_metrics, agg_diff_in_diff,
     #     dedup_survivorship, graph_bfs_step, agg_markov_absorption,
-    #     product_phenology
+    #     product_phenology, agg_logrank_test
     #     (r6c additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -1751,3 +1751,17 @@ def test_phenology_metrics_share_one_pixel_exchange(spark):
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_logrank_corpus_work_is_one_user_agg(spark):
+    """Only the per-user MIN/MAX agg is corpus-sized; everything after
+    runs on the duration table."""
+    from odc_product_docker_images_spark.operators.survival import (
+        agg_logrank_test,
+    )
+
+    df = agg_logrank_test(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
