@@ -140,6 +140,12 @@ R6C = [
     "agg_logrank_test",
 ]
 
+# r6d (continuation-session) additions — same rotation fate as R6C.
+R6D = [
+    "agg_ks_test",
+    "agg_anova_oneway",
+]
+
 R5 = [
     "sink_geotiff_roundtrip",
     "proj_crs_curvilinear",
@@ -256,6 +262,16 @@ def main() -> None:
                 r6c[key] = dt
             print(f"# [r6c] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
 
+    r6d: dict[str, float] = {}
+    for _pass in range(2):
+        for key in (k for k in R6D if k in qs):
+            t0 = time.time()
+            qs[key](spark, sf_dir).write.mode("overwrite").format("noop").save()
+            dt = round(time.time() - t0, 3)
+            if key not in r6d or dt < r6d[key]:
+                r6d[key] = dt
+            print(f"# [r6d] pass{_pass} {key}: {dt:.3f}s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -268,6 +284,7 @@ def main() -> None:
                 "r5": r5,
                 "r6": r6,
                 "r6c": r6c,
+                "r6d": r6d,
                 "sf": sf,
             }
         )

@@ -1,0 +1,248 @@
+"""Distribution-comparison statistics (SURVEY.md §2.4 extension — the
+experiment-analysis tier past t-test/chi²/Mann-Whitney: nonparametric
+distribution equality and multi-group variance decomposition).
+
+Reference analog: product QA notebooks comparing per-scene value
+distributions between processing runs (⟨pub⟩ datacube-stats summary
+workflows) and the A/B analysis stack every event pipeline grows.  Both
+keys follow the repo's exact-sufficient-statistics discipline: integer
+counts stay integers, every cross-engine float reduction goes through
+the decimal path, and libm steps round 4-6 dp at a pinned point.
+
+Scale notes (100 TB): the KS statistic is a GLOBAL ECDF comparison — the
+naive form is a single-task global window over every distinct value.
+Here the ECDF prefix counts use the shard_pack distributed-prefix
+pattern: range-partition by value, cumsum within partitions in parallel,
+add a ≤32-row broadcast offset table.  The argmax row is a
+TakeOrderedAndProject (limit 1), never a full sort.  ANOVA is one
+map-side-combinable aggregate over the corpus followed by arithmetic on
+a #groups-row table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import (
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
+from ..io import load
+from ..registry import register
+
+# ECDF partition width over the value domain (~31 buckets at the fixture
+# range; at real scale pick W so per-bucket rows fit an executor task —
+# the bucket table stays tiny either way)
+_KS_BUCKET_W = 16.0
+
+
+@register(
+    "agg_ks_test",
+    oracle="""
+        WITH s AS (
+            SELECT user_id % 2 AS arm, value FROM events
+        ), by_v AS (
+            SELECT value,
+                   CAST(SUM(arm) AS BIGINT) AS c1,
+                   CAST(COUNT(*) - SUM(arm) AS BIGINT) AS c0
+            FROM s GROUP BY value
+        ), tot AS (
+            SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c0) AS BIGINT) AS n0
+            FROM by_v
+        ), cum AS (
+            SELECT value,
+                   CAST(SUM(c1) OVER (ORDER BY value) AS BIGINT) AS cc1,
+                   CAST(SUM(c0) OVER (ORDER BY value) AS BIGINT) AS cc0
+            FROM by_v
+        )
+        SELECT value AS at_value,
+               CAST(ABS(cc1 * n0 - cc0 * n1) AS BIGINT) AS d_num,
+               n1, n0,
+               CAST(ABS(cc1 * n0 - cc0 * n1) AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS ks_d
+        FROM cum CROSS JOIN tot
+        ORDER BY d_num DESC, at_value ASC
+        LIMIT 1
+    """,
+)
+def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: two-sample Kolmogorov-Smirnov D between the two arms' value
+    distributions (arm = user_id parity) — BIT-EXACT, no float tolerance:
+    D's numerator |cc1*n0 - cc0*n1| is pure integer arithmetic on ECDF
+    counts, so the argmax and the final one division are identical IEEE
+    on both engines.
+
+    Distributed shape: a two-level prefix sum with ONE corpus shuffle —
+    hash-partition by a deterministic value bucket, inclusive
+    RANGE-frame cumsums within buckets (ties fold in, so no value-dedup
+    pre-aggregate), then a ~#buckets-row exclusive-offset table built
+    off the SAME exchange (bucket totals = max of the increasing prefix,
+    so the branch shares the identical subtree instead of re-scanning)
+    and broadcast back.  Arm totals fall out of the same tiny table; the
+    winning row is a limit-1 TakeOrderedAndProject, never a full sort.
+    No single-task global window anywhere."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        "value",
+        F.floor(F.col("value") / _KS_BUCKET_W).cast("long").alias("bkt"),
+    )
+    # within-bucket inclusive ECDF counts: RANGE frame folds ties in, so
+    # no value-dedup pre-aggregate is needed — one corpus shuffle total
+    within = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = s.withColumn("l1", F.sum("arm").over(within)).withColumn(
+        "l0", F.sum(F.lit(1) - F.col("arm")).over(within)
+    )
+    # per-bucket totals come off the cumsums themselves (max of an
+    # increasing prefix = bucket total): this branch shares the IDENTICAL
+    # deterministic scan→Exchange(bkt)→window subtree with the main
+    # branch, so it reuses the one shuffle instead of re-scanning.
+    # Exclusive prefix offsets + grand totals are windows over the
+    # ~#buckets-row table (single tiny-window task, then broadcast).
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        w.groupBy("bkt")
+        .agg(F.max("l1").alias("p1"), F.max("l0").alias("p0"))
+        .withColumn("o1", F.coalesce(F.sum("p1").over(off_w), F.lit(0)))
+        .withColumn("o0", F.coalesce(F.sum("p0").over(off_w), F.lit(0)))
+        .withColumn("n1", F.sum("p1").over(wall))
+        .withColumn("n0", F.sum("p0").over(wall))
+        .select("bkt", "o1", "o0", "n1", "n0")
+    )
+    # LEFT join (every bkt matches by construction): an inner join would
+    # infer an isnotnull(bkt) filter under the left exchange only,
+    # breaking the subtree equality that lets the shuffle be reused
+    cum = w.join(F.broadcast(offsets), "bkt", "left").select(
+        F.col("value").alias("at_value"),
+        (F.col("o1") + F.col("l1")).alias("cc1"),
+        (F.col("o0") + F.col("l0")).alias("cc0"),
+        "n1",
+        "n0",
+    )
+    scored = cum.select(
+        "at_value",
+        F.abs(F.col("cc1") * F.col("n0") - F.col("cc0") * F.col("n1"))
+        .cast("long")
+        .alias("d_num"),
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+    )
+    return (
+        scored.orderBy(F.col("d_num").desc(), F.col("at_value").asc())
+        .limit(1)
+        .select(
+            "at_value",
+            "d_num",
+            "n1",
+            "n0",
+            (
+                F.col("d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n0").cast("double"))
+            ).alias("ks_d"),
+        )
+    )
+
+
+_SSB_SUM = sql_exact_double("SUM(" + sql_dec_cast("ssb_g") + ")")
+_SSW_SUM = sql_exact_double("SUM(" + sql_dec_cast("ssw_g") + ")")
+
+
+@register(
+    "agg_anova_oneway",
+    oracle=f"""
+        WITH g AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   {sql_dsum("value", "s_g")},
+                   {sql_dsum("value * value", "ss_g")}
+            FROM events GROUP BY event_type
+        ), grand AS (
+            SELECT event_type, n_g, s_g, ss_g,
+                   CAST(SUM(n_g) OVER () AS BIGINT) AS n_tot,
+                   {sql_exact_double(f"SUM({sql_dec_cast('s_g')}) OVER ()")} AS s_tot,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS k
+            FROM g
+        ), terms AS (
+            SELECT n_tot, k,
+                   {sql_dround("ss_g - s_g * s_g / n_g")} AS ssw_g,
+                   {sql_dround(
+                       "n_g * (s_g / n_g - s_tot / n_tot)"
+                       " * (s_g / n_g - s_tot / n_tot)"
+                   )} AS ssb_g
+            FROM grand
+        )
+        SELECT CAST(MAX(k) AS BIGINT) AS k_groups,
+               CAST(MAX(n_tot) AS BIGINT) AS n_total,
+               {sql_dsum("ssb_g", "ssb")},
+               {sql_dsum("ssw_g", "ssw")},
+               {sql_dround(
+                   f"({_SSB_SUM} / (MAX(k) - 1))"
+                   f" / ({_SSW_SUM} / (MAX(n_tot) - MAX(k)))"
+               )} AS f_stat
+        FROM terms
+    """,
+)
+def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: one-way ANOVA of value across the event-type groups — the
+    multi-group generalization of ``agg_ttest_welch``.  One map-side
+    combinable pass collects per-group sufficient statistics (n, Σx,
+    Σx²) through the decimal-exact path; everything after is arithmetic
+    on a #groups-row table, with grand totals as windows over that tiny
+    table (never a re-planned join-back branch).  Determinism: n are
+    exact integers; Σx/Σx² round 6 dp through decimal sums; each group's
+    SSW/SSB term is a fixed IEEE chain on those rounded stats, rounded
+    6 dp, then decimal-summed across the unordered group table; F rounds
+    6 dp last.  At 100 TB the corpus-sized work is exactly one
+    hash-aggregate shuffle of 5 keys × 3 numbers."""
+    ev = load(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        dsum("value", "s_g"),
+        dsum(F.col("value") * F.col("value"), "ss_g"),
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    grand = g.select(
+        "n_g",
+        "s_g",
+        "ss_g",
+        F.sum("n_g").over(wall).cast("long").alias("n_tot"),
+        exact_double(F.sum(dec_cast("s_g")).over(wall)).alias("s_tot"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("k"),
+    )
+    mean_dev = F.col("s_g") / F.col("n_g") - F.col("s_tot") / F.col("n_tot")
+    terms = grand.select(
+        "n_tot",
+        "k",
+        dround(F.col("ss_g") - F.col("s_g") * F.col("s_g") / F.col("n_g")).alias(
+            "ssw_g"
+        ),
+        dround(F.col("n_g") * mean_dev * mean_dev).alias("ssb_g"),
+    )
+    ssb_exact = exact_double(F.sum(dec_cast("ssb_g")))
+    ssw_exact = exact_double(F.sum(dec_cast("ssw_g")))
+    return terms.agg(
+        F.max("k").cast("long").alias("k_groups"),
+        F.max("n_tot").cast("long").alias("n_total"),
+        dsum("ssb_g", "ssb"),
+        dsum("ssw_g", "ssw"),
+        dround(
+            (ssb_exact / (F.max("k") - 1)) / (ssw_exact / (F.max("n_tot") - F.max("k")))
+        ).alias("f_stat"),
+    )

@@ -118,6 +118,7 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.urls",
     "odc_product_docker_images_spark.multimodal.tar_shards",
     "odc_product_docker_images_spark.multimodal.safetensors",
+    "odc_product_docker_images_spark.operators.stats_tests",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -182,6 +183,8 @@ GRADING_WINDOW = [
     #     dedup_survivorship, graph_bfs_step, agg_markov_absorption,
     #     product_phenology, agg_logrank_test
     #     (r6c additions, window already full),
+    #     agg_ks_test, agg_anova_oneway
+    #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,
     #     graph_pagerank_step, table_restore, multimodal_png_decode,

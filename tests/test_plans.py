@@ -1765,3 +1765,37 @@ def test_logrank_corpus_work_is_one_user_agg(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_ks_ecdf_uses_distributed_prefix_not_global_window(spark):
+    """Both ECDFs ride the bucket-partitioned prefix-sum: windows are
+    partitioned by the deterministic value bucket (the only unpartitioned
+    windows run on the ~#buckets-row offset table), the winner is a
+    limit-1 TakeOrdered, and the offsets branch REUSES the one corpus
+    shuffle at runtime (identical subtree → AQE ReusedExchange) instead
+    of re-scanning events."""
+    from odc_product_docker_images_spark.operators.stats_tests import agg_ks_test
+
+    df = agg_ks_test(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2  # static; physically one (reuse below)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_anova_is_one_corpus_agg_no_joins(spark):
+    """Sufficient stats in one hash aggregate; grand totals are windows
+    over the #groups-row table, never a re-planned join-back branch."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_anova_oneway,
+    )
+
+    df = agg_anova_oneway(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
