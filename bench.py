@@ -144,6 +144,8 @@ R6C = [
 R6D = [
     "agg_ks_test",
     "agg_anova_oneway",
+    "agg_acf",
+    "agg_circular_mean",
 ]
 
 R5 = [

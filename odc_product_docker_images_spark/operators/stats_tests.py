@@ -246,3 +246,176 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ssb_exact / (F.max("k") - 1)) / (ssw_exact / (F.max("n_tot") - F.max("k")))
         ).alias("f_stat"),
     )
+
+
+_ACF_MAX_LAG = 7
+_DEG2RAD = 0.017453292519943295  # exact double literal on both engines
+_RAD2DEG = 57.29577951308232
+
+
+@register(
+    "agg_acf",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), stats AS (
+            SELECT d, x,
+                   CAST(SUM(x) OVER () AS DOUBLE)
+                       / CAST(COUNT(*) OVER () AS DOUBLE) AS mu,
+                   LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+                   LEAD(x, 3) OVER w AS x3, LEAD(x, 4) OVER w AS x4,
+                   LEAD(x, 5) OVER w AS x5, LEAD(x, 6) OVER w AS x6,
+                   LEAD(x, 7) OVER w AS x7
+            FROM series
+            WINDOW w AS (ORDER BY d)
+        ), dev AS (
+            SELECT d, mu, x - mu AS dv,
+                   {sql_exact_double(
+                       "SUM("
+                       + sql_dec_cast("(x - mu) * (x - mu)")
+                       + ") OVER ()"
+                   )} AS den,
+                   x1, x2, x3, x4, x5, x6, x7
+            FROM stats
+        ), pairs AS (
+            SELECT lag, dv, den,
+                   CASE lag WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 3 THEN x3
+                            WHEN 4 THEN x4 WHEN 5 THEN x5 WHEN 6 THEN x6
+                            ELSE x7 END AS xk,
+                   mu
+            FROM dev CROSS JOIN UNNEST(RANGE(1, {_ACF_MAX_LAG} + 1)) AS t(lag)
+        )
+        SELECT CAST(lag AS INT) AS lag,
+               CAST(COUNT(xk) AS BIGINT) AS n_pairs,
+               {sql_dround(
+                   sql_exact_double(
+                       "SUM(" + sql_dec_cast("dv * (xk - mu)") + ")"
+                   )
+                   + " / MAX(den)"
+               )} AS acf
+        FROM pairs
+        GROUP BY lag
+    """,
+)
+def agg_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: autocorrelation of the daily event-count series at lags 1-7
+    — the seasonality screen behind window_seasonal_zscore and the
+    forecast keys (a strong lag-7 ACF is what justifies weekly models).
+
+    Corpus work is ONE day-grouped count; the series itself is O(span
+    days), so all lag handling rides the documented small-side-window
+    pattern: 7 constant-offset LEAD columns over one global window spec
+    (no self-join, no re-scan), unpivoted via posexplode into (lag,
+    pair) rows.  Determinism: x are exact integer counts and mu is one
+    exact int/int division, so each deviation product is a fixed IEEE
+    chain; numerator and the shared full-series denominator go through
+    decimal sums; the final ratio rounds 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.partitionBy(F.lit(0)).orderBy("d")
+    stats = series.select(
+        "d",
+        "x",
+        (F.sum("x").over(wall).cast("double") / F.count(F.lit(1)).over(wall)).alias(
+            "mu"
+        ),
+        *[F.lead("x", k).over(word).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    dv = F.col("x") - F.col("mu")
+    dev = stats.select(
+        "mu",
+        dv.alias("dv"),
+        exact_double(F.sum(dec_cast(dv * dv)).over(wall)).alias("den"),
+        *[f"x{k}" for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    pairs = dev.select(
+        "dv",
+        "den",
+        "mu",
+        F.posexplode(F.array(*[f"x{k}" for k in range(1, _ACF_MAX_LAG + 1)])).alias(
+            "pos", "xk"
+        ),
+    )
+    return (
+        pairs.withColumn("lag", (F.col("pos") + 1).cast("int"))
+        .groupBy("lag")
+        .agg(
+            F.count("xk").cast("long").alias("n_pairs"),
+            dround(
+                exact_double(F.sum(dec_cast(F.col("dv") * (F.col("xk") - F.col("mu")))))
+                / F.max("den")
+            ).alias("acf"),
+        )
+    )
+
+
+@register(
+    "agg_circular_mean",
+    oracle=f"""
+        WITH a AS (
+            SELECT event_type,
+                   {sql_dround(
+                       "SIN((value % CAST(360.0 AS DOUBLE))"
+                       f" * CAST({_DEG2RAD!r} AS DOUBLE))"
+                   )} AS s_i,
+                   {sql_dround(
+                       "COS((value % CAST(360.0 AS DOUBLE))"
+                       f" * CAST({_DEG2RAD!r} AS DOUBLE))"
+                   )} AS c_i
+            FROM events
+        ), agg AS (
+            SELECT event_type,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("s_i", "s_sum")},
+                   {sql_dsum("c_i", "c_sum")}
+            FROM a GROUP BY event_type
+        )
+        SELECT event_type, n, s_sum, c_sum,
+               {sql_dround(
+                   f"ATAN2(s_sum, c_sum) * CAST({_RAD2DEG!r} AS DOUBLE)"
+               )} AS mean_dir_deg,
+               {sql_dround("SQRT(s_sum * s_sum + c_sum * c_sum) / n")} AS r_len
+        FROM agg
+    """,
+)
+def agg_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: circular (directional) mean and resultant length per event
+    type, treating value mod 360 as a bearing — the wind-direction /
+    sun-azimuth aggregate a plain arithmetic mean gets wrong (mean of
+    359° and 1° must be 0°, not 180°).  Classic unit-vector form: mean
+    direction = atan2(Σsin, Σcos); R̄ = |resultant|/n measures
+    concentration.  One map-side-combinable pass; per-row sin/cos round
+    6 dp (libm policy) before the decimal sums, the atan2/sqrt finals
+    round 6 dp; fmod and the degree/radian constants are exact double
+    literals on both engines (bare-literal DECIMAL trap documented in
+    CLAUDE.md)."""
+    ev = load(spark, sf_dir, "events")
+    rad = (F.col("value") % F.lit(360.0)) * F.lit(_DEG2RAD)
+    a = ev.select(
+        "event_type",
+        dround(F.sin(rad)).alias("s_i"),
+        dround(F.cos(rad)).alias("c_i"),
+    )
+    agg = a.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("s_i", "s_sum"),
+        dsum("c_i", "c_sum"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "s_sum",
+        "c_sum",
+        dround(F.atan2("s_sum", "c_sum") * F.lit(_RAD2DEG)).alias("mean_dir_deg"),
+        dround(
+            F.sqrt(F.col("s_sum") * F.col("s_sum") + F.col("c_sum") * F.col("c_sum"))
+            / F.col("n")
+        ).alias("r_len"),
+    )

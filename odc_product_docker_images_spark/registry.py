@@ -183,7 +183,7 @@ GRADING_WINDOW = [
     #     dedup_survivorship, graph_bfs_step, agg_markov_absorption,
     #     product_phenology, agg_logrank_test
     #     (r6c additions, window already full),
-    #     agg_ks_test, agg_anova_oneway
+    #     agg_ks_test, agg_anova_oneway, agg_acf, agg_circular_mean
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -1799,3 +1799,30 @@ def test_anova_is_one_corpus_agg_no_joins(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_acf_lags_are_lead_windows_no_self_join(spark):
+    """All 7 lags are constant-offset LEAD columns over one global window
+    on the O(span-days) series + posexplode — no self-join, no re-scan."""
+    from odc_product_docker_images_spark.operators.stats_tests import agg_acf
+
+    df = agg_acf(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_circular_mean_is_single_pass(spark):
+    """Unit-vector sums are one map-side-combinable hash agg; no joins,
+    no windows, single Exchange."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_circular_mean,
+    )
+
+    df = agg_circular_mean(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan and "Window" not in plan
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)

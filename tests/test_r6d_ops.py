@@ -60,3 +60,58 @@ def test_anova_matches_numpy_decomposition(spark):
     assert abs(row["f_stat"] - f) < 1e-4
     sst = ((np.concatenate(groups) - grand) ** 2).sum()
     assert abs((row["ssb"] + row["ssw"]) - sst) < 1e-2
+
+
+def test_acf_matches_numpy_direct(spark):
+    """ACF recomputed directly from the numpy daily-count series."""
+    from odc_product_docker_images_spark.operators.stats_tests import agg_acf
+
+    rows = {r["lag"]: r for r in agg_acf(spark, SF).collect()}
+    ev = _events()
+    days = ev.ts.dt.floor("D")
+    x = days.value_counts().sort_index().to_numpy().astype(float)
+    mu = x.mean()
+    dv = x - mu
+    den = (dv**2).sum()
+    for k in range(1, 8):
+        ref = (dv[:-k] * dv[k:]).sum() / den
+        assert rows[k]["n_pairs"] == len(x) - k
+        assert abs(rows[k]["acf"] - ref) < 1e-6, k
+    # sanity: a daily event stream is near-uniform → weak ACF everywhere
+    assert all(abs(r["acf"]) < 0.9 for r in rows.values())
+
+
+def test_circular_mean_matches_numpy_and_wraps(spark):
+    """Mean direction recomputed with numpy vector sums; also pin the
+    wrap-around property on a synthetic 359/1 pair."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_circular_mean,
+    )
+
+    got = {r["event_type"]: r for r in agg_circular_mean(spark, SF).collect()}
+    ev = _events()
+    for et, grp in ev.groupby("event_type"):
+        ang = np.deg2rad(np.fmod(grp["value"].to_numpy(), 360.0))
+        s, c = np.sin(ang).sum(), np.cos(ang).sum()
+        ref_dir = math.degrees(math.atan2(s, c))
+        ref_r = math.hypot(s, c) / len(grp)
+        assert abs(got[et]["mean_dir_deg"] - ref_dir) < 1e-3, et
+        assert abs(got[et]["r_len"] - ref_r) < 1e-6, et
+        assert got[et]["n"] == len(grp)
+    # wrap-around: mean of bearings 359° and 1° is 0°, not 180°
+    sdf = spark.createDataFrame([(359.0,), (1.0,)], ["value"]).withColumn(
+        "event_type", F.lit("syn")
+    )
+    import odc_product_docker_images_spark.operators.stats_tests as st
+
+    orig_load = st.load
+    st.load = lambda sp, d, t: sdf
+    try:
+        row = st.agg_circular_mean(spark, SF).collect()[0]
+    finally:
+        st.load = orig_load
+    assert abs(row["mean_dir_deg"]) < 1e-6
