@@ -146,6 +146,8 @@ R6D = [
     "agg_anova_oneway",
     "agg_acf",
     "agg_circular_mean",
+    "ml_roc_curve",
+    "ml_auc_exact",
 ]
 
 R5 = [

@@ -119,6 +119,7 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.tar_shards",
     "odc_product_docker_images_spark.multimodal.safetensors",
     "odc_product_docker_images_spark.operators.stats_tests",
+    "odc_product_docker_images_spark.operators.model_eval",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -183,7 +184,8 @@ GRADING_WINDOW = [
     #     dedup_survivorship, graph_bfs_step, agg_markov_absorption,
     #     product_phenology, agg_logrank_test
     #     (r6c additions, window already full),
-    #     agg_ks_test, agg_anova_oneway, agg_acf, agg_circular_mean
+    #     agg_ks_test, agg_anova_oneway, agg_acf, agg_circular_mean,
+    #     ml_roc_curve, ml_auc_exact
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

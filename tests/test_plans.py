@@ -1826,3 +1826,23 @@ def test_circular_mean_is_single_pass(spark):
     assert "Join" not in plan and "Window" not in plan
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_roc_scaffold_single_shuffle_with_reuse(spark):
+    """ROC/AUC share the score-grouped + bucket-prefix scaffold: no
+    cartesian, limit-free single corpus shuffle whose offsets branch
+    reuses the exchange at runtime."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_auc_exact,
+        ml_roc_curve,
+    )
+
+    df = ml_roc_curve(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2  # static; physically one (reuse below)
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+    C.assert_no_python_row_path(ml_auc_exact(spark, SF))

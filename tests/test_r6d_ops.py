@@ -115,3 +115,53 @@ def test_circular_mean_matches_numpy_and_wraps(spark):
     finally:
         st.load = orig_load
     assert abs(row["mean_dir_deg"]) < 1e-6
+
+
+def test_auc_equals_roc_trapezoid_and_sklearn_free_reference(spark):
+    """Exact AUC must equal (a) the trapezoidal integral of the ROC
+    curve and (b) a direct O(n²)-free numpy rank computation."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_auc_exact,
+        ml_roc_curve,
+    )
+
+    auc_row = ml_auc_exact(spark, SF).collect()[0]
+    curve = sorted(
+        ml_roc_curve(spark, SF).collect(), key=lambda r: r["threshold"]
+    )
+    # walk thresholds descending: fpr/tpr rise from (0,0) to (1,1)
+    pts = [(0.0, 0.0)] + [(r["fpr"], r["tpr"]) for r in reversed(curve)]
+    trap = sum(
+        (x1 - x0) * (y0 + y1) / 2.0
+        for (x0, y0), (x1, y1) in zip(pts, pts[1:])
+    )
+    assert abs(auc_row["auc"] - trap) < 1e-12
+
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    score = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    pos = (emb.label < 5).to_numpy()
+    order = np.argsort(score)
+    ranks = np.empty(len(score))
+    ranks[order] = np.arange(1, len(score) + 1)
+    # average ranks over ties (fixture scores are distinct, but be honest)
+    import pandas as pd
+
+    ranks = pd.Series(score).rank(method="average").to_numpy()
+    n1, n0 = int(pos.sum()), int((~pos).sum())
+    auc_ref = (ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+    assert abs(auc_row["auc"] - auc_ref) < 1e-12
+    assert (auc_row["n_pos"], auc_row["n_neg"]) == (n1, n0)
+    # weak-model sanity: AUC near chance
+    assert 0.3 < auc_row["auc"] < 0.7
+
+
+def test_roc_curve_endpoints_and_monotonicity(spark):
+    from odc_product_docker_images_spark.operators.model_eval import ml_roc_curve
+
+    rows = sorted(ml_roc_curve(spark, SF).collect(), key=lambda r: r["threshold"])
+    # lowest threshold predicts everything positive
+    assert rows[0]["tp"] == rows[0]["tp"] + 0 and rows[0]["tpr"] == 1.0
+    assert rows[0]["fpr"] == 1.0
+    # tp/fp never increase as the threshold rises
+    for a, b in zip(rows, rows[1:]):
+        assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
