@@ -148,6 +148,8 @@ R6D = [
     "agg_circular_mean",
     "ml_roc_curve",
     "ml_auc_exact",
+    "ml_calibration_bins",
+    "ml_confusion_metrics",
 ]
 
 R5 = [

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.det import davg, dround, sql_davg, sql_dround
 from ..io import load
 from ..registry import register
 
@@ -168,4 +169,150 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double")
             / (F.lit(2.0) * F.max("p").cast("double") * F.max("n").cast("double"))
         ).alias("auc"),
+    )
+
+
+_CAL_STEEP = 10.0  # sigmoid steepness: spreads ±0.4 scores over ~[0.02, 0.98]
+
+
+@register(
+    "ml_calibration_bins",
+    oracle=f"""
+        WITH s AS (
+            SELECT {sql_dround(
+                "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                f" + EXP(-CAST({_CAL_STEEP!r} AS DOUBLE)"
+                " * embedding[1]::DOUBLE))"
+            )} AS prob,
+                   CAST(label < 5 AS BIGINT) AS pos
+            FROM embeddings
+        )
+        SELECT CAST(FLOOR(prob * CAST(10.0 AS DOUBLE)) AS BIGINT) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               {sql_davg("prob", "mean_prob")},
+               CAST(SUM(pos) AS DOUBLE) / COUNT(*) AS frac_pos
+        FROM s GROUP BY 1
+    """,
+)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E3: reliability-diagram bins — mean predicted probability vs
+    observed positive rate per decile of a sigmoid-calibrated score: the
+    calibration check that accompanies every AUC report before a filter
+    threshold ships.  One map-side-combinable pass; the sigmoid rounds
+    6 dp per row (libm exp policy) BEFORE binning and the decimal-path
+    mean, so bin assignment is identical on both engines; frac_pos is an
+    exact int/int division."""
+    emb = load(spark, sf_dir, "embeddings")
+    prob = dround(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(-F.lit(_CAL_STEEP) * F.element_at("embedding", 1).cast("double"))
+        )
+    )
+    s = emb.select(
+        prob.alias("prob"), (F.col("label") < 5).cast("long").alias("pos")
+    )
+    return s.groupBy(
+        F.floor(F.col("prob") * F.lit(10.0)).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        davg("prob", "mean_prob"),
+        (F.sum("pos").cast("double") / F.count(F.lit(1))).alias("frac_pos"),
+    )
+
+
+@register(
+    "ml_confusion_metrics",
+    oracle="""
+        WITH s AS (
+            SELECT label,
+                   CAST(FLOOR((embedding[1]::DOUBLE + CAST(0.5 AS DOUBLE))
+                              * CAST(10.0 AS DOUBLE)) AS BIGINT) % 10 AS pred
+            FROM embeddings
+        ), pairs AS (
+            SELECT label, pred, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM s GROUP BY label, pred
+        ), roles AS (
+            SELECT label AS class, 'a' AS role,
+                   CAST(label = pred AS BIGINT) AS is_tp, cnt FROM pairs
+            UNION ALL
+            SELECT pred AS class, 'p' AS role,
+                   CAST(label = pred AS BIGINT) AS is_tp, cnt FROM pairs
+        )
+        SELECT class,
+               CAST(SUM(CASE WHEN role = 'a' THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_true,
+               CAST(SUM(CASE WHEN role = 'p' THEN cnt ELSE 0 END) AS BIGINT)
+                   AS n_pred,
+               CAST(SUM(CASE WHEN role = 'a' AND is_tp = 1
+                             THEN cnt ELSE 0 END) AS BIGINT) AS tp,
+               CASE WHEN SUM(CASE WHEN role = 'p' THEN cnt ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN role = 'a' AND is_tp = 1
+                                       THEN cnt ELSE 0 END) AS DOUBLE)
+                         / SUM(CASE WHEN role = 'p' THEN cnt ELSE 0 END)
+               END AS precision_,
+               CASE WHEN SUM(CASE WHEN role = 'a' THEN cnt ELSE 0 END) > 0
+                    THEN CAST(SUM(CASE WHEN role = 'a' AND is_tp = 1
+                                       THEN cnt ELSE 0 END) AS DOUBLE)
+                         / SUM(CASE WHEN role = 'a' THEN cnt ELSE 0 END)
+               END AS recall_,
+               CAST(2 * SUM(CASE WHEN role = 'a' AND is_tp = 1
+                                 THEN cnt ELSE 0 END) AS DOUBLE)
+                   / (SUM(CASE WHEN role = 'a' THEN cnt ELSE 0 END)
+                      + SUM(CASE WHEN role = 'p' THEN cnt ELSE 0 END)) AS f1
+        FROM roles GROUP BY class
+    """,
+)
+def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: per-class precision / recall / F1 for a deterministic decile
+    pseudo-classifier — the confusion-matrix rollup.  The corpus
+    collapses to one (label, pred) pair count; the per-class rollup
+    UNPIVOTS each pair row into its two class roles (actual/predicted)
+    so ONE aggregation covers row and column sums of the confusion
+    matrix — no second corpus branch, robust to classes with an empty
+    diagonal.  F1 uses the join-free identity 2TP/(n_true+n_pred); all
+    ratios are exact int/int divisions with zero-guards."""
+    emb = load(spark, sf_dir, "embeddings")
+    pred = (
+        F.floor((F.element_at("embedding", 1).cast("double") + F.lit(0.5)) * F.lit(10.0))
+        .cast("long")
+        % 10
+    )
+    pairs = (
+        emb.select(F.col("label").cast("long").alias("label"), pred.alias("pred"))
+        .groupBy("label", "pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    is_tp = (F.col("label") == F.col("pred")).cast("long")
+    roles = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("label").alias("class"),
+                    F.lit("a").alias("role"),
+                    is_tp.alias("is_tp"),
+                    F.col("cnt").alias("cnt"),
+                ),
+                F.struct(
+                    F.col("pred").alias("class"),
+                    F.lit("p").alias("role"),
+                    is_tp.alias("is_tp"),
+                    F.col("cnt").alias("cnt"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    a_cnt = F.sum(F.when(F.col("role") == "a", F.col("cnt")).otherwise(0))
+    p_cnt = F.sum(F.when(F.col("role") == "p", F.col("cnt")).otherwise(0))
+    tp = F.sum(
+        F.when((F.col("role") == "a") & (F.col("is_tp") == 1), F.col("cnt")).otherwise(0)
+    )
+    return roles.groupBy("class").agg(
+        a_cnt.cast("long").alias("n_true"),
+        p_cnt.cast("long").alias("n_pred"),
+        tp.cast("long").alias("tp"),
+        F.when(p_cnt > 0, tp.cast("double") / p_cnt).alias("precision_"),
+        F.when(a_cnt > 0, tp.cast("double") / a_cnt).alias("recall_"),
+        ((F.lit(2.0) * tp) / (a_cnt + p_cnt)).alias("f1"),
     )

@@ -1846,3 +1846,23 @@ def test_roc_scaffold_single_shuffle_with_reuse(spark):
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
     C.assert_no_python_row_path(ml_auc_exact(spark, SF))
+
+
+def test_confusion_rollup_is_one_branch_unpivot(spark):
+    """Row and column sums of the confusion matrix come from ONE
+    aggregation over the unpivoted pair table — no second corpus branch,
+    no join."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_calibration_bins,
+        ml_confusion_metrics,
+    )
+
+    df = ml_confusion_metrics(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+    cal = ml_calibration_bins(spark, SF)
+    assert C.scan_count(cal) == 1
+    assert C.exchange_count(cal) <= 1
+    C.assert_no_python_row_path(cal)

@@ -165,3 +165,50 @@ def test_roc_curve_endpoints_and_monotonicity(spark):
     # tp/fp never increase as the threshold rises
     for a, b in zip(rows, rows[1:]):
         assert b["tp"] <= a["tp"] and b["fp"] <= a["fp"]
+
+
+def test_calibration_bins_match_numpy(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_calibration_bins,
+    )
+
+    got = {r["bin"]: r for r in ml_calibration_bins(spark, SF).collect()}
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    score = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    prob = np.round(1.0 / (1.0 + np.exp(-10.0 * score)), 6)
+    pos = (emb.label < 5).to_numpy()
+    bins = np.floor(prob * 10).astype(int)
+    assert set(got) == set(np.unique(bins))
+    for b in np.unique(bins):
+        m = bins == b
+        assert got[b]["n"] == int(m.sum())
+        assert abs(got[b]["mean_prob"] - prob[m].mean()) < 1e-5
+        assert abs(got[b]["frac_pos"] - pos[m].mean()) < 1e-12
+
+
+def test_confusion_metrics_match_numpy(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_confusion_metrics,
+    )
+
+    got = {r["class"]: r for r in ml_confusion_metrics(spark, SF).collect()}
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    score = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    pred = (np.floor((score + 0.5) * 10).astype(np.int64)) % 10
+    label = emb.label.to_numpy()
+    # totals across classes must conserve the corpus
+    assert sum(r["n_true"] for r in got.values()) == len(emb)
+    assert sum(r["n_pred"] for r in got.values()) == len(emb)
+    for c in np.unique(np.concatenate([label, pred])):
+        tp = int(((label == c) & (pred == c)).sum())
+        n_true = int((label == c).sum())
+        n_pred = int((pred == c).sum())
+        r = got[c]
+        assert (r["tp"], r["n_true"], r["n_pred"]) == (tp, n_true, n_pred)
+        if n_pred:
+            assert abs(r["precision_"] - tp / n_pred) < 1e-12
+        else:
+            assert r["precision_"] is None
+        if n_true:
+            assert abs(r["recall_"] - tp / n_true) < 1e-12
+        assert abs(r["f1"] - 2 * tp / (n_true + n_pred)) < 1e-12
