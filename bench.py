@@ -150,6 +150,8 @@ R6D = [
     "ml_auc_exact",
     "ml_calibration_bins",
     "ml_confusion_metrics",
+    "raster_slope_aspect",
+    "agg_medoid_composite",
 ]
 
 R5 = [

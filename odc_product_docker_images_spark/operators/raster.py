@@ -22,10 +22,21 @@ frame Spark lacks; the scatter-gather form needs nothing exotic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, sql_davg, sql_dsum
+from ..functions.det import (
+    davg,
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -285,4 +296,190 @@ def regrid_conservative(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("v") * F.col("w"), "wsum"),
         dsum("w", "area"),
         F.count(F.lit(1)).alias("n_frags"),
+    )
+
+
+_RAD2DEG_R = 57.29577951308232
+
+
+@register(
+    "raster_slope_aspect",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        scatter AS (
+            SELECT r.cell_x + dx.o AS tx, r.cell_y + dy.o AS ty, r.v,
+                   (-dx.o) * (2 - ABS(dy.o)) AS wx,
+                   (-dy.o) * (2 - ABS(dx.o)) AS wy
+            FROM raster r
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+        ), grads AS (
+            SELECT tx AS cell_x, ty AS cell_y,
+                   {sql_dsum("v * wx", "gx8")},
+                   {sql_dsum("v * wy", "gy8")},
+                   COUNT(*) AS support
+            FROM scatter GROUP BY tx, ty
+        )
+        SELECT cell_x, cell_y,
+               {sql_dround(
+                   "ATAN(SQRT(gx8 * gx8 + gy8 * gy8)"
+                   " / CAST(8.0 AS DOUBLE))"
+                   f" * CAST({_RAD2DEG_R!r} AS DOUBLE)"
+               )} AS slope_deg,
+               CASE WHEN gx8 = CAST(0.0 AS DOUBLE)
+                     AND gy8 = CAST(0.0 AS DOUBLE)
+                    THEN CAST(-1.0 AS DOUBLE)
+                    ELSE {sql_dround(
+                        "ATAN2(gy8, -gx8)"
+                        f" * CAST({_RAD2DEG_R!r} AS DOUBLE)"
+                    )} END AS aspect_deg
+        FROM grads WHERE support = 9
+    """,
+)
+def raster_slope_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain slope/aspect by Horn's 3×3 method over the binned
+    composite (the DEM-derivative pass of every EO terrain product).
+    Same explode-shift-regroup as the focal mean, but each source cell
+    carries WEIGHTED contributions: seen from target t, a source at
+    relative offset (rx, ry) = −(dx, dy) contributes v·rx·(2−|ry|) to
+    the x-gradient and v·ry·(2−|rx|) to the y-gradient — exactly Horn's
+    (1,2,1) stencils, as two decimal-path sums in ONE hash aggregate.
+    Interior-only (support = 9) so the stencil is never truncated.
+    Determinism: v is the 6 dp composite, weights are small ints, the
+    gradient sums ride the decimal path, and the atan/atan2/sqrt finals
+    round 6 dp; flat cells (both gradients exactly 0) pin aspect to −1
+    instead of feeding atan2's ±0 branch.  One corpus agg + one 9×
+    scatter shuffle — the focal-mean scale shape."""
+    r = _raster(spark, sf_dir)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    scattered = (
+        r.select("v", "cell_x", "cell_y", F.explode(off).alias("dx"))
+        .select("v", "cell_x", "cell_y", "dx", F.explode(off).alias("dy"))
+        .select(
+            (F.col("cell_x") + F.col("dx")).alias("tx"),
+            (F.col("cell_y") + F.col("dy")).alias("ty"),
+            (F.col("v") * (-F.col("dx")) * (2 - F.abs("dy"))).alias("vwx"),
+            (F.col("v") * (-F.col("dy")) * (2 - F.abs("dx"))).alias("vwy"),
+        )
+    )
+    grads = scattered.groupBy(
+        F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y")
+    ).agg(
+        dsum("vwx", "gx8"),
+        dsum("vwy", "gy8"),
+        F.count(F.lit(1)).alias("support"),
+    )
+    return grads.where(F.col("support") == 9).select(
+        "cell_x",
+        "cell_y",
+        dround(
+            F.atan(
+                F.sqrt(F.col("gx8") * F.col("gx8") + F.col("gy8") * F.col("gy8"))
+                / F.lit(8.0)
+            )
+            * F.lit(_RAD2DEG_R)
+        ).alias("slope_deg"),
+        F.when(
+            (F.col("gx8") == 0.0) & (F.col("gy8") == 0.0), F.lit(-1.0)
+        )
+        .otherwise(dround(F.atan2(F.col("gy8"), -F.col("gx8")) * F.lit(_RAD2DEG_R)))
+        .alias("aspect_deg"),
+    )
+
+
+@register(
+    "agg_medoid_composite",
+    oracle=f"""
+        WITH cells AS (
+            SELECT CAST(FLOOR(value / {_CX!r}) AS BIGINT) AS cell_x,
+                   CAST(FLOOR(user_id / {_CY!r}) AS BIGINT) AS cell_y,
+                   value, event_id
+            FROM events
+        ), ranked AS (
+            SELECT cell_x, cell_y, value,
+                   ROW_NUMBER() OVER w AS r,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("value") + ") OVER w"
+                   )} AS pre,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("value") + ") OVER "
+                       "(PARTITION BY cell_x, cell_y)"
+                   )} AS tot,
+                   COUNT(*) OVER (PARTITION BY cell_x, cell_y) AS n
+            FROM cells
+            WINDOW w AS (PARTITION BY cell_x, cell_y ORDER BY value, event_id
+                         ROWS UNBOUNDED PRECEDING)
+        ), costs AS (
+            SELECT cell_x, cell_y, value, n,
+                   {sql_dround(
+                       "(r * value - pre) + ((tot - pre) - (n - r) * value)"
+                   )} AS cost,
+                   MIN({sql_dround(
+                       "(r * value - pre) + ((tot - pre) - (n - r) * value)"
+                   )}) OVER (PARTITION BY cell_x, cell_y) AS min_cost
+            FROM ranked
+        )
+        SELECT cell_x, cell_y,
+               CAST(MAX(n) AS BIGINT) AS n,
+               MIN(value) AS medoid_value,
+               MIN(min_cost) AS cost
+        FROM costs
+        WHERE cost = min_cost
+        GROUP BY cell_x, cell_y
+    """,
+)
+def agg_medoid_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Medoid composite per grid cell — the pixel that minimizes total
+    absolute deviation to its cell-mates: the standard Landsat
+    best-pixel compositing alternative to the geomedian that returns an
+    OBSERVED value instead of a synthetic one.  The naive form is an
+    O(n²) per-cell self-join; here Σ|vᵢ−vⱼ| collapses to the sorted
+    prefix-sum identity cost(i) = (r·vᵢ − preᵢ) + ((tot − preᵢ) −
+    (n−r)·vᵢ), so EVERYTHING is windows over one (cell) partitioning —
+    one Exchange, no join, O(n log n).  Determinism: prefix/total sums
+    ride the decimal path (DuckDB's segment-tree window summation would
+    otherwise re-associate float adds), costs round 6 dp, ties resolve
+    to the smallest value; argmin is a same-window MIN + filter, not a
+    join-back."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.select(
+        F.floor(F.col("value") / _CX).cast("long").alias("cell_x"),
+        F.floor(F.col("user_id") / _CY).cast("long").alias("cell_y"),
+        "value",
+        "event_id",
+    )
+    part = ["cell_x", "cell_y"]
+    w_ord = (
+        Window.partitionBy(*part)
+        .orderBy("value", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*part)
+    ranked = cells.select(
+        *part,
+        "value",
+        F.row_number().over(Window.partitionBy(*part).orderBy("value", "event_id")).alias("r"),
+        exact_double(F.sum(dec_cast("value")).over(w_ord)).alias("pre"),
+        exact_double(F.sum(dec_cast("value")).over(w_all)).alias("tot"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    cost = dround(
+        (F.col("r") * F.col("value") - F.col("pre"))
+        + ((F.col("tot") - F.col("pre")) - (F.col("n") - F.col("r")) * F.col("value"))
+    )
+    costs = ranked.select(
+        *part,
+        "value",
+        "n",
+        cost.alias("cost"),
+        F.min(cost).over(w_all).alias("min_cost"),
+    )
+    return (
+        costs.where(F.col("cost") == F.col("min_cost"))
+        .groupBy(*part)
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min("value").alias("medoid_value"),
+            F.min("min_cost").alias("cost"),
+        )
     )

@@ -1866,3 +1866,34 @@ def test_confusion_rollup_is_one_branch_unpivot(spark):
     assert C.scan_count(cal) == 1
     assert C.exchange_count(cal) <= 1
     C.assert_no_python_row_path(cal)
+
+
+def test_slope_aspect_is_one_scatter_agg(spark):
+    """Horn gradients are weighted contributions in the SAME single hash
+    aggregate as the focal scatter — one corpus agg + one scatter
+    Exchange, no join, no Python."""
+    from odc_product_docker_images_spark.operators.raster import (
+        raster_slope_aspect,
+    )
+
+    df = raster_slope_aspect(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_medoid_is_windows_not_self_join(spark):
+    """The O(n²) per-cell self-join collapses to sorted prefix-sum
+    windows over ONE cell partitioning; argmin is a same-window MIN +
+    filter."""
+    from odc_product_docker_images_spark.operators.raster import (
+        agg_medoid_composite,
+    )
+
+    df = agg_medoid_composite(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    assert C.exchange_count(df) <= 2
+    C.assert_no_python_row_path(df)

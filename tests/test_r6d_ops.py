@@ -212,3 +212,86 @@ def test_confusion_metrics_match_numpy(spark):
         if n_true:
             assert abs(r["recall_"] - tp / n_true) < 1e-12
         assert abs(r["f1"] - 2 * tp / (n_true + n_pred)) < 1e-12
+
+
+def _grid(ev):
+    import pandas as pd
+
+    cx = np.floor(ev.value / 25.0).astype(int)
+    cy = np.floor(ev.user_id / 15.0).astype(int)
+    g = (
+        ev.assign(cx=cx, cy=cy)
+        .groupby(["cx", "cy"])["value"]
+        .mean()
+        .round(6)
+        .to_dict()
+    )
+    return g
+
+
+def test_slope_aspect_matches_numpy_horn(spark):
+    """Recompute Horn's stencil cell-by-cell from the numpy grid."""
+    import math
+
+    from odc_product_docker_images_spark.operators.raster import (
+        raster_slope_aspect,
+    )
+
+    got = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in raster_slope_aspect(spark, SF).collect()
+    }
+    g = _grid(_events())
+    interior = [
+        (x, y)
+        for (x, y) in g
+        if all((x + dx, y + dy) in g for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    ]
+    assert set(got) == set(interior) and interior
+    for x, y in interior:
+        gx = (
+            (g[(x + 1, y - 1)] + 2 * g[(x + 1, y)] + g[(x + 1, y + 1)])
+            - (g[(x - 1, y - 1)] + 2 * g[(x - 1, y)] + g[(x - 1, y + 1)])
+        ) / 8.0
+        gy = (
+            (g[(x - 1, y + 1)] + 2 * g[(x, y + 1)] + g[(x + 1, y + 1)])
+            - (g[(x - 1, y - 1)] + 2 * g[(x, y - 1)] + g[(x + 1, y - 1)])
+        ) / 8.0
+        slope = math.degrees(math.atan(math.hypot(gx, gy)))
+        assert abs(got[(x, y)]["slope_deg"] - slope) < 1e-3
+        if gx or gy:
+            aspect = math.degrees(math.atan2(gy, -gx))
+            assert abs(got[(x, y)]["aspect_deg"] - aspect) < 1e-3
+
+
+def test_medoid_matches_brute_force(spark):
+    """Brute-force O(n²) medoid per cell must agree on value AND cost."""
+    from odc_product_docker_images_spark.operators.raster import (
+        agg_medoid_composite,
+    )
+
+    got = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in agg_medoid_composite(spark, SF).collect()
+    }
+    ev = _events()
+    cells = ev.assign(
+        cx=np.floor(ev.value / 25.0).astype(int),
+        cy=np.floor(ev.user_id / 15.0).astype(int),
+    )
+    assert len(got) == cells.groupby(["cx", "cy"]).ngroups
+    for (x, y), grp in cells.groupby(["cx", "cy"]):
+        v = np.sort(grp["value"].to_numpy())
+        # fixture values are exact cents: brute-force in INTEGER cents so
+        # float error can't break exact cost ties (it does: cell (0,0)
+        # has a true tie at 2342.02 that float64 breaks the wrong way)
+        c = np.rint(v * 100).astype(np.int64)
+        costs = np.abs(c[:, None] - c[None, :]).sum(axis=1)
+        best = costs.min()
+        ref_val = v[costs == best].min()
+        r = got[(x, y)]
+        assert r["n"] == len(v)
+        assert abs(r["medoid_value"] - ref_val) < 1e-12, (x, y)
+        assert abs(r["cost"] - best / 100.0) < 1e-4, (x, y)
+        # medoid is an OBSERVED value
+        assert r["medoid_value"] in v
