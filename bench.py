@@ -152,6 +152,8 @@ R6D = [
     "ml_confusion_metrics",
     "raster_slope_aspect",
     "agg_medoid_composite",
+    "agg_winsorized_mean",
+    "sample_bottomk_hash",
 ]
 
 R5 = [

@@ -50,3 +50,84 @@ def agg_percentile_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.9)), 6).alias("p90"),
         F.count(F.lit(1)).alias("n_obs"),
     )
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS r,
+                   COUNT(*) OVER (PARTITION BY event_type) AS n
+            FROM events
+        ), bounds AS (
+            SELECT event_type, value, n,
+                   CAST(FLOOR(n / 20) AS BIGINT) AS k,
+                   MAX(CASE WHEN r = CAST(FLOOR(n / 20) AS BIGINT) + 1
+                            THEN value END)
+                       OVER (PARTITION BY event_type) AS lo,
+                   MAX(CASE WHEN r = n - CAST(FLOOR(n / 20) AS BIGINT)
+                            THEN value END)
+                       OVER (PARTITION BY event_type) AS hi
+            FROM ranked
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MAX(k) AS BIGINT) AS k_clamped,
+               MAX(lo) AS lo, MAX(hi) AS hi,
+               CAST(CAST(CAST(ROUND((SUM(CAST(CAST(
+                   GREATEST(lo, LEAST(hi, value))
+               AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6))
+                   * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE)
+                   / 1000000.0 / MAX(n) AS wmean
+        FROM bounds GROUP BY event_type
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2++: 5%-winsorized mean per event type — the robust-mean
+    composite between plain mean (outlier-hostage) and median (throws
+    everything away): the k = ⌊n/20⌋ smallest values are clamped up to
+    the (k+1)-th order statistic and the k largest down to the (n−k)-th,
+    then averaged.  EXACT order statistics (row_number ranks, no
+    interpolation), so the clamp bounds are observed values and
+    cross-engine identical; k uses FLOOR under the integer cast on both
+    engines (the CAST-rounds trap).  Shape: ranks and both bounds are
+    windows over ONE event-type partitioning (bounds via conditional
+    window MAX at the two pinned ranks — no join-back branch); the
+    clamped sum rides the decimal path.  One Exchange, no join."""
+    from pyspark.sql import Window
+
+    from ..functions.det import dec_cast, exact_double
+
+    ev = load(spark, sf_dir, "events")
+    w_all = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("value", "event_id"))
+        .alias("r"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    k = F.floor(F.col("n") / 20).cast("long")
+    bounds = ranked.select(
+        "event_type",
+        "value",
+        "n",
+        k.alias("k"),
+        F.max(F.when(F.col("r") == k + 1, F.col("value"))).over(w_all).alias("lo"),
+        F.max(F.when(F.col("r") == F.col("n") - k, F.col("value")))
+        .over(w_all)
+        .alias("hi"),
+    )
+    clamped = F.greatest(F.col("lo"), F.least(F.col("hi"), F.col("value")))
+    return bounds.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.max("k").cast("long").alias("k_clamped"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+        (
+            exact_double(F.sum(dec_cast(clamped))).cast("double") / F.max("n")
+        ).alias("wmean"),
+    )

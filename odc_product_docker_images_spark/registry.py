@@ -186,7 +186,8 @@ GRADING_WINDOW = [
     #     (r6c additions, window already full),
     #     agg_ks_test, agg_anova_oneway, agg_acf, agg_circular_mean,
     #     ml_roc_curve, ml_auc_exact, ml_calibration_bins,
-    #     ml_confusion_metrics, raster_slope_aspect, agg_medoid_composite
+    #     ml_confusion_metrics, raster_slope_aspect, agg_medoid_composite,
+    #     agg_winsorized_mean, sample_bottomk_hash
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

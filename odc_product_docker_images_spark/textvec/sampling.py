@@ -130,3 +130,48 @@ def sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.withColumn("rk", F.row_number().over(wr).cast("long"))
         .where(F.col("rk") <= _K_WEIGHTED)
     )
+
+
+_BOTTOM_K = 8
+
+
+@register(
+    "sample_bottomk_hash",
+    oracle=f"""
+        WITH h AS (
+            SELECT source, doc_id,
+                   MD5(CAST(doc_id AS VARCHAR)) AS hkey
+            FROM documents
+        ), ranked AS (
+            SELECT source, doc_id, hkey,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY hkey, doc_id) AS rn
+            FROM h
+        )
+        SELECT source, doc_id, hkey, CAST(rn AS INT) AS rn
+        FROM ranked WHERE rn <= {_BOTTOM_K}
+    """,
+)
+def sample_bottomk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+: deterministic bottom-k-by-hash sampling per stratum — the
+    coordination-free, REPRODUCIBLE uniform sample every curation
+    experiment needs (same k docs per source on every run, any cluster,
+    any partitioning; adding documents only ever swaps members whose
+    hash enters the bottom k — the classic bottom-k sketch property,
+    which also makes per-stratum samples mergeable across shards).
+    MD5 of the key is the sort axis on both engines (identical hex).
+    Shape: one hash projection + per-stratum top-k window; at real scale
+    the rank pass is preceded by a cheap hash-prefix filter (hkey <
+    threshold chosen from k and the stratum-size floor) so the window
+    sees a sliver — documented, not needed at fixture sizes."""
+    dc = load(spark, sf_dir, "documents")
+    h = dc.select(
+        "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("hkey")
+    )
+    ranked = h.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("source").orderBy("hkey", "doc_id")),
+    )
+    return ranked.where(F.col("rn") <= _BOTTOM_K).select(
+        "source", "doc_id", "hkey", F.col("rn").cast("int").alias("rn")
+    )

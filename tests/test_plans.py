@@ -1897,3 +1897,31 @@ def test_medoid_is_windows_not_self_join(spark):
     assert "Join" not in plan
     assert C.exchange_count(df) <= 2
     C.assert_no_python_row_path(df)
+
+
+def test_winsorized_bounds_are_windows_not_joins(spark):
+    """Ranks, n, and both clamp bounds all ride ONE event-type window
+    partitioning; no join-back, single corpus Exchange."""
+    from odc_product_docker_images_spark.operators.percentiles import (
+        agg_winsorized_mean,
+    )
+
+    df = agg_winsorized_mean(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    assert C.exchange_count(df) <= 2
+    C.assert_no_python_row_path(df)
+
+
+def test_bottomk_hash_is_one_window_pass(spark):
+    from odc_product_docker_images_spark.textvec.sampling import (
+        sample_bottomk_hash,
+    )
+
+    df = sample_bottomk_hash(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)

@@ -295,3 +295,49 @@ def test_medoid_matches_brute_force(spark):
         assert abs(r["cost"] - best / 100.0) < 1e-4, (x, y)
         # medoid is an OBSERVED value
         assert r["medoid_value"] in v
+
+
+def test_winsorized_mean_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.percentiles import (
+        agg_winsorized_mean,
+    )
+
+    got = {r["event_type"]: r for r in agg_winsorized_mean(spark, SF).collect()}
+    ev = _events()
+    for et, grp in ev.groupby("event_type"):
+        v = np.sort(grp["value"].to_numpy())
+        n = len(v)
+        k = n // 20
+        lo, hi = v[k], v[n - k - 1]
+        ref = np.clip(v, lo, hi).mean()
+        r = got[et]
+        assert (r["n"], r["k_clamped"]) == (n, k)
+        assert (r["lo"], r["hi"]) == (lo, hi)
+        assert abs(r["wmean"] - ref) < 1e-6
+        # robustness: winsorized mean sits between median and mean's range
+        assert lo <= r["wmean"] <= hi
+
+
+def test_bottomk_hash_reproducible_and_uniform(spark):
+    import hashlib
+
+    from odc_product_docker_images_spark.textvec.sampling import (
+        sample_bottomk_hash,
+    )
+
+    rows = sample_bottomk_hash(spark, SF).collect()
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    by_src = {}
+    for _, d in docs.iterrows():
+        h = hashlib.md5(str(d.doc_id).encode()).hexdigest()
+        by_src.setdefault(d.source, []).append((h, d.doc_id))
+    expect = {
+        (src, did)
+        for src, lst in by_src.items()
+        for _, did in sorted(lst)[:8]
+    }
+    got = {(r["source"], r["doc_id"]) for r in rows}
+    assert got == expect
+    assert all(1 <= r["rn"] <= 8 for r in rows)
+    # every stratum filled
+    assert len({r["source"] for r in rows}) == len(by_src)
