@@ -154,6 +154,8 @@ R6D = [
     "agg_medoid_composite",
     "agg_winsorized_mean",
     "sample_bottomk_hash",
+    "graph_hits_step",
+    "text_readability",
 ]
 
 R5 = [

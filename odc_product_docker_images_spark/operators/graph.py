@@ -555,3 +555,88 @@ def graph_bfs_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d1.select("node", F.lit(1).alias("depth")))
         .unionByName(d2.select("node", F.lit(2).alias("depth")))
     )
+
+
+@register(
+    "graph_hits_step",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), indeg AS (
+            SELECT dst AS id, CAST(COUNT(*) AS BIGINT) AS araw
+            FROM edges GROUP BY dst
+        ), na AS (
+            SELECT {sql_dround("SQRT(CAST(SUM(araw * araw) AS DOUBLE))")} AS norm_a
+            FROM indeg
+        ), auth AS (
+            SELECT id, {sql_dround("araw / norm_a")} AS auth
+            FROM indeg CROSS JOIN na
+        ), hubraw AS (
+            SELECT e.src AS id,
+                   {sql_exact_double("SUM(" + sql_dec_cast("a.auth") + ")")} AS hraw
+            FROM edges e JOIN auth a ON e.dst = a.id
+            GROUP BY e.src
+        ), nh AS (
+            SELECT {sql_dround(
+                "SQRT(" + sql_exact_double("SUM(" + sql_dec_cast("hraw * hraw") + ")") + ")"
+            )} AS norm_h
+            FROM hubraw
+        ), hub AS (
+            SELECT id, {sql_dround("hraw / norm_h")} AS hub
+            FROM hubraw CROSS JOIN nh
+        )
+        SELECT COALESCE(a.id, h.id) AS node_id,
+               COALESCE(a.auth, CAST(0.0 AS DOUBLE)) AS auth,
+               COALESCE(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+        FROM auth a FULL OUTER JOIN hub h ON a.id = h.id
+    """,
+)
+def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One HITS (hubs-and-authorities) iteration on the supplier→part
+    bipartite graph from uniform hub init — the link-analysis companion
+    to ``graph_pagerank_step`` (same verify-the-step/induct-on-the-loop
+    thesis; ⟨pub⟩ Kleinberg 1999).  Authority update from h≡1 is the
+    in-degree, L2-normalized; the hub update propagates those normalized
+    authorities back across the edge join and L2-normalizes again.
+
+    Shape: two linear shuffles (in-degree agg; src regroup after an
+    equi-join against the broadcastable authority table) — never
+    adjacency-matrix materialization.  Each L2 norm is a 1-row aggregate
+    of the SMALL per-node table cross-joined back (the pagerank-step
+    convention).  Determinism: in-degrees are exact ints, both norms and
+    every score round 6 dp, score sums ride the decimal path."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + _DST_OFF).alias("dst"),
+    ).distinct()
+    indeg = edges.groupBy(F.col("dst").alias("id")).agg(
+        F.count(F.lit(1)).cast("long").alias("araw")
+    )
+    na = indeg.agg(
+        dround(F.sqrt(F.sum(F.col("araw") * F.col("araw")).cast("double"))).alias(
+            "norm_a"
+        )
+    )
+    auth = indeg.crossJoin(F.broadcast(na)).select(
+        "id", dround(F.col("araw") / F.col("norm_a")).alias("auth")
+    )
+    hubraw = (
+        edges.join(auth, edges.dst == auth.id)
+        .groupBy(F.col("src").alias("hid"))
+        .agg(exact_double(F.sum(dec_cast("auth"))).alias("hraw"))
+    )
+    nh = hubraw.agg(
+        dround(
+            F.sqrt(exact_double(F.sum(dec_cast(F.col("hraw") * F.col("hraw")))))
+        ).alias("norm_h")
+    )
+    hub = hubraw.crossJoin(F.broadcast(nh)).select(
+        "hid", dround(F.col("hraw") / F.col("norm_h")).alias("hub")
+    )
+    return auth.join(hub, auth.id == hub.hid, "full_outer").select(
+        F.coalesce(F.col("id"), F.col("hid")).alias("node_id"),
+        F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+    )

@@ -741,3 +741,68 @@ def text_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.alias("n_stop_hits"),
         passes.alias("passes_gopher"),
     )
+
+
+@register(
+    "text_readability",
+    oracle="""
+        WITH counts AS (
+            SELECT doc_id,
+                   LEN(LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> ''))
+                       AS n_words,
+                   GREATEST(1, LEN(REGEXP_REPLACE(text, '[^.!?]', '', 'g')))
+                       AS n_sentences,
+                   GREATEST(1, LEN(LIST_FILTER(
+                       REGEXP_SPLIT_TO_ARRAY(LOWER(text), '[^aeiouy]+'),
+                       x -> x <> ''))) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences) - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(206.835 AS DOUBLE) - CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences) - CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS flesch,
+               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences) + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words) - CAST(15.59 AS DOUBLE))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(0.39 AS DOUBLE) * (CAST(n_words AS DOUBLE) / n_sentences) + CAST(11.8 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / n_words) - CAST(15.59 AS DOUBLE)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS fk_grade
+        FROM counts
+        WHERE n_words > 0
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability features of a quality-filter stack (vocabulary
+    metrics live in text_quality/text_quality_gopher; this adds the
+    sentence/syllable axis).  Syllables use the standard vowel-group
+    proxy (maximal [aeiouy]+ runs); sentence count is terminal-punct
+    chars with a floor of 1 (the synthetic corpus has none — the words
+    and syllable terms still fully exercise the formulas; real corpora
+    light up the sentence term).  Pure map pass, zero shuffle; every
+    count is an exact integer, the formulas are fixed IEEE chains on
+    CAST-to-double literals (bare-literal DECIMAL trap), rounded 6 dp."""
+    dc = load(spark, sf_dir, "documents")
+    words = F.size(F.filter(F.split("text", " "), lambda x: x != ""))
+    sents = F.greatest(
+        F.lit(1), F.length(F.regexp_replace("text", r"[^.!?]", ""))
+    )
+    syll = F.greatest(
+        F.lit(1),
+        F.size(F.filter(F.split(F.lower("text"), "[^aeiouy]+"), lambda x: x != "")),
+    )
+    counts = dc.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+    ).where(F.col("n_words") > 0)
+    wps = F.col("n_words").cast("double") / F.col("n_sentences")
+    spw = F.col("n_syllables").cast("double") / F.col("n_words")
+    return counts.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_sentences").cast("long").alias("n_sentences"),
+        F.col("n_syllables").cast("long").alias("n_syllables"),
+        dround(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw
+        ).alias("flesch"),
+        dround(F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59)).alias(
+            "fk_grade"
+        ),
+    )

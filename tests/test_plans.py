@@ -1925,3 +1925,30 @@ def test_bottomk_hash_is_one_window_pass(spark):
     assert "Join" not in plan
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_hits_step_is_two_linear_shuffles(spark):
+    """Authority agg + hub regroup over an equi-join against the
+    broadcast authority table — no cartesian beyond the 1-row norm
+    cross-joins, no adjacency materialization."""
+    from odc_product_docker_images_spark.operators.graph import graph_hits_step
+
+    df = graph_hits_step(spark, SF)
+    plan = C.formatted_plan(df)
+    # the only cartesians are the two 1-row L2-norm broadcasts
+    assert plan.count("CartesianProduct") == 0
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row norm cross joins
+    C.assert_no_python_row_path(df)
+
+
+def test_readability_is_pure_map(spark):
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_readability,
+    )
+
+    df = text_readability(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert C.exchange_count(df) == 0
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

@@ -341,3 +341,65 @@ def test_bottomk_hash_reproducible_and_uniform(spark):
     assert all(1 <= r["rn"] <= 8 for r in rows)
     # every stratum filled
     assert len({r["source"] for r in rows}) == len(by_src)
+
+
+def test_hits_step_matches_numpy_power_iteration(spark):
+    """One HITS step recomputed densely with numpy over the edge list."""
+    from odc_product_docker_images_spark.operators.graph import graph_hits_step
+
+    got = {r["node_id"]: r for r in graph_hits_step(spark, SF).collect()}
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = {(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)}
+    indeg = {}
+    for _, d in edges:
+        indeg[d] = indeg.get(d, 0) + 1
+    norm_a = round(np.sqrt(sum(v * v for v in indeg.values())), 6)
+    auth = {d: round(v / norm_a, 6) for d, v in indeg.items()}
+    hub_raw = {}
+    for s, d in edges:
+        hub_raw[s] = round(hub_raw.get(s, 0.0) + auth[d], 10)
+    norm_h = round(np.sqrt(sum(round(v * v, 10) for v in hub_raw.values())), 6)
+    hub = {s: round(v / norm_h, 6) for s, v in hub_raw.items()}
+    assert set(got) == set(auth) | set(hub)
+    for nid, r in got.items():
+        assert abs(r["auth"] - auth.get(nid, 0.0)) < 1e-9
+        assert abs(r["hub"] - hub.get(nid, 0.0)) < 1e-5
+    # L2 norms ≈ 1 after one step
+    assert abs(sum(r["auth"] ** 2 for r in got.values()) - 1.0) < 1e-3
+    assert abs(sum(r["hub"] ** 2 for r in got.values()) - 1.0) < 1e-3
+
+
+def test_readability_formulas_on_synthetic_text(spark):
+    """Pin sentence/syllable parsing on controlled text with punctuation
+    (the fixture corpus has none)."""
+    from pyspark.sql import functions as F
+
+    import odc_product_docker_images_spark.textvec.text_analysis as ta
+
+    sdf = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! Did it work?"),
+            (2, "supercalifragilistic expialidocious"),
+        ],
+        ["doc_id", "text"],
+    )
+    orig = ta.load
+    ta.load = lambda sp, d, t: sdf
+    try:
+        rows = {r["doc_id"]: r for r in ta.text_readability(spark, SF).collect()}
+    finally:
+        ta.load = orig
+    r1 = rows[1]
+    assert r1["n_words"] == 9 and r1["n_sentences"] == 3
+    # vowel groups: e/a/a/e/o/a/i/i/o → 9
+    assert r1["n_syllables"] == 9
+    wps, spw = 9 / 3, 9 / 9
+    assert abs(r1["flesch"] - (206.835 - 1.015 * wps - 84.6 * spw)) < 1e-6
+    assert abs(r1["fk_grade"] - (0.39 * wps + 11.8 * spw - 15.59)) < 1e-6
+    r2 = rows[2]
+    assert r2["n_sentences"] == 1  # floor applies with no punctuation
+    assert r2["n_words"] == 2
+    # long-word doc reads harder: lower flesch, higher grade than doc 1
+    assert r2["flesch"] < r1["flesch"] and r2["fk_grade"] > r1["fk_grade"]
