@@ -156,6 +156,8 @@ R6D = [
     "sample_bottomk_hash",
     "graph_hits_step",
     "text_readability",
+    "geo_idw_interpolate",
+    "agg_ljung_box",
 ]
 
 R5 = [

@@ -25,6 +25,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.det import (
+    dec_cast,
+    dround,
+    exact_double,
+    sql_dec_cast,
+    sql_dround,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -365,4 +373,137 @@ def geo_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         "n_neighbors",
         (F.col("n_neighbors") >= _DBSCAN_MIN_PTS).cast("int").alias("is_core"),
+    )
+
+
+_IDW_CELL = 10.0  # degrees; 10-deg of lon >= 556 km at |lat|<=60 >= radius
+_IDW_RADIUS_KM = 500.0
+
+
+@register(
+    "geo_idw_interpolate",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(c_custkey AS BIGINT) AS cid,
+                   {_ll_sql('c_custkey')[0]} AS clat,
+                   {_ll_sql('c_custkey')[1]} AS clon
+            FROM customer
+        ), s AS (
+            SELECT s_acctbal AS v,
+                   {_ll_sql('s_suppkey')[0]} AS slat,
+                   {_ll_sql('s_suppkey')[1]} AS slon
+            FROM supplier
+        ), pairs AS (
+            SELECT cid, v,
+                   ROUND(2.0 * {_EARTH_KM!r} * ASIN(SQRT(
+                       SIN(RADIANS(slat - clat) / 2.0)
+                         * SIN(RADIANS(slat - clat) / 2.0)
+                       + COS(RADIANS(clat)) * COS(RADIANS(slat))
+                         * SIN(RADIANS(slon - clon) / 2.0)
+                         * SIN(RADIANS(slon - clon) / 2.0))), 6) AS d
+            FROM c CROSS JOIN s
+        ), wgt AS (
+            SELECT cid, v, d,
+                   CASE WHEN d > 0.0
+                        THEN CAST(1000000.0 AS DOUBLE) / (d * d) END AS w
+            FROM pairs WHERE d <= {_IDW_RADIUS_KM!r}
+        )
+        SELECT cid,
+               CAST(COUNT(*) AS BIGINT) AS n_stations,
+               CASE WHEN MAX(CAST(d = 0.0 AS INTEGER)) = 1
+                    THEN MIN(CASE WHEN d = 0.0 THEN v END)
+                    ELSE {sql_dround(
+                        "(" + sql_exact_double("SUM(" + sql_dec_cast("w * v") + ")")
+                        + ") / ("
+                        + sql_exact_double("SUM(" + sql_dec_cast("w") + ")") + ")"
+                    )} END AS idw_value
+        FROM wgt GROUP BY cid
+    """,
+)
+def geo_idw_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-distance-weighted interpolation — estimate the supplier
+    field (acctbal) at every customer location from stations within
+    {_IDW_RADIUS_KM} km: the gap-filling step of station-based EO
+    ancillary layers (rain gauges, AOT, surface pressure).
+    v̂(t) = Σ wᵢvᵢ / Σ wᵢ with w = 1/d²; a COINCIDENT station (d = 0)
+    short-circuits to its exact value (the standard IDW singularity
+    rule; ties take the smallest value).
+
+    Same exact cell blocking as ``join_haversine_radius`` scaled up:
+    10° cells keep one cell ≥ 556 km ≥ R at |lat| ≤ 60, so 3×3
+    adjacency is exhaustive — the brute-force oracle is the proof.
+    Distances round 6 dp before the radius cut and the weights, both
+    weighted sums ride the decimal path, the ratio rounds 6 dp.
+    Shuffle is points + 9× stations on near-uniform cell keys; the
+    interpolate is one hash agg per target."""
+    clat, clon = _ll("c_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").cast("long").alias("cid"),
+        clat.alias("clat"),
+        clon.alias("clon"),
+        F.floor(clon / _IDW_CELL).cast("long").alias("cx"),
+        F.floor(clat / _IDW_CELL).cast("long").alias("cy"),
+    )
+    slat, slon = _ll("s_suppkey")
+    s = load(spark, sf_dir, "supplier").select(
+        F.col("s_acctbal").alias("v"),
+        slat.alias("slat"),
+        slon.alias("slon"),
+        F.floor(slon / _IDW_CELL).cast("long").alias("sx"),
+        F.floor(slat / _IDW_CELL).cast("long").alias("sy"),
+    )
+    s9 = (
+        s.select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dx"))
+        .select("*", F.explode(F.array(F.lit(-1), F.lit(0), F.lit(1))).alias("dy"))
+        .select(
+            "v", "slat", "slon",
+            (F.col("sx") + F.col("dx")).alias("cx"),
+            (F.col("sy") + F.col("dy")).alias("cy"),
+        )
+    )
+    half_dlat = F.radians(F.col("slat") - F.col("clat")) / 2.0
+    half_dlon = F.radians(F.col("slon") - F.col("clon")) / 2.0
+    d = F.round(
+        F.lit(2.0)
+        * _EARTH_KM
+        * F.asin(
+            F.sqrt(
+                F.sin(half_dlat) * F.sin(half_dlat)
+                + F.cos(F.radians("clat"))
+                * F.cos(F.radians("slat"))
+                * F.sin(half_dlon)
+                * F.sin(half_dlon)
+            )
+        ),
+        6,
+    )
+    wgt = (
+        c.join(F.broadcast(s9), ["cx", "cy"])
+        .select("cid", "v", d.alias("d"))
+        .where(F.col("d") <= _IDW_RADIUS_KM)
+        .select(
+            "cid",
+            "v",
+            "d",
+            # scaled 1e6/d^2 (scale cancels in the ratio): keeps the
+            # 6 dp-rounded decimal sums at ~7 significant digits even for
+            # far stations instead of collapsing 1/d^2 ~ 4e-6 onto the grid
+            F.when(
+                F.col("d") > 0.0, F.lit(1000000.0) / (F.col("d") * F.col("d"))
+            ).alias("w"),
+        )
+    )
+    return wgt.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_stations"),
+        F.when(
+            F.max((F.col("d") == 0.0).cast("int")) == 1,
+            F.min(F.when(F.col("d") == 0.0, F.col("v"))),
+        )
+        .otherwise(
+            dround(
+                exact_double(F.sum(dec_cast(F.col("w") * F.col("v"))))
+                / exact_double(F.sum(dec_cast("w")))
+            )
+        )
+        .alias("idw_value"),
     )

@@ -419,3 +419,130 @@ def agg_circular_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("r_len"),
     )
+
+
+@register(
+    "agg_ljung_box",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), stats AS (
+            SELECT d, x,
+                   CAST(SUM(x) OVER () AS DOUBLE)
+                       / CAST(COUNT(*) OVER () AS DOUBLE) AS mu,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+                   LEAD(x, 3) OVER w AS x3, LEAD(x, 4) OVER w AS x4,
+                   LEAD(x, 5) OVER w AS x5, LEAD(x, 6) OVER w AS x6,
+                   LEAD(x, 7) OVER w AS x7
+            FROM series
+            WINDOW w AS (ORDER BY d)
+        ), dev AS (
+            SELECT n, mu, x - mu AS dv,
+                   {sql_exact_double(
+                       "SUM("
+                       + sql_dec_cast("(x - mu) * (x - mu)")
+                       + ") OVER ()"
+                   )} AS den,
+                   x1, x2, x3, x4, x5, x6, x7
+            FROM stats
+        ), pairs AS (
+            SELECT lag, n,
+                   CASE lag WHEN 1 THEN x1 WHEN 2 THEN x2 WHEN 3 THEN x3
+                            WHEN 4 THEN x4 WHEN 5 THEN x5 WHEN 6 THEN x6
+                            ELSE x7 END AS xk,
+                   dv, den, mu
+            FROM dev CROSS JOIN UNNEST(RANGE(1, {_ACF_MAX_LAG} + 1)) AS t(lag)
+        ), rho AS (
+            SELECT lag, MAX(n) AS n,
+                   {sql_dround(
+                       "("
+                       + sql_exact_double(
+                           "SUM(" + sql_dec_cast("dv * (xk - mu)") + ")"
+                       )
+                       + ") / MAX(den)"
+                   )} AS r_k
+            FROM pairs GROUP BY lag
+        ), terms AS (
+            SELECT n, {sql_dround("r_k * r_k / (n - lag)")} AS term
+            FROM rho
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_obs,
+               CAST({_ACF_MAX_LAG} AS INT) AS max_lag,
+               {sql_dround(
+                   "MAX(n) * (MAX(n) + 2) * ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("term") + ")")
+                   + ")"
+               )} AS q_stat
+        FROM terms
+    """,
+)
+def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27+: Ljung-Box portmanteau statistic Q = n(n+2)·Σ ρ̂ₖ²/(n−k)
+    over lags 1-{_ACF_MAX_LAG} of the daily event-count series — the
+    joint is-this-white-noise test that consumes ``agg_acf``'s
+    autocorrelations (readers compare Q to χ²_K).  Identical single-scan
+    lead-window scaffold as the ACF key; the portmanteau reduction adds
+    one tiny aggregate over the 7-row lag table.  Determinism: ρ̂ₖ
+    round 6 dp exactly as in agg_acf, each χ² term rounds 6 dp, the
+    final scaled sum rounds 6 dp; n is an exact integer."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    word = Window.partitionBy(F.lit(0)).orderBy("d")
+    stats = series.select(
+        "d",
+        "x",
+        (F.sum("x").over(wall).cast("double") / F.count(F.lit(1)).over(wall)).alias(
+            "mu"
+        ),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        *[F.lead("x", k).over(word).alias(f"x{k}") for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    dv = F.col("x") - F.col("mu")
+    dev = stats.select(
+        "n",
+        "mu",
+        dv.alias("dv"),
+        exact_double(F.sum(dec_cast(dv * dv)).over(wall)).alias("den"),
+        *[f"x{k}" for k in range(1, _ACF_MAX_LAG + 1)],
+    )
+    pairs = dev.select(
+        "n",
+        "dv",
+        "den",
+        "mu",
+        F.posexplode(F.array(*[f"x{k}" for k in range(1, _ACF_MAX_LAG + 1)])).alias(
+            "pos", "xk"
+        ),
+    )
+    rho = (
+        pairs.withColumn("lag", (F.col("pos") + 1).cast("int"))
+        .groupBy("lag")
+        .agg(
+            F.max("n").alias("n"),
+            dround(
+                exact_double(F.sum(dec_cast(F.col("dv") * (F.col("xk") - F.col("mu")))))
+                / F.max("den")
+            ).alias("r_k"),
+        )
+    )
+    terms = rho.select(
+        "n",
+        dround(F.col("r_k") * F.col("r_k") / (F.col("n") - F.col("lag"))).alias(
+            "term"
+        ),
+    )
+    return terms.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        F.lit(_ACF_MAX_LAG).cast("int").alias("max_lag"),
+        dround(
+            F.max("n") * (F.max("n") + 2) * exact_double(F.sum(dec_cast("term")))
+        ).alias("q_stat"),
+    )

@@ -1952,3 +1952,31 @@ def test_readability_is_pure_map(spark):
     assert C.exchange_count(df) == 0
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_idw_is_blocked_broadcast_never_cartesian(spark):
+    """Candidates meet on the 10°-cell equi-join (stations broadcast 9×);
+    the interpolate is one hash agg per target."""
+    from odc_product_docker_images_spark.operators.joins_spatial import (
+        geo_idw_interpolate,
+    )
+
+    df = geo_idw_interpolate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_ljung_box_reuses_acf_scaffold(spark):
+    """Same one-scan lead-window scaffold as agg_acf; the portmanteau
+    reduction is a tiny extra aggregate — still no self-join."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_ljung_box,
+    )
+
+    df = agg_ljung_box(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

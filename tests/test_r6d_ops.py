@@ -403,3 +403,78 @@ def test_readability_formulas_on_synthetic_text(spark):
     assert r2["n_words"] == 2
     # long-word doc reads harder: lower flesch, higher grade than doc 1
     assert r2["flesch"] < r1["flesch"] and r2["fk_grade"] > r1["fk_grade"]
+
+
+def test_idw_matches_brute_force_numpy(spark):
+    """Brute-force all-pairs haversine IDW over the synthesized coords."""
+    from odc_product_docker_images_spark.operators.joins_spatial import (
+        geo_idw_interpolate,
+    )
+
+    got = {r["cid"]: r for r in geo_idw_interpolate(spark, SF).collect()}
+    cust = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    supp = pq.read_table(f"{SF}/supplier.parquet").to_pandas()
+
+    def ll(k):
+        return (
+            (k * 2654435761 % 120000) / 1000.0 - 60.0,
+            (k * 40503 % 340000) / 1000.0 - 170.0,
+        )
+
+    slatlon = [(ll(int(s.s_suppkey)), float(s.s_acctbal)) for _, s in supp.iterrows()]
+    n_hit = 0
+    for _, c in cust.iterrows():
+        clat, clon = ll(int(c.c_custkey))
+        num = den = 0.0
+        n = 0
+        exact = None
+        for (slat, slon), v in slatlon:
+            dlat = np.radians(slat - clat) / 2
+            dlon = np.radians(slon - clon) / 2
+            d = round(
+                2
+                * 6371.0
+                * np.arcsin(
+                    np.sqrt(
+                        np.sin(dlat) ** 2
+                        + np.cos(np.radians(clat))
+                        * np.cos(np.radians(slat))
+                        * np.sin(dlon) ** 2
+                    )
+                ),
+                6,
+            )
+            if d <= 500.0:
+                n += 1
+                if d == 0.0:
+                    exact = v if exact is None else min(exact, v)
+                else:
+                    w = 1e6 / (d * d)
+                    num += w * v
+                    den += w
+        if n == 0:
+            assert int(c.c_custkey) not in got
+            continue
+        r = got[int(c.c_custkey)]
+        assert r["n_stations"] == n
+        ref = exact if exact is not None else num / den
+        # 6 dp-rounded decimal sums vs raw float sums: ~1e-7 relative
+        assert abs(r["idw_value"] - ref) < max(1e-6, 3e-7 * abs(ref)), c.c_custkey
+        n_hit += 1
+    assert n_hit == len(got) > 300
+
+
+def test_ljung_box_consumes_acf_exactly(spark):
+    """Q recomputed from the ACF key's own outputs (composition pin)."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_acf,
+        agg_ljung_box,
+    )
+
+    row = agg_ljung_box(spark, SF).collect()[0]
+    acf = {r["lag"]: r["acf"] for r in agg_acf(spark, SF).collect()}
+    n = row["n_obs"]
+    q = n * (n + 2) * sum(round(acf[k] ** 2 / (n - k), 6) for k in range(1, 8))
+    assert abs(row["q_stat"] - q) < 1e-4
+    assert row["max_lag"] == 7
+    assert row["q_stat"] > 0
