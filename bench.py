@@ -158,6 +158,7 @@ R6D = [
     "text_readability",
     "geo_idw_interpolate",
     "agg_ljung_box",
+    "ml_isotonic_pava",
 ]
 
 R5 = [

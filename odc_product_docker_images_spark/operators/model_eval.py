@@ -316,3 +316,55 @@ def ml_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(a_cnt > 0, tp.cast("double") / a_cnt).alias("recall_"),
         ((F.lit(2.0) * tp) / (a_cnt + p_cnt)).alias("f1"),
     )
+
+
+@register(
+    "ml_isotonic_pava",
+    doc="rows-only: iterative pooling — numpy/pure-Python pytest oracles",
+)
+def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5: isotonic-regression calibration fit via PAVA (pool adjacent
+    violators) — the nonparametric upgrade of ``ml_calibration_bins``:
+    fit a monotone nondecreasing map score→P(pos) with no bin-width
+    choice.  Fit independently per cross-validation fold (vec_id mod 4)
+    — the production shape: folds partition the corpus, each fold's fit
+    is sequential-in-rank but fold-local, so ``applyInPandas`` gets one
+    Arrow batch per fold and nothing touches the driver.  PAVA is
+    iterative pooling (not SQL-expressible) → rows-only driver check;
+    the pytest oracle re-fits with an independent pure-Python stack
+    implementation and asserts the monotone/pool-mean/interleaving
+    properties.  Output: one row per example with its fitted calibrated
+    probability."""
+    import pandas as pd  # local: Arrow-path only
+
+    emb = load(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        (F.col("vec_id") % 4).cast("long").alias("fold"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.element_at("embedding", 1).cast("double").alias("score"),
+        (F.col("label") < 5).cast("double").alias("y"),
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["score", "vec_id"]).reset_index(drop=True)
+        y = pdf["y"].to_numpy(dtype="float64")
+        # PAVA with stack of (level, weight) blocks
+        levels: list[float] = []
+        weights: list[float] = []
+        counts: list[int] = []
+        for val in y:
+            levels.append(float(val)); weights.append(1.0); counts.append(1)
+            while len(levels) > 1 and levels[-2] > levels[-1]:
+                w = weights[-2] + weights[-1]
+                lv = (levels[-2] * weights[-2] + levels[-1] * weights[-1]) / w
+                levels[-2:] = [lv]; weights[-2:] = [w]
+                counts[-2:] = [counts[-2] + counts[-1]]
+            # float64 block means are exact rationals (y ∈ {0,1}) up to
+            # IEEE division; deterministic single-threaded fold order
+        fitted = [lv for lv, c in zip(levels, counts) for _ in range(c)]
+        pdf["fitted"] = fitted
+        return pdf[["fold", "vec_id", "score", "y", "fitted"]]
+
+    return pts.groupBy("fold").applyInPandas(
+        fit, schema="fold long, vec_id long, score double, y double, fitted double"
+    )

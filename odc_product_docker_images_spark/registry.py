@@ -205,7 +205,7 @@ GRADING_WINDOW = [
     #     table_vacuum, udf_arrow_map, window_despike
     #   rows-only (weaker driver check; pytest oracles cover them):
     #     agg_geomedian_mads, multimodal_jpeg_decode, text_bpe_tokens,
-    #     text_heavy_hitters
+    #     text_heavy_hitters, ml_isotonic_pava (r6d)
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
     #   (+ any keys added after this comment — check COVERAGE.md vs

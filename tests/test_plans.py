@@ -1980,3 +1980,16 @@ def test_ljung_box_reuses_acf_scaffold(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_isotonic_pava_is_fold_local_arrow(spark):
+    """One fold shuffle into applyInPandas (Arrow), nothing driver-side."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_isotonic_pava,
+    )
+
+    df = ml_isotonic_pava(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert C.scan_count(df) == 1
+    assert "BatchEvalPython" not in plan

@@ -478,3 +478,53 @@ def test_ljung_box_consumes_acf_exactly(spark):
     assert abs(row["q_stat"] - q) < 1e-4
     assert row["max_lag"] == 7
     assert row["q_stat"] > 0
+
+
+def _pava_full_scan(y):
+    """Independent PAVA: repeated FULL-SCAN pooling until no violator
+    (O(n²) but algorithmically distinct from the operator's stack)."""
+    blocks = [[float(v), 1.0] for v in y]
+    changed = True
+    while changed:
+        changed = False
+        out = []
+        for b in blocks:
+            if out and out[-1][0] > b[0] + 1e-15:
+                w = out[-1][1] + b[1]
+                out[-1] = [(out[-1][0] * out[-1][1] + b[0] * b[1]) / w, w]
+                changed = True
+            else:
+                out.append(list(b))
+        blocks = out
+    fitted = []
+    for lv, w in blocks:
+        fitted.extend([lv] * int(round(w)))
+    return fitted
+
+
+def test_isotonic_pava_matches_independent_implementation(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_isotonic_pava,
+    )
+
+    rows = ml_isotonic_pava(spark, SF).collect()
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    emb["score"] = [v[0] for v in emb.embedding]
+    emb["y"] = (emb.label < 5).astype(float)
+    emb["fold"] = emb.vec_id % 4
+    got = {}
+    for r in rows:
+        got[r["vec_id"]] = r
+    assert len(got) == len(emb)
+    for fold, grp in emb.groupby("fold"):
+        grp = grp.sort_values(["score", "vec_id"])
+        ref = _pava_full_scan(grp["y"].to_numpy())
+        ids = grp["vec_id"].tolist()
+        fit = [got[i]["fitted"] for i in ids]
+        assert np.allclose(fit, ref, atol=1e-12), fold
+        # monotone nondecreasing along score order
+        assert all(a <= b + 1e-12 for a, b in zip(fit, fit[1:]))
+        # pooled means preserve the overall positive rate
+        assert abs(np.mean(fit) - grp["y"].mean()) < 1e-12
+        # fitted values are valid probabilities
+        assert min(fit) >= 0.0 and max(fit) <= 1.0
