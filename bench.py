@@ -159,6 +159,8 @@ R6D = [
     "geo_idw_interpolate",
     "agg_ljung_box",
     "ml_isotonic_pava",
+    "raster_flow_direction",
+    "raster_hillshade",
 ]
 
 R5 = [

@@ -483,3 +483,213 @@ def agg_medoid_composite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("min_cost").alias("cost"),
         )
     )
+
+
+# D8 neighbor codes: 0=E 1=SE 2=S 3=SW 4=W 5=NW 6=N 7=NE (x east, y north)
+_SQRT2 = 1.4142135623730951
+
+
+@register(
+    "raster_flow_direction",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        scatter AS (
+            SELECT r.cell_x + dx.o AS tx, r.cell_y + dy.o AS ty, r.v,
+                   -dx.o AS rx, -dy.o AS ry,
+                   CASE WHEN dx.o = 0 AND dy.o = 0 THEN 1 ELSE 0 END AS self
+            FROM raster r
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+        ), centered AS (
+            SELECT tx, ty, v, rx, ry, self,
+                   MAX(CASE WHEN self = 1 THEN v END)
+                       OVER (PARTITION BY tx, ty) AS v0,
+                   COUNT(*) OVER (PARTITION BY tx, ty) AS support
+            FROM scatter
+        ), drops AS (
+            SELECT tx, ty, support,
+                   CASE WHEN rx = 1 AND ry = 0 THEN 0
+                        WHEN rx = 1 AND ry = -1 THEN 1
+                        WHEN rx = 0 AND ry = -1 THEN 2
+                        WHEN rx = -1 AND ry = -1 THEN 3
+                        WHEN rx = -1 AND ry = 0 THEN 4
+                        WHEN rx = -1 AND ry = 1 THEN 5
+                        WHEN rx = 0 AND ry = 1 THEN 6
+                        ELSE 7 END AS code,
+                   {sql_dround(
+                       "(v0 - v) / CASE WHEN rx * ry = 0"
+                       f" THEN CAST(1.0 AS DOUBLE)"
+                       f" ELSE CAST({_SQRT2!r} AS DOUBLE) END"
+                   )} AS drop
+            FROM centered WHERE self = 0 AND v0 IS NOT NULL
+        ), ranked AS (
+            SELECT tx, ty, support, code, drop,
+                   ROW_NUMBER() OVER (PARTITION BY tx, ty
+                                      ORDER BY drop DESC, code ASC) AS rn
+            FROM drops
+        )
+        SELECT tx AS cell_x, ty AS cell_y,
+               CASE WHEN drop > 0.0 THEN code ELSE -1 END AS dir_code,
+               CASE WHEN drop > 0.0 THEN drop
+                    ELSE CAST(0.0 AS DOUBLE) END AS max_drop
+        FROM ranked WHERE rn = 1 AND support = 9
+    """,
+)
+def raster_flow_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction over the binned composite — each interior cell
+    points at its steepest-descent neighbor (drop/distance, diagonals
+    pay √2), the first derivative of every hydrology product (flow
+    accumulation, watershed delineation).  Pits/flats (no positive
+    drop) code −1, the standard sink convention.
+
+    Same scatter shape as the focal/Horn keys, but the comparison
+    against the CENTER value rides a conditional window MAX over the
+    target partitioning (v0 = the self-contribution), so drops, the
+    argmax (row_number over drop DESC with the code tie-break), and the
+    support gate all share ONE (tx, ty) clustering — scatter Exchange,
+    windows, filter; no join-back, no second scan.  Drops round 6 dp
+    before ranking so the winner can't flip on a cross-engine ulp."""
+    r = _raster(spark, sf_dir)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    scattered = (
+        r.select("v", "cell_x", "cell_y", F.explode(off).alias("dx"))
+        .select("v", "cell_x", "cell_y", "dx", F.explode(off).alias("dy"))
+        .select(
+            (F.col("cell_x") + F.col("dx")).alias("tx"),
+            (F.col("cell_y") + F.col("dy")).alias("ty"),
+            "v",
+            (-F.col("dx")).alias("rx"),
+            (-F.col("dy")).alias("ry"),
+            ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("int").alias("self"),
+        )
+    )
+    w_t = Window.partitionBy("tx", "ty")
+    centered = scattered.select(
+        "tx",
+        "ty",
+        "v",
+        "rx",
+        "ry",
+        "self",
+        F.max(F.when(F.col("self") == 1, F.col("v"))).over(w_t).alias("v0"),
+        F.count(F.lit(1)).over(w_t).alias("support"),
+    )
+    code = (
+        F.when((F.col("rx") == 1) & (F.col("ry") == 0), 0)
+        .when((F.col("rx") == 1) & (F.col("ry") == -1), 1)
+        .when((F.col("rx") == 0) & (F.col("ry") == -1), 2)
+        .when((F.col("rx") == -1) & (F.col("ry") == -1), 3)
+        .when((F.col("rx") == -1) & (F.col("ry") == 0), 4)
+        .when((F.col("rx") == -1) & (F.col("ry") == 1), 5)
+        .when((F.col("rx") == 0) & (F.col("ry") == 1), 6)
+        .otherwise(7)
+    )
+    dist = F.when(F.col("rx") * F.col("ry") == 0, F.lit(1.0)).otherwise(
+        F.lit(_SQRT2)
+    )
+    drops = centered.where(
+        (F.col("self") == 0) & F.col("v0").isNotNull()
+    ).select(
+        "tx",
+        "ty",
+        "support",
+        code.alias("code"),
+        dround((F.col("v0") - F.col("v")) / dist).alias("drop"),
+    )
+    ranked = drops.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("tx", "ty").orderBy(
+                F.col("drop").desc(), F.col("code").asc()
+            )
+        ),
+    )
+    return ranked.where((F.col("rn") == 1) & (F.col("support") == 9)).select(
+        F.col("tx").alias("cell_x"),
+        F.col("ty").alias("cell_y"),
+        F.when(F.col("drop") > 0.0, F.col("code")).otherwise(F.lit(-1)).alias(
+            "dir_code"
+        ),
+        F.when(F.col("drop") > 0.0, F.col("drop"))
+        .otherwise(F.lit(0.0))
+        .alias("max_drop"),
+    )
+
+
+_HS_ZENITH = 0.7853981633974483  # 45° sun altitude
+_HS_AZIMUTH = 5.497787143782138  # 315° (NW sun), radians
+
+
+@register(
+    "raster_hillshade",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        scatter AS (
+            SELECT r.cell_x + dx.o AS tx, r.cell_y + dy.o AS ty, r.v,
+                   (-dx.o) * (2 - ABS(dy.o)) AS wx,
+                   (-dy.o) * (2 - ABS(dx.o)) AS wy
+            FROM raster r
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+        ), grads AS (
+            SELECT tx AS cell_x, ty AS cell_y,
+                   {sql_dsum("v * wx", "gx8")},
+                   {sql_dsum("v * wy", "gy8")},
+                   COUNT(*) AS support
+            FROM scatter GROUP BY tx, ty
+        )
+        SELECT cell_x, cell_y,
+               {sql_dround(
+                   f"GREATEST(CAST(0.0 AS DOUBLE),"
+                   f" COS(CAST({_HS_ZENITH!r} AS DOUBLE))"
+                   " * COS(ATAN(SQRT(gx8 * gx8 + gy8 * gy8)"
+                   " / CAST(8.0 AS DOUBLE)))"
+                   f" + SIN(CAST({_HS_ZENITH!r} AS DOUBLE))"
+                   " * SIN(ATAN(SQRT(gx8 * gx8 + gy8 * gy8)"
+                   " / CAST(8.0 AS DOUBLE)))"
+                   f" * COS(CAST({_HS_AZIMUTH!r} AS DOUBLE)"
+                   " - ATAN2(gy8, -gx8)))"
+               )} AS shade
+        FROM grads WHERE support = 9
+    """,
+)
+def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytical hillshade (45° sun, NW azimuth) from the same Horn
+    gradients as ``raster_slope_aspect`` — the rendering pass of every
+    terrain product: shade = cos z·cos s + sin z·sin s·cos(az − aspect),
+    clamped at 0 (self-shadowed faces).  Flat cells reduce to cos z
+    exactly (the sin s = 0 term kills the aspect factor, so atan2's ±0
+    branch can't leak).  One scatter + one hash agg, codegen'd libm,
+    final rounds 6 dp."""
+    r = _raster(spark, sf_dir)
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    scattered = (
+        r.select("v", "cell_x", "cell_y", F.explode(off).alias("dx"))
+        .select("v", "cell_x", "cell_y", "dx", F.explode(off).alias("dy"))
+        .select(
+            (F.col("cell_x") + F.col("dx")).alias("tx"),
+            (F.col("cell_y") + F.col("dy")).alias("ty"),
+            (F.col("v") * (-F.col("dx")) * (2 - F.abs("dy"))).alias("vwx"),
+            (F.col("v") * (-F.col("dy")) * (2 - F.abs("dx"))).alias("vwy"),
+        )
+    )
+    grads = scattered.groupBy(
+        F.col("tx").alias("cell_x"), F.col("ty").alias("cell_y")
+    ).agg(
+        dsum("vwx", "gx8"),
+        dsum("vwy", "gy8"),
+        F.count(F.lit(1)).alias("support"),
+    )
+    slope = F.atan(
+        F.sqrt(F.col("gx8") * F.col("gx8") + F.col("gy8") * F.col("gy8")) / F.lit(8.0)
+    )
+    aspect = F.atan2(F.col("gy8"), -F.col("gx8"))
+    shade = (
+        F.cos(F.lit(_HS_ZENITH)) * F.cos(slope)
+        + F.sin(F.lit(_HS_ZENITH)) * F.sin(slope) * F.cos(F.lit(_HS_AZIMUTH) - aspect)
+    )
+    return grads.where(F.col("support") == 9).select(
+        "cell_x",
+        "cell_y",
+        dround(F.greatest(F.lit(0.0), shade)).alias("shade"),
+    )

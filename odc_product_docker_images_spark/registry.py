@@ -188,7 +188,8 @@ GRADING_WINDOW = [
     #     ml_roc_curve, ml_auc_exact, ml_calibration_bins,
     #     ml_confusion_metrics, raster_slope_aspect, agg_medoid_composite,
     #     agg_winsorized_mean, sample_bottomk_hash, graph_hits_step,
-    #     text_readability, geo_idw_interpolate, agg_ljung_box
+    #     text_readability, geo_idw_interpolate, agg_ljung_box,
+    #     raster_flow_direction, raster_hillshade
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

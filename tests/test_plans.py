@@ -1993,3 +1993,27 @@ def test_isotonic_pava_is_fold_local_arrow(spark):
     assert "FlatMapGroupsInPandas" in plan
     assert C.scan_count(df) == 1
     assert "BatchEvalPython" not in plan
+
+
+def test_flow_direction_shares_one_target_clustering(spark):
+    """Center lookup, drops, argmax rank and support gate all ride the
+    (tx, ty) clustering from the scatter Exchange — no join-back."""
+    from odc_product_docker_images_spark.operators.raster import (
+        raster_flow_direction,
+    )
+
+    df = raster_flow_direction(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_hillshade_is_one_scatter_agg(spark):
+    from odc_product_docker_images_spark.operators.raster import raster_hillshade
+
+    df = raster_hillshade(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

@@ -528,3 +528,76 @@ def test_isotonic_pava_matches_independent_implementation(spark):
         assert abs(np.mean(fit) - grp["y"].mean()) < 1e-12
         # fitted values are valid probabilities
         assert min(fit) >= 0.0 and max(fit) <= 1.0
+
+
+def test_flow_direction_matches_numpy_d8(spark):
+    from odc_product_docker_images_spark.operators.raster import (
+        raster_flow_direction,
+    )
+
+    got = {
+        (r["cell_x"], r["cell_y"]): r
+        for r in raster_flow_direction(spark, SF).collect()
+    }
+    g = _grid(_events())
+    codes = {
+        (1, 0): 0, (1, -1): 1, (0, -1): 2, (-1, -1): 3,
+        (-1, 0): 4, (-1, 1): 5, (0, 1): 6, (1, 1): 7,
+    }
+    interior = [
+        (x, y)
+        for (x, y) in g
+        if all((x + dx, y + dy) in g for dx in (-1, 0, 1) for dy in (-1, 0, 1))
+    ]
+    assert set(got) == set(interior)
+    for x, y in interior:
+        best = None
+        for (rx, ry), code in codes.items():
+            # neighbor AT relative position (rx, ry) from the center
+            d = round(
+                (g[(x, y)] - g[(x + rx, y + ry)])
+                / (1.0 if rx * ry == 0 else np.sqrt(2.0)),
+                6,
+            )
+            k = (-d, code)
+            if best is None or k < best:
+                best = k
+        drop, code = -best[0], best[1]
+        r = got[(x, y)]
+        if drop > 0:
+            # python round() is half-even, dround half-up: allow one tick
+            assert (r["dir_code"], abs(r["max_drop"] - drop) < 1.1e-6) == (
+                code,
+                True,
+            ), (x, y)
+        else:
+            assert r["dir_code"] == -1 and r["max_drop"] == 0.0
+
+
+def test_hillshade_matches_numpy_and_flat_invariant(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.raster import raster_hillshade
+
+    got = {
+        (r["cell_x"], r["cell_y"]): r["shade"]
+        for r in raster_hillshade(spark, SF).collect()
+    }
+    g = _grid(_events())
+    zen, az = math.pi / 4, math.radians(315.0)
+    for (x, y), shade in got.items():
+        gx = (
+            (g[(x + 1, y - 1)] + 2 * g[(x + 1, y)] + g[(x + 1, y + 1)])
+            - (g[(x - 1, y - 1)] + 2 * g[(x - 1, y)] + g[(x - 1, y + 1)])
+        ) / 8.0
+        gy = (
+            (g[(x - 1, y + 1)] + 2 * g[(x, y + 1)] + g[(x + 1, y + 1)])
+            - (g[(x - 1, y - 1)] + 2 * g[(x, y - 1)] + g[(x + 1, y - 1)])
+        ) / 8.0
+        s = math.atan(math.hypot(gx, gy))
+        a = math.atan2(gy, -gx)
+        ref = max(
+            0.0, math.cos(zen) * math.cos(s) + math.sin(zen) * math.sin(s) * math.cos(az - a)
+        )
+        assert abs(shade - ref) < 1e-3, (x, y)
+        assert 0.0 <= shade <= 1.0
