@@ -161,6 +161,8 @@ R6D = [
     "ml_isotonic_pava",
     "raster_flow_direction",
     "raster_hillshade",
+    "table_bloom_skipping",
+    "graph_label_prop_step",
 ]
 
 R5 = [

@@ -640,3 +640,70 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
         F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
     )
+
+
+@register(
+    "graph_label_prop_step",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), seeds AS (
+            SELECT s_suppkey AS src, CAST(s_nationkey AS BIGINT) AS label
+            FROM supplier
+        ), votes AS (
+            SELECT e.dst, s.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+            FROM edges e JOIN seeds s ON e.src = s.src
+            GROUP BY e.dst, s.label
+        ), ranked AS (
+            SELECT dst, label, n_votes,
+                   CAST(SUM(n_votes) OVER (PARTITION BY dst) AS BIGINT)
+                       AS n_nbrs,
+                   ROW_NUMBER() OVER (PARTITION BY dst
+                                      ORDER BY n_votes DESC, label ASC) AS rn
+            FROM votes
+        )
+        SELECT dst AS node_id, label, n_votes, n_nbrs
+        FROM ranked WHERE rn = 1
+    """,
+)
+def graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One community/label-propagation step on the supplier→part graph:
+    every part adopts the MODE of its neighboring suppliers' nation
+    labels (ties → smallest label) — the semi-supervised companion to
+    ``dedup_clusters``' min-label CC (min is merge-happy; the mode vote
+    is what LPA community detection and weak-label spreading actually
+    use).  Verify-the-step / induct-on-the-loop, like the
+    pagerank/HITS/kmeans steps.
+
+    Shape: seed labels broadcast-join onto the edge list, one
+    (dst, label) vote count, then the argmax and the neighbor total
+    ride ONE dst window partitioning (row_number + same-window SUM) —
+    two linear shuffles total, integer-exact everything."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + _DST_OFF).alias("dst"),
+    ).distinct()
+    seeds = load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("src"),
+        F.col("s_nationkey").cast("long").alias("label"),
+    )
+    votes = (
+        edges.join(F.broadcast(seeds), "src")
+        .groupBy("dst", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w_d = Window.partitionBy("dst")
+    ranked = votes.select(
+        "dst",
+        "label",
+        "n_votes",
+        F.sum("n_votes").over(w_d).cast("long").alias("n_nbrs"),
+        F.row_number()
+        .over(w_d.orderBy(F.col("n_votes").desc(), F.col("label").asc()))
+        .alias("rn"),
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        F.col("dst").alias("node_id"), "label", "n_votes", "n_nbrs"
+    )

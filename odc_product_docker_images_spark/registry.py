@@ -120,6 +120,7 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.safetensors",
     "odc_product_docker_images_spark.operators.stats_tests",
     "odc_product_docker_images_spark.operators.model_eval",
+    "odc_product_docker_images_spark.sources.bloom",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -189,7 +190,8 @@ GRADING_WINDOW = [
     #     ml_confusion_metrics, raster_slope_aspect, agg_medoid_composite,
     #     agg_winsorized_mean, sample_bottomk_hash, graph_hits_step,
     #     text_readability, geo_idw_interpolate, agg_ljung_box,
-    #     raster_flow_direction, raster_hillshade
+    #     raster_flow_direction, raster_hillshade, table_bloom_skipping,
+    #     graph_label_prop_step
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -2017,3 +2017,31 @@ def test_hillshade_is_one_scatter_agg(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_bloom_build_is_one_bitor_agg_probe_is_broadcast(spark):
+    """Bitset build = explode + bit_or hash agg; the probe side meets
+    the ≤16-row bloom table on a broadcast, never a corpus shuffle."""
+    from odc_product_docker_images_spark.sources.bloom import (
+        table_bloom_skipping,
+    )
+
+    df = table_bloom_skipping(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_label_prop_vote_rides_one_dst_window(spark):
+    """Argmax + neighbor totals share one dst partitioning after the
+    broadcast seed join — two linear shuffles total."""
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_label_prop_step,
+    )
+
+    df = graph_label_prop_step(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert C.scan_count(df) == 2  # lineitem + supplier (different tables)
+    C.assert_no_python_row_path(df)

@@ -601,3 +601,72 @@ def test_hillshade_matches_numpy_and_flat_invariant(spark):
         )
         assert abs(shade - ref) < 1e-3, (x, y)
         assert 0.0 <= shade <= 1.0
+
+
+def test_bloom_guarantees_and_python_reference(spark):
+    """No false negatives for present keys; candidate sets match a
+    pure-Python bloom rebuild bit for bit."""
+    from odc_product_docker_images_spark.sources.bloom import (
+        _BITS,
+        _HASHES,
+        _N_BUCKETS,
+        _PROBES,
+        table_bloom_skipping,
+    )
+
+    got = {r["probe_key"]: r for r in table_bloom_skipping(spark, SF).collect()}
+    ev = _events()
+    ids = ev.event_id.to_numpy()
+    blooms = [[0, 0, 0, 0] for _ in range(_N_BUCKETS)]
+    for k in ids:
+        b = int(k) % _N_BUCKETS
+        for h in _HASHES:
+            pos = int(k) * h % _BITS
+            blooms[b][pos // 62] |= 1 << (pos % 62)
+
+    present = set(int(x) for x in ids)
+    for p in _PROBES:
+        cands = [
+            b
+            for b in range(_N_BUCKETS)
+            if all(
+                blooms[b][(p * h % _BITS) // 62] & (1 << (p * h % _BITS % 62))
+                for h in _HASHES
+            )
+        ]
+        r = got.get(p)
+        if not cands:
+            assert r is None
+            continue
+        assert r["n_candidate_buckets"] == len(cands), p
+        if p in present:
+            assert r["own_bucket_is_candidate"] == 1  # no false negatives
+            assert r["n_rows_found"] >= 1
+        else:
+            assert r["n_rows_found"] == 0  # false positives cost reads, not rows
+
+
+def test_label_prop_mode_vote_matches_python(spark):
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_label_prop_step,
+    )
+
+    got = {r["node_id"]: r for r in graph_label_prop_step(spark, SF).collect()}
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    sup = pq.read_table(
+        f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    lab = dict(zip(sup.s_suppkey, sup.s_nationkey))
+    votes = {}
+    for s, p in set(zip(li.l_suppkey, li.l_partkey)):
+        if s in lab:
+            d = votes.setdefault(p + 10_000_000, {})
+            d[lab[s]] = d.get(lab[s], 0) + 1
+    assert set(got) == set(votes)
+    for node, d in votes.items():
+        best = sorted(d.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        r = got[node]
+        assert (r["label"], r["n_votes"]) == best, node
+        assert r["n_nbrs"] == sum(d.values())
