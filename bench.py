@@ -163,6 +163,8 @@ R6D = [
     "raster_hillshade",
     "table_bloom_skipping",
     "graph_label_prop_step",
+    "agg_spatial_moran",
+    "text_collocations_pmi",
 ]
 
 R5 = [

@@ -693,3 +693,131 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_y",
         dround(F.greatest(F.lit(0.0), shade)).alias("shade"),
     )
+
+
+@register(
+    "agg_spatial_moran",
+    oracle=f"""
+        WITH raster AS ({_SQL_RASTER}),
+        zc1 AS (
+            SELECT cell_x, cell_y,
+                   v - CAST(CAST(CAST(ROUND(((SUM(CAST(CAST((CASE WHEN ABS((v)) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (v) END) AS VARCHAR) AS DECIMAL(30,10))) OVER ())), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 / (COUNT(*) OVER ()) AS z,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM raster
+        ), zc AS (
+            SELECT cell_x, cell_y, z, n,
+                   CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((z * z)) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (z * z) END) AS VARCHAR) AS DECIMAL(30,10))) OVER ()), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS den
+            FROM zc1
+        ), scatter AS (
+            SELECT zc.cell_x + dx.o AS tx, zc.cell_y + dy.o AS ty,
+                   zc.z, zc.n, zc.den,
+                   CASE WHEN dx.o = 0 AND dy.o = 0 THEN 1 ELSE 0 END AS self
+            FROM zc
+            CROSS JOIN (VALUES (-1), (0), (1)) dx(o)
+            CROSS JOIN (VALUES (-1), (0), (1)) dy(o)
+        ), gathered AS (
+            SELECT tx, ty,
+                   MAX(CASE WHEN self = 1 THEN z END) AS z_t,
+                   {sql_exact_double(
+                       "SUM(CASE WHEN self = 0 THEN "
+                       + sql_dec_cast("z") + " END)"
+                   )} AS nsum,
+                   CAST(SUM(1 - self) AS BIGINT) AS n_nbrs,
+                   MAX(self) AS real_cell,
+                   MAX(n) AS n, MAX(den) AS den
+            FROM scatter GROUP BY tx, ty
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_cells,
+               CAST(SUM(CASE WHEN real_cell = 1 THEN n_nbrs ELSE 0 END)
+                    AS BIGINT) AS w_pairs,
+               {sql_dround(
+                   "(CAST(MAX(n) AS DOUBLE)"
+                   " / SUM(CASE WHEN real_cell = 1 THEN n_nbrs ELSE 0 END))"
+                   " * ("
+                   + sql_exact_double(
+                       "SUM(CASE WHEN real_cell = 1 THEN "
+                       + sql_dec_cast("z_t * COALESCE(nsum, 0.0)")
+                       + " END)"
+                   )
+                   + ") / MAX(den)"
+               )} AS moran_i
+        FROM gathered
+    """,
+)
+def agg_spatial_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the binned composite under
+    queen (8-neighbor, binary) weights — THE canonical "is this raster
+    spatially structured or noise" screen before any interpolation or
+    trend product.  I = (n/W)·Σᵢ zᵢ·(Σⱼ∈nbr zⱼ) / Σ zᵢ² with z the
+    mean-centered composite.
+
+    Shape: the double sum collapses to ONE scatter-gather — each cell's
+    z scatters to its 9 targets, the gather takes the neighbor sum and
+    the center z in the SAME hash aggregate (self-flag trick, as in the
+    focal keys), and the final reduction is a 1-row aggregate.  Edge
+    cells contribute their true (smaller) neighbor counts to W — the
+    standard non-toroidal convention.  Mean/denominator ride wall
+    windows over the cell table (the post-agg composite, not the
+    corpus); neighbor and product sums take the decimal path; the final
+    statistic rounds 6 dp."""
+    r = _raster(spark, sf_dir)
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    mean = exact_double(F.sum(dec_cast("v")).over(wall)) / F.count(F.lit(1)).over(
+        wall
+    )
+    zc = r.select(
+        "cell_x",
+        "cell_y",
+        (F.col("v") - mean).alias("z"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    zc = zc.select(
+        "cell_x",
+        "cell_y",
+        "z",
+        "n",
+        exact_double(F.sum(dec_cast(F.col("z") * F.col("z"))).over(wall)).alias(
+            "den"
+        ),
+    )
+    off = F.array(F.lit(-1), F.lit(0), F.lit(1))
+    scattered = (
+        zc.select("z", "n", "den", "cell_x", "cell_y", F.explode(off).alias("dx"))
+        .select("z", "n", "den", "cell_x", "cell_y", "dx", F.explode(off).alias("dy"))
+        .select(
+            (F.col("cell_x") + F.col("dx")).alias("tx"),
+            (F.col("cell_y") + F.col("dy")).alias("ty"),
+            "z",
+            "n",
+            "den",
+            ((F.col("dx") == 0) & (F.col("dy") == 0)).cast("int").alias("self"),
+        )
+    )
+    gathered = scattered.groupBy("tx", "ty").agg(
+        F.max(F.when(F.col("self") == 1, F.col("z"))).alias("z_t"),
+        exact_double(
+            F.sum(F.when(F.col("self") == 0, dec_cast("z")))
+        ).alias("nsum"),
+        F.sum(1 - F.col("self")).cast("long").alias("n_nbrs"),
+        F.max("self").alias("real_cell"),
+        F.max("n").alias("n"),
+        F.max("den").alias("den"),
+    )
+    w_pairs = F.sum(F.when(F.col("real_cell") == 1, F.col("n_nbrs")).otherwise(0))
+    num = exact_double(
+        F.sum(
+            F.when(
+                F.col("real_cell") == 1,
+                dec_cast(F.col("z_t") * F.coalesce(F.col("nsum"), F.lit(0.0))),
+            )
+        )
+    )
+    return gathered.agg(
+        F.max("n").cast("long").alias("n_cells"),
+        w_pairs.cast("long").alias("w_pairs"),
+        dround(
+            (F.max("n").cast("double") / w_pairs) * num / F.max("den")
+        ).alias("moran_i"),
+    )

@@ -806,3 +806,118 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fk_grade"
         ),
     )
+
+
+_PMI_MIN_COUNT = 5
+
+
+@register(
+    "text_collocations_pmi",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, pos, tok AS a
+            FROM (
+                SELECT doc_id,
+                       GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos,
+                       UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), stream AS (
+            SELECT a,
+                   LEAD(a) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+            FROM toks
+        ), g AS (
+            SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
+            FROM stream GROUP BY a, b
+        ), u AS (
+            SELECT a, CAST(SUM(c) AS BIGINT) AS ua,
+                   CAST(SUM(SUM(c)) OVER () AS BIGINT) AS n_tok
+            FROM g GROUP BY a
+        ), big AS (
+            SELECT g.a, g.b, g.c, ua.ua, ub.ua AS ub, ua.n_tok,
+                   CAST(SUM(g.c) OVER () AS BIGINT) AS n_big
+            FROM g
+            JOIN u ua ON g.a = ua.a
+            JOIN u ub ON g.b = ub.a
+            WHERE g.b IS NOT NULL
+        )
+        SELECT a AS w1, b AS w2, c AS pair_count, ua AS c1, ub AS c2,
+               {sql_dround(
+                   "LN((CAST(c AS DOUBLE) / n_big)"
+                   " / ((CAST(ua AS DOUBLE) / n_tok)"
+                   " * (CAST(ub AS DOUBLE) / n_tok)))"
+               )} AS pmi
+        FROM big WHERE c >= {_PMI_MIN_COUNT}
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: PMI-ranked bigram collocations (count floor {_PMI_MIN_COUNT})
+    — the phrase-mining statistic (Church & Hanks) behind tokenizer
+    merge candidates and stop-phrase lists; the pointwise complement of
+    ``text_lm_bigram``'s conditional probabilities.
+
+    Single corpus pass: the token stream gets its successor via one
+    lead window per doc, and ONE (a, b) count aggregate feeds
+    everything — unigram counts fall out of the same grouped table
+    (every token occurs exactly once as a row's first element, so
+    Σ_b c(a,b) = unigram(a)), then join back as two broadcast sides.
+    No second tokenization branch.  The global token/bigram totals are
+    wall windows over the distinct-unigram/-bigram tables (vocab-sized,
+    not corpus-sized).  PMI's log rounds 6 dp; everything else is exact
+    integer ratios."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id",
+        F.posexplode(F.split("text", " ")).alias("pos", "a"),
+    ).where(F.col("a") != "")
+    stream = toks.select(
+        "a",
+        F.lead("a").over(Window.partitionBy("doc_id").orderBy("pos")).alias("b"),
+    )
+    # persisted: three consumers (bigram side + both unigram join sides)
+    # would otherwise re-tokenize the corpus; g is vocab^2-bounded, not
+    # corpus-sized (the documented multi-consumer exception)
+    g = (
+        stream.groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    u = (
+        g.groupBy("a")
+        .agg(F.sum("c").cast("long").alias("ua"))
+        .withColumn("n_tok", F.sum("ua").over(wall).cast("long"))
+    )
+    big = (
+        g.where(F.col("b").isNotNull())
+        .join(
+            F.broadcast(u.select(F.col("a").alias("ja"), "ua", "n_tok")),
+            F.col("a") == F.col("ja"),
+        )
+        .drop("ja")
+        .join(
+            F.broadcast(u.select(F.col("a").alias("jb"), F.col("ua").alias("ub"))),
+            F.col("b") == F.col("jb"),
+        )
+        .drop("jb")
+        .withColumn("n_big", F.sum("c").over(wall).cast("long"))
+    )
+    pmi = dround(
+        F.log(
+            (F.col("c").cast("double") / F.col("n_big"))
+            / (
+                (F.col("ua").cast("double") / F.col("n_tok"))
+                * (F.col("ub").cast("double") / F.col("n_tok"))
+            )
+        )
+    )
+    return big.where(F.col("c") >= _PMI_MIN_COUNT).select(
+        F.col("a").alias("w1"),
+        F.col("b").alias("w2"),
+        F.col("c").alias("pair_count"),
+        F.col("ua").alias("c1"),
+        F.col("ub").alias("c2"),
+        pmi.alias("pmi"),
+    )

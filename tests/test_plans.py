@@ -2045,3 +2045,32 @@ def test_label_prop_vote_rides_one_dst_window(spark):
     assert "BroadcastHashJoin" in plan
     assert C.scan_count(df) == 2  # lineitem + supplier (different tables)
     C.assert_no_python_row_path(df)
+
+
+def test_moran_is_one_scatter_plus_tiny_reduction(spark):
+    """The double sum is one scatter-gather; no join anywhere."""
+    from odc_product_docker_images_spark.operators.raster import (
+        agg_spatial_moran,
+    )
+
+    df = agg_spatial_moran(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_pmi_tokenizes_once(spark):
+    """Unigram counts fall out of the bigram table — the corpus is
+    tokenized exactly once (one scan), joins are broadcast."""
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_collocations_pmi,
+    )
+
+    df = text_collocations_pmi(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1  # persisted vocab-table feeds all three
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)

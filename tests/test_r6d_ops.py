@@ -670,3 +670,56 @@ def test_label_prop_mode_vote_matches_python(spark):
         r = got[node]
         assert (r["label"], r["n_votes"]) == best, node
         assert r["n_nbrs"] == sum(d.values())
+
+
+def test_moran_matches_numpy_double_sum(spark):
+    """Moran's I recomputed with the explicit O(n·8) double sum."""
+    from odc_product_docker_images_spark.operators.raster import (
+        agg_spatial_moran,
+    )
+
+    row = agg_spatial_moran(spark, SF).collect()[0]
+    g = _grid(_events())
+    n = len(g)
+    mean = sum(g.values()) / n
+    z = {k: v - mean for k, v in g.items()}
+    num = w = 0.0
+    for (x, y), zt in z.items():
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                if (dx or dy) and (x + dx, y + dy) in z:
+                    num += zt * z[(x + dx, y + dy)]
+                    w += 1
+    den = sum(v * v for v in z.values())
+    ref = (n / w) * num / den
+    assert row["n_cells"] == n and row["w_pairs"] == int(w)
+    assert abs(row["moran_i"] - ref) < 1e-4
+    # binned means of a smooth-ish field: expect positive autocorrelation
+    # bound; at minimum the statistic is in its valid range
+    assert -1.5 < row["moran_i"] < 1.5
+
+
+def test_pmi_matches_python_counts(spark):
+    import math
+    from collections import Counter
+
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_collocations_pmi,
+    )
+
+    got = {(r["w1"], r["w2"]): r for r in text_collocations_pmi(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    uni, big = Counter(), Counter()
+    for t in docs.text:
+        ws = [w for w in t.split(" ") if w]
+        uni.update(ws)
+        big.update(zip(ws, ws[1:]))
+    n_tok, n_big = sum(uni.values()), sum(big.values())
+    expect = {p for p, c in big.items() if c >= 5}
+    assert set(got) == expect and expect
+    for (a, b), r in got.items():
+        assert (r["pair_count"], r["c1"], r["c2"]) == (big[(a, b)], uni[a], uni[b])
+        ref = math.log(
+            (big[(a, b)] / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok))
+        )
+        assert abs(r["pmi"] - ref) < 1e-6
