@@ -165,6 +165,7 @@ R6D = [
     "graph_label_prop_step",
     "agg_spatial_moran",
     "text_collocations_pmi",
+    "agg_abc_classification",
 ]
 
 R5 = [

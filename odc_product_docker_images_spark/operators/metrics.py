@@ -1291,3 +1291,98 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("m_t1") - F.col("m_t0")) - (F.col("m_c1") - F.col("m_c0"))
         ).alias("did_estimate"),
     )
+
+
+@register(
+    "agg_abc_classification",
+    oracle=f"""
+        WITH part_rev AS (
+            SELECT l_partkey,
+                   {sql_dsum("l_extendedprice * (1.0 - l_discount)", "rev")}
+            FROM lineitem GROUP BY l_partkey
+        ), ranked AS (
+            SELECT l_partkey, rev,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("rev")
+                       + ") OVER (ORDER BY rev DESC, l_partkey"
+                       " ROWS UNBOUNDED PRECEDING)"
+                   )} AS cum_rev,
+                   {sql_exact_double("SUM(" + sql_dec_cast("rev") + ") OVER ()")}
+                       AS total_rev
+            FROM part_rev
+        ), classed AS (
+            SELECT rev,
+                   CASE WHEN {sql_dround("cum_rev / total_rev")}
+                             <= CAST(0.7 AS DOUBLE) THEN 'A'
+                        WHEN {sql_dround("cum_rev / total_rev")}
+                             <= CAST(0.9 AS DOUBLE) THEN 'B'
+                        ELSE 'C' END AS abc_class
+            FROM ranked
+        )
+        SELECT abc_class,
+               CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_dsum("rev", "class_rev")}
+        FROM classed GROUP BY abc_class
+    """,
+)
+def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) inventory classification — parts sorted by revenue,
+    class A = the head covering 70% of cumulative revenue, B to 90%,
+    C the tail: the standard assortment/working-capital segmentation.
+
+    The cumulative share needs a TOTAL descending ordering, so both the
+    rank AND the revenue prefix ride the distributed-rank pattern
+    (agg_gini/ml_lift_table): range-partition the #parts-row aggregate
+    on the sort key, one window per partition for the local decimal
+    prefix, exclusive offsets + grand total from a ≤32-row broadcast
+    rollup (partition totals = max of the increasing local prefix, so
+    the offsets branch shares the subtree).  The cumulative share is
+    ROUNDED 6 dp before the 0.7/0.9 threshold compares on both engines
+    so a class boundary can never flip on a cross-engine ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    part_rev = li.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), "rev")
+    )
+    rp = (
+        part_rev.withColumn("nrev", -F.col("rev"))
+        .repartitionByRange(32, "nrev", "l_partkey")
+        .withColumn("pid", F.spark_partition_id())
+    ).persist()  # two consumers (ranked rows + offsets rollup), parts-sized
+    wloc = (
+        Window.partitionBy("pid")
+        .orderBy("nrev", "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = rp.withColumn(
+        "local_cum", exact_double(F.sum(dec_cast("rev")).over(wloc))
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall_p = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        loc.groupBy("pid")
+        .agg(F.max("local_cum").alias("prev"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                exact_double(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)
+            ),
+        )
+        .withColumn("total_rev", exact_double(F.sum(dec_cast("prev")).over(wall_p)))
+        .select("pid", "off", "total_rev")
+    )
+    share = dround(
+        (F.col("off") + F.col("local_cum")) / F.col("total_rev")
+    )
+    classed = loc.join(F.broadcast(offsets), "pid").select(
+        "rev",
+        F.when(share <= 0.7, F.lit("A"))
+        .when(share <= 0.9, F.lit("B"))
+        .otherwise(F.lit("C"))
+        .alias("abc_class"),
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        dsum("rev", "class_rev"),
+    )

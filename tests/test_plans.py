@@ -2074,3 +2074,18 @@ def test_pmi_tokenizes_once(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_abc_prefix_is_distributed_rank_pattern(spark):
+    """Revenue prefix rides the range-partitioned pattern on the
+    persisted parts table — no single-task global window over parts."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_abc_classification,
+    )
+
+    df = agg_abc_classification(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 1
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)

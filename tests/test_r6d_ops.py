@@ -723,3 +723,38 @@ def test_pmi_matches_python_counts(spark):
             (big[(a, b)] / n_big) / ((uni[a] / n_tok) * (uni[b] / n_tok))
         )
         assert abs(r["pmi"] - ref) < 1e-6
+
+
+def test_abc_classes_match_python_pareto(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_abc_classification,
+    )
+
+    got = {r["abc_class"]: r for r in agg_abc_classification(spark, SF).collect()}
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+    ).to_pandas()
+    rev = (
+        (li.l_extendedprice * (1.0 - li.l_discount))
+        .groupby(li.l_partkey)
+        .sum()
+        .round(6)
+        .sort_values(ascending=False)
+    )
+    df = rev.reset_index()
+    df.columns = ["part", "rev"]
+    df = df.sort_values(["rev", "part"], ascending=[False, True])
+    cum = df.rev.cumsum() / df.rev.sum()
+    cls = np.where(cum.round(6) <= 0.7, "A", np.where(cum.round(6) <= 0.9, "B", "C"))
+    for c in "ABC":
+        m = cls == c
+        assert got[c]["n_parts"] == int(m.sum()), c
+        assert abs(got[c]["class_rev"] - df.rev[m].sum()) < 1e-3, c
+    # class revenue shares honor the 70/90 cut points (near-uniform
+    # synthetic revenue means A is NOT a small head here — the cut
+    # logic, not a Pareto shape, is what's under test)
+    total = sum(r["class_rev"] for r in got.values())
+    assert got["A"]["class_rev"] / total <= 0.7 + 1e-6
+    assert (got["A"]["class_rev"] + got["B"]["class_rev"]) / total <= 0.9 + 1e-6
+    assert set(got) == {"A", "B", "C"}
