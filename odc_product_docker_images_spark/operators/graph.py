@@ -607,13 +607,17 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention).  Determinism: in-degrees are exact ints, both norms and
     every score round 6 dp, score sums ride the decimal path."""
     li = load(spark, sf_dir, "lineitem")
+    # every stage below feeds TWO consumers (norm agg + score map, score
+    # + final join): without pinning, the subtree re-plans 2^4 times (8
+    # corpus scans measured).  edges/indeg/hubraw are edge- and
+    # node-bounded — the persisted-edge-list convention (graph_bfs_step).
     edges = li.select(
         F.col("l_suppkey").alias("src"),
         (F.col("l_partkey") + _DST_OFF).alias("dst"),
-    ).distinct()
+    ).distinct().persist()
     indeg = edges.groupBy(F.col("dst").alias("id")).agg(
         F.count(F.lit(1)).cast("long").alias("araw")
-    )
+    ).persist()
     na = indeg.agg(
         dround(F.sqrt(F.sum(F.col("araw") * F.col("araw")).cast("double"))).alias(
             "norm_a"
@@ -626,6 +630,7 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(auth, edges.dst == auth.id)
         .groupBy(F.col("src").alias("hid"))
         .agg(exact_double(F.sum(dec_cast("auth"))).alias("hraw"))
+        .persist()
     )
     nh = hubraw.agg(
         dround(

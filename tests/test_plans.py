@@ -1938,6 +1938,10 @@ def test_hits_step_is_two_linear_shuffles(spark):
     # the only cartesians are the two 1-row L2-norm broadcasts
     assert plan.count("CartesianProduct") == 0
     assert "BroadcastNestedLoopJoin" in plan  # 1-row norm cross joins
+    # persisted edges/indeg/hubraw: the 2-consumers-per-stage tree would
+    # otherwise re-plan into 8 corpus scans (measured pre-fix)
+    assert C.scan_count(df) == 1
+    assert "InMemoryTableScan" in plan
     C.assert_no_python_row_path(df)
 
 
