@@ -166,6 +166,8 @@ R6D = [
     "agg_spatial_moran",
     "text_collocations_pmi",
     "agg_abc_classification",
+    "agg_bitmap_distinct",
+    "agg_stl_lite",
 ]
 
 R5 = [

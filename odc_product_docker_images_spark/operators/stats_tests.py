@@ -546,3 +546,124 @@ def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * (F.max("n") + 2) * exact_double(F.sum(dec_cast("term")))
         ).alias("q_stat"),
     )
+
+
+@register(
+    "agg_stl_lite",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   DATE_DIFF('day', DATE '2024-01-01',
+                             CAST(DATE_TRUNC('day', ts) AS DATE)) % 7 AS dow,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), tr AS (
+            SELECT d, dow, x,
+                   CAST(SUM(x) OVER w7 AS DOUBLE)
+                       / CAST(COUNT(*) OVER w7 AS DOUBLE) AS trend
+            FROM series
+            WINDOW w7 AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+        ), det AS (
+            SELECT d, dow, x, trend, x - trend AS dt
+            FROM tr
+        ), seas AS (
+            SELECT d, x, trend, dt,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("dt") + ") OVER (PARTITION BY dow)"
+                   )} / (COUNT(*) OVER (PARTITION BY dow)) AS s
+            FROM det
+        ), resid AS (
+            SELECT dt, dt - s AS r,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("dt") + ") OVER ()"
+                   )} / (COUNT(*) OVER ()) AS mean_dt,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("dt - s") + ") OVER ()"
+                   )} / (COUNT(*) OVER ()) AS mean_r
+            FROM seas
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+               {sql_dsum("(dt - mean_dt) * (dt - mean_dt)", "ss_detrended")},
+               {sql_dsum("(r - mean_r) * (r - mean_r)", "ss_resid")},
+               {sql_dround(
+                   "GREATEST(CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE) - ("
+                   + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(r - mean_r) * (r - mean_r)") + ")"
+                   )
+                   + ") / ("
+                   + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(dt - mean_dt) * (dt - mean_dt)") + ")"
+                   )
+                   + "))"
+               )} AS seasonal_strength
+        FROM resid
+    """,
+)
+def agg_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: STL-lite seasonal-strength decomposition of the daily
+    event-count series — trend = centered 7-day rolling mean, seasonal =
+    per-weekday mean of the detrended series, and the Hyndman
+    seasonal-strength statistic 1 − Var(resid)/Var(detrended): the
+    quantitative "does this series deserve a weekly model" answer that
+    agg_acf hints at.  Weekday comes from day-diff-mod-7 arithmetic, not
+    engine dayofweek (Sunday=0 vs Sunday=1 conventions diverge).
+
+    Single lineage, zero joins: the seasonal means are PARTITION-BY-dow
+    windows over the same series table (never a groupBy + join-back
+    branch), variances are wall windows + one decimal-path reduction.
+    Corpus work = the one day-grouped count; everything else is
+    O(span-days) small-side windows (documented pattern)."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"),
+        (F.datediff(F.date_trunc("day", "ts"), F.lit("2024-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    w7 = Window.partitionBy(F.lit(0)).orderBy("d").rowsBetween(-3, 3)
+    tr = series.select(
+        "d",
+        "dow",
+        "x",
+        (F.sum("x").over(w7).cast("double") / F.count(F.lit(1)).over(w7)).alias(
+            "trend"
+        ),
+    )
+    det = tr.withColumn("dt", F.col("x") - F.col("trend"))
+    w_dow = Window.partitionBy("dow")
+    seas = det.select(
+        "dt",
+        (
+            exact_double(F.sum(dec_cast("dt")).over(w_dow))
+            / F.count(F.lit(1)).over(w_dow)
+        ).alias("s"),
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    resid = seas.select(
+        "dt",
+        (F.col("dt") - F.col("s")).alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        (
+            exact_double(F.sum(dec_cast("dt")).over(wall))
+            / F.count(F.lit(1)).over(wall)
+        ).alias("mean_dt"),
+        (
+            exact_double(F.sum(dec_cast(F.col("dt") - F.col("s"))).over(wall))
+            / F.count(F.lit(1)).over(wall)
+        ).alias("mean_r"),
+    )
+    dd = (F.col("dt") - F.col("mean_dt")) * (F.col("dt") - F.col("mean_dt"))
+    rr = (F.col("r") - F.col("mean_r")) * (F.col("r") - F.col("mean_r"))
+    ss_d = exact_double(F.sum(dec_cast(dd)))
+    ss_r = exact_double(F.sum(dec_cast(rr)))
+    return resid.agg(
+        F.max("n").cast("long").alias("n_days"),
+        dsum(dd, "ss_detrended"),
+        dsum(rr, "ss_resid"),
+        dround(F.greatest(F.lit(0.0), F.lit(1.0) - ss_r / ss_d)).alias(
+            "seasonal_strength"
+        ),
+    )

@@ -164,3 +164,57 @@ def table_bloom_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("own_bucket_is_candidate"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    oracle="""
+        WITH days AS (
+            SELECT DATE_TRUNC('day', ts) AS day,
+                   DATE_TRUNC('week', ts) AS week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS day_distinct
+            FROM events GROUP BY 1, 2
+        ), weeks AS (
+            SELECT DATE_TRUNC('week', ts) AS week,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS week_distinct
+            FROM events GROUP BY 1
+        )
+        SELECT d.day, d.week, d.day_distinct, w.week_distinct
+        FROM days d JOIN weeks w ON d.week = w.week
+    """,
+)
+def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct users per day AND per week from MERGEABLE roaring-
+    style bitmaps (the Kylin/Druid pre-aggregation trick): each
+    (period, word) row holds a 62-bit slice of the user-id bitmap, the
+    day grain is one bit_or pass, and the week grain RE-AGGREGATES the
+    day bitmaps with another bit_or — exact distinct counts compose
+    across rollup grains without ever re-scanning the corpus, which HLL
+    can only do approximately.  Counts come from bit_count popcounts.
+
+    The oracle computes both grains with plain COUNT(DISTINCT) — bitmap
+    path == plain distinct is the correctness claim.  At 100 TB the
+    bitmap table is (periods × occupied words) rows — sparse in the id
+    domain — and every merge is map-side combinable."""
+    ev = load(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("week", "ts").alias("week"),
+        (F.col("user_id").cast("long") / 62).cast("long").alias("word"),
+        F.expr("shiftleft(1L, cast(user_id % 62 as int))").alias("bit"),
+    )
+    # persisted: the day and week grains both consume it (words-bounded)
+    day_words = (
+        ev.groupBy("day", "week", "word").agg(F.bit_or("bit").alias("w")).persist()
+    )
+    days = day_words.groupBy("day", "week").agg(
+        F.sum(F.bit_count("w")).cast("long").alias("day_distinct")
+    )
+    weeks = (
+        day_words.groupBy("week", "word")
+        .agg(F.bit_or("w").alias("ww"))  # bitmap MERGE across days
+        .groupBy("week")
+        .agg(F.sum(F.bit_count("ww")).cast("long").alias("week_distinct"))
+    )
+    return days.join(F.broadcast(weeks), "week").select(
+        "day", "week", "day_distinct", "week_distinct"
+    )

@@ -2093,3 +2093,30 @@ def test_abc_prefix_is_distributed_rank_pattern(spark):
     assert "InMemoryTableScan" in plan
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_bitmap_distinct_merges_not_rescans(spark):
+    """The week grain re-aggregates the persisted day bitmaps (bit_or of
+    bit_or) — one corpus scan feeds both grains."""
+    from odc_product_docker_images_spark.sources.bloom import (
+        agg_bitmap_distinct,
+    )
+
+    df = agg_bitmap_distinct(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_stl_lite_is_single_lineage_no_joins(spark):
+    """Trend, seasonal and variance stages are all windows over the one
+    day-grouped series — zero joins, one corpus scan."""
+    from odc_product_docker_images_spark.operators.stats_tests import agg_stl_lite
+
+    df = agg_stl_lite(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

@@ -758,3 +758,54 @@ def test_abc_classes_match_python_pareto(spark):
     assert got["A"]["class_rev"] / total <= 0.7 + 1e-6
     assert (got["A"]["class_rev"] + got["B"]["class_rev"]) / total <= 0.9 + 1e-6
     assert set(got) == {"A", "B", "C"}
+
+
+def test_bitmap_distinct_equals_pandas_nunique(spark):
+    from odc_product_docker_images_spark.sources.bloom import (
+        agg_bitmap_distinct,
+    )
+
+    rows = agg_bitmap_distinct(spark, SF).collect()
+    ev = _events()
+    day = ev.ts.dt.floor("D")
+    by_day = ev.groupby(day)["user_id"].nunique()
+    got_day = {r["day"]: r["day_distinct"] for r in rows}
+    assert len(got_day) == len(by_day)
+    for d, n in by_day.items():
+        assert got_day[d.to_pydatetime()] == n
+    # week grain: merged bitmaps must equal a fresh nunique, and exceed
+    # any single member day (merge is a union, not a sum)
+    wk = ev.groupby(ev.ts.dt.to_period("W").dt.start_time)["user_id"].nunique()
+    got_wk = {r["week"]: r["week_distinct"] for r in rows}
+    for w, n in wk.items():
+        assert got_wk[w.to_pydatetime()] == n
+    for r in rows:
+        assert r["week_distinct"] >= r["day_distinct"]
+
+
+def test_stl_lite_matches_numpy_decomposition(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_stl_lite
+
+    row = agg_stl_lite(spark, SF).collect()[0]
+    ev = _events()
+    s = ev.groupby(ev.ts.dt.floor("D")).size().sort_index()
+    x = s.to_numpy(dtype=float)
+    n = len(x)
+    trend = np.array(
+        [x[max(0, i - 3) : i + 4].mean() for i in range(n)]
+    )
+    dt = x - trend
+    dow = np.array(
+        [(d - np.datetime64("2024-01-01", "D")).astype(int) % 7 for d in
+         s.index.values.astype("datetime64[D]")]
+    )
+    seas = np.array([dt[dow == k].mean() for k in range(7)])[dow]
+    r = dt - seas
+    ssd = ((dt - dt.mean()) ** 2).sum()
+    ssr = ((r - r.mean()) ** 2).sum()
+    ref = max(0.0, 1 - ssr / ssd)
+    assert row["n_days"] == n
+    assert abs(row["ss_detrended"] - ssd) < 1e-3
+    assert abs(row["ss_resid"] - ssr) < 1e-3
+    assert abs(row["seasonal_strength"] - ref) < 1e-5
+    assert 0.0 <= row["seasonal_strength"] <= 1.0
