@@ -168,6 +168,8 @@ R6D = [
     "agg_abc_classification",
     "agg_bitmap_distinct",
     "agg_stl_lite",
+    "window_rolling_corr",
+    "agg_hurst_rs",
 ]
 
 R5 = [

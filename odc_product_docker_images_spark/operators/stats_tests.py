@@ -667,3 +667,230 @@ def agg_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonal_strength"
         ),
     )
+
+
+@register(
+    "window_rolling_corr",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+                   CAST(SUM(CASE WHEN event_type = 'view'
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS v
+            FROM events GROUP BY 1
+        ), roll AS (
+            SELECT d, p, v,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS n,
+                   CAST(SUM(p) OVER w AS BIGINT) AS sp,
+                   CAST(SUM(v) OVER w AS BIGINT) AS sv,
+                   CAST(SUM(p * v) OVER w AS BIGINT) AS spv,
+                   CAST(SUM(p * p) OVER w AS BIGINT) AS spp,
+                   CAST(SUM(v * v) OVER w AS BIGINT) AS svv
+            FROM series
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        )
+        SELECT d, p, v, n,
+               CASE WHEN n >= 5
+                     AND (n * spp - sp * sp) > 0
+                     AND (n * svv - sv * sv) > 0
+                    THEN {sql_dround(
+                        "CAST(n * spv - sp * sv AS DOUBLE)"
+                        " / SQRT(CAST(n * spp - sp * sp AS DOUBLE)"
+                        " * CAST(n * svv - sv * sv AS DOUBLE))"
+                    )} END AS rolling_corr
+        FROM roll
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W12: rolling 14-day Pearson correlation between the daily
+    purchase and view count series — the co-movement monitor behind
+    metric-health dashboards (decoupling purchases from views is an
+    incident signal).  Every windowed sufficient statistic (Σp, Σv,
+    Σpv, Σp², Σv²) is an EXACT integer over the frame, so the
+    correlation is one fixed IEEE chain per row, rounded 6 dp; windows
+    with n < 5 or zero variance yield NULL.  Corpus work = one
+    day-grouped conditional count; the rolling pass is O(span) on the
+    documented small-side window."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("long")
+        .alias("p"),
+        F.sum((F.col("event_type") == "view").cast("int")).cast("long").alias("v"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("d").rowsBetween(-13, 0)
+    roll = series.select(
+        "d",
+        "p",
+        "v",
+        F.count(F.lit(1)).over(w).cast("long").alias("n"),
+        F.sum("p").over(w).cast("long").alias("sp"),
+        F.sum("v").over(w).cast("long").alias("sv"),
+        F.sum(F.col("p") * F.col("v")).over(w).cast("long").alias("spv"),
+        F.sum(F.col("p") * F.col("p")).over(w).cast("long").alias("spp"),
+        F.sum(F.col("v") * F.col("v")).over(w).cast("long").alias("svv"),
+    )
+    cnum = F.col("n") * F.col("spv") - F.col("sp") * F.col("sv")
+    dp = F.col("n") * F.col("spp") - F.col("sp") * F.col("sp")
+    dv = F.col("n") * F.col("svv") - F.col("sv") * F.col("sv")
+    return roll.select(
+        "d",
+        "p",
+        "v",
+        "n",
+        F.when(
+            (F.col("n") >= 5) & (dp > 0) & (dv > 0),
+            dround(
+                cnum.cast("double") / F.sqrt(dp.cast("double") * dv.cast("double"))
+            ),
+        ).alias("rolling_corr"),
+    )
+
+
+_HURST_SIZES = (5, 10, 15)
+
+
+@register(
+    "agg_hurst_rs",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), idxd AS (
+            SELECT x, ROW_NUMBER() OVER (ORDER BY d) - 1 AS i
+            FROM series
+        ), blocks AS (
+            SELECT sz, (i // sz) AS blk, x, i,
+                   CAST(COUNT(*) OVER (PARTITION BY sz, (i // sz))
+                        AS BIGINT) AS m,
+                   CAST(SUM(x) OVER (PARTITION BY sz, (i // sz))
+                        AS DOUBLE)
+                       / COUNT(*) OVER (PARTITION BY sz, (i // sz)) AS mu
+            FROM idxd
+            CROSS JOIN UNNEST(ARRAY[5, 10, 15]) AS t(sz)
+        ), full_blocks AS (
+            SELECT * FROM blocks WHERE m = sz
+        ), cum AS (
+            SELECT sz, blk, mu, m, x,
+                   CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((x - mu)) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (x - mu) END) AS VARCHAR) AS DECIMAL(30,10))) OVER (PARTITION BY sz, blk ORDER BY i ROWS UNBOUNDED PRECEDING)), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS z
+            FROM full_blocks
+        ), rs AS (
+            SELECT sz, blk,
+                   MAX(z) - MIN(z) AS r,
+                   CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((SQRT((CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS(((x - mu) * (x - mu))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((x - mu) * (x - mu)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) / MAX(m)))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (SQRT((CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS(((x - mu) * (x - mu))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((x - mu) * (x - mu)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) / MAX(m))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS s
+            FROM cum GROUP BY sz, blk
+        ), pts AS (
+            SELECT sz,
+                   CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((LN(CAST(sz AS DOUBLE)))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (LN(CAST(sz AS DOUBLE))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS lx,
+                   CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((LN(r / s))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (LN(r / s)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0)) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((LN(r / s))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (LN(r / s)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((LN(r / s))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (LN(r / s)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0)) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS((LN(r / s))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (LN(r / s)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) / COUNT(*)) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS ly
+            FROM rs WHERE s > 0.0 AND r > 0.0
+            GROUP BY sz
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_sizes,
+               {sql_dround(
+                   "(COUNT(*) * ("
+                   + sql_exact_double(
+                       "SUM(" + sql_dec_cast("lx * ly") + ")"
+                   )
+                   + ") - ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("lx") + ")")
+                   + ") * ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("ly") + ")")
+                   + ")) / (COUNT(*) * ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("lx * lx") + ")")
+                   + ") - ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("lx") + ")")
+                   + ") * ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("lx") + ")")
+                   + "))"
+               )} AS hurst_h
+        FROM pts
+    """,
+)
+def agg_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: Hurst exponent by rescaled-range analysis of the daily
+    event-count series — H>0.5 long-range persistence, H<0.5 mean
+    reversion: the memory diagnostic behind capacity forecasting.
+    Blocks of {_HURST_SIZES} days: R = range of the within-block
+    cumulative deviations, S = population std; H = OLS slope of
+    mean ln(R/S) against ln(size).
+
+    Everything after the one day-count aggregate is windows on the
+    O(span) series: block membership via explode over the sizes,
+    within-block prefix sums (decimal path), per-size means and the
+    3-point OLS as tiny reductions.  ln/sqrt round 6 dp at pinned
+    points; degenerate blocks (zero R or S) drop before the log."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    idxd = series.select(
+        "x",
+        (F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("d")) - 1).alias(
+            "i"
+        ),
+    )
+    blocks = idxd.select(
+        "x",
+        "i",
+        F.explode(F.array(*[F.lit(s) for s in _HURST_SIZES])).alias("sz"),
+    ).withColumn("blk", F.floor(F.col("i") / F.col("sz")))
+    w_b = Window.partitionBy("sz", "blk")
+    blocks = blocks.select(
+        "sz",
+        "blk",
+        "x",
+        "i",
+        F.count(F.lit(1)).over(w_b).cast("long").alias("m"),
+        (F.sum("x").over(w_b).cast("double") / F.count(F.lit(1)).over(w_b)).alias(
+            "mu"
+        ),
+    ).where(F.col("m") == F.col("sz"))
+    w_cum = (
+        Window.partitionBy("sz", "blk")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = blocks.select(
+        "sz",
+        "blk",
+        "mu",
+        "m",
+        "x",
+        exact_double(F.sum(dec_cast(F.col("x") - F.col("mu"))).over(w_cum)).alias(
+            "z"
+        ),
+    )
+    rs = cum.groupBy("sz", "blk").agg(
+        (F.max("z") - F.min("z")).alias("r"),
+        dround(
+            F.sqrt(
+                exact_double(
+                    F.sum(dec_cast((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))))
+                )
+                / F.max("m")
+            )
+        ).alias("s"),
+    )
+    pts = (
+        rs.where((F.col("s") > 0.0) & (F.col("r") > 0.0))
+        .groupBy("sz")
+        .agg(
+            dround(F.max(F.log(F.col("sz").cast("double")))).alias("lx"),
+            dround(
+                exact_double(F.sum(dec_cast(dround(F.log(F.col("r") / F.col("s"))))))
+                / F.count(F.lit(1))
+            ).alias("ly"),
+        )
+    )
+    n = F.count(F.lit(1))
+    sxy = exact_double(F.sum(dec_cast(F.col("lx") * F.col("ly"))))
+    sx = exact_double(F.sum(dec_cast("lx")))
+    sy = exact_double(F.sum(dec_cast("ly")))
+    sxx = exact_double(F.sum(dec_cast(F.col("lx") * F.col("lx"))))
+    return pts.agg(
+        n.cast("long").alias("n_sizes"),
+        dround((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst_h"),
+    )

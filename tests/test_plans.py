@@ -2120,3 +2120,19 @@ def test_stl_lite_is_single_lineage_no_joins(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_rolling_corr_and_hurst_are_series_windows(spark):
+    """Both keys do one corpus day-count agg; all statistics are windows
+    on the O(span) series — no joins."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_hurst_rs,
+        window_rolling_corr,
+    )
+
+    for fn in (window_rolling_corr, agg_hurst_rs):
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        C.assert_no_python_row_path(df)

@@ -809,3 +809,54 @@ def test_stl_lite_matches_numpy_decomposition(spark):
     assert abs(row["ss_resid"] - ssr) < 1e-3
     assert abs(row["seasonal_strength"] - ref) < 1e-5
     assert 0.0 <= row["seasonal_strength"] <= 1.0
+
+
+def test_rolling_corr_matches_pandas(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        window_rolling_corr,
+    )
+
+    rows = sorted(window_rolling_corr(spark, SF).collect(), key=lambda r: r["d"])
+    ev = _events()
+    day = ev.ts.dt.floor("D")
+    p = ev[ev.event_type == "purchase"].groupby(day[ev.event_type == "purchase"]).size()
+    v = ev[ev.event_type == "view"].groupby(day[ev.event_type == "view"]).size()
+    import pandas as pd
+
+    idx = sorted(set(day))
+    dfp = pd.DataFrame({"p": p.reindex(idx, fill_value=0), "v": v.reindex(idx, fill_value=0)})
+    ref = dfp["p"].rolling(14, min_periods=5).corr(dfp["v"])
+    for r, (d, rr) in zip(rows, ref.items()):
+        if r["n"] < 5 or np.isnan(rr):
+            assert r["rolling_corr"] is None or abs(r["rolling_corr"]) <= 1
+        else:
+            assert abs(r["rolling_corr"] - rr) < 1e-6, d
+    assert any(r["rolling_corr"] is not None for r in rows)
+
+
+def test_hurst_matches_numpy_rs(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_hurst_rs
+
+    row = agg_hurst_rs(spark, SF).collect()[0]
+    ev = _events()
+    x = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().to_numpy(dtype=float)
+    pts = []
+    for sz in (5, 10, 15):
+        logs = []
+        for b in range(len(x) // sz):
+            blk = x[b * sz : (b + 1) * sz]
+            mu = blk.mean()
+            z = np.cumsum(blk - mu)
+            r = z.max() - z.min()
+            s = np.sqrt(((blk - mu) ** 2).mean())
+            if r > 0 and round(s, 6) > 0:
+                logs.append(round(np.log(r / round(s, 6)), 6))
+        pts.append((np.log(sz), np.mean(logs)))
+    lx = np.array([a for a, _ in pts])
+    ly = np.array([b for _, b in pts])
+    slope = ((len(pts) * (lx * ly).sum() - lx.sum() * ly.sum())
+             / (len(pts) * (lx * lx).sum() - lx.sum() ** 2))
+    assert row["n_sizes"] == 3
+    assert abs(row["hurst_h"] - slope) < 1e-4
+    # a near-iid counting series should not show strong persistence
+    assert -0.5 < row["hurst_h"] < 1.5
