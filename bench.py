@@ -170,6 +170,7 @@ R6D = [
     "agg_stl_lite",
     "window_rolling_corr",
     "agg_hurst_rs",
+    "sim_matryoshka_prefix",
 ]
 
 R5 = [

@@ -314,3 +314,110 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.groupBy("vec_id", "label").agg(
         F.count(F.when(F.col("nbr_label") == F.col("label"), 1)).alias("same_label_in_top5")
     )
+
+
+_MRL_DIM = 8  # matryoshka prefix length (full = 64)
+_MRL_QUERY_MOD = 50  # every 50th vector is a query (~10 at sf0.01)
+
+
+@register(
+    "sim_matryoshka_prefix",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding[1:{_MRL_DIM}],
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS pnrm
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM n
+            WHERE vec_id % {_MRL_QUERY_MOD} = 0 AND vec_id < 500
+        ), scored AS (
+            SELECT q.vec_id AS qid, b.vec_id AS bid,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                         i -> q.e[i] * b.e[i])) / (q.nrm * b.nrm), 6) AS cf,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, {_MRL_DIM} + 1),
+                         i -> q.e[i] * b.e[i])) / (q.pnrm * b.pnrm), 6) AS cp
+            FROM q JOIN n b ON q.vec_id != b.vec_id
+        ), rf AS (
+            SELECT qid, bid AS full_top1, cf AS full_cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cf DESC, bid) AS rn
+            FROM scored
+        ), rp AS (
+            SELECT qid, bid AS prefix_top1, cp AS prefix_cos,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cp DESC, bid) AS rn
+            FROM scored
+        )
+        SELECT rf.qid AS vec_id, rf.full_top1, rp.prefix_top1,
+               rf.full_cos, rp.prefix_cos,
+               CAST(rf.full_top1 = rp.prefix_top1 AS INT) AS agree
+        FROM rf JOIN rp ON rf.qid = rp.qid AND rf.rn = 1 AND rp.rn = 1
+        WHERE rf.rn = 1 AND rp.rn = 1
+    """,
+)
+def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+: Matryoshka prefix-dimension retrieval check — for a sampled
+    query set, compare the exact top-1 neighbor under the FULL 64-dim
+    cosine against the first-{_MRL_DIM}-dims cosine: the standard
+    cheap-first-stage evaluation for matryoshka-trained embeddings
+    (prefix search funnels into full-dim rerank exactly like the PQ/ADC
+    keys).  Output per query: both winners, both scores, agreement.
+
+    Shape: queries broadcast against the corpus (one pass, no corpus
+    self-join); BOTH argmaxes are lexicographic MAX(struct(score,
+    -neighbor)) hash aggregates over the same scored stream — no
+    per-query sort, no window over a corpus-sized partition.
+    Determinism: cosines round 6 dp before the argmax (struct compare),
+    tie-break = smallest neighbor id; the fold-ordered dot ensures
+    identical float chains."""
+    n = with_norm(load(spark, sf_dir, "embeddings"))
+    pn = n.withColumn(
+        "pnrm",
+        F.sqrt(
+            dot(
+                F.slice("embedding", 1, _MRL_DIM),
+                F.slice("embedding", 1, _MRL_DIM),
+            )
+        ),
+    )
+    # fixed query panel (ids stable across sf): eval cost stays linear
+    # in the corpus instead of growing quadratically with it
+    q = pn.where(
+        (F.col("vec_id") % _MRL_QUERY_MOD == 0) & (F.col("vec_id") < 500)
+    ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+        F.col("pnrm").alias("qpn"),
+    )
+    joined = pn.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cf = F.round(
+        dot(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    cp = F.round(
+        dot(F.slice("qe", 1, _MRL_DIM), F.slice("embedding", 1, _MRL_DIM))
+        / (F.col("qpn") * F.col("pnrm")),
+        6,
+    )
+    scored = joined.select(
+        "qid",
+        F.col("vec_id").alias("bid"),
+        cf.alias("cf"),
+        cp.alias("cp"),
+    )
+    best = scored.groupBy("qid").agg(
+        F.max(F.struct(F.col("cf"), (-F.col("bid")).alias("nb"))).alias("bf"),
+        F.max(F.struct(F.col("cp"), (-F.col("bid")).alias("nb"))).alias("bp"),
+    )
+    return best.select(
+        F.col("qid").alias("vec_id"),
+        (-F.col("bf.nb")).cast("long").alias("full_top1"),
+        (-F.col("bp.nb")).cast("long").alias("prefix_top1"),
+        F.col("bf.cf").alias("full_cos"),
+        F.col("bp.cp").alias("prefix_cos"),
+        (F.col("bf.nb") == F.col("bp.nb")).cast("int").alias("agree"),
+    )

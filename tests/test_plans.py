@@ -2136,3 +2136,18 @@ def test_rolling_corr_and_hurst_are_series_windows(spark):
         assert C.scan_count(df) == 1, fn.__name__
         assert "Join" not in plan, fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_matryoshka_argmax_is_hash_agg_not_window(spark):
+    """Both argmaxes are lexicographic struct-MAX hash aggregates over
+    one broadcast-joined scored stream — no corpus-partition window."""
+    from odc_product_docker_images_spark.textvec.similarity import (
+        sim_matryoshka_prefix,
+    )
+
+    df = sim_matryoshka_prefix(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2  # corpus + broadcast query sample
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+    C.assert_no_python_row_path(df)

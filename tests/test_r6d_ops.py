@@ -860,3 +860,37 @@ def test_hurst_matches_numpy_rs(spark):
     assert abs(row["hurst_h"] - slope) < 1e-4
     # a near-iid counting series should not show strong persistence
     assert -0.5 < row["hurst_h"] < 1.5
+
+
+def test_matryoshka_matches_numpy_and_funnel_property(spark):
+    from odc_product_docker_images_spark.textvec.similarity import (
+        sim_matryoshka_prefix,
+    )
+
+    got = {r["vec_id"]: r for r in sim_matryoshka_prefix(spark, SF).collect()}
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    ids = emb.vec_id.to_numpy()
+    Xf = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Xp = X[:, :8] / np.linalg.norm(X[:, :8], axis=1, keepdims=True)
+    qmask = (ids % 50 == 0) & (ids < 500)
+    assert set(got) == set(ids[qmask].tolist())
+    for qi in np.where(qmask)[0]:
+        cf = np.round(Xf @ Xf[qi], 6)
+        cp = np.round(Xp @ Xp[qi], 6)
+        cf[qi] = cp[qi] = -np.inf
+        # argmax with smallest-id tie-break
+        bf = ids[np.lexsort((ids, -cf))[0]]
+        bp = ids[np.lexsort((ids, -cp))[0]]
+        r = got[ids[qi]]
+        assert (r["full_top1"], r["prefix_top1"]) == (bf, bp), ids[qi]
+        assert r["agree"] == int(bf == bp)
+    # construction invariant: the prefix winner maximizes prefix cosine,
+    # so it is at least as prefix-similar as the full winner.  (These
+    # synthetic embeddings are random, NOT matryoshka-trained — zero
+    # agreement is expected; the key measures it rather than assumes it.)
+    for qi in np.where(qmask)[0]:
+        r = got[ids[qi]]
+        cp = np.round(Xp @ Xp[qi], 6)
+        id_to_cp = dict(zip(ids, cp))
+        assert id_to_cp[r["prefix_top1"]] >= id_to_cp[r["full_top1"]]
