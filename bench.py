@@ -171,6 +171,8 @@ R6D = [
     "window_rolling_corr",
     "agg_hurst_rs",
     "sim_matryoshka_prefix",
+    "ml_naive_bayes",
+    "profile_parquet_footers",
 ]
 
 R5 = [

@@ -121,6 +121,7 @@ _MODULES = [
     "odc_product_docker_images_spark.operators.stats_tests",
     "odc_product_docker_images_spark.operators.model_eval",
     "odc_product_docker_images_spark.sources.bloom",
+    "odc_product_docker_images_spark.textvec.nb",
 ]
 
 # Round-6 grading window: the driver grades ~the first 50 keys in
@@ -193,7 +194,8 @@ GRADING_WINDOW = [
     #     raster_flow_direction, raster_hillshade, table_bloom_skipping,
     #     graph_label_prop_step, agg_spatial_moran, text_collocations_pmi,
     #     agg_abc_classification, agg_bitmap_distinct, agg_stl_lite,
-    #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix
+    #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix,
+    #     ml_naive_bayes, profile_parquet_footers
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -142,3 +142,77 @@ def source_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.substring("line", 41, 26)).cast("double").alias("value"),
     )
     return _verify(parsed)
+
+
+_FOOTER_BUCKETS = 8
+
+
+@register(
+    "profile_parquet_footers",
+    oracle=f"""
+        SELECT CAST(event_id % {_FOOTER_BUCKETS} AS BIGINT) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS num_rows,
+               CAST(1 AS BIGINT) AS num_row_groups,
+               CAST(2 AS BIGINT) AS n_columns
+        FROM events GROUP BY 1
+    """,
+)
+def profile_parquet_footers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+: distributed parquet-footer statistics — the manifest-build
+    pass of every table format: write a bucket-partitioned table, then
+    read ONLY the footers (pyarrow, executor-side via mapInPandas —
+    never the data pages) to recover per-file row counts, row-group
+    counts and schema width.  The oracle recomputes the expected counts
+    from the SOURCE: bucket = event_id mod {_FOOTER_BUCKETS} is the
+    partition key, one task holds each bucket, so each directory gets
+    exactly one file whose footer must agree with a plain GROUP BY.
+    Row-group count pins to 1 (files are far under the 128 MB group
+    default) and column count to 2 (partition columns are directory
+    metadata, not stored pages).  At 100 TB footer reads are
+    #files-bounded and embarrassingly parallel — this is the cheap side
+    of the storage layer."""
+    import pandas as pd  # Arrow path only
+
+    out = _TMP / f"footers_{uuid.uuid4().hex[:8]}"
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "value",
+        (F.col("event_id") % _FOOTER_BUCKETS).cast("long").alias("bucket"),
+    )
+    ev.repartition(_FOOTER_BUCKETS, "bucket").write.partitionBy("bucket").mode(
+        "overwrite"
+    ).parquet(str(out))
+    files = [
+        (int(d.name.split("=")[1]), str(p))
+        for d in out.iterdir()
+        if d.is_dir() and d.name.startswith("bucket=")
+        for p in d.glob("*.parquet")
+    ]
+    paths = spark.createDataFrame(files, "bucket long, path string").repartition(
+        _FOOTER_BUCKETS
+    )
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            rows = []
+            for b, p in zip(pdf["bucket"], pdf["path"]):
+                f = pq.ParquetFile(p)
+                md = f.metadata
+                rows.append(
+                    (
+                        int(b),
+                        int(md.num_rows),
+                        int(md.num_row_groups),
+                        int(md.num_columns),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["bucket", "num_rows", "num_row_groups", "n_columns"]
+            )
+
+    return paths.mapInPandas(
+        read_footers,
+        schema="bucket long, num_rows long, num_row_groups long, n_columns long",
+    )

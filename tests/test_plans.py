@@ -2151,3 +2151,26 @@ def test_matryoshka_argmax_is_hash_agg_not_window(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Window" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_nb_params_broadcast_and_per_doc_argmax_small(spark):
+    """Params/priors meet the scoring stream on broadcasts; the argmax
+    window partitions by doc (5 rows each), never a corpus partition."""
+    from odc_product_docker_images_spark.textvec.nb import ml_naive_bayes
+
+    df = ml_naive_bayes(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_footer_profile_reads_footers_in_arrow(spark):
+    from odc_product_docker_images_spark.sources.formats import (
+        profile_parquet_footers,
+    )
+
+    df = profile_parquet_footers(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

@@ -894,3 +894,58 @@ def test_matryoshka_matches_numpy_and_funnel_property(spark):
         cp = np.round(Xp @ Xp[qi], 6)
         id_to_cp = dict(zip(ids, cp))
         assert id_to_cp[r["prefix_top1"]] >= id_to_cp[r["full_top1"]]
+
+
+def test_naive_bayes_matches_python_reference(spark):
+    import math
+    from collections import Counter, defaultdict
+
+    from odc_product_docker_images_spark.textvec.nb import ml_naive_bayes
+
+    got = {r["doc_id"]: r for r in ml_naive_bayes(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    counts = defaultdict(Counter)
+    priors = Counter()
+    for _, d in docs.iterrows():
+        priors[d.lang] += 1
+        counts[d.lang].update(w for w in d.text.split(" ") if w)
+    vocab = sorted({t for c in counts.values() for t in c})
+    v = len(vocab)
+    totals = {l: sum(c.values()) for l, c in counts.items()}
+    ll = {
+        (l, t): round(math.log((counts[l][t] + 1) / (totals[l] + v)), 6)
+        for l in counts
+        for t in vocab
+    }
+    lp = {l: round(math.log(n / len(docs)), 6) for l, n in priors.items()}
+    n_correct = 0
+    for _, d in docs.iterrows():
+        ws = Counter(w for w in d.text.split(" ") if w)
+        scores = {
+            l: round(lp[l] + sum(round(n * ll[(l, t)], 10) for t, n in ws.items()), 6)
+            for l in counts
+        }
+        pred = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0][0]
+        r = got[d.doc_id]
+        assert r["pred_lang"] == pred, d.doc_id
+        assert abs(r["best_score"] - scores[pred]) < 1e-4
+        assert r["correct"] == int(pred == d.lang)
+        n_correct += r["correct"]
+    # the fixture langs share one vocabulary: NB should still beat the
+    # 44% majority-class baseline or the labels carry no signal at all
+    assert n_correct / len(docs) > 0.3
+
+
+def test_footer_profile_matches_pyarrow_direct(spark):
+    from odc_product_docker_images_spark.sources.formats import (
+        profile_parquet_footers,
+    )
+
+    rows = {r["bucket"]: r for r in profile_parquet_footers(spark, SF).collect()}
+    ev = _events()
+    by_bucket = ev.groupby(ev.event_id % 8).size()
+    assert set(rows) == set(by_bucket.index)
+    for b, n in by_bucket.items():
+        assert rows[b]["num_rows"] == n
+        assert rows[b]["num_row_groups"] == 1
+        assert rows[b]["n_columns"] == 2
