@@ -173,6 +173,8 @@ R6D = [
     "sim_matryoshka_prefix",
     "ml_naive_bayes",
     "profile_parquet_footers",
+    "forecast_croston",
+    "agg_price_index",
 ]
 
 R5 = [

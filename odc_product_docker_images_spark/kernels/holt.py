@@ -366,3 +366,105 @@ def forecast_backtest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(ae, "mae_naive"),
         davg(smape_term, "smape_naive"),
     )
+
+
+_CR_ALPHA = 0.5  # Croston gain (exact binary)
+
+
+@register(
+    "forecast_croston",
+    oracle=f"""
+        WITH RECURSIVE seq AS (
+            SELECT user_id, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS i,
+                   CASE WHEN event_type = 'purchase' THEN value
+                        ELSE CAST(0.0 AS DOUBLE) END AS demand
+            FROM events
+        ), nz AS (
+            SELECT user_id, demand, i,
+                   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY i) AS j,
+                   CAST(COALESCE(
+                       i - LAG(i) OVER (PARTITION BY user_id ORDER BY i), i
+                   ) AS DOUBLE) AS q
+            FROM seq WHERE demand > 0.0
+        ), m AS (
+            SELECT user_id, MAX(j) AS nj FROM nz GROUP BY user_id
+        ), rec AS (
+            SELECT user_id, 1 AS j, demand AS z, q AS p
+            FROM nz WHERE j = 1
+            UNION ALL
+            SELECT r.user_id, r.j + 1,
+                   CAST({_CR_ALPHA!r} AS DOUBLE) * s.demand
+                     + CAST({1 - _CR_ALPHA!r} AS DOUBLE) * r.z,
+                   CAST({_CR_ALPHA!r} AS DOUBLE) * s.q
+                     + CAST({1 - _CR_ALPHA!r} AS DOUBLE) * r.p
+            FROM rec r
+            JOIN nz s ON s.user_id = r.user_id AND s.j = r.j + 1
+        )
+        SELECT rec.user_id,
+               CAST(m.nj AS BIGINT) AS n_demands,
+               rec.z AS size_level,
+               rec.p AS interval_level,
+               rec.z / rec.p AS croston_forecast
+        FROM rec JOIN m ON rec.user_id = m.user_id
+        WHERE rec.j = m.nj
+    """,
+)
+def forecast_croston(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W16: Croston intermittent-demand forecasting per user — the
+    spare-parts/sparse-SKU method plain exponential smoothing biases on
+    zero-heavy series: smooth the nonzero demand SIZES (z) and the
+    inter-demand INTERVALS (p) separately at demand epochs only;
+    forecast per period = z/p.  Demand = purchase value, zero otherwise;
+    init z₁ = first demand, p₁ = its arrival index.
+
+    Same contract as ``forecast_holt``: one shuffle on the series key →
+    Arrow-batched per-group kernel (the recursion is sequential per
+    series; series count is the 100 TB axis), oracle replays it as a
+    recursive CTE over the nonzero subsequence.  α = 0.5 is an exact
+    binary fraction and both sides share the operation order — the
+    whole chain is bit-identical, NO rounding anywhere."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(F.lit(0.0))
+        .alias("demand"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        d = pdf["demand"].to_numpy()
+        idx = [i + 1 for i in range(len(d)) if d[i] > 0.0]
+        if not idx:
+            return pd.DataFrame(
+                columns=["user_id", "n_demands", "size_level",
+                         "interval_level", "croston_forecast"]
+            )
+        z = float(d[idx[0] - 1])
+        p = float(idx[0])
+        prev = idx[0]
+        for i in idx[1:]:
+            z = _CR_ALPHA * float(d[i - 1]) + (1 - _CR_ALPHA) * z
+            p = _CR_ALPHA * float(i - prev) + (1 - _CR_ALPHA) * p
+            prev = i
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_demands": [len(idx)],
+                "size_level": [z],
+                "interval_level": [p],
+                "croston_forecast": [z / p],
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        fit,
+        "user_id LONG, n_demands LONG, size_level DOUBLE,"
+        " interval_level DOUBLE, croston_forecast DOUBLE",
+    )

@@ -1386,3 +1386,105 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         dsum("rev", "class_rev"),
     )
+
+
+_PI_BASE, _PI_CURR = 1995, 2000
+
+
+@register(
+    "agg_price_index",
+    oracle=f"""
+        WITH pp AS (
+            SELECT l_partkey,
+                   CAST(YEAR(l_shipdate) AS INT) AS yr,
+                   {sql_dsum("l_extendedprice", "ext")},
+                   {sql_dsum("l_quantity", "qty")}
+            FROM lineitem
+            WHERE YEAR(l_shipdate) IN ({_PI_BASE}, {_PI_CURR})
+            GROUP BY l_partkey, YEAR(l_shipdate)
+        ), wide AS (
+            SELECT l_partkey,
+                   MAX(CASE WHEN yr = {_PI_BASE} THEN ext END) AS e0,
+                   MAX(CASE WHEN yr = {_PI_BASE} THEN qty END) AS q0,
+                   MAX(CASE WHEN yr = {_PI_CURR} THEN ext END) AS e1,
+                   MAX(CASE WHEN yr = {_PI_CURR} THEN qty END) AS q1
+            FROM pp GROUP BY l_partkey
+        ), both_p AS (
+            SELECT l_partkey,
+                   {sql_dround("e0 / q0")} AS p0,
+                   {sql_dround("e1 / q1")} AS p1,
+                   q0, q1
+            FROM wide
+            WHERE e0 IS NOT NULL AND e1 IS NOT NULL
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
+               {sql_dround(
+                   "(" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q0") + ")")
+                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q0") + ")")
+                   + ")"
+               )} AS laspeyres,
+               {sql_dround(
+                   "(" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q1") + ")")
+                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q1") + ")")
+                   + ")"
+               )} AS paasche,
+               {sql_dround(
+                   "SQRT(((" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q0") + ")")
+                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q0") + ")")
+                   + ")) * ((" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q1") + ")")
+                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q1") + ")")
+                   + ")))"
+               )} AS fisher
+        FROM both_p
+    """,
+)
+def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32: Laspeyres / Paasche / Fisher price indices between base year
+    {_PI_BASE} and current year {_PI_CURR} over the parts traded in
+    BOTH — the inflation-measurement aggregate (base-weighted vs
+    current-weighted basket, and their geometric mean).  Part price =
+    revenue/quantity within the period.
+
+    One filtered corpus aggregate (year predicate pushed to the scan) →
+    a conditional-pivot per part (no self-join between periods) → a
+    1-row decimal reduction.  Prices round 6 dp; the four basket sums
+    ride the decimal path; every index rounds 6 dp (the string-composed
+    numerator/denominator chains are parenthesized — the det.py infix
+    precedence trap)."""
+    # raw date-range form of YEAR IN (...): function-wrapped predicates
+    # don't push to parquet; these ranges do (pinned)
+    in_base = (F.col("l_shipdate") >= f"{_PI_BASE}-01-01") & (
+        F.col("l_shipdate") < f"{_PI_BASE + 1}-01-01"
+    )
+    in_curr = (F.col("l_shipdate") >= f"{_PI_CURR}-01-01") & (
+        F.col("l_shipdate") < f"{_PI_CURR + 1}-01-01"
+    )
+    li = load(spark, sf_dir, "lineitem").where(in_base | in_curr)
+    pp = li.groupBy("l_partkey", F.year("l_shipdate").alias("yr")).agg(
+        dsum("l_extendedprice", "ext"),
+        dsum("l_quantity", "qty"),
+    )
+    wide = pp.groupBy("l_partkey").agg(
+        F.max(F.when(F.col("yr") == _PI_BASE, F.col("ext"))).alias("e0"),
+        F.max(F.when(F.col("yr") == _PI_BASE, F.col("qty"))).alias("q0"),
+        F.max(F.when(F.col("yr") == _PI_CURR, F.col("ext"))).alias("e1"),
+        F.max(F.when(F.col("yr") == _PI_CURR, F.col("qty"))).alias("q1"),
+    )
+    both_p = wide.where(
+        F.col("e0").isNotNull() & F.col("e1").isNotNull()
+    ).select(
+        dround(F.col("e0") / F.col("q0")).alias("p0"),
+        dround(F.col("e1") / F.col("q1")).alias("p1"),
+        "q0",
+        "q1",
+    )
+    s10 = exact_double(F.sum(dec_cast(F.col("p1") * F.col("q0"))))
+    s00 = exact_double(F.sum(dec_cast(F.col("p0") * F.col("q0"))))
+    s11 = exact_double(F.sum(dec_cast(F.col("p1") * F.col("q1"))))
+    s01 = exact_double(F.sum(dec_cast(F.col("p0") * F.col("q1"))))
+    return both_p.agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        dround(s10 / s00).alias("laspeyres"),
+        dround(s11 / s01).alias("paasche"),
+        dround(F.sqrt((s10 / s00) * (s11 / s01))).alias("fisher"),
+    )

@@ -2174,3 +2174,28 @@ def test_footer_profile_reads_footers_in_arrow(spark):
     plan = C.formatted_plan(df)
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_croston_is_one_shuffle_arrow_kernel(spark):
+    from odc_product_docker_images_spark.kernels.holt import forecast_croston
+
+    df = forecast_croston(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
+    assert C.scan_count(df) == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_price_index_pivots_periods_without_self_join(spark):
+    """Base and current year meet in a conditional pivot on one part
+    aggregate — no period self-join; the year filter reaches the scan."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_price_index,
+    )
+
+    df = agg_price_index(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    assert "l_shipdate" in C.pushed_filters(df) or "PushedFilters" in plan
+    C.assert_no_python_row_path(df)

@@ -949,3 +949,55 @@ def test_footer_profile_matches_pyarrow_direct(spark):
         assert rows[b]["num_rows"] == n
         assert rows[b]["num_row_groups"] == 1
         assert rows[b]["n_columns"] == 2
+
+
+def test_croston_matches_python_recursion(spark):
+    from odc_product_docker_images_spark.kernels.holt import forecast_croston
+
+    got = {r["user_id"]: r for r in forecast_croston(spark, SF).collect()}
+    ev = _events().sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        d = np.where(
+            grp.event_type.to_numpy() == "purchase", grp.value.to_numpy(), 0.0
+        )
+        idx = [i + 1 for i in range(len(d)) if d[i] > 0]
+        if not idx:
+            assert uid not in got
+            continue
+        z, p, prev = float(d[idx[0] - 1]), float(idx[0]), idx[0]
+        for i in idx[1:]:
+            z = 0.5 * float(d[i - 1]) + 0.5 * z
+            p = 0.5 * float(i - prev) + 0.5 * p
+            prev = i
+        r = got[uid]
+        assert r["n_demands"] == len(idx)
+        assert r["size_level"] == z and r["interval_level"] == p  # bit-exact
+        assert r["croston_forecast"] == z / p
+        assert r["interval_level"] >= 1.0
+
+
+def test_price_index_matches_python_baskets(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_price_index,
+    )
+
+    row = agg_price_index(spark, SF).collect()[0]
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    li["yr"] = li.l_shipdate.dt.year
+    li = li[li.yr.isin([1995, 2000])]
+    g = li.groupby(["l_partkey", "yr"]).agg(
+        ext=("l_extendedprice", "sum"), qty=("l_quantity", "sum")
+    ).round(6)
+    w = g.unstack("yr").dropna()
+    p0 = (w[("ext", 1995)] / w[("qty", 1995)]).round(6)
+    p1 = (w[("ext", 2000)] / w[("qty", 2000)]).round(6)
+    q0, q1 = w[("qty", 1995)], w[("qty", 2000)]
+    lasp = (p1 * q0).sum() / (p0 * q0).sum()
+    paas = (p1 * q1).sum() / (p0 * q1).sum()
+    assert row["n_parts"] == len(w)
+    assert abs(row["laspeyres"] - lasp) < 1e-5
+    assert abs(row["paasche"] - paas) < 1e-5
+    assert abs(row["fisher"] - np.sqrt(lasp * paas)) < 1e-5
+    # indices are positive and fisher sits between laspeyres and paasche
+    lo, hi = sorted([row["laspeyres"], row["paasche"]])
+    assert 0 < lo <= row["fisher"] <= hi
