@@ -175,6 +175,9 @@ R6D = [
     "profile_parquet_footers",
     "forecast_croston",
     "agg_price_index",
+    "agg_ks_by_group_fdr",
+    "agg_cmh_test",
+    "table_content_checksum",
 ]
 
 R5 = [

@@ -894,3 +894,268 @@ def agg_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_sizes"),
         dround((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("hurst_h"),
     )
+
+
+_FDR_ALPHA = 0.05
+_KS_P_TERMS = 5  # Kolmogorov asymptotic series truncation
+
+
+def _sql_ks_p(lam: str) -> str:
+    terms = " + ".join(
+        f"({(-1) ** (k - 1)} * EXP(CAST({-2 * k * k!r} AS DOUBLE)"
+        f" * ({lam}) * ({lam})))"
+        for k in range(1, _KS_P_TERMS + 1)
+    )
+    return sql_dround(
+        f"LEAST(CAST(1.0 AS DOUBLE),"
+        f" GREATEST(CAST(0.0 AS DOUBLE), 2.0 * ({terms})))"
+    )
+
+
+@register(
+    "agg_ks_by_group_fdr",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, user_id % 2 AS arm, value FROM events
+        ), by_v AS (
+            SELECT event_type, value,
+                   CAST(SUM(arm) AS BIGINT) AS c1,
+                   CAST(COUNT(*) - SUM(arm) AS BIGINT) AS c0
+            FROM s GROUP BY event_type, value
+        ), tot AS (
+            SELECT event_type,
+                   CAST(SUM(c1) AS BIGINT) AS n1,
+                   CAST(SUM(c0) AS BIGINT) AS n0
+            FROM by_v GROUP BY event_type
+        ), cum AS (
+            SELECT event_type, value,
+                   CAST(SUM(c1) OVER (PARTITION BY event_type ORDER BY value)
+                        AS BIGINT) AS cc1,
+                   CAST(SUM(c0) OVER (PARTITION BY event_type ORDER BY value)
+                        AS BIGINT) AS cc0
+            FROM by_v
+        ), dmax AS (
+            SELECT c.event_type, t.n1, t.n0,
+                   CAST(MAX(ABS(c.cc1 * t.n0 - c.cc0 * t.n1)) AS BIGINT)
+                       AS d_num
+            FROM cum c JOIN tot t USING (event_type)
+            GROUP BY c.event_type, t.n1, t.n0
+        ), scored AS (
+            SELECT event_type, n1, n0, d_num,
+                   CAST(d_num AS DOUBLE)
+                       / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS ks_d,
+                   {sql_dround(
+                       "(CAST(d_num AS DOUBLE)"
+                       " / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+                       " * SQRT(CAST(n1 AS DOUBLE) * n0 / (n1 + n0))"
+                   )} AS lam
+            FROM dmax
+        ), pvals AS (
+            SELECT event_type, n1, n0, d_num, ks_d,
+                   {_sql_ks_p("lam")} AS p_value
+            FROM scored
+        ), ranked AS (
+            SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p_value, event_type)
+                           AS BIGINT) AS p_rank,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS m
+            FROM pvals
+        ), cut AS (
+            SELECT *,
+                   MAX(CASE WHEN p_value <= p_rank * CAST({_FDR_ALPHA!r} AS DOUBLE)
+                                           / m
+                            THEN p_rank ELSE 0 END) OVER () AS i_star
+            FROM ranked
+        )
+        SELECT event_type, n1, n0, d_num, ks_d, p_value,
+               CAST(p_rank AS INT) AS p_rank,
+               CAST(p_rank <= i_star AS INT) AS rejected
+        FROM cut
+    """,
+)
+def agg_ks_by_group_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25+: the multiple-testing pipeline — a two-sample KS test PER
+    event type (arms = user_id parity), Kolmogorov asymptotic p-values
+    (λ = D√(n₁n₀/n), truncated alternating series, {_KS_P_TERMS} terms),
+    and Benjamini-Hochberg FDR at α = {_FDR_ALPHA}: reject every group
+    ranked at or below the largest i with p₍ᵢ₎ ≤ i·α/m.  This is what a
+    metrics platform actually ships — never one unadjusted test.
+
+    Scale shape: the ECDFs are the agg_ks_test scaffold generalized to
+    (group, value) partitions — group-parallel, no global window over
+    data; each group reduces to one integer D; the p-value series and
+    the BH step run on the m-row test table.  Determinism: D integer;
+    λ and p round 6 dp; the BH threshold compare uses a CAST double α
+    (bare-literal trap) on the rounded p."""
+    ev = load(spark, sf_dir, "events")
+    by_v = (
+        ev.select("event_type", (F.col("user_id") % 2).alias("arm"), "value")
+        .groupBy("event_type", "value")
+        .agg(
+            F.sum("arm").cast("long").alias("c1"),
+            (F.count(F.lit(1)) - F.sum("arm")).cast("long").alias("c0"),
+        )
+    )
+    w_g = (
+        Window.partitionBy("event_type")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    cum = by_v.select(
+        "event_type",
+        F.sum("c1").over(w_g).alias("cc1"),
+        F.sum("c0").over(w_g).alias("cc0"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c0").over(w_all).alias("n0"),
+    )
+    dmax = cum.groupBy("event_type", "n1", "n0").agg(
+        F.max(F.abs(F.col("cc1") * F.col("n0") - F.col("cc0") * F.col("n1")))
+        .cast("long")
+        .alias("d_num")
+    )
+    ks_d = F.col("d_num").cast("double") / (
+        F.col("n1").cast("double") * F.col("n0").cast("double")
+    )
+    lam = dround(
+        ks_d
+        * F.sqrt(
+            F.col("n1").cast("double") * F.col("n0") / (F.col("n1") + F.col("n0"))
+        )
+    )
+    scored = dmax.select(
+        "event_type",
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        "d_num",
+        ks_d.alias("ks_d"),
+        lam.alias("lam"),
+    )
+    series = None
+    for k in range(1, _KS_P_TERMS + 1):
+        term = F.lit(float((-1) ** (k - 1))) * F.exp(
+            F.lit(float(-2 * k * k)) * F.col("lam") * F.col("lam")
+        )
+        series = term if series is None else series + term
+    p = dround(
+        F.least(F.lit(1.0), F.greatest(F.lit(0.0), F.lit(2.0) * series))
+    )
+    pvals = scored.withColumn("p_value", p).drop("lam")
+    w_rank = Window.partitionBy(F.lit(0)).orderBy("p_value", "event_type")
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = pvals.select(
+        "*",
+        F.row_number().over(w_rank).cast("long").alias("p_rank"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("m"),
+    )
+    i_star = F.max(
+        F.when(
+            F.col("p_value")
+            <= F.col("p_rank") * F.lit(_FDR_ALPHA) / F.col("m"),
+            F.col("p_rank"),
+        ).otherwise(F.lit(0))
+    ).over(wall)
+    return ranked.select(
+        "event_type",
+        "n1",
+        "n0",
+        "d_num",
+        "ks_d",
+        "p_value",
+        F.col("p_rank").cast("int").alias("p_rank"),
+        (F.col("p_rank") <= i_star).cast("int").alias("rejected"),
+    )
+
+
+_CMH_SUCCESS = 250.0  # 2x2 outcome: value above this is a "success"
+
+
+@register(
+    "agg_cmh_test",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  AND value > CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  AND value <= CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  AND value > CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  AND value <= CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM events GROUP BY event_type
+        ), terms AS (
+            SELECT a,
+                   {sql_dround(
+                       "CAST((a + b) AS DOUBLE) * (a + c) / (a + b + c + d)"
+                   )} AS e,
+                   {sql_dround(
+                       "CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)"
+                       " / (CAST((a + b + c + d) AS DOUBLE)"
+                       "    * (a + b + c + d) * (a + b + c + d - 1))"
+                   )} AS v
+            FROM cells
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               CAST(SUM(a) AS BIGINT) AS observed,
+               {sql_dsum("e", "expected")},
+               {sql_dsum("v", "variance")},
+               {sql_dround(
+                   "POW(CAST(SUM(a) AS DOUBLE) - ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("e") + ")")
+                   + "), 2) / ("
+                   + sql_exact_double("SUM(" + sql_dec_cast("v") + ")")
+                   + ")"
+               )} AS cmh_q
+        FROM terms
+    """,
+)
+def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: Cochran-Mantel-Haenszel test — one pooled 2×2 association
+    test (arm × success) CONTROLLING for the event-type strata, the
+    confounder-adjusted form of ``agg_chi_square`` (Simpson's-paradox
+    insurance: per-stratum hypergeometric expectations and variances,
+    pooled as Q = (Σa − ΣE)²/ΣV against χ²₁).
+
+    One conditional corpus aggregate produces every stratum's 2×2
+    margins as exact integers; E/V are fixed IEEE chains per stratum
+    rounded 6 dp, pooled through decimal sums; Q rounds 6 dp.  The same
+    shape as the log-rank key: corpus work is one hash agg, the test is
+    a #strata-row reduction."""
+    ev = load(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 1
+    succ = F.col("value") > F.lit(_CMH_SUCCESS)
+    cells = ev.groupBy("event_type").agg(
+        F.sum((arm1 & succ).cast("int")).cast("long").alias("a"),
+        F.sum((arm1 & ~succ).cast("int")).cast("long").alias("b"),
+        F.sum((~arm1 & succ).cast("int")).cast("long").alias("c"),
+        F.sum((~arm1 & ~succ).cast("int")).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    e = dround(
+        (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / n
+    )
+    v = dround(
+        (F.col("a") + F.col("b")).cast("double")
+        * (F.col("c") + F.col("d"))
+        * (F.col("a") + F.col("c"))
+        * (F.col("b") + F.col("d"))
+        / (n.cast("double") * n * (n - 1))
+    )
+    terms = cells.select("a", e.alias("e"), v.alias("v"))
+    se = exact_double(F.sum(dec_cast("e")))
+    sv = exact_double(F.sum(dec_cast("v")))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        F.sum("a").cast("long").alias("observed"),
+        dsum("e", "expected"),
+        dsum("v", "variance"),
+        dround(
+            F.pow(F.sum("a").cast("double") - se, F.lit(2.0)) / sv
+        ).alias("cmh_q"),
+    )

@@ -218,3 +218,69 @@ def agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(F.broadcast(weeks), "week").select(
         "day", "week", "day_distinct", "week_distinct"
     )
+
+
+def _sql_hex_to_int(col: str, n_chars: int = 8) -> str:
+    """First n hex chars of a lowercase hex string → BIGINT, engine-free
+    (no hex-parse builtin shared by both engines): positional
+    STRPOS-digit arithmetic."""
+    terms = " + ".join(
+        f"(STRPOS('0123456789abcdef', SUBSTR({col}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (n_chars - 1 - i)}"
+        for i in range(n_chars)
+    )
+    return f"CAST({terms} AS BIGINT)"
+
+
+@register(
+    "table_content_checksum",
+    oracle=f"""
+        WITH rows_h AS (
+            SELECT MD5(
+                       CAST(event_id AS VARCHAR) || '|'
+                       || CAST(user_id AS VARCHAR) || '|'
+                       || event_type || '|'
+                       || CAST(value AS VARCHAR)
+                   ) AS h
+            FROM events
+        ), words AS (
+            SELECT {_sql_hex_to_int("h")} AS w1,
+                   {_sql_hex_to_int("SUBSTR(h, 9)")} AS w2
+            FROM rows_h
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(BIT_XOR(w1) AS BIGINT) AS checksum_a,
+               CAST(BIT_XOR(w2) AS BIGINT) AS checksum_b
+        FROM words
+    """,
+)
+def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7++: order-insensitive table content fingerprint — XOR-fold of
+    per-row md5 words over a canonical column encoding: the
+    replication/migration verification primitive ("did the copy land
+    bit-identical?") that never needs a sort or a diff join.  XOR makes
+    the checksum partition- and order-independent and map-side
+    combinable; any single-row change flips it.  Cross-engine exactness
+    rides two established bridges: md5 is identical hex on both engines,
+    and double→string casts are shortest-repr on both (the det.py
+    VARCHAR-hop guarantee), so the canonical encoding matches
+    byte-for-byte.  Two 32-bit words from the digest keep the fold in
+    exact BIGINT space on both sides."""
+    ev = load(spark, sf_dir, "events")
+    h = F.md5(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.col("user_id").cast("string"),
+            F.col("event_type"),
+            F.col("value").cast("string"),
+        )
+    )
+    rows_h = ev.select(h.alias("h"))
+    w1 = F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+    w2 = F.conv(F.substring("h", 9, 8), 16, 10).cast("long")
+    return rows_h.select(w1.alias("w1"), w2.alias("w2")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("bit_xor(w1)").cast("long").alias("checksum_a"),
+        F.expr("bit_xor(w2)").cast("long").alias("checksum_b"),
+    )

@@ -2199,3 +2199,42 @@ def test_price_index_pivots_periods_without_self_join(spark):
     assert "Join" not in plan
     assert "l_shipdate" in C.pushed_filters(df) or "PushedFilters" in plan
     C.assert_no_python_row_path(df)
+
+
+def test_ks_fdr_ecdf_is_group_parallel(spark):
+    """Per-group ECDFs ride (event_type)-partitioned windows; D reduces
+    per group; the p-value/BH machinery runs on the m-row test table."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_ks_by_group_fdr,
+    )
+
+    df = agg_ks_by_group_fdr(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_cmh_is_one_conditional_agg(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_cmh_test
+
+    df = agg_cmh_test(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_checksum_is_one_pass_no_sort(spark):
+    """The fingerprint is a map-side-combinable XOR fold — one scan, one
+    Exchange, no Sort anywhere."""
+    from odc_product_docker_images_spark.sources.bloom import (
+        table_content_checksum,
+    )
+
+    df = table_content_checksum(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Sort" not in plan and "Join" not in plan
+    assert C.exchange_count(df) <= 1
+    C.assert_no_python_row_path(df)

@@ -1001,3 +1001,113 @@ def test_price_index_matches_python_baskets(spark):
     # indices are positive and fisher sits between laspeyres and paasche
     lo, hi = sorted([row["laspeyres"], row["paasche"]])
     assert 0 < lo <= row["fisher"] <= hi
+
+
+def test_ks_fdr_matches_python_pipeline(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_ks_by_group_fdr,
+    )
+
+    got = {r["event_type"]: r for r in agg_ks_by_group_fdr(spark, SF).collect()}
+    ev = _events()
+    stats = {}
+    for et, grp in ev.groupby("event_type"):
+        x1 = np.sort(grp.loc[grp.user_id % 2 == 1, "value"].to_numpy())
+        x0 = np.sort(grp.loc[grp.user_id % 2 == 0, "value"].to_numpy())
+        n1, n0 = len(x1), len(x0)
+        grid = np.unique(np.concatenate([x1, x0]))
+        cc1 = np.searchsorted(x1, grid, side="right").astype(np.int64)
+        cc0 = np.searchsorted(x0, grid, side="right").astype(np.int64)
+        dnum = int(np.abs(cc1 * n0 - cc0 * n1).max())
+        d = dnum / (n1 * n0)
+        lam = round(d * math.sqrt(n1 * n0 / (n1 + n0)), 6)
+        pser = 2 * sum(
+            (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+            for k in range(1, 6)
+        )
+        pv = round(min(1.0, max(0.0, pser)), 6)
+        stats[et] = (n1, n0, dnum, pv)
+        r = got[et]
+        assert (r["n1"], r["n0"], r["d_num"]) == (n1, n0, dnum), et
+        assert abs(r["p_value"] - pv) < 1e-6, et
+    # BH: recompute the rejection set
+    m = len(stats)
+    order = sorted(stats.items(), key=lambda kv: (kv[1][3], kv[0]))
+    i_star = max(
+        (i + 1 for i, (_, s) in enumerate(order) if s[3] <= (i + 1) * 0.05 / m),
+        default=0,
+    )
+    for i, (et, _) in enumerate(order):
+        assert got[et]["p_rank"] == i + 1
+        assert got[et]["rejected"] == int(i + 1 <= i_star), et
+    # arms are a random split: p-values should not be degenerate zeros
+    assert all(0.0 <= r["p_value"] <= 1.0 for r in got.values())
+
+
+def test_cmh_matches_python_stratified(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_cmh_test
+
+    row = agg_cmh_test(spark, SF).collect()[0]
+    ev = _events()
+    obs = exp = var = 0.0
+    for _, grp in ev.groupby("event_type"):
+        arm1 = grp.user_id % 2 == 1
+        succ = grp.value > 250.0
+        a = int((arm1 & succ).sum())
+        b = int((arm1 & ~succ).sum())
+        c = int((~arm1 & succ).sum())
+        d = int((~arm1 & ~succ).sum())
+        n = a + b + c + d
+        obs += a
+        exp += round((a + b) * (a + c) / n, 6)
+        var += round((a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1)), 6)
+    q = (obs - exp) ** 2 / var
+    assert row["n_strata"] == 5 and row["observed"] == obs
+    assert abs(row["expected"] - exp) < 1e-4
+    assert abs(row["variance"] - var) < 1e-4
+    assert abs(row["cmh_q"] - q) < 1e-3
+    # random arm split: Q should be modest, not astronomically significant
+    assert 0.0 <= row["cmh_q"] < 50.0
+
+
+def test_checksum_order_insensitive_and_change_sensitive(spark):
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    import odc_product_docker_images_spark.sources.bloom as bl
+
+    row = bl.table_content_checksum(spark, SF).collect()[0]
+    ev = _events()
+    a = b = 0
+    for t in ev.itertuples():
+        h = hashlib.md5(
+            f"{t.event_id}|{t.user_id}|{t.event_type}|{repr(t.value)}".encode()
+        ).hexdigest()
+        a ^= int(h[:8], 16)
+        b ^= int(h[8:16], 16)
+    assert row["n_rows"] == len(ev)
+    assert (row["checksum_a"], row["checksum_b"]) == (a, b)
+    # change sensitivity: flipping one row flips the checksum
+    sdf = spark.createDataFrame(
+        [(1, 2, "x", 1.5), (3, 4, "y", 2.5)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    sdf2 = spark.createDataFrame(
+        [(1, 2, "x", 1.5), (3, 4, "y", 2.6)],
+        "event_id long, user_id long, event_type string, value double",
+    )
+    orig = bl.load
+    try:
+        bl.load = lambda sp, d, t: sdf
+        r1 = bl.table_content_checksum(spark, SF).collect()[0]
+        bl.load = lambda sp, d, t: sdf.orderBy(F.desc("event_id"))
+        r1b = bl.table_content_checksum(spark, SF).collect()[0]
+        bl.load = lambda sp, d, t: sdf2
+        r2 = bl.table_content_checksum(spark, SF).collect()[0]
+    finally:
+        bl.load = orig
+    assert (r1["checksum_a"], r1["checksum_b"]) == (r1b["checksum_a"], r1b["checksum_b"])
+    assert (r1["checksum_a"], r1["checksum_b"]) != (r2["checksum_a"], r2["checksum_b"])
