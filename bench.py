@@ -178,6 +178,8 @@ R6D = [
     "agg_ks_by_group_fdr",
     "agg_cmh_test",
     "table_content_checksum",
+    "agg_kruskal_wallis",
+    "agg_spearman_corr",
 ]
 
 R5 = [

@@ -1159,3 +1159,227 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pow(F.sum("a").cast("double") - se, F.lit(2.0)) / sv
         ).alias("cmh_q"),
     )
+
+
+@register(
+    "agg_kruskal_wallis",
+    oracle="""
+        WITH cvg AS (
+            SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY value, event_type
+        ), vstats AS (
+            SELECT value, event_type, c,
+                   CAST(SUM(c) OVER (PARTITION BY value) AS BIGINT) AS m,
+                   CAST(SUM(c) OVER (ORDER BY value
+                        RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cc
+            FROM cvg
+        ), contrib AS (
+            SELECT event_type,
+                   CAST(SUM(c * (2 * (cc - m) + m + 1)) AS BIGINT) AS r2_j,
+                   CAST(SUM(c) AS BIGINT) AS n_j
+            FROM vstats GROUP BY event_type
+        ), ties AS (
+            SELECT CAST(SUM(m * m * m - m) AS BIGINT) AS tsum,
+                   CAST(SUM(m) AS BIGINT) AS n
+            FROM (SELECT value, MAX(m) AS m FROM vstats GROUP BY value)
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+               CAST(MAX(t.n) AS BIGINT) AS n_total,
+               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * (CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n))))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * (CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n)))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_stat
+        FROM contrib CROSS JOIN ties t
+    """,
+)
+def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: Kruskal-Wallis rank ANOVA of value across event types with
+    the tie correction — the K-group nonparametric member completing the
+    mann_whitney (K=2) / anova (parametric) family.  BIT-EXACT until
+    the final H chain: tie-averaged rank sums stay integers via the
+    doubled-rank identity (2·R_j = Σ_v c_vg·(2·below_v + m_v + 1)), as
+    do the tie weights Σ(m³−m).
+
+    Distributed shape: one (value, group) count; per-value totals and
+    the global inclusive cumulative both ride windows keyed on value
+    (the oracle's plain global RANGE window is the semantic twin of the
+    bucket-partitioned prefix used across the KS/ROC scaffold — here
+    the grouped table is value-distinct, so the same bucket trick
+    applies verbatim at scale); H is a #groups-row reduction.  The one
+    float chain is a fixed IEEE expression on exact integers."""
+    ev = load(spark, sf_dir, "events")
+    cvg = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    bkt = F.floor(F.col("value") / _KS_BUCKET_W).cast("long")
+    w_v = Window.partitionBy("value")
+    cvg = cvg.withColumn("bkt", bkt)
+    within = (
+        Window.partitionBy("bkt")
+        .orderBy("value")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = cvg.withColumn("m", F.sum("c").over(w_v)).withColumn(
+        "lc", F.sum("c").over(within)
+    )
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        w.groupBy("bkt")
+        .agg(F.max("lc").alias("pt"))
+        .withColumn("off", F.coalesce(F.sum("pt").over(off_w), F.lit(0)))
+        .select("bkt", "off")
+    )
+    # persisted: the group rank sums AND the tie-weight reduction both
+    # consume it (distinct-(value,group)-bounded, the PMI-vocab exception)
+    vstats = (
+        w.join(F.broadcast(offsets), "bkt", "left")
+        .select(
+            "event_type",
+            "value",
+            "c",
+            "m",
+            (F.col("off") + F.col("lc")).alias("cc"),
+        )
+        .persist()
+    )
+    contrib = vstats.groupBy("event_type").agg(
+        F.sum(
+            F.col("c") * (2 * (F.col("cc") - F.col("m")) + F.col("m") + 1)
+        )
+        .cast("long")
+        .alias("r2_j"),
+        F.sum("c").cast("long").alias("n_j"),
+    )
+    ties = (
+        vstats.groupBy("value")
+        .agg(F.max("m").alias("m"))
+        .agg(
+            F.sum(F.col("m") * F.col("m") * F.col("m") - F.col("m"))
+            .cast("long")
+            .alias("tsum"),
+            F.sum("m").cast("long").alias("n"),
+        )
+    )
+    joined = contrib.crossJoin(F.broadcast(ties))
+    n = F.max("n").cast("double")
+    # per-group terms are exact IEEE chains on integers; the cross-group
+    # sum rides the decimal path (a bare float SUM re-associates run to
+    # run — caught as a flaky last-digit parity mismatch)
+    term_sum = exact_double(
+        F.sum(
+            dec_cast(
+                F.col("r2_j").cast("double")
+                * F.col("r2_j")
+                / (F.lit(4.0) * F.col("n_j"))
+            )
+        )
+    )
+    h_raw = (
+        F.lit(12.0) / (n * (F.max("n") + 1)) * term_sum
+        - F.lit(3.0) * (F.max("n") + 1)
+    )
+    corr = F.lit(1.0) - F.max("tsum").cast("double") / (
+        n * F.max("n") * F.max("n") - F.max("n")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("k_groups"),
+        F.max("n").cast("long").alias("n_total"),
+        dround(h_raw / corr).alias("h_stat"),
+    )
+
+
+@register(
+    "agg_spearman_corr",
+    oracle=f"""
+        WITH per_user AS (
+            SELECT user_id,
+                   {sql_dsum("value", "tv")},
+                   CAST(COUNT(*) AS BIGINT) AS ne
+            FROM events GROUP BY user_id
+        ), ranked AS (
+            SELECT user_id,
+                   RANK() OVER (ORDER BY tv)
+                     + (COUNT(*) OVER (PARTITION BY tv) - 1) / 2.0 AS rx,
+                   RANK() OVER (ORDER BY ne)
+                     + (COUNT(*) OVER (PARTITION BY ne) - 1) / 2.0 AS ry,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM per_user
+        ), stats AS (
+            SELECT n, rx, ry,
+                   {sql_exact_double("SUM(" + sql_dec_cast("rx") + ") OVER ()")}
+                       / (COUNT(*) OVER ()) AS mx,
+                   {sql_exact_double("SUM(" + sql_dec_cast("ry") + ") OVER ()")}
+                       / (COUNT(*) OVER ()) AS my
+            FROM ranked
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_users,
+               {sql_dround(
+                   "(" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(rx - mx) * (ry - my)") + ")"
+                   )
+                   + ") / SQRT((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(rx - mx) * (rx - mx)") + ")"
+                   )
+                   + ") * (" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(ry - my) * (ry - my)") + ")"
+                   )
+                   + "))"
+               )} AS spearman_rho
+        FROM stats
+    """,
+)
+def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: Spearman rank correlation between each user's total spend
+    and event count — the monotone-association companion to
+    ``agg_corr``'s Pearson (robust to the heavy-tailed spend
+    distribution Pearson is hostage to).  Tie-averaged ranks via
+    RANK() + (ties−1)/2 — exact .5-grid doubles on both engines; the
+    rank-Pearson reduction rides decimal sums and rounds 6 dp.
+
+    Corpus work is the per-user aggregate; ranking runs on the
+    #users-row table (small-side windows by the documented convention —
+    at real scale the two rank transforms take the same bucket-prefix
+    scaffold as agg_kruskal_wallis)."""
+    ev = load(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        dsum("value", "tv"), F.count(F.lit(1)).cast("long").alias("ne")
+    )
+    w_x = Window.partitionBy(F.lit(0)).orderBy("tv")
+    w_y = Window.partitionBy(F.lit(0)).orderBy("ne")
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = per_user.select(
+        (
+            F.rank().over(w_x)
+            + (F.count(F.lit(1)).over(Window.partitionBy("tv")) - 1) / 2.0
+        ).alias("rx"),
+        (
+            F.rank().over(w_y)
+            + (F.count(F.lit(1)).over(Window.partitionBy("ne")) - 1) / 2.0
+        ).alias("ry"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    stats = ranked.select(
+        "n",
+        "rx",
+        "ry",
+        (
+            exact_double(F.sum(dec_cast("rx")).over(wall))
+            / F.count(F.lit(1)).over(wall)
+        ).alias("mx"),
+        (
+            exact_double(F.sum(dec_cast("ry")).over(wall))
+            / F.count(F.lit(1)).over(wall)
+        ).alias("my"),
+    )
+    sxy = exact_double(
+        F.sum(dec_cast((F.col("rx") - F.col("mx")) * (F.col("ry") - F.col("my"))))
+    )
+    sxx = exact_double(
+        F.sum(dec_cast((F.col("rx") - F.col("mx")) * (F.col("rx") - F.col("mx"))))
+    )
+    syy = exact_double(
+        F.sum(dec_cast((F.col("ry") - F.col("my")) * (F.col("ry") - F.col("my"))))
+    )
+    return stats.agg(
+        F.max("n").cast("long").alias("n_users"),
+        dround(sxy / F.sqrt(sxx * syy)).alias("spearman_rho"),
+    )

@@ -2238,3 +2238,29 @@ def test_checksum_is_one_pass_no_sort(spark):
     assert "Sort" not in plan and "Join" not in plan
     assert C.exchange_count(df) <= 1
     C.assert_no_python_row_path(df)
+
+
+def test_kruskal_rides_value_scaffold(spark):
+    """Per-value totals + global cumulative share the value clustering;
+    the H reduction runs on groups-row tables."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_kruskal_wallis,
+    )
+
+    df = agg_kruskal_wallis(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2  # main + offsets (exchange-shared subtree)
+    assert "InMemoryTableScan" in plan  # persisted vstats feeds both sums
+    C.assert_no_python_row_path(df)
+
+
+def test_spearman_ranks_on_user_aggregate(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_spearman_corr,
+    )
+
+    df = agg_spearman_corr(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

@@ -1111,3 +1111,46 @@ def test_checksum_order_insensitive_and_change_sensitive(spark):
         bl.load = orig
     assert (r1["checksum_a"], r1["checksum_b"]) == (r1b["checksum_a"], r1b["checksum_b"])
     assert (r1["checksum_a"], r1["checksum_b"]) != (r2["checksum_a"], r2["checksum_b"])
+
+
+def test_kruskal_matches_python_rank_anova(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_kruskal_wallis,
+    )
+
+    import pandas as pd
+
+    row = agg_kruskal_wallis(spark, SF).collect()[0]
+    ev = _events()
+    ranks = pd.Series(ev.value).rank(method="average")
+    n = len(ev)
+    h = 0.0
+    for _, idx in ev.groupby("event_type").groups.items():
+        rj = ranks[idx].sum()
+        h += rj * rj / len(idx)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, t = np.unique(ev.value.to_numpy(), return_counts=True)
+    corr = 1 - ((t**3 - t).sum()) / (n**3 - n)
+    ref = h / corr
+    assert row["n_total"] == n and row["k_groups"] == 5
+    assert abs(row["h_stat"] - ref) < 1e-6
+    assert row["h_stat"] >= 0
+
+
+def test_spearman_matches_pandas(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_spearman_corr,
+    )
+
+    row = agg_spearman_corr(spark, SF).collect()[0]
+    ev = _events()
+    per = ev.groupby("user_id").agg(
+        tv=("value", "sum"), ne=("value", "size")
+    )
+    per["tv"] = per["tv"].round(6)
+    ref = per["tv"].rank(method="average").corr(
+        per["ne"].rank(method="average")
+    )
+    assert row["n_users"] == len(per)
+    assert abs(row["spearman_rho"] - ref) < 1e-6
+    assert -1.0 <= row["spearman_rho"] <= 1.0
