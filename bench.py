@@ -180,6 +180,8 @@ R6D = [
     "table_content_checksum",
     "agg_kruskal_wallis",
     "agg_spearman_corr",
+    "ml_decision_stump",
+    "agg_cohens_kappa",
 ]
 
 R5 = [

@@ -368,3 +368,150 @@ def ml_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("fold").applyInPandas(
         fit, schema="fold long, vec_id long, score double, y double, fitted double"
     )
+
+
+@register(
+    "ml_decision_stump",
+    oracle=_SQL_GROUPS
+    + """
+        , splits AS (
+            SELECT score AS threshold,
+                   gp AS lp, gn AS ln_,
+                   p - gp AS rp, n - gn AS rn_,
+                   gp + gn AS nl, (p + n) - (gp + gn) AS nr,
+                   p + n AS ntot
+            FROM cum WHERE (gp + gn) < (p + n)
+        ), scored_splits AS (
+            SELECT threshold, nl, nr,
+                   (CAST(nl AS DOUBLE) * (1.0
+                        - (CAST(lp AS DOUBLE) / nl) * (CAST(lp AS DOUBLE) / nl)
+                        - (CAST(ln_ AS DOUBLE) / nl) * (CAST(ln_ AS DOUBLE) / nl))
+                    + CAST(nr AS DOUBLE) * (1.0
+                        - (CAST(rp AS DOUBLE) / nr) * (CAST(rp AS DOUBLE) / nr)
+                        - (CAST(rn_ AS DOUBLE) / nr) * (CAST(rn_ AS DOUBLE) / nr)))
+                   / ntot AS wgini
+            FROM splits
+        )
+        SELECT threshold,
+               CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+               CAST(CAST(CAST(ROUND(CAST(CAST(wgini AS VARCHAR) AS DECIMAL(30,10)), 6)
+                    AS DECIMAL(24,6)) * 1000000 AS BIGINT) AS DOUBLE) / 1000000.0
+                   AS weighted_gini
+        FROM scored_splits
+        ORDER BY weighted_gini ASC, threshold ASC
+        LIMIT 1
+    """,
+)
+def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E7: decision-stump training — the best single threshold on the
+    score axis by weighted Gini impurity: the inner loop of every tree
+    learner (and the 1-D special case of a split finder), run as a SCAN
+    over split candidates instead of per-candidate passes.  The same
+    grouped-ECDF scaffold as the ROC keys already gives each candidate
+    threshold its left/right class counts as exact integers, so scoring
+    ALL n-1 splits is one projection; the winner is a limit-1
+    TakeOrdered on the 6 dp-rounded impurity with the threshold
+    tie-break.  At 100 TB: one score-grouped shuffle, impurity map-side,
+    no iteration."""
+    cum = _scored_groups(spark, sf_dir)
+    nl = F.col("gp") + F.col("gn")
+    ntot = F.col("p") + F.col("n")
+    splits = cum.where(nl < ntot).select(
+        F.col("score").alias("threshold"),
+        F.col("gp").alias("lp"),
+        F.col("gn").alias("ln_"),
+        (F.col("p") - F.col("gp")).alias("rp"),
+        (F.col("n") - F.col("gn")).alias("rn_"),
+        nl.alias("nl"),
+        (ntot - nl).alias("nr"),
+        ntot.alias("ntot"),
+    )
+    def gini(pos, neg, tot):
+        fp = pos.cast("double") / tot
+        fn = neg.cast("double") / tot
+        return F.lit(1.0) - fp * fp - fn * fn
+
+    wg = (
+        F.col("nl").cast("double") * gini(F.col("lp"), F.col("ln_"), F.col("nl"))
+        + F.col("nr").cast("double") * gini(F.col("rp"), F.col("rn_"), F.col("nr"))
+    ) / F.col("ntot")
+    scored = splits.select(
+        "threshold",
+        F.col("nl").cast("long").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        dround(wg).alias("weighted_gini"),
+    )
+    return scored.orderBy(
+        F.col("weighted_gini").asc(), F.col("threshold").asc()
+    ).limit(1)
+
+
+@register(
+    "agg_cohens_kappa",
+    oracle="""
+        WITH s AS (
+            SELECT CAST(label < 5 AS BIGINT) AS truth,
+                   CAST(embedding[1]::DOUBLE > 0.0 AS BIGINT) AS pred
+            FROM embeddings
+        ), cells AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(truth * pred) AS BIGINT) AS tp,
+                   CAST(SUM(truth * (1 - pred)) AS BIGINT) AS fn,
+                   CAST(SUM((1 - truth) * pred) AS BIGINT) AS fp,
+                   CAST(SUM((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+            FROM s
+        )
+        SELECT n, tp, fp, fn, tn,
+               CAST(tp + tn AS DOUBLE) / n AS po,
+               (CAST(tp + fn AS DOUBLE) * (tp + fp)
+                + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                   / (CAST(n AS DOUBLE) * n) AS pe,
+               (CAST(tp + tn AS DOUBLE) / n
+                - (CAST(tp + fn AS DOUBLE) * (tp + fp)
+                   + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                  / (CAST(n AS DOUBLE) * n))
+               / (CAST(1.0 AS DOUBLE)
+                  - (CAST(tp + fn AS DOUBLE) * (tp + fp)
+                     + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                    / (CAST(n AS DOUBLE) * n)) AS kappa
+        FROM cells
+    """,
+)
+def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8: Cohen's kappa — chance-corrected agreement between the
+    sign-of-score rater and the label rater: the statistic that exposes
+    "95% agreement" on a 95%-skewed base rate as worthless.  κ =
+    (p_o − p_e)/(1 − p_e) with p_e from the raters' marginals.  One
+    conditional aggregate to four exact-integer cells; every ratio is a
+    fixed IEEE chain on those integers (divisions of exact ints —
+    unrounded, cross-engine identical)."""
+    emb = load(spark, sf_dir, "embeddings")
+    s = emb.select(
+        (F.col("label") < 5).cast("long").alias("truth"),
+        (F.element_at("embedding", 1).cast("double") > 0.0)
+        .cast("long")
+        .alias("pred"),
+    )
+    cells = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("truth") * F.col("pred")).cast("long").alias("tp"),
+        F.sum(F.col("truth") * (1 - F.col("pred"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("truth")) * F.col("pred")).cast("long").alias("fp"),
+        F.sum((1 - F.col("truth")) * (1 - F.col("pred"))).cast("long").alias("tn"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("tp") + F.col("tn")).cast("double") / F.col("n")
+    pe = (
+        (F.col("tp") + F.col("fn")).cast("double") * (F.col("tp") + F.col("fp"))
+        + (F.col("fp") + F.col("tn")).cast("double") * (F.col("fn") + F.col("tn"))
+    ) / (nd * F.col("n"))
+    return cells.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        po.alias("po"),
+        pe.alias("pe"),
+        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+    )

@@ -2264,3 +2264,22 @@ def test_spearman_ranks_on_user_aggregate(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_stump_scores_all_splits_in_one_scan(spark):
+    """All n-1 candidate splits score off the shared ECDF scaffold in
+    one projection; the winner is a limit-1 TakeOrdered."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        agg_cohens_kappa,
+        ml_decision_stump,
+    )
+
+    df = ml_decision_stump(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+    kap = agg_cohens_kappa(spark, SF)
+    assert C.scan_count(kap) == 1
+    assert "Join" not in C.formatted_plan(kap)
+    C.assert_no_python_row_path(kap)

@@ -1154,3 +1154,65 @@ def test_spearman_matches_pandas(spark):
     assert row["n_users"] == len(per)
     assert abs(row["spearman_rho"] - ref) < 1e-6
     assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_stump_matches_sklearn_free_exhaustive_search(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_decision_stump,
+    )
+
+    row = ml_decision_stump(spark, SF).collect()[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    score = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    pos = (emb.label < 5).to_numpy()
+    order = np.argsort(score, kind="stable")
+    s, y = score[order], pos[order]
+    # candidates = each distinct score (split = x <= t goes left)
+    best = None
+    n = len(s)
+    p_tot, n_tot = int(y.sum()), int((~y).sum())
+    lp = ln = 0
+    i = 0
+    while i < n:
+        j = i
+        while j < n and s[j] == s[i]:
+            lp += int(y[j])
+            ln += int(~y[j])
+            j += 1
+        nl, nr = j, n - j
+        if nr:
+            rp, rn = p_tot - lp, n_tot - ln
+            gl = 1 - (lp / nl) ** 2 - (ln / nl) ** 2
+            gr = 1 - (rp / nr) ** 2 - (rn / nr) ** 2
+            wg = round((nl * gl + nr * gr) / n, 6)
+            key = (wg, s[i])
+            if best is None or key < best[0]:
+                best = (key, nl, nr)
+        i = j
+    (wg, thr), nl, nr = best
+    assert row["threshold"] == thr
+    assert (row["n_left"], row["n_right"]) == (nl, nr)
+    assert abs(row["weighted_gini"] - wg) < 1e-9
+    # the best split must beat the trivial root impurity
+    root = 1 - (p_tot / n) ** 2 - (n_tot / n) ** 2
+    assert row["weighted_gini"] <= root
+
+
+def test_kappa_matches_python_and_bounds(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        agg_cohens_kappa,
+    )
+
+    row = agg_cohens_kappa(spark, SF).collect()[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    truth = (emb.label < 5).to_numpy()
+    pred = np.array([v[0] > 0.0 for v in emb.embedding])
+    tp = int((truth & pred).sum()); fn = int((truth & ~pred).sum())
+    fp = int((~truth & pred).sum()); tn = int((~truth & ~pred).sum())
+    n = len(emb)
+    po = (tp + tn) / n
+    pe = ((tp + fn) * (tp + fp) + (fp + tn) * (fn + tn)) / (n * n)
+    kappa = (po - pe) / (1 - pe)
+    assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
+    assert abs(row["kappa"] - kappa) < 1e-12
+    assert -1.0 <= row["kappa"] <= 1.0
