@@ -182,6 +182,8 @@ R6D = [
     "agg_spearman_corr",
     "ml_decision_stump",
     "agg_cohens_kappa",
+    "agg_lorenz_points",
+    "text_compression_ratio",
 ]
 
 R5 = [

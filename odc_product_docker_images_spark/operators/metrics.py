@@ -1488,3 +1488,93 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(s11 / s01).alias("paasche"),
         dround(F.sqrt((s10 / s00) * (s11 / s01))).alias("fisher"),
     )
+
+
+@register(
+    "agg_lorenz_points",
+    oracle=f"""
+        WITH per_cust AS (
+            SELECT o_custkey, {sql_dsum("o_totalprice", "rev")}
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT rev,
+                   ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("rev")
+                       + ") OVER (ORDER BY rev, o_custkey"
+                       " ROWS UNBOUNDED PRECEDING)"
+                   )} AS cum_rev,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("rev") + ") OVER ()"
+                   )} AS tot_rev
+            FROM per_cust
+        )
+        SELECT CAST(FLOOR(rk * 10 / n) AS INT) AS decile_edge,
+               CAST(MAX(rk) AS BIGINT) AS n_cum,
+               {sql_dround("MAX(rk) / CAST(MAX(n) AS DOUBLE)")} AS pop_share,
+               {sql_dround("MAX(cum_rev) / MAX(tot_rev)")} AS rev_share
+        FROM ranked
+        WHERE FLOOR(rk * 10 / n) * n = rk * 10 OR rk = n
+        GROUP BY 1
+    """,
+)
+def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: Lorenz curve points — cumulative revenue share at each
+    population decile of customers ordered poorest-first: the curve
+    whose area complement ``agg_gini`` summarizes (reported together on
+    every inequality/concentration dashboard).  A decile edge is the
+    rank where rk·10 ≡ 0 (mod n), evaluated in EXACT integer arithmetic
+    so edge membership can't float.
+
+    Same distributed-rank machinery as gini/ABC: range-partition the
+    per-customer aggregate on the sort key, local rank + decimal
+    revenue prefix, exclusive offsets from the ≤32-row broadcast
+    rollup.  Shares round 6 dp."""
+    od = load(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(dsum("o_totalprice", "rev"))
+    rp = (
+        per_cust.repartitionByRange(32, "rev", "o_custkey")
+        .withColumn("pid", F.spark_partition_id())
+    ).persist()  # rank + offsets rollup both consume it (customers-sized)
+    w_loc = (
+        Window.partitionBy("pid")
+        .orderBy("rev", "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    loc = rp.withColumn("lrk", F.count(F.lit(1)).over(w_loc)).withColumn(
+        "lcum", exact_double(F.sum(dec_cast("rev")).over(w_loc))
+    )
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    wall_p = Window.orderBy("pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        loc.groupBy("pid")
+        .agg(F.max("lrk").alias("pn"), F.max("lcum").alias("prev"))
+        .withColumn("rk_off", F.coalesce(F.sum("pn").over(woff), F.lit(0)))
+        .withColumn(
+            "cum_off",
+            F.coalesce(exact_double(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)),
+        )
+        .withColumn("n", F.sum("pn").over(wall_p).cast("long"))
+        .withColumn("tot", exact_double(F.sum(dec_cast("prev")).over(wall_p)))
+        .select("pid", "rk_off", "cum_off", "n", "tot")
+    )
+    ranked = loc.join(F.broadcast(offsets), "pid").select(
+        (F.col("rk_off") + F.col("lrk")).alias("rk"),
+        (F.col("cum_off") + F.col("lcum")).alias("cum_rev"),
+        "n",
+        "tot",
+    )
+    edge = (F.col("rk") * 10 / F.col("n")).cast("long")
+    is_edge = ((F.col("rk") * 10) % F.col("n") == 0) | (F.col("rk") == F.col("n"))
+    return (
+        ranked.where(is_edge)
+        .groupBy(F.floor(F.col("rk") * 10 / F.col("n")).cast("int").alias("decile_edge"))
+        .agg(
+            F.max("rk").cast("long").alias("n_cum"),
+            dround(F.max("rk") / F.max("n").cast("double")).alias("pop_share"),
+            dround(F.max("cum_rev") / F.max("tot")).alias("rev_share"),
+        )
+    )

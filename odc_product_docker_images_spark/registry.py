@@ -198,7 +198,7 @@ GRADING_WINDOW = [
     #     ml_naive_bayes, profile_parquet_footers, forecast_croston,
     #     agg_price_index, agg_ks_by_group_fdr, agg_cmh_test,
     #     table_content_checksum, agg_kruskal_wallis, agg_spearman_corr,
-    #     ml_decision_stump, agg_cohens_kappa
+    #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,
@@ -215,7 +215,8 @@ GRADING_WINDOW = [
     #     table_vacuum, udf_arrow_map, window_despike
     #   rows-only (weaker driver check; pytest oracles cover them):
     #     agg_geomedian_mads, multimodal_jpeg_decode, text_bpe_tokens,
-    #     text_heavy_hitters, ml_isotonic_pava (r6d)
+    #     text_heavy_hitters, ml_isotonic_pava (r6d),
+    #     text_compression_ratio (r6d)
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
     #   (+ any keys added after this comment — check COVERAGE.md vs

@@ -430,3 +430,46 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
+
+
+@register(
+    "text_compression_ratio",
+    doc="rows-only: zlib codec output — stdlib-zlib pytest oracle",
+)
+def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: zlib compression-ratio quality signal — the classic
+    repetitive-boilerplate detector in LLM curation stacks (highly
+    compressible text is templated/spammy; near-incompressible text is
+    often binary junk): ratio = deflate(text)/len(text) at a PINNED
+    level (6), plus the decile bucket filters cut on.  zlib's DEFLATE
+    output is deterministic for a fixed level/strategy/library, but not
+    SQL-expressible → rows-only key; the pytest oracle recomputes with
+    stdlib zlib and pins the band properties.  Arrow-batched map pass
+    (zlib is C — the Python loop only drives it); zero shuffle."""
+    import pandas as pd
+
+    dc = load(spark, sf_dir, "documents")
+
+    def score(batches):
+        import zlib
+
+        for pdf in batches:
+            texts = pdf["text"].tolist()
+            comp = [len(zlib.compress(t.encode("utf-8"), 6)) for t in texts]
+            raw = [len(t.encode("utf-8")) for t in texts]
+            ratio = [c / r if r else 1.0 for c, r in zip(comp, raw)]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "deflate_bytes": comp,
+                    "ratio": ratio,
+                    "decile": [min(9, int(x * 10)) for x in ratio],
+                }
+            )
+
+    return dc.select("doc_id", "text").mapInPandas(
+        score,
+        schema="doc_id long, raw_bytes long, deflate_bytes long,"
+        " ratio double, decile int",
+    )

@@ -2283,3 +2283,28 @@ def test_stump_scores_all_splits_in_one_scan(spark):
     assert C.scan_count(kap) == 1
     assert "Join" not in C.formatted_plan(kap)
     C.assert_no_python_row_path(kap)
+
+
+def test_lorenz_rides_distributed_rank(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_lorenz_points,
+    )
+
+    df = agg_lorenz_points(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 1
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_compression_ratio_is_arrow_map(spark):
+    from odc_product_docker_images_spark.textvec.curation import (
+        text_compression_ratio,
+    )
+
+    df = text_compression_ratio(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert C.exchange_count(df) == 0

@@ -1216,3 +1216,52 @@ def test_kappa_matches_python_and_bounds(spark):
     assert (row["tp"], row["fp"], row["fn"], row["tn"]) == (tp, fp, fn, tn)
     assert abs(row["kappa"] - kappa) < 1e-12
     assert -1.0 <= row["kappa"] <= 1.0
+
+
+def test_lorenz_matches_python_and_convexity(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_lorenz_points,
+    )
+
+    rows = sorted(
+        agg_lorenz_points(spark, SF).collect(), key=lambda r: r["decile_edge"]
+    )
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    rev = od.groupby("o_custkey")["o_totalprice"].sum().round(6).sort_values()
+    n = len(rev)
+    cum = rev.cumsum().to_numpy()
+    tot = cum[-1]
+    for r in rows:
+        rk = r["n_cum"]
+        assert rk * 10 % n == 0 or rk == n
+        assert abs(r["pop_share"] - rk / n) < 1e-9
+        assert abs(r["rev_share"] - cum[rk - 1] / tot) < 1e-5
+    # Lorenz curve is convex and below the diagonal
+    shares = [r["rev_share"] for r in rows]
+    assert all(a <= b for a, b in zip(shares, shares[1:]))
+    for r in rows[:-1]:
+        assert r["rev_share"] <= r["pop_share"] + 1e-9
+    assert abs(rows[-1]["rev_share"] - 1.0) < 1e-9
+
+
+def test_compression_ratio_matches_stdlib_and_bands(spark):
+    import zlib
+
+    from odc_product_docker_images_spark.textvec.curation import (
+        text_compression_ratio,
+    )
+
+    got = {r["doc_id"]: r for r in text_compression_ratio(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    assert len(got) == len(docs)
+    for _, d in docs.iterrows():
+        raw = len(d.text.encode())
+        comp = len(zlib.compress(d.text.encode(), 6))
+        r = got[d.doc_id]
+        assert (r["raw_bytes"], r["deflate_bytes"]) == (raw, comp)
+        assert abs(r["ratio"] - comp / raw) < 1e-12
+        assert r["decile"] == min(9, int(comp / raw * 10))
+    # the repetitive synthetic corpus should compress well (ratio < 1)
+    assert np.mean([r["ratio"] for r in got.values()]) < 0.9
