@@ -184,6 +184,8 @@ R6D = [
     "agg_cohens_kappa",
     "agg_lorenz_points",
     "text_compression_ratio",
+    "agg_wilcoxon_signed_rank",
+    "agg_cronbach_alpha",
 ]
 
 R5 = [

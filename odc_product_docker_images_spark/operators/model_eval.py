@@ -26,7 +26,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dround, sql_davg, sql_dround
+from ..functions.det import (
+    davg,
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -515,3 +526,85 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pe.alias("pe"),
         ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
     )
+
+
+_CA_ITEMS = 4  # first four embedding components as the "scale items"
+
+
+@register(
+    "agg_cronbach_alpha",
+    oracle=f"""
+        WITH items AS (
+            SELECT embedding[1]::DOUBLE AS x1, embedding[2]::DOUBLE AS x2,
+                   embedding[3]::DOUBLE AS x3, embedding[4]::DOUBLE AS x4,
+                   embedding[1]::DOUBLE + embedding[2]::DOUBLE
+                     + embedding[3]::DOUBLE + embedding[4]::DOUBLE AS xs
+            FROM embeddings
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {", ".join(
+                       f'{sql_dsum(f"x{i}", f"s{i}")}, '
+                       f'{sql_dsum(f"x{i} * x{i}", f"q{i}")}'
+                       for i in range(1, 5)
+                   )},
+                   {sql_dsum("xs", "ss")}, {sql_dsum("xs * xs", "qs")}
+            FROM items
+        ), vars_ AS (
+            SELECT n,
+                   {" + ".join(
+                       sql_dround(f"(q{i} - s{i} * s{i} / n) / n")
+                       for i in range(1, 5)
+                   )} AS sum_item_var,
+                   {sql_dround("(qs - ss * ss / n) / n")} AS total_var
+            FROM stats
+        )
+        SELECT n AS n_obs,
+               CAST({_CA_ITEMS} AS INT) AS k_items,
+               {sql_dround("sum_item_var")} AS sum_item_var, total_var,
+               {sql_dround(
+                   f"(CAST({_CA_ITEMS} AS DOUBLE) / ({_CA_ITEMS} - 1))"
+                   " * (CAST(1.0 AS DOUBLE) - sum_item_var / total_var)"
+               )} AS alpha
+        FROM vars_
+    """,
+)
+def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E9: Cronbach's alpha over the first {_CA_ITEMS} embedding
+    components treated as scale items — the internal-consistency
+    reliability coefficient (α = k/(k−1)·(1 − Σσ²ᵢ/σ²_total)) every
+    survey/composite-metric pipeline reports before averaging items.
+    Near-orthogonal embedding dims give α ≈ 0 — the honest reading for
+    uncorrelated items; correlated metrics push it toward 1.
+
+    One sufficient-statistics pass (per-item and row-sum moments through
+    the decimal path), then fixed algebra on a 1-row table; population
+    variances and α round 6 dp."""
+    emb = load(spark, sf_dir, "embeddings")
+    xs = [F.element_at("embedding", i).cast("double").alias(f"x{i}") for i in range(1, 5)]
+    items = emb.select(*xs).withColumn(
+        "xs", sum(F.col(f"x{i}") for i in range(1, 5))
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(1, 5):
+        aggs.append(dsum(f"x{i}", f"s{i}"))
+        aggs.append(dsum(F.col(f"x{i}") * F.col(f"x{i}"), f"q{i}"))
+    aggs.append(dsum("xs", "ss"))
+    aggs.append(dsum(F.col("xs") * F.col("xs"), "qs"))
+    stats = items.agg(*aggs)
+
+    def var(q, s):
+        return dround((F.col(q) - F.col(s) * F.col(s) / F.col("n")) / F.col("n"))
+
+    sum_iv = sum(var(f"q{i}", f"s{i}") for i in range(1, 5))
+    tot_v = var("qs", "ss")
+    out = stats.select(
+        F.col("n").alias("n_obs"),
+        F.lit(_CA_ITEMS).cast("int").alias("k_items"),
+        dround(sum_iv).alias("sum_item_var"),
+        tot_v.alias("total_var"),
+        dround(
+            (F.lit(float(_CA_ITEMS)) / (_CA_ITEMS - 1))
+            * (F.lit(1.0) - sum_iv / tot_v)
+        ).alias("alpha"),
+    )
+    return out

@@ -25,10 +25,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import (
+    davg,
     dec_cast,
     dround,
     dsum,
     exact_double,
+    sql_davg,
     sql_dec_cast,
     sql_dround,
     sql_dsum,
@@ -1382,4 +1384,125 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.agg(
         F.max("n").cast("long").alias("n_users"),
         dround(sxy / F.sqrt(sxx * syy)).alias("spearman_rho"),
+    )
+
+
+_WSR_SPLIT = "2024-01-16"  # first-half / second-half boundary
+
+
+@register(
+    "agg_wilcoxon_signed_rank",
+    oracle=f"""
+        WITH halves AS (
+            SELECT user_id,
+                   {sql_davg(
+                       f"CASE WHEN ts < TIMESTAMP '{_WSR_SPLIT}'"
+                       " THEN value END", "m1"
+                   )},
+                   {sql_davg(
+                       f"CASE WHEN ts >= TIMESTAMP '{_WSR_SPLIT}'"
+                       " THEN value END", "m2"
+                   )}
+            FROM events GROUP BY user_id
+        ), diffs AS (
+            SELECT user_id, {sql_dround("m2 - m1")} AS d
+            FROM halves WHERE m1 IS NOT NULL AND m2 IS NOT NULL
+        ), nz AS (
+            SELECT user_id, d, ABS(d) AS ad FROM diffs WHERE d <> 0.0
+        ), ranked AS (
+            SELECT d,
+                   RANK() OVER (ORDER BY ad)
+                     + (COUNT(*) OVER (PARTITION BY ad) - 1) / 2.0 AS r,
+                   CAST(COUNT(*) OVER (PARTITION BY ad) AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM nz
+        ), tiew AS (
+            SELECT CAST(SUM(t * t * t - t) AS BIGINT) AS tsum
+            FROM (SELECT ad, CAST(COUNT(*) AS BIGINT) AS t
+                  FROM nz GROUP BY ad)
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_eff,
+               {sql_exact_double(
+                   "SUM(CASE WHEN d > 0.0 THEN " + sql_dec_cast("r") + " END)"
+               )} AS w_plus,
+               {sql_exact_double(
+                   "SUM(CASE WHEN d < 0.0 THEN " + sql_dec_cast("r") + " END)"
+               )} AS w_minus,
+               {sql_dround(
+                   "(("
+                   + sql_exact_double(
+                       "SUM(CASE WHEN d > 0.0 THEN " + sql_dec_cast("r")
+                       + " END)"
+                   )
+                   + ") - CAST(MAX(n) AS DOUBLE) * (MAX(n) + 1) / 4.0)"
+                   " / SQRT(CAST(MAX(n) AS DOUBLE) * (MAX(n) + 1)"
+                   " * (2 * MAX(n) + 1) / 24.0"
+                   " - CAST(MAX(t.tsum) AS DOUBLE) / 48.0)"
+               )} AS z_stat
+        FROM ranked CROSS JOIN tiew t
+    """,
+)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: Wilcoxon signed-rank test — each user's second-half vs
+    first-half mean spend as a PAIRED sample, completing the
+    nonparametric family (mann_whitney unpaired, kruskal K-group):
+    rank |d| with tie averaging, W⁺ = rank sum of positive shifts,
+    normal approximation with the tie-corrected variance.
+
+    Corpus work is one conditional per-user aggregate; ranking runs on
+    the #users table (small-side windows; the kruskal bucket scaffold
+    is the at-scale form).  Paired means round 6 dp through the davg
+    path BEFORE differencing so the sign/tie structure is cross-engine
+    frozen; rank sums ride the decimal path (.5-grid values), z rounds
+    6 dp."""
+    ev = load(spark, sf_dir, "events")
+    halves = ev.groupBy("user_id").agg(
+        davg(
+            F.when(F.col("ts") < F.lit(_WSR_SPLIT).cast("timestamp"), F.col("value")),
+            "m1",
+        ),
+        davg(
+            F.when(F.col("ts") >= F.lit(_WSR_SPLIT).cast("timestamp"), F.col("value")),
+            "m2",
+        ),
+    )
+    diffs = halves.where(
+        F.col("m1").isNotNull() & F.col("m2").isNotNull()
+    ).select(dround(F.col("m2") - F.col("m1")).alias("d"))
+    nz = diffs.where(F.col("d") != 0.0).withColumn("ad", F.abs("d"))
+    w_r = Window.partitionBy(F.lit(0)).orderBy("ad")
+    w_t = Window.partitionBy("ad")
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = nz.select(
+        "d",
+        (F.rank().over(w_r) + (F.count(F.lit(1)).over(w_t) - 1) / 2.0).alias("r"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+    )
+    tiew = (
+        nz.groupBy("ad")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .agg(
+            F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+            .cast("long")
+            .alias("tsum")
+        )
+    )
+    joined = ranked.crossJoin(F.broadcast(tiew))
+    wp = exact_double(F.sum(F.when(F.col("d") > 0.0, dec_cast("r"))))
+    wm = exact_double(F.sum(F.when(F.col("d") < 0.0, dec_cast("r"))))
+    n = F.max("n").cast("double")
+    z = dround(
+        (wp - n * (F.max("n") + 1) / F.lit(4.0))
+        / F.sqrt(
+            n * (F.max("n") + 1) * (2 * F.max("n") + 1) / F.lit(24.0)
+            - F.max("tsum").cast("double") / F.lit(48.0)
+        )
+    )
+    return joined.agg(
+        F.max("n").cast("long").alias("n_eff"),
+        wp.alias("w_plus"),
+        wm.alias("w_minus"),
+        z.alias("z_stat"),
     )

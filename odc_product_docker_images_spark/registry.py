@@ -198,7 +198,8 @@ GRADING_WINDOW = [
     #     ml_naive_bayes, profile_parquet_footers, forecast_croston,
     #     agg_price_index, agg_ks_by_group_fdr, agg_cmh_test,
     #     table_content_checksum, agg_kruskal_wallis, agg_spearman_corr,
-    #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points
+    #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points,
+    #     agg_wilcoxon_signed_rank, agg_cronbach_alpha
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -2308,3 +2308,23 @@ def test_compression_ratio_is_arrow_map(spark):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert C.exchange_count(df) == 0
+
+
+def test_wilcoxon_and_cronbach_shapes(spark):
+    """Wilcoxon: one conditional per-user agg + users-table windows;
+    Cronbach: one sufficient-stats pass, 1-row algebra."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        agg_cronbach_alpha,
+    )
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    w = agg_wilcoxon_signed_rank(spark, SF)
+    assert C.scan_count(w) <= 2  # halves + tie-weight branch on tiny table
+    assert "CartesianProduct" not in C.formatted_plan(w)
+    C.assert_no_python_row_path(w)
+    a = agg_cronbach_alpha(spark, SF)
+    assert C.scan_count(a) == 1
+    assert "Join" not in C.formatted_plan(a)
+    C.assert_no_python_row_path(a)

@@ -1265,3 +1265,51 @@ def test_compression_ratio_matches_stdlib_and_bands(spark):
         assert r["decile"] == min(9, int(comp / raw * 10))
     # the repetitive synthetic corpus should compress well (ratio < 1)
     assert np.mean([r["ratio"] for r in got.values()]) < 0.9
+
+
+def test_wilcoxon_matches_python(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_wilcoxon_signed_rank,
+    )
+
+    row = agg_wilcoxon_signed_rank(spark, SF).collect()[0]
+    ev = _events()
+    split = pd.Timestamp("2024-01-16")
+    m1 = ev[ev.ts < split].groupby("user_id")["value"].mean().round(6)
+    m2 = ev[ev.ts >= split].groupby("user_id")["value"].mean().round(6)
+    d = (m2 - m1).dropna().round(6)
+    d = d[d != 0]
+    r = d.abs().rank(method="average")
+    n = len(d)
+    wp = float(r[d > 0].sum())
+    wm = float(r[d < 0].sum())
+    _, t = np.unique(d.abs().to_numpy(), return_counts=True)
+    var = n * (n + 1) * (2 * n + 1) / 24 - (t**3 - t).sum() / 48
+    z = (wp - n * (n + 1) / 4) / np.sqrt(var)
+    assert row["n_eff"] == n
+    assert abs(row["w_plus"] - wp) < 1e-6
+    assert abs(row["w_minus"] - wm) < 1e-6
+    assert abs(row["z_stat"] - z) < 1e-5
+    # rank-sum identity
+    assert abs((row["w_plus"] + row["w_minus"]) - n * (n + 1) / 2) < 1e-6
+
+
+def test_cronbach_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        agg_cronbach_alpha,
+    )
+
+    row = agg_cronbach_alpha(spark, SF).collect()[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(emb.embedding.to_numpy())[:, :4].astype(np.float64)
+    item_vars = X.var(axis=0)  # population
+    tot_var = X.sum(axis=1).var()
+    alpha = 4 / 3 * (1 - item_vars.sum() / tot_var)
+    assert row["n_obs"] == len(X) and row["k_items"] == 4
+    assert abs(row["sum_item_var"] - item_vars.sum()) < 1e-5
+    assert abs(row["total_var"] - tot_var) < 1e-5
+    assert abs(row["alpha"] - alpha) < 1e-4
+    # near-orthogonal random dims: alpha should be near 0, not near 1
+    assert abs(row["alpha"]) < 0.5
