@@ -186,6 +186,8 @@ R6D = [
     "text_compression_ratio",
     "agg_wilcoxon_signed_rank",
     "agg_cronbach_alpha",
+    "ml_platt_scaling_step",
+    "graph_kcore_step",
 ]
 
 R5 = [

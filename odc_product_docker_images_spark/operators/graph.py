@@ -712,3 +712,80 @@ def graph_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("rn") == 1).select(
         F.col("dst").alias("node_id"), "label", "n_votes", "n_nbrs"
     )
+
+
+_KCORE_K = 3
+
+
+@register(
+    "graph_kcore_step",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), und AS (
+            SELECT src AS u, dst AS v FROM edges
+            UNION ALL
+            SELECT dst, src FROM edges
+        ), deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+        ), alive AS (
+            SELECT u, d FROM deg WHERE d >= {_KCORE_K}
+        ), surv AS (
+            SELECT e.u, e.v FROM und e
+            JOIN alive a ON e.u = a.u
+            JOIN alive b ON e.v = b.u
+        ), after AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d2 FROM surv GROUP BY u
+        )
+        SELECT a.u AS node_id, a.d AS deg_before,
+               COALESCE(f.d2, 0) AS deg_after,
+               CAST(COALESCE(f.d2, 0) >= {_KCORE_K} AS INT) AS still_core
+        FROM alive a LEFT JOIN after f ON a.u = f.u
+    """,
+)
+def graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-core peel iteration (k = {_KCORE_K}) on the undirected
+    supplier↔part graph: drop every node of degree < k, recount degrees
+    on the induced subgraph, and flag which survivors already satisfy
+    the core condition — the verified induction step of core
+    decomposition (the standard graph-density screen before community /
+    influence work; iterate to fixpoint exactly like dedup_clusters).
+
+    Shape: degree agg → broadcastable alive set → two semi-join-style
+    filters of the edge list → recount.  The edge list is persisted
+    (three consumers — the graph-module convention); everything else is
+    two linear shuffles, exact integers throughout."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + _DST_OFF).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).persist()
+    alive = deg.where(F.col("d") >= _KCORE_K)
+    surv = (
+        und.join(F.broadcast(alive.select("u")), "u")
+        .join(
+            F.broadcast(alive.select(F.col("u").alias("v"))),
+            "v",
+        )
+    )
+    after = surv.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d2"))
+    return (
+        alive.join(after, "u", "left")
+        .select(
+            F.col("u").alias("node_id"),
+            F.col("d").alias("deg_before"),
+            F.coalesce(F.col("d2"), F.lit(0)).alias("deg_after"),
+            (F.coalesce(F.col("d2"), F.lit(0)) >= _KCORE_K)
+            .cast("int")
+            .alias("still_core"),
+        )
+    )

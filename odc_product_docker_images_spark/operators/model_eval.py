@@ -608,3 +608,95 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("alpha"),
     )
     return out
+
+
+_PLATT_A0, _PLATT_B0 = 1.0, 0.0  # Newton start
+
+
+@register(
+    "ml_platt_scaling_step",
+    oracle=f"""
+        WITH s AS (
+            SELECT embedding[1]::DOUBLE AS x,
+                   CAST(label < 5 AS BIGINT) AS y
+            FROM embeddings
+        ), p AS (
+            SELECT x, y,
+                   {sql_dround(
+                       "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                       f" + EXP(-(CAST({_PLATT_A0!r} AS DOUBLE) * x"
+                       f" + CAST({_PLATT_B0!r} AS DOUBLE))))"
+                   )} AS pr
+            FROM s
+        ), terms AS (
+            SELECT {sql_dsum("(pr - y) * x", "ga")},
+                   {sql_dsum("pr - y", "gb")},
+                   {sql_dsum("pr * (1.0 - pr) * x * x", "haa")},
+                   {sql_dsum("pr * (1.0 - pr) * x", "hab")},
+                   {sql_dsum("pr * (1.0 - pr)", "hbb")}
+            FROM p
+        )
+        SELECT ga, gb, haa, hab, hbb,
+               {sql_dround(
+                   f"CAST({_PLATT_A0!r} AS DOUBLE)"
+                   " - (ga * hbb - gb * hab) / (haa * hbb - hab * hab)"
+               )} AS a1,
+               {sql_dround(
+                   f"CAST({_PLATT_B0!r} AS DOUBLE)"
+                   " - (gb * haa - ga * hab) / (haa * hbb - hab * hab)"
+               )} AS b1
+        FROM terms
+    """,
+)
+def ml_platt_scaling_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10: one Newton step of Platt scaling — fit sigmoid(a·score + b)
+    to the labels by log-loss, the PARAMETRIC calibration companion to
+    ``ml_isotonic_pava`` (two parameters instead of a step function;
+    production stacks run a handful of these steps offline).  Gradient
+    and Hessian are five decimal-path sufficient sums; the 2×2 Newton
+    solve is Cramer's rule on a 1-row table (the ridge/Cramer idiom).
+    Verify-the-step / induct-on-the-loop, like kmeans/pagerank/BPE.
+    Per-row sigmoids round 6 dp (libm) before the sums; the updated
+    (a₁, b₁) round 6 dp."""
+    emb = load(spark, sf_dir, "embeddings")
+    pr = dround(
+        F.lit(1.0)
+        / (
+            F.lit(1.0)
+            + F.exp(
+                -(
+                    F.lit(_PLATT_A0) * F.element_at("embedding", 1).cast("double")
+                    + F.lit(_PLATT_B0)
+                )
+            )
+        )
+    )
+    p = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") < 5).cast("long").alias("y"),
+        pr.alias("pr"),
+    )
+    w = F.col("pr") * (F.lit(1.0) - F.col("pr"))
+    terms = p.agg(
+        dsum((F.col("pr") - F.col("y")) * F.col("x"), "ga"),
+        dsum(F.col("pr") - F.col("y"), "gb"),
+        dsum(w * F.col("x") * F.col("x"), "haa"),
+        dsum(w * F.col("x"), "hab"),
+        dsum(w, "hbb"),
+    )
+    det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+    return terms.select(
+        "ga",
+        "gb",
+        "haa",
+        "hab",
+        "hbb",
+        dround(
+            F.lit(_PLATT_A0)
+            - (F.col("ga") * F.col("hbb") - F.col("gb") * F.col("hab")) / det
+        ).alias("a1"),
+        dround(
+            F.lit(_PLATT_B0)
+            - (F.col("gb") * F.col("haa") - F.col("ga") * F.col("hab")) / det
+        ).alias("b1"),
+    )

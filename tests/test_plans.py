@@ -2328,3 +2328,26 @@ def test_wilcoxon_and_cronbach_shapes(spark):
     assert C.scan_count(a) == 1
     assert "Join" not in C.formatted_plan(a)
     C.assert_no_python_row_path(a)
+
+
+def test_platt_step_is_one_moment_pass(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_platt_scaling_step,
+    )
+
+    df = ml_platt_scaling_step(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_kcore_step_filters_on_broadcast_alive_set(spark):
+    from odc_product_docker_images_spark.operators.graph import graph_kcore_step
+
+    df = graph_kcore_step(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert C.scan_count(df) <= 1  # persisted edges + degrees
+    C.assert_no_python_row_path(df)

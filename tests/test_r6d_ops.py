@@ -1313,3 +1313,61 @@ def test_cronbach_matches_numpy(spark):
     assert abs(row["alpha"] - alpha) < 1e-4
     # near-orthogonal random dims: alpha should be near 0, not near 1
     assert abs(row["alpha"]) < 0.5
+
+
+def test_platt_step_matches_numpy_newton(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_platt_scaling_step,
+    )
+
+    row = ml_platt_scaling_step(spark, SF).collect()[0]
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    x = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    y = (emb.label < 5).to_numpy().astype(float)
+    pr = np.round(1 / (1 + np.exp(-(1.0 * x + 0.0))), 6)
+    w = pr * (1 - pr)
+    ga, gb = ((pr - y) * x).sum(), (pr - y).sum()
+    haa, hab, hbb = (w * x * x).sum(), (w * x).sum(), w.sum()
+    det = haa * hbb - hab * hab
+    a1 = 1.0 - (ga * hbb - gb * hab) / det
+    b1 = 0.0 - (gb * haa - ga * hab) / det
+    assert abs(row["a1"] - a1) < 1e-4
+    assert abs(row["b1"] - b1) < 1e-4
+    # Newton on a concave log-likelihood from a sane start: the step is
+    # finite and the Hessian is positive definite
+    assert det > 0
+    # one step must reduce the log-loss
+    def ll(a, b):
+        p = 1 / (1 + np.exp(-(a * x + b)))
+        return -(y * np.log(p) + (1 - y) * np.log(1 - p)).sum()
+
+    assert ll(row["a1"], row["b1"]) < ll(1.0, 0.0)
+
+
+def test_kcore_step_matches_python(spark):
+    from collections import Counter
+
+    from odc_product_docker_images_spark.operators.graph import graph_kcore_step
+
+    got = {r["node_id"]: r for r in graph_kcore_step(spark, SF).collect()}
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = {(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)}
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    alive = {u for u, d in deg.items() if d >= 3}
+    deg2 = Counter()
+    for u, v in edges:
+        if u in alive and v in alive:
+            deg2[u] += 1
+            deg2[v] += 1
+    assert set(got) == alive
+    for u in alive:
+        r = got[u]
+        assert r["deg_before"] == deg[u]
+        assert r["deg_after"] == deg2.get(u, 0)
+        assert r["still_core"] == int(deg2.get(u, 0) >= 3)
+        assert r["deg_after"] <= r["deg_before"]
