@@ -188,6 +188,8 @@ R6D = [
     "agg_cronbach_alpha",
     "ml_platt_scaling_step",
     "graph_kcore_step",
+    "agg_tost_equivalence",
+    "agg_breusch_pagan",
 ]
 
 R5 = [

@@ -1506,3 +1506,234 @@ def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         wm.alias("w_minus"),
         z.alias("z_stat"),
     )
+
+
+_TOST_MARGIN = 5.0  # equivalence margin on mean value
+_TOST_ZCRIT = 1.6448536269514722  # one-sided 5% normal critical value
+
+
+@register(
+    "agg_tost_equivalence",
+    oracle=f"""
+        WITH arms AS (
+            SELECT user_id % 2 AS arm, value FROM events
+        ), stats AS (
+            SELECT arm,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("value", "s")},
+                   {sql_dsum("value * value", "q")}
+            FROM arms GROUP BY arm
+        ), wide AS (
+            SELECT MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+                   MAX(CASE WHEN arm = 1 THEN s END) AS s1,
+                   MAX(CASE WHEN arm = 1 THEN q END) AS q1,
+                   MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+                   MAX(CASE WHEN arm = 0 THEN s END) AS s0,
+                   MAX(CASE WHEN arm = 0 THEN q END) AS q0
+            FROM stats
+        ), derived AS (
+            SELECT n1, n0,
+                   {sql_dround("s1 / n1 - s0 / n0")} AS mean_diff,
+                   {sql_dround(
+                       "SQRT((q1 - s1 * s1 / n1) / (n1 * (n1 - 1.0))"
+                       " + (q0 - s0 * s0 / n0) / (n0 * (n0 - 1.0)))"
+                   )} AS se
+            FROM wide
+        )
+        SELECT n1, n0, mean_diff, se,
+               {sql_dround(
+                   f"(mean_diff + CAST({_TOST_MARGIN!r} AS DOUBLE)) / se"
+               )} AS t_lower,
+               {sql_dround(
+                   f"(CAST({_TOST_MARGIN!r} AS DOUBLE) - mean_diff) / se"
+               )} AS t_upper,
+               CAST(
+                   LEAST({sql_dround(
+                       f"(mean_diff + CAST({_TOST_MARGIN!r} AS DOUBLE)) / se"
+                   )}, {sql_dround(
+                       f"(CAST({_TOST_MARGIN!r} AS DOUBLE) - mean_diff) / se"
+                   )}) > CAST({_TOST_ZCRIT!r} AS DOUBLE)
+               AS INT) AS equivalent
+        FROM derived
+    """,
+)
+def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: TOST equivalence test — two one-sided tests that the arm
+    mean difference lies INSIDE ±{_TOST_MARGIN}: the inferential
+    inverse of ``agg_ttest_welch`` (failing to reject a difference is
+    not evidence of equivalence; TOST is).  Both one-sided statistics
+    share the Welch standard error from one sufficient-statistics pass;
+    equivalence = min(t_lower, t_upper) above the one-sided 5% normal
+    critical value, compared on 6 dp-rounded statistics so the verdict
+    bit is cross-engine frozen."""
+    ev = load(spark, sf_dir, "events")
+    stats = ev.select((F.col("user_id") % 2).alias("arm"), "value").groupBy(
+        "arm"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("value", "s"),
+        dsum(F.col("value") * F.col("value"), "q"),
+    )
+    wide = stats.agg(
+        *[
+            F.max(F.when(F.col("arm") == a, F.col(c))).alias(f"{c}{a}")
+            for a in (1, 0)
+            for c in ("n", "s", "q")
+        ]
+    )
+    mean_diff = dround(F.col("s1") / F.col("n1") - F.col("s0") / F.col("n0"))
+    se = dround(
+        F.sqrt(
+            (F.col("q1") - F.col("s1") * F.col("s1") / F.col("n1"))
+            / (F.col("n1") * (F.col("n1") - F.lit(1.0)))
+            + (F.col("q0") - F.col("s0") * F.col("s0") / F.col("n0"))
+            / (F.col("n0") * (F.col("n0") - F.lit(1.0)))
+        )
+    )
+    derived = wide.select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n0").cast("long").alias("n0"),
+        mean_diff.alias("mean_diff"),
+        se.alias("se"),
+    )
+    t_lo = dround((F.col("mean_diff") + F.lit(_TOST_MARGIN)) / F.col("se"))
+    t_hi = dround((F.lit(_TOST_MARGIN) - F.col("mean_diff")) / F.col("se"))
+    return derived.select(
+        "n1",
+        "n0",
+        "mean_diff",
+        "se",
+        t_lo.alias("t_lower"),
+        t_hi.alias("t_upper"),
+        (F.least(t_lo, t_hi) > F.lit(_TOST_ZCRIT)).cast("int").alias("equivalent"),
+    )
+
+
+@register(
+    "agg_breusch_pagan",
+    oracle=f"""
+        WITH pts AS (
+            SELECT CAST(DATE_DIFF('day', DATE '2024-01-01',
+                                  CAST(ts AS DATE)) AS DOUBLE) AS x,
+                   value AS y
+            FROM events
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("x", "sx")}, {sql_dsum("y", "sy")},
+                   {sql_dsum("x * x", "sxx")}, {sql_dsum("x * y", "sxy")}
+            FROM pts
+        ), fit AS (
+            SELECT n,
+                   {sql_dround(
+                       "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+                   )} AS b,
+                   {sql_dround(
+                       "(sy * sxx - sx * sxy) / (n * sxx - sx * sx)"
+                   )} AS a
+            FROM m
+        ), resid AS (
+            SELECT p.x,
+                   {sql_dround(
+                       "(p.y - f.a - f.b * p.x) * (p.y - f.a - f.b * p.x)"
+                   )} AS e2,
+                   f.n, f.a, f.b
+            FROM pts p CROSS JOIN fit f
+        ), aux AS (
+            -- e2 scaled by 1e-6 in the auxiliary moments: R^2 (hence LM)
+            -- is invariant to linear scaling, and unscaled SUM(e2*e2)
+            -- overflows the decimal->int64 hop at 10x data
+            SELECT MAX(n) AS n, MAX(a) AS a, MAX(b) AS b,
+                   {sql_dsum("x", "ax")},
+                   {sql_dsum("e2 * CAST(1e-6 AS DOUBLE)", "ae")},
+                   {sql_dsum("x * x", "axx")},
+                   {sql_dsum(
+                       "(e2 * CAST(1e-6 AS DOUBLE))"
+                       " * (e2 * CAST(1e-6 AS DOUBLE))", "aee"
+                   )},
+                   {sql_dsum("x * (e2 * CAST(1e-6 AS DOUBLE))", "axe")}
+            FROM resid
+        )
+        SELECT CAST(n AS BIGINT) AS n_obs, a AS intercept, b AS slope,
+               {sql_dround(
+                   "n * POW(n * axe - ax * ae, 2)"
+                   " / ((n * axx - ax * ax) * (n * aee - ae * ae))"
+               )} AS lm_stat
+        FROM aux
+    """,
+)
+def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: Breusch-Pagan heteroscedasticity screen on the value-vs-day
+    OLS fit — LM = n·R² of regressing squared residuals on the
+    regressor: the does-variance-drift-with-time check that decides
+    whether ``agg_linear_trend``'s plain standard errors are honest.
+
+    Two corpus passes by design (fit, then residual moments — the OLS
+    coefficients must exist before residuals do; the 1-row fit
+    broadcasts back, the train/apply shape of ml_naive_bayes).  All
+    moment sums ride the decimal path; a, b, per-row e², and LM round
+    6 dp."""
+    ev = load(spark, sf_dir, "events")
+    pts = ev.select(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("value").alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", "sx"),
+        dsum("y", "sy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+    )
+    b = dround(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    )
+    # intercept by its own closed form (NOT sy/n - b_rounded*sx/n: the
+    # rounded slope's 5e-7 grid error multiplies by sx ~ 1e8)
+    fit = m.select(
+        "n",
+        b.alias("b"),
+        dround(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("a"),
+    )
+    resid = pts.crossJoin(F.broadcast(fit)).select(
+        "x",
+        "n",
+        "a",
+        "b",
+        dround(
+            (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+            * (F.col("y") - F.col("a") - F.col("b") * F.col("x"))
+        ).alias("e2"),
+    )
+    # e2 scaled 1e-6 in the aux moments: R^2/LM are scale-invariant and
+    # the unscaled e2^2 sum overflows the decimal->int64 hop at 10x data
+    e2s = F.col("e2") * F.lit(1e-6)
+    aux = resid.agg(
+        F.max("n").alias("n"),
+        F.max("a").alias("a"),
+        F.max("b").alias("b"),
+        dsum("x", "ax"),
+        dsum(e2s, "ae"),
+        dsum(F.col("x") * F.col("x"), "axx"),
+        dsum(e2s * e2s, "aee"),
+        dsum(F.col("x") * e2s, "axe"),
+    )
+    lm = dround(
+        F.col("n")
+        * F.pow(F.col("n") * F.col("axe") - F.col("ax") * F.col("ae"), F.lit(2.0))
+        / (
+            (F.col("n") * F.col("axx") - F.col("ax") * F.col("ax"))
+            * (F.col("n") * F.col("aee") - F.col("ae") * F.col("ae"))
+        )
+    )
+    return aux.select(
+        F.col("n").cast("long").alias("n_obs"),
+        F.col("a").alias("intercept"),
+        F.col("b").alias("slope"),
+        lm.alias("lm_stat"),
+    )

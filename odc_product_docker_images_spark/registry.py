@@ -200,7 +200,8 @@ GRADING_WINDOW = [
     #     table_content_checksum, agg_kruskal_wallis, agg_spearman_corr,
     #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points,
     #     agg_wilcoxon_signed_rank, agg_cronbach_alpha,
-    #     ml_platt_scaling_step, graph_kcore_step
+    #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
+    #     agg_breusch_pagan
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -2351,3 +2351,22 @@ def test_kcore_step_filters_on_broadcast_alive_set(spark):
     assert "CartesianProduct" not in plan
     assert C.scan_count(df) <= 1  # persisted edges + degrees
     C.assert_no_python_row_path(df)
+
+
+def test_tost_and_bp_shapes(spark):
+    """TOST: one sufficient-stats pass.  BP: two passes by design (fit
+    broadcasts back for residual moments) — no corpus join."""
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_breusch_pagan,
+        agg_tost_equivalence,
+    )
+
+    t = agg_tost_equivalence(spark, SF)
+    assert C.scan_count(t) == 1
+    assert "Join" not in C.formatted_plan(t)
+    C.assert_no_python_row_path(t)
+    bp = agg_breusch_pagan(spark, SF)
+    plan = C.formatted_plan(bp)
+    assert C.scan_count(bp) == 2  # fit pass + residual pass (documented)
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row fit broadcast
+    C.assert_no_python_row_path(bp)

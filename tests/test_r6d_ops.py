@@ -1371,3 +1371,51 @@ def test_kcore_step_matches_python(spark):
         assert r["deg_after"] == deg2.get(u, 0)
         assert r["still_core"] == int(deg2.get(u, 0) >= 3)
         assert r["deg_after"] <= r["deg_before"]
+
+
+def test_tost_matches_numpy_welch(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_tost_equivalence,
+    )
+
+    row = agg_tost_equivalence(spark, SF).collect()[0]
+    ev = _events()
+    x1 = ev.loc[ev.user_id % 2 == 1, "value"].to_numpy()
+    x0 = ev.loc[ev.user_id % 2 == 0, "value"].to_numpy()
+    d = x1.mean() - x0.mean()
+    se = np.sqrt(x1.var(ddof=1) / len(x1) + x0.var(ddof=1) / len(x0))
+    assert (row["n1"], row["n0"]) == (len(x1), len(x0))
+    assert abs(row["mean_diff"] - d) < 1e-4
+    assert abs(row["se"] - se) < 1e-4
+    assert abs(row["t_lower"] - (d + 5.0) / se) < 1e-3
+    assert abs(row["t_upper"] - (5.0 - d) / se) < 1e-3
+    assert row["equivalent"] == int(min(row["t_lower"], row["t_upper"]) > 1.6448536269514722)
+    # a random split of the same population IS equivalent at margin 5
+    assert row["equivalent"] == 1
+
+
+def test_breusch_pagan_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_breusch_pagan,
+    )
+
+    row = agg_breusch_pagan(spark, SF).collect()[0]
+    ev = _events()
+    x = (ev.ts.dt.floor("D") - np.datetime64("2024-01-01")).dt.days.to_numpy(dtype=float)
+    y = ev.value.to_numpy()
+    n = len(x)
+    b = round((n * (x * y).sum() - x.sum() * y.sum()) / (n * (x * x).sum() - x.sum() ** 2), 6)
+    a = round(
+        (y.sum() * (x * x).sum() - x.sum() * (x * y).sum())
+        / (n * (x * x).sum() - x.sum() ** 2),
+        6,
+    )
+    e2 = np.round((y - a - b * x) ** 2, 6)
+    r2_num = (n * (x * e2).sum() - x.sum() * e2.sum()) ** 2
+    r2_den = (n * (x * x).sum() - x.sum() ** 2) * (n * (e2 * e2).sum() - e2.sum() ** 2)
+    lm = n * r2_num / r2_den
+    assert row["n_obs"] == n
+    assert abs(row["slope"] - b) < 1e-5
+    assert abs(row["intercept"] - a) < 1e-4
+    assert abs(row["lm_stat"] - lm) < 1e-2
+    assert row["lm_stat"] >= 0
