@@ -190,6 +190,8 @@ R6D = [
     "graph_kcore_step",
     "agg_tost_equivalence",
     "agg_breusch_pagan",
+    "agg_runs_test",
+    "agg_theil_index",
 ]
 
 R5 = [

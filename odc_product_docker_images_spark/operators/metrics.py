@@ -1578,3 +1578,112 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.max("cum_rev") / F.max("tot")).alias("rev_share"),
         )
     )
+
+
+@register(
+    "agg_theil_index",
+    oracle=f"""
+        WITH cust AS (
+            SELECT c.c_nationkey AS nation, {sql_dsum("o.o_totalprice", "x")}
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey, o.o_custkey
+        ), tot AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_exact_double("SUM(" + sql_dec_cast("x") + ")")} AS sx
+            FROM cust
+        ), terms AS (
+            SELECT nation, x,
+                   {sql_dround(
+                       "(x / (sx / n)) * LN(x / (sx / n))"
+                   )} AS t_term,
+                   n, sx
+            FROM cust CROSS JOIN tot
+        ), within AS (
+            SELECT nation,
+                   CAST(COUNT(*) AS BIGINT) AS n_g,
+                   {sql_exact_double("SUM(" + sql_dec_cast("x") + ")")} AS sx_g,
+                   MAX(n) AS n, MAX(sx) AS sx
+            FROM terms GROUP BY nation
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+               CAST(MAX(n) AS BIGINT) AS n_custs,
+               (SELECT {sql_dround(
+                   "(" + sql_exact_double("SUM(" + sql_dec_cast("t_term") + ")")
+                   + ") / MAX(n)"
+               )} FROM terms) AS theil_total,
+               {sql_dround(
+                   "(" + sql_exact_double(
+                       "SUM(" + sql_dec_cast(
+                           "(sx_g / sx) * LN((sx_g / n_g) / (sx / n))"
+                       ) + ")"
+                   ) + ")"
+               )} AS theil_between
+        FROM within
+    """,
+)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: Theil T inequality index of customer revenue with the
+    between-nation component — the DECOMPOSABLE inequality measure
+    (gini/lorenz report a level; Theil splits it into between-group and
+    within-group shares, T_total = T_between + Σ s_g·T_g — the identity
+    the pytest oracle pins).  T = (1/n)Σ(x/μ)ln(x/μ).
+
+    Corpus work: one per-customer revenue aggregate (broadcast join to
+    the nation dim); the global mean broadcasts back as a 1-row cross
+    join (train/apply shape); per-row ln terms round 6 dp into decimal
+    sums; group terms reduce on the #nations table."""
+    od = load(spark, sf_dir, "orders")
+    cu = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nation"),
+    )
+    cust = (
+        od.join(F.broadcast(cu), "o_custkey")
+        .groupBy("nation", "o_custkey")
+        .agg(dsum("o_totalprice", "x"))
+    ).persist()  # three consumers: totals, per-row terms, group rollup
+    tot = cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("x"))).alias("sx"),
+    )
+    terms = cust.crossJoin(F.broadcast(tot)).select(
+        "nation",
+        "x",
+        "n",
+        "sx",
+        dround(
+            (F.col("x") / (F.col("sx") / F.col("n")))
+            * F.log(F.col("x") / (F.col("sx") / F.col("n")))
+        ).alias("t_term"),
+    )
+    total_row = terms.agg(
+        dround(
+            exact_double(F.sum(dec_cast("t_term"))) / F.max("n")
+        ).alias("theil_total")
+    )
+    within = terms.groupBy("nation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        exact_double(F.sum(dec_cast("x"))).alias("sx_g"),
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+    )
+    between = within.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.max("n").cast("long").alias("n_custs"),
+        dround(
+            exact_double(
+                F.sum(
+                    dec_cast(
+                        (F.col("sx_g") / F.col("sx"))
+                        * F.log(
+                            (F.col("sx_g") / F.col("n_g"))
+                            / (F.col("sx") / F.col("n"))
+                        )
+                    )
+                )
+            )
+        ).alias("theil_between"),
+    )
+    return between.crossJoin(F.broadcast(total_row)).select(
+        "n_groups", "n_custs", "theil_total", "theil_between"
+    )

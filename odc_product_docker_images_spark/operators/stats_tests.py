@@ -1737,3 +1737,98 @@ def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b").alias("slope"),
         lm.alias("lm_stat"),
     )
+
+
+@register(
+    "agg_runs_test",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), med AS (
+            SELECT d, x,
+                   CAST(x > MEDIAN(x) OVER () AS INTEGER) AS above,
+                   CAST(x = MEDIAN(x) OVER () AS INTEGER) AS at_med
+            FROM series
+        ), nz AS (
+            SELECT d, above,
+                   LAG(above) OVER (ORDER BY d) AS prev
+            FROM med WHERE at_med = 0
+        ), agg AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(above) AS BIGINT) AS n1,
+                   CAST(COUNT(*) - SUM(above) AS BIGINT) AS n0,
+                   CAST(1 + SUM(CASE WHEN prev IS NOT NULL
+                                      AND above <> prev
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS runs
+            FROM nz
+        )
+        SELECT n, n1, n0, runs,
+               {sql_dround(
+                   "(runs - (CAST(2.0 AS DOUBLE) * n1 * n0 / n + 1.0))"
+                   " / SQRT(CAST(2.0 AS DOUBLE) * n1 * n0"
+                   " * (2.0 * n1 * n0 - n)"
+                   " / (CAST(n AS DOUBLE) * n * (n - 1)))"
+               )} AS z_stat
+        FROM agg
+    """,
+)
+def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40: Wald-Wolfowitz runs test — is the daily event-count series'
+    above/below-median sequence random, or does it streak?  (The
+    randomness screen behind window_streak's descriptive runs.)  Runs
+    counted via one lag window over the median-dichotomized series
+    (at-median days drop, the standard convention); z against the exact
+    run-count mean/variance.  Corpus work = one day-count agg; the
+    median and the lag ride the O(span) series windows; counts stay
+    exact integers into one 6 dp IEEE chain.  DuckDB MEDIAN on an even
+    count interpolates exactly like Spark's percentile(0.5) over bigint
+    counts — both land on the same .5-grid value."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    med = F.expr("percentile(x, 0.5)").over(wall)
+    m = series.select(
+        "d",
+        "x",
+        (F.col("x") > med).cast("int").alias("above"),
+        (F.col("x") == med).cast("int").alias("at_med"),
+    ).where(F.col("at_med") == 0)
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    nz = m.select("above", F.lag("above").over(w_ord).alias("prev"))
+    agg = nz.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("above").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("above")).cast("long").alias("n0"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev").isNotNull() & (F.col("above") != F.col("prev")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("long")
+        .alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.lit(2.0) * F.col("n1") * F.col("n0") / F.col("n") + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * F.col("n1")
+        * F.col("n0")
+        * (F.lit(2.0) * F.col("n1") * F.col("n0") - F.col("n"))
+        / (n * F.col("n") * (F.col("n") - 1))
+    )
+    return agg.select(
+        "n",
+        "n1",
+        "n0",
+        "runs",
+        dround((F.col("runs") - mu) / F.sqrt(var)).alias("z_stat"),
+    )

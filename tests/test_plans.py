@@ -2370,3 +2370,19 @@ def test_tost_and_bp_shapes(spark):
     assert C.scan_count(bp) == 2  # fit pass + residual pass (documented)
     assert "BroadcastNestedLoopJoin" in plan  # 1-row fit broadcast
     C.assert_no_python_row_path(bp)
+
+
+def test_runs_and_theil_shapes(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_theil_index
+    from odc_product_docker_images_spark.operators.stats_tests import agg_runs_test
+
+    r = agg_runs_test(spark, SF)
+    assert C.scan_count(r) == 1
+    assert "Join" not in C.formatted_plan(r)
+    C.assert_no_python_row_path(r)
+    t = agg_theil_index(spark, SF)
+    plan = C.formatted_plan(t)
+    assert C.scan_count(t) <= 2  # orders + customer dims
+    assert "InMemoryTableScan" in plan  # persisted per-customer table
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(t)

@@ -1419,3 +1419,48 @@ def test_breusch_pagan_matches_numpy(spark):
     assert abs(row["intercept"] - a) < 1e-4
     assert abs(row["lm_stat"] - lm) < 1e-2
     assert row["lm_stat"] >= 0
+
+
+def test_runs_test_matches_python(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_runs_test
+
+    row = agg_runs_test(spark, SF).collect()[0]
+    ev = _events()
+    x = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().to_numpy()
+    med = np.median(x)
+    seq = [1 if v > med else 0 for v in x if v != med]
+    n, n1 = len(seq), sum(seq)
+    n0 = n - n1
+    runs = 1 + sum(a != b for a, b in zip(seq, seq[1:]))
+    mu = 2 * n1 * n0 / n + 1
+    var = 2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1))
+    assert (row["n"], row["n1"], row["n0"], row["runs"]) == (n, n1, n0, runs)
+    assert abs(row["z_stat"] - (runs - mu) / np.sqrt(var)) < 1e-5
+
+
+def test_theil_decomposition_identity(spark):
+    """T_total must equal T_between + Σ s_g · T_within,g — recomputed
+    in numpy, the decomposition property gini cannot offer."""
+    from odc_product_docker_images_spark.operators.metrics import agg_theil_index
+
+    row = agg_theil_index(spark, SF).collect()[0]
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    j = od.merge(cu, left_on="o_custkey", right_on="c_custkey")
+    x = j.groupby(["c_nationkey", "o_custkey"])["o_totalprice"].sum().round(6)
+    mu = x.mean()
+    t_total = float(((x / mu) * np.log(x / mu)).mean())
+    t_between = 0.0
+    t_within_weighted = 0.0
+    sx = x.sum()
+    for nat, grp in x.groupby(level=0):
+        s_g = grp.sum() / sx
+        mu_g = grp.mean()
+        t_between += s_g * np.log(mu_g / mu)
+        t_within_weighted += s_g * float(((grp / mu_g) * np.log(grp / mu_g)).mean())
+    assert row["n_custs"] == len(x)
+    assert abs(row["theil_total"] - t_total) < 1e-4
+    assert abs(row["theil_between"] - t_between) < 1e-4
+    # the decomposition identity
+    assert abs(t_total - (t_between + t_within_weighted)) < 1e-9
+    assert row["theil_total"] >= 0 and row["theil_between"] >= -1e-9
