@@ -192,6 +192,8 @@ R6D = [
     "agg_breusch_pagan",
     "agg_runs_test",
     "agg_theil_index",
+    "agg_hill_tail",
+    "text_js_divergence",
 ]
 
 R5 = [

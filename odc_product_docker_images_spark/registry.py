@@ -201,7 +201,8 @@ GRADING_WINDOW = [
     #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points,
     #     agg_wilcoxon_signed_rank, agg_cronbach_alpha,
     #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
-    #     agg_breusch_pagan, agg_runs_test, agg_theil_index
+    #     agg_breusch_pagan, agg_runs_test, agg_theil_index,
+    #     agg_hill_tail, text_js_divergence
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -11,7 +11,18 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dround, dsum, sql_davg, sql_dround, sql_dsum
+from ..functions.det import (
+    davg,
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_davg,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
 from ..io import load
 from ..registry import register
 
@@ -920,4 +931,88 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ua").alias("c1"),
         F.col("ub").alias("c2"),
         pmi.alias("pmi"),
+    )
+
+
+@register(
+    "text_js_divergence",
+    oracle=f"""
+        WITH toks AS (
+            SELECT CAST(source = 'src0' AS INTEGER) AS is_p, tok
+            FROM (
+                SELECT source, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+        ), counts AS (
+            SELECT tok,
+                   CAST(SUM(is_p) AS BIGINT) AS cp,
+                   CAST(COUNT(*) - SUM(is_p) AS BIGINT) AS cq
+            FROM toks GROUP BY tok
+        ), tot AS (
+            SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
+            FROM counts
+        ), probs AS (
+            SELECT CAST(cp AS DOUBLE) / np AS p,
+                   CAST(cq AS DOUBLE) / nq AS q
+            FROM counts CROSS JOIN tot
+        ), terms AS (
+            SELECT CASE WHEN p > 0.0 THEN {sql_dround(
+                       "p * LN(p / ((p + q) / 2.0))"
+                   )} ELSE CAST(0.0 AS DOUBLE) END AS kp,
+                   CASE WHEN q > 0.0 THEN {sql_dround(
+                       "q * LN(q / ((p + q) / 2.0))"
+                   )} ELSE CAST(0.0 AS DOUBLE) END AS kq
+            FROM probs
+        )
+        SELECT {sql_dsum("kp", "kl_p_m")},
+               {sql_dsum("kq", "kl_q_m")},
+               {sql_dround(
+                   "((" + sql_exact_double("SUM(" + sql_dec_cast("kp") + ")")
+                   + ") + (" + sql_exact_double("SUM(" + sql_dec_cast("kq") + ")")
+                   + ")) / 2.0"
+               )} AS js_divergence
+        FROM terms
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4++: Jensen-Shannon divergence between the src0 token
+    distribution and the rest of the corpus — the bounded, symmetric
+    corpus-mix drift measure (the text twin of profile_drift_psi's
+    numeric PSI; 0 = identical mixes, ln 2 = disjoint).  JS = ½KL(P‖M)
+    + ½KL(Q‖M), M the midpoint — finite even for tokens one side has
+    never seen, which is why retraining monitors use it over raw KL.
+
+    One token-count pass (vocab-bounded table), totals broadcast back,
+    per-token ln terms round 6 dp into decimal sums; the halved sum
+    rounds 6 dp."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.select(
+        (F.col("source") == "src0").cast("int").alias("is_p"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum("is_p").cast("long").alias("cp"),
+        (F.count(F.lit(1)) - F.sum("is_p")).cast("long").alias("cq"),
+    )
+    wall = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    probs = counts.select(
+        (F.col("cp").cast("double") / F.sum("cp").over(wall)).alias("p"),
+        (F.col("cq").cast("double") / F.sum("cq").over(wall)).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    kp = F.when(
+        F.col("p") > 0.0, dround(F.col("p") * F.log(F.col("p") / m))
+    ).otherwise(F.lit(0.0))
+    kq = F.when(
+        F.col("q") > 0.0, dround(F.col("q") * F.log(F.col("q") / m))
+    ).otherwise(F.lit(0.0))
+    terms = probs.select(kp.alias("kp"), kq.alias("kq"))
+    skp = exact_double(F.sum(dec_cast("kp")))
+    skq = exact_double(F.sum(dec_cast("kq")))
+    return terms.agg(
+        dsum("kp", "kl_p_m"),
+        dsum("kq", "kl_q_m"),
+        dround((skp + skq) / F.lit(2.0)).alias("js_divergence"),
     )

@@ -2386,3 +2386,22 @@ def test_runs_and_theil_shapes(spark):
     assert "InMemoryTableScan" in plan  # persisted per-customer table
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(t)
+
+
+def test_hill_and_js_shapes(spark):
+    """Hill: top-(k+1) TakeOrdered, never a global sort.  JS: one
+    token-count pass, vocab-table reductions."""
+    from odc_product_docker_images_spark.operators.metrics import agg_hill_tail
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_js_divergence,
+    )
+
+    h = agg_hill_tail(spark, SF)
+    plan = C.formatted_plan(h)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(h)
+    j = text_js_divergence(spark, SF)
+    assert C.scan_count(j) == 1
+    assert "Join" not in C.formatted_plan(j)
+    C.assert_no_python_row_path(j)

@@ -1464,3 +1464,49 @@ def test_theil_decomposition_identity(spark):
     # the decomposition identity
     assert abs(t_total - (t_between + t_within_weighted)) < 1e-9
     assert row["theil_total"] >= 0 and row["theil_between"] >= -1e-9
+
+
+def test_hill_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_hill_tail
+
+    row = agg_hill_tail(spark, SF).collect()[0]
+    od = pq.read_table(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    ).to_pandas()
+    rev = od.groupby("o_custkey")["o_totalprice"].sum().round(6).to_numpy()
+    top = np.sort(rev)[::-1][:101]
+    xk1 = top[100]
+    gamma = np.mean(np.round(np.log(top[:100] / xk1), 6))
+    assert row["threshold"] == xk1
+    assert abs(row["hill_gamma"] - gamma) < 1e-6
+    assert abs(row["tail_alpha"] - 1 / gamma) < 1e-3
+    assert row["hill_gamma"] > 0
+
+
+def test_js_divergence_matches_python_and_bounds(spark):
+    import math
+    from collections import Counter
+
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_js_divergence,
+    )
+
+    row = text_js_divergence(spark, SF).collect()[0]
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    cp, cq = Counter(), Counter()
+    for _, d in docs.iterrows():
+        c = cp if d.source == "src0" else cq
+        c.update(w for w in d.text.split(" ") if w)
+    np_, nq = sum(cp.values()), sum(cq.values())
+    js = 0.0
+    for t in set(cp) | set(cq):
+        p, q = cp[t] / np_, cq[t] / nq
+        m = (p + q) / 2
+        if p:
+            js += 0.5 * round(p * math.log(p / m), 6)
+        if q:
+            js += 0.5 * round(q * math.log(q / m), 6)
+    assert abs(row["js_divergence"] - js) < 1e-5
+    # bounded in [0, ln 2]; same-vocabulary sources sit near 0
+    assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
+    assert row["js_divergence"] < 0.2
