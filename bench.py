@@ -194,6 +194,8 @@ R6D = [
     "agg_theil_index",
     "agg_hill_tail",
     "text_js_divergence",
+    "text_burstiness",
+    "agg_overdispersion",
 ]
 
 R5 = [

@@ -1832,3 +1832,67 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "runs",
         dround((F.col("runs") - mu) / F.sqrt(var)).alias("z_stat"),
     )
+
+
+@register(
+    "agg_overdispersion",
+    oracle=f"""
+        WITH daily AS (
+            SELECT user_id, DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, DATE_TRUNC('day', ts)
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(c) AS BIGINT) AS s,
+                   CAST(SUM(c * c) AS BIGINT) AS q
+            FROM daily
+        )
+        SELECT n,
+               {sql_dround("CAST(s AS DOUBLE) / n")} AS mean_count,
+               {sql_dround(
+                   "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+                   " / (n - 1)"
+               )} AS var_count,
+               {sql_dround(
+                   "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+                   " / (n - 1)) / (CAST(s AS DOUBLE) / n)"
+               )} AS dispersion_index,
+               CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
+                         / (n - 1) > CAST(s AS DOUBLE) / n
+                    THEN {sql_dround(
+                        "(CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
+                        " / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
+                        " / (n - 1) - CAST(s AS DOUBLE) / n)"
+                    )} END AS nb_r
+        FROM m
+    """,
+)
+def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43: overdispersion diagnosis of per-user daily event counts —
+    the Fisher dispersion index Var/Mean (1 under Poisson) and the
+    method-of-moments negative-binomial size r = μ²/(σ²−μ) when
+    overdispersed: the decides-your-count-model statistic behind every
+    rate-alerting threshold (a Poisson alert fires constantly on NB
+    data).  One (user, day) count + one integer-moment reduction;
+    every output a 6 dp IEEE chain on exact integers; nb_r is NULL
+    when the data is NOT overdispersed (the guard both engines share)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("user_id", F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    m = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
+    )
+    mean = F.col("s").cast("double") / F.col("n")
+    var = (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return m.select(
+        "n",
+        dround(mean).alias("mean_count"),
+        dround(var).alias("var_count"),
+        dround(var / mean).alias("dispersion_index"),
+        F.when(var > mean, dround(mean * mean / (var - mean))).alias("nb_r"),
+    )

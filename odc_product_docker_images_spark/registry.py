@@ -202,7 +202,8 @@ GRADING_WINDOW = [
     #     agg_wilcoxon_signed_rank, agg_cronbach_alpha,
     #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
     #     agg_breusch_pagan, agg_runs_test, agg_theil_index,
-    #     agg_hill_tail, text_js_divergence
+    #     agg_hill_tail, text_js_divergence, text_burstiness,
+    #     agg_overdispersion
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

@@ -1016,3 +1016,80 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("kq", "kl_q_m"),
         dround((skp + skq) / F.lit(2.0)).alias("js_divergence"),
     )
+
+
+_BURST_MIN_DOCS = 20  # report tokens with support in >= this many docs
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""
+        WITH dt AS (
+            SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (
+                SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS tok
+                FROM documents
+            ) WHERE tok <> ''
+            GROUP BY doc_id, tok
+        ), nd AS (
+            SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM dt
+        ), stats AS (
+            SELECT tok,
+                   CAST(COUNT(*) AS BIGINT) AS df,
+                   CAST(SUM(c) AS BIGINT) AS tf,
+                   CAST(SUM(c * c) AS BIGINT) AS tf2,
+                   MAX(n_docs) AS n_docs
+            FROM dt CROSS JOIN nd
+            GROUP BY tok
+        )
+        SELECT tok, df, tf,
+               {sql_dround("CAST(tf AS DOUBLE) / n_docs")} AS mean_per_doc,
+               {sql_dround(
+                   "(CAST(tf2 AS DOUBLE) / n_docs"
+                   " - (CAST(tf AS DOUBLE) / n_docs)"
+                   " * (CAST(tf AS DOUBLE) / n_docs))"
+                   " / (CAST(tf AS DOUBLE) / n_docs)"
+               )} AS burstiness
+        FROM stats WHERE df >= {_BURST_MIN_DOCS}
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-token burstiness — the variance-to-mean (Fano) ratio of a
+    token's per-document counts over the WHOLE corpus (docs without the
+    token count as zeros, handled in closed form: only Σc and Σc² are
+    needed, zeros contribute nothing): Church-style burstiness
+    separates topical content words (bursty, ratio >> 1) from function
+    words (Poisson-ish, ratio ≈ 1) — a feature TF-IDF misses and
+    curation keyword extractors use.
+
+    One (doc, token) count pass; per-token sufficient statistics are
+    exact integers; the corpus doc count broadcasts from a 1-row
+    aggregate; the two ratios round 6 dp.  df floor keeps the report
+    table reviewable."""
+    dc = load(spark, sf_dir, "documents")
+    dt = (
+        dc.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    nd = dt.agg(F.countDistinct("doc_id").cast("long").alias("n_docs"))
+    stats = (
+        dt.crossJoin(F.broadcast(nd))
+        .groupBy("tok")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("c").cast("long").alias("tf"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("tf2"),
+            F.max("n_docs").alias("n_docs"),
+        )
+    )
+    mean = F.col("tf").cast("double") / F.col("n_docs")
+    var = F.col("tf2").cast("double") / F.col("n_docs") - mean * mean
+    return stats.where(F.col("df") >= _BURST_MIN_DOCS).select(
+        "tok",
+        "df",
+        "tf",
+        dround(mean).alias("mean_per_doc"),
+        dround(var / mean).alias("burstiness"),
+    )

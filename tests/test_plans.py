@@ -2405,3 +2405,22 @@ def test_hill_and_js_shapes(spark):
     assert C.scan_count(j) == 1
     assert "Join" not in C.formatted_plan(j)
     C.assert_no_python_row_path(j)
+
+
+def test_burstiness_and_overdispersion_shapes(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_overdispersion,
+    )
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_burstiness,
+    )
+
+    b = text_burstiness(spark, SF)
+    plan = C.formatted_plan(b)
+    assert C.scan_count(b) <= 2  # counts + 1-row doc total branch
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(b)
+    o = agg_overdispersion(spark, SF)
+    assert C.scan_count(o) == 1
+    assert "Join" not in C.formatted_plan(o)
+    C.assert_no_python_row_path(o)

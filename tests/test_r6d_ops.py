@@ -1510,3 +1510,51 @@ def test_js_divergence_matches_python_and_bounds(spark):
     # bounded in [0, ln 2]; same-vocabulary sources sit near 0
     assert 0.0 <= row["js_divergence"] <= math.log(2) + 1e-9
     assert row["js_divergence"] < 0.2
+
+
+def test_burstiness_matches_python_fano(spark):
+    from collections import Counter
+
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_burstiness,
+    )
+
+    got = {r["tok"]: r for r in text_burstiness(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    per_doc = [Counter(w for w in t.split(" ") if w) for t in docs.text]
+    n_docs = len(per_doc)
+    vocab = Counter()
+    for c in per_doc:
+        vocab.update(c.keys())
+    expect = {t for t, df in vocab.items() if df >= 20}
+    assert set(got) == expect and expect
+    for t in expect:
+        counts = np.array([c.get(t, 0) for c in per_doc], dtype=float)
+        mean = counts.mean()
+        var = counts.mean() ** 2 * 0 + (counts**2).mean() - mean**2
+        r = got[t]
+        assert r["df"] == int((counts > 0).sum())
+        assert r["tf"] == int(counts.sum())
+        assert abs(r["burstiness"] - var / mean) < 1e-4, t
+    # content words burst more than the glue token 'a'/'the' family
+    vals = {t: r["burstiness"] for t, r in got.items()}
+    assert max(vals.values()) > 1.0
+
+
+def test_overdispersion_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_overdispersion,
+    )
+
+    row = agg_overdispersion(spark, SF).collect()[0]
+    ev = _events()
+    c = ev.groupby(["user_id", ev.ts.dt.floor("D")]).size().to_numpy(dtype=float)
+    mean, var = c.mean(), c.var(ddof=1)
+    assert row["n"] == len(c)
+    assert abs(row["mean_count"] - mean) < 1e-5
+    assert abs(row["var_count"] - var) < 1e-5
+    assert abs(row["dispersion_index"] - var / mean) < 1e-5
+    if var > mean:
+        assert abs(row["nb_r"] - mean * mean / (var - mean)) < 1e-3
+    else:
+        assert row["nb_r"] is None
