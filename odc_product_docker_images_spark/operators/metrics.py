@@ -32,10 +32,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import (
+    davg,
     dec_cast,
     dround,
     dsum,
     dsum_fast,
+    sql_davg,
     exact_double,
     sql_dec_cast,
     sql_dround,
@@ -1753,4 +1755,121 @@ def agg_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("x_k1").alias("threshold"),
         dround(lsum / F.lit(float(_HILL_K))).alias("hill_gamma"),
         dround(F.lit(float(_HILL_K)) / lsum).alias("tail_alpha"),
+    )
+
+
+_IPTW_CLIP_LO, _IPTW_CLIP_HI = 0.05, 0.95
+
+
+@register(
+    "agg_iptw_ate",
+    oracle=f"""
+        WITH users AS (
+            SELECT user_id,
+                   CAST(MAX(user_id % 2) AS BIGINT) AS t,
+                   CAST(COUNT(*) AS BIGINT) AS activity,
+                   {sql_dsum(
+                       "CASE WHEN event_type = 'purchase' THEN value"
+                       " ELSE 0.0 END", "y"
+                   )}
+            FROM events GROUP BY user_id
+        ), med AS (
+            SELECT {sql_davg("activity", "mean_act")} FROM users
+        ), prop AS (
+            SELECT t, y,
+                   GREATEST(CAST({_IPTW_CLIP_LO!r} AS DOUBLE),
+                   LEAST(CAST({_IPTW_CLIP_HI!r} AS DOUBLE),
+                   {sql_dround(
+                       "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                       " + EXP(-(activity - mean_act)"
+                       " / CAST(10.0 AS DOUBLE)))"
+                   )})) AS e
+            FROM users CROSS JOIN med
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               {sql_dround(
+                   "(" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t * y / e") + ")"
+                   ) + ") / (" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t / e") + ")"
+                   ) + ")"
+               )} AS mu_treated,
+               {sql_dround(
+                   "(" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) * y / (1.0 - e)") + ")"
+                   ) + ") / (" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) / (1.0 - e)") + ")"
+                   ) + ")"
+               )} AS mu_control,
+               {sql_dround(
+                   "(" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t * y / e") + ")"
+                   ) + ") / (" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t / e") + ")"
+                   ) + ") - ((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) * y / (1.0 - e)") + ")"
+                   ) + ") / (" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) / (1.0 - e)") + ")"
+                   ) + "))"
+               )} AS ate_iptw
+        FROM prop
+    """,
+)
+def agg_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44: inverse-propensity-weighted (Hajek) ATE of arm on purchase
+    spend — the confounder-adjusted causal tier past diff-in-diff /
+    CUPED: weight each user by 1/e(x) (treated) or 1/(1−e(x)) (control)
+    with the propensity a logistic in user activity, CLIPPED to
+    [{_IPTW_CLIP_LO}, {_IPTW_CLIP_HI}] (the positivity guard every
+    production IPTW ships).  Randomized-parity arms → e ≈ ½ and the
+    estimate matches the plain difference, which the pytest oracle
+    checks.
+
+    One per-user aggregate, a 1-row mean broadcast for the propensity
+    feature, then four decimal-path weighted sums in ONE reduction;
+    sigmoids round 6 dp; every ratio is parenthesized (the det.py infix
+    trap)."""
+    ev = load(spark, sf_dir, "events")
+    users = ev.groupBy("user_id").agg(
+        F.max(F.col("user_id") % 2).cast("long").alias("t"),
+        F.count(F.lit(1)).cast("long").alias("activity"),
+        dsum(
+            F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(
+                0.0
+            ),
+            "y",
+        ),
+    )
+    med = users.agg(davg("activity", "mean_act"))
+    e = F.greatest(
+        F.lit(_IPTW_CLIP_LO),
+        F.least(
+            F.lit(_IPTW_CLIP_HI),
+            dround(
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(F.col("activity") - F.col("mean_act")) / F.lit(10.0)
+                    )
+                )
+            ),
+        ),
+    )
+    prop = users.crossJoin(F.broadcast(med)).select(
+        "t", "y", e.alias("e")
+    )
+    st = exact_double(F.sum(dec_cast(F.col("t") * F.col("y") / F.col("e"))))
+    wt = exact_double(F.sum(dec_cast(F.col("t") / F.col("e"))))
+    sc_ = exact_double(
+        F.sum(dec_cast((1 - F.col("t")) * F.col("y") / (F.lit(1.0) - F.col("e"))))
+    )
+    wc = exact_double(
+        F.sum(dec_cast((1 - F.col("t")) / (F.lit(1.0) - F.col("e"))))
+    )
+    return prop.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        dround(st / wt).alias("mu_treated"),
+        dround(sc_ / wc).alias("mu_control"),
+        dround(st / wt - sc_ / wc).alias("ate_iptw"),
     )

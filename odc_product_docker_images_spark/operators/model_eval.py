@@ -700,3 +700,88 @@ def ml_platt_scaling_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("gb") * F.col("haa") - F.col("ga") * F.col("hab")) / det
         ).alias("b1"),
     )
+
+
+@register(
+    "ml_auc_delong_se",
+    oracle=_SQL_GROUPS
+    + f"""
+        , place AS (
+            SELECT cp, cn,
+                   ((gn - cn) + cn / 2.0) / n AS v10,
+                   ((p - gp) + cp / 2.0) / p AS v01,
+                   p, n
+            FROM cum
+        ), moments AS (
+            SELECT MAX(p) AS n1, MAX(n) AS n0,
+                   {sql_exact_double("SUM(" + sql_dec_cast("cp * v10") + ")")}
+                       AS s10,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("cp * v10 * v10") + ")"
+                   )} AS q10,
+                   {sql_exact_double("SUM(" + sql_dec_cast("cn * v01") + ")")}
+                       AS s01,
+                   {sql_exact_double(
+                       "SUM(" + sql_dec_cast("cn * v01 * v01") + ")"
+                   )} AS q01
+            FROM place
+        )
+        SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+               {sql_dround("s10 / n1")} AS auc,
+               {sql_dround("(q10 - s10 * s10 / n1) / (n1 - 1)")} AS var_v10,
+               {sql_dround("(q01 - s01 * s01 / n0) / (n0 - 1)")} AS var_v01,
+               {sql_dround(
+                   "SQRT((q10 - s10 * s10 / n1) / (n1 - 1) / n1"
+                   " + (q01 - s01 * s01 / n0) / (n0 - 1) / n0)"
+               )} AS delong_se
+        FROM moments
+    """,
+)
+def ml_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E11: DeLong standard error of the AUC — the confidence interval
+    every honest AUC report carries: per-positive placements V₁₀ (the
+    fraction of negatives below, ties half) and per-negative V₀₁, whose
+    sample variances give SE = √(S₁₀/n₁ + S₀₁/n₀).  The placements fall
+    straight out of the SAME grouped-ECDF scaffold as
+    ``ml_roc_curve``/``ml_auc_exact`` (no per-pair work — DeLong's
+    structural components ARE the ECDF), and the mean placement must
+    reproduce the exact AUC (pinned in tests).  Placement moments ride
+    the decimal path; variances and SE round 6 dp."""
+    cum = _scored_groups(spark, sf_dir)
+    v10 = ((F.col("gn") - F.col("cn")) + F.col("cn") / 2.0) / F.col("n")
+    v01 = ((F.col("p") - F.col("gp")) + F.col("cp") / 2.0) / F.col("p")
+    place = cum.select(
+        "cp", "cn", "p", "n", v10.alias("v10"), v01.alias("v01")
+    )
+    s10 = exact_double(F.sum(dec_cast(F.col("cp") * F.col("v10"))))
+    q10 = exact_double(
+        F.sum(dec_cast(F.col("cp") * F.col("v10") * F.col("v10")))
+    )
+    s01 = exact_double(F.sum(dec_cast(F.col("cn") * F.col("v01"))))
+    q01 = exact_double(
+        F.sum(dec_cast(F.col("cn") * F.col("v01") * F.col("v01")))
+    )
+    moments = place.agg(
+        F.max("p").alias("n1"),
+        F.max("n").alias("n0"),
+        s10.alias("s10"),
+        q10.alias("q10"),
+        s01.alias("s01"),
+        q01.alias("q01"),
+    )
+    var10 = (F.col("q10") - F.col("s10") * F.col("s10") / F.col("n1")) / (
+        F.col("n1") - 1
+    )
+    var01 = (F.col("q01") - F.col("s01") * F.col("s01") / F.col("n0")) / (
+        F.col("n0") - 1
+    )
+    return moments.select(
+        F.col("n1").cast("long").alias("n_pos"),
+        F.col("n0").cast("long").alias("n_neg"),
+        dround(F.col("s10") / F.col("n1")).alias("auc"),
+        dround(var10).alias("var_v10"),
+        dround(var01).alias("var_v01"),
+        dround(F.sqrt(var10 / F.col("n1") + var01 / F.col("n0"))).alias(
+            "delong_se"
+        ),
+    )

@@ -2424,3 +2424,20 @@ def test_burstiness_and_overdispersion_shapes(spark):
     assert C.scan_count(o) == 1
     assert "Join" not in C.formatted_plan(o)
     C.assert_no_python_row_path(o)
+
+
+def test_iptw_and_delong_shapes(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_iptw_ate
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_auc_delong_se,
+    )
+
+    i = agg_iptw_ate(spark, SF)
+    plan = C.formatted_plan(i)
+    assert C.scan_count(i) == 2  # users pass + 1-row mean broadcast
+    assert "BroadcastNestedLoopJoin" in plan
+    C.assert_no_python_row_path(i)
+    d = ml_auc_delong_se(spark, SF)
+    assert C.scan_count(d) <= 2  # ECDF scaffold (exchange-shared)
+    assert "CartesianProduct" not in C.formatted_plan(d)
+    C.assert_no_python_row_path(d)

@@ -1558,3 +1558,61 @@ def test_overdispersion_matches_numpy(spark):
         assert abs(row["nb_r"] - mean * mean / (var - mean)) < 1e-3
     else:
         assert row["nb_r"] is None
+
+
+def test_iptw_matches_python_and_randomization_sanity(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_iptw_ate
+
+    row = agg_iptw_ate(spark, SF).collect()[0]
+    ev = _events()
+    g = ev.groupby("user_id")
+    users = g.agg(n=("value", "size")).reset_index()
+    users["t"] = users.user_id % 2
+    spend = (
+        ev.assign(py=np.where(ev.event_type == "purchase", ev.value, 0.0))
+        .groupby("user_id")["py"]
+        .sum()
+        .round(6)
+    )
+    users["y"] = users.user_id.map(spend)
+    mean_act = round(users.n.mean(), 6)
+    e = np.clip(
+        np.round(1 / (1 + np.exp(-(users.n - mean_act) / 10.0)), 6), 0.05, 0.95
+    )
+    t, y = users.t.to_numpy(), users.y.to_numpy()
+    mu_t = (t * y / e).sum() / (t / e).sum()
+    mu_c = ((1 - t) * y / (1 - e)).sum() / ((1 - t) / (1 - e)).sum()
+    assert row["n_users"] == len(users)
+    assert abs(row["mu_treated"] - mu_t) < 1e-3
+    assert abs(row["mu_control"] - mu_c) < 1e-3
+    assert abs(row["ate_iptw"] - (mu_t - mu_c)) < 1e-3
+    # Hajek estimator property: each arm's weighted mean is a convex
+    # combination of that arm's outcomes (clipped weights are positive)
+    assert y[t == 1].min() <= row["mu_treated"] <= y[t == 1].max()
+    assert y[t == 0].min() <= row["mu_control"] <= y[t == 0].max()
+
+
+def test_delong_reproduces_exact_auc_and_python_se(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_auc_delong_se,
+        ml_auc_exact,
+    )
+
+    row = ml_auc_delong_se(spark, SF).collect()[0]
+    auc_row = ml_auc_exact(spark, SF).collect()[0]
+    assert abs(row["auc"] - auc_row["auc"]) < 1e-6  # structural identity
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    score = np.array([v[0] for v in emb.embedding], dtype=np.float64)
+    pos = (emb.label < 5).to_numpy()
+    xs, ys = score[pos], score[~pos]
+    v10 = np.array([
+        ((ys < x).sum() + 0.5 * (ys == x).sum()) / len(ys) for x in xs
+    ])
+    v01 = np.array([
+        ((xs > y).sum() + 0.5 * (xs == y).sum()) / len(xs) for y in ys
+    ])
+    se = np.sqrt(v10.var(ddof=1) / len(xs) + v01.var(ddof=1) / len(ys))
+    assert abs(row["delong_se"] - se) < 1e-6
+    assert row["delong_se"] > 0
