@@ -196,6 +196,8 @@ R6D = [
     "text_js_divergence",
     "text_burstiness",
     "agg_overdispersion",
+    "agg_iptw_ate",
+    "ml_auc_delong_se",
 ]
 
 R5 = [
