@@ -198,6 +198,8 @@ R6D = [
     "agg_overdispersion",
     "agg_iptw_ate",
     "ml_auc_delong_se",
+    "text_mattr",
+    "agg_sprt_decision",
 ]
 
 R5 = [

@@ -1896,3 +1896,122 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(var / mean).alias("dispersion_index"),
         F.when(var > mean, dround(mean * mean / (var - mean))).alias("nb_r"),
     )
+
+
+_SPRT_L1 = 0.10008345855698243  # ln(p1/p0), p0=0.19, p1=0.21
+_SPRT_L0 = -0.02500130220541727  # ln((1-p1)/(1-p0))
+_SPRT_BOUND = 2.9444389791664403  # ln((1-beta)/alpha), alpha=beta=0.05
+
+
+@register(
+    "agg_sprt_decision",
+    oracle=f"""
+        WITH seq AS (
+            SELECT CAST(event_type = 'purchase' AS BIGINT) AS hit,
+                   DATE_TRUNC('day', ts) AS bkt, ts, event_id
+            FROM events
+        ), cum AS (
+            SELECT CAST(SUM(hit) OVER w AS BIGINT) AS c1,
+                   CAST(COUNT(*) OVER w - SUM(hit) OVER w AS BIGINT) AS c0,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS rk,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM seq
+            WINDOW w AS (ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        ), scored AS (
+            SELECT rk, n,
+                   {sql_dround(
+                       f"c1 * CAST({_SPRT_L1!r} AS DOUBLE)"
+                       f" + c0 * CAST({_SPRT_L0!r} AS DOUBLE)"
+                   )} AS llr
+            FROM cum
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_total,
+               CAST(MIN(CASE WHEN llr >= CAST({_SPRT_BOUND!r} AS DOUBLE)
+                              OR llr <= CAST({-_SPRT_BOUND!r} AS DOUBLE)
+                             THEN rk END) AS BIGINT) AS n_at_decision,
+               MAX(CASE WHEN rk = (SELECT MIN(CASE WHEN llr >= CAST({_SPRT_BOUND!r} AS DOUBLE)
+                                                    OR llr <= CAST({-_SPRT_BOUND!r} AS DOUBLE)
+                                                   THEN rk END) FROM scored)
+                        THEN llr END) AS llr_at_decision,
+               CASE WHEN MAX(CASE WHEN rk = (SELECT MIN(CASE WHEN llr >= CAST({_SPRT_BOUND!r} AS DOUBLE)
+                                                              OR llr <= CAST({-_SPRT_BOUND!r} AS DOUBLE)
+                                                             THEN rk END) FROM scored)
+                                  THEN llr END) >= CAST({_SPRT_BOUND!r} AS DOUBLE)
+                    THEN 'h1'
+                    WHEN MIN(CASE WHEN llr >= CAST({_SPRT_BOUND!r} AS DOUBLE)
+                                   OR llr <= CAST({-_SPRT_BOUND!r} AS DOUBLE)
+                                  THEN rk END) IS NOT NULL
+                    THEN 'h0'
+                    ELSE 'continue' END AS decision
+        FROM scored
+    """,
+)
+def agg_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: Wald's SPRT — walk the event stream in time order
+    accumulating the Bernoulli log-likelihood ratio for purchase rate
+    H1: p=0.21 vs H0: p=0.19 (α=β=0.05) and report the FIRST boundary
+    crossing: the always-valid sequential test that replaces
+    fixed-horizon peeking.  The LLR never float-accumulates: after k
+    events it is EXACTLY c1·L1 + c0·L0 on integer prefix counts, so the
+    whole path needs only the ECDF-style cumulative counts (here the
+    oracle's plain ordered window; the day-bucketed prefix scaffold is
+    the at-scale form used across the KS/ROC keys), one rounded
+    expression per row, and a conditional-MIN reduction for the first
+    crossing."""
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        (F.col("event_type") == "purchase").cast("long").alias("hit"),
+        F.date_trunc("day", "ts").alias("bkt"),
+        "ts",
+        "event_id",
+    )
+    within = (
+        Window.partitionBy("bkt")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = seq.withColumn("l1c", F.sum("hit").over(within)).withColumn(
+        "lc", F.count(F.lit(1)).over(within)
+    )
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = (
+        w.groupBy("bkt")
+        .agg(F.max("l1c").alias("p1c"), F.max("lc").alias("pc"))
+        .withColumn("o1", F.coalesce(F.sum("p1c").over(off_w), F.lit(0)))
+        .withColumn("oc", F.coalesce(F.sum("pc").over(off_w), F.lit(0)))
+        .withColumn("n", F.sum("pc").over(wall))
+        .select("bkt", "o1", "oc", "n")
+    )
+    cum = w.join(F.broadcast(offsets), "bkt", "left").select(
+        (F.col("o1") + F.col("l1c")).alias("c1"),
+        (F.col("oc") + F.col("lc")).alias("rk"),
+        "n",
+    )
+    llr = dround(
+        F.col("c1") * F.lit(_SPRT_L1)
+        + (F.col("rk") - F.col("c1")) * F.lit(_SPRT_L0)
+    )
+    scored = cum.select("rk", "n", llr.alias("llr"))
+    crossing = F.when(
+        (F.col("llr") >= _SPRT_BOUND) | (F.col("llr") <= -_SPRT_BOUND),
+        F.col("rk"),
+    )
+    agg = scored.agg(
+        F.max("n").cast("long").alias("n_total"),
+        F.min(crossing).cast("long").alias("n_at_decision"),
+        F.max_by("llr", F.when(crossing.isNotNull(), -F.col("rk"))).alias(
+            "llr_at_decision"
+        ),
+    )
+    return agg.select(
+        "n_total",
+        "n_at_decision",
+        "llr_at_decision",
+        F.when(F.col("llr_at_decision") >= _SPRT_BOUND, F.lit("h1"))
+        .when(F.col("n_at_decision").isNotNull(), F.lit("h0"))
+        .otherwise(F.lit("continue"))
+        .alias("decision"),
+    )

@@ -1093,3 +1093,77 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mean).alias("mean_per_doc"),
         dround(var / mean).alias("burstiness"),
     )
+
+
+_MATTR_W, _MATTR_S = 20, 10  # window tokens / stride
+
+
+@register(
+    "text_mattr",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ts
+            FROM documents
+        ), spec AS (
+            SELECT doc_id, ts, LEN(ts) AS n_tok,
+                   (LEN(ts) - {_MATTR_W}) // {_MATTR_S} + 1 AS n_win
+            FROM toks WHERE LEN(ts) >= {_MATTR_W}
+        ), ttrs AS (
+            SELECT doc_id, n_tok, n_win,
+                   LIST_TRANSFORM(RANGE(0, n_win), w ->
+                       CAST(LEN(LIST_DISTINCT(
+                           ts[w * {_MATTR_S} + 1 : w * {_MATTR_S} + {_MATTR_W}]
+                       )) AS DOUBLE) / {_MATTR_W}) AS rs
+            FROM spec
+        )
+        SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+               CAST(n_win AS BIGINT) AS n_windows,
+               {sql_dround(
+                   "LIST_SUM(rs) / n_win"
+               )} AS mattr
+        FROM ttrs
+    """,
+)
+def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: MATTR — moving-average type-token ratio over {_MATTR_W}-token
+    windows (stride {_MATTR_S}): the length-invariant lexical-diversity
+    measure (plain TTR collapses as documents grow, which is why
+    curation stacks window it).  Whole computation is higher-order ARRAY
+    expressions — split once, transform over window starts, distinct
+    per slice — zero shuffle, zero Python, codegen throughout.  Window
+    ratios are exact k/{_MATTR_W} grid values; their mean is a short
+    fixed-order fold on both engines, rounded 6 dp.  Docs shorter than
+    one window drop (standard MATTR convention)."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    )
+    spec = toks.where(F.size("ts") >= _MATTR_W).select(
+        "doc_id",
+        "ts",
+        F.size("ts").alias("n_tok"),
+        (
+            F.floor((F.size("ts") - _MATTR_W) / _MATTR_S).cast("int") + 1
+        ).alias("n_win"),
+    )
+    rs = F.expr(
+        f"transform(sequence(0, n_win - 1), w -> "
+        f"cast(size(array_distinct(slice(ts, w * {_MATTR_S} + 1, {_MATTR_W})))"
+        f" as double) / {_MATTR_W})"
+    )
+    ttrs = spec.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        F.col("n_win").cast("long").alias("n_windows"),
+        rs.alias("rs"),
+    )
+    return ttrs.select(
+        "doc_id",
+        "n_tokens",
+        "n_windows",
+        dround(
+            F.aggregate("rs", F.lit(0.0), lambda a, v: a + v) / F.col("n_windows")
+        ).alias("mattr"),
+    )

@@ -2441,3 +2441,22 @@ def test_iptw_and_delong_shapes(spark):
     assert C.scan_count(d) <= 2  # ECDF scaffold (exchange-shared)
     assert "CartesianProduct" not in C.formatted_plan(d)
     C.assert_no_python_row_path(d)
+
+
+def test_mattr_is_codegen_arrays_and_sprt_is_prefix_scaffold(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_sprt_decision,
+    )
+    from odc_product_docker_images_spark.textvec.text_analysis import text_mattr
+
+    m = text_mattr(spark, SF)
+    plan = C.formatted_plan(m)
+    assert C.scan_count(m) == 1
+    assert C.exchange_count(m) == 0
+    assert "Join" not in plan
+    C.assert_no_python_row_path(m)
+    s = agg_sprt_decision(spark, SF)
+    splan = C.formatted_plan(s)
+    assert C.scan_count(s) <= 2  # prefix scaffold (exchange-shared)
+    assert "CartesianProduct" not in splan
+    C.assert_no_python_row_path(s)

@@ -1616,3 +1616,58 @@ def test_delong_reproduces_exact_auc_and_python_se(spark):
     se = np.sqrt(v10.var(ddof=1) / len(xs) + v01.var(ddof=1) / len(ys))
     assert abs(row["delong_se"] - se) < 1e-6
     assert row["delong_se"] > 0
+
+
+def test_mattr_matches_python(spark):
+    from odc_product_docker_images_spark.textvec.text_analysis import text_mattr
+
+    got = {r["doc_id"]: r for r in text_mattr(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    n_checked = 0
+    for _, d in docs.iterrows():
+        ws = [w for w in d.text.split(" ") if w]
+        if len(ws) < 20:
+            assert d.doc_id not in got
+            continue
+        n_win = (len(ws) - 20) // 10 + 1
+        ttrs = [
+            len(set(ws[i * 10 : i * 10 + 20])) / 20 for i in range(n_win)
+        ]
+        r = got[d.doc_id]
+        assert (r["n_tokens"], r["n_windows"]) == (len(ws), n_win)
+        assert abs(r["mattr"] - sum(ttrs) / n_win) < 1e-6
+        assert 0 < r["mattr"] <= 1
+        n_checked += 1
+    assert n_checked == len(got) > 0
+
+
+def test_sprt_matches_python_walk(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_sprt_decision,
+    )
+
+    row = agg_sprt_decision(spark, SF).collect()[0]
+    ev = _events().sort_values(["ts", "event_id"])
+    l1 = math.log(0.21 / 0.19)
+    l0 = math.log(0.79 / 0.81)
+    bound = math.log(19.0)
+    c1 = 0
+    decision, n_at, llr_at = "continue", None, None
+    for k, hit in enumerate(
+        (ev.event_type == "purchase").astype(int).tolist(), start=1
+    ):
+        c1 += hit
+        llr = round(c1 * l1 + (k - c1) * l0, 6)
+        if llr >= bound or llr <= -bound:
+            decision = "h1" if llr >= bound else "h0"
+            n_at, llr_at = k, llr
+            break
+    assert row["n_total"] == len(ev)
+    assert row["decision"] == decision
+    if n_at is not None:
+        assert row["n_at_decision"] == n_at
+        assert abs(row["llr_at_decision"] - llr_at) < 1e-9
+        # the walk never crossed earlier (first-crossing property)
+        assert row["n_at_decision"] <= row["n_total"]
