@@ -200,6 +200,8 @@ R6D = [
     "ml_auc_delong_se",
     "text_mattr",
     "agg_sprt_decision",
+    "agg_adf_test",
+    "graph_assortativity",
 ]
 
 R5 = [

@@ -789,3 +789,85 @@ def graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("still_core"),
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), und AS (
+            SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ), deg AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+        ), ends AS (
+            SELECT du.d AS dx, dv.d AS dy
+            FROM und e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy
+            FROM ends
+        )
+        SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+               {sql_dround(
+                   "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                   " / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                   " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+               )} AS assortativity
+        FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the supplier↔part graph — the Pearson
+    correlation of endpoint degrees over all directed edge stubs
+    (Newman): negative = hubs attach to leaves (typical bipartite /
+    infrastructural graphs), positive = rich-club mixing.  The one graph
+    summary that says whether degree-targeted sampling or pruning will
+    cascade.
+
+    Shape: degree agg (persisted edges via the module convention is
+    unnecessary here — one linear reuse), two broadcast degree joins
+    onto the stub list, one integer-moment reduction; the correlation
+    is a single 6 dp IEEE chain on exact integer sums."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + _DST_OFF).alias("dst"),
+    ).distinct().persist()
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).persist()
+    ends = (
+        und.join(F.broadcast(deg.select(F.col("u"), F.col("d").alias("dx"))), "u")
+        .join(
+            F.broadcast(
+                deg.select(F.col("u").alias("v"), F.col("d").alias("dy"))
+            ),
+            "v",
+        )
+        .select("dx", "dy")
+    )
+    m = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
+        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        dround(r).alias("assortativity"),
+    )

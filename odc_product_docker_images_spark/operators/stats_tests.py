@@ -2015,3 +2015,86 @@ def agg_sprt_decision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+@register(
+    "agg_adf_test",
+    oracle=f"""
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), pairs AS (
+            SELECT x - LAG(x) OVER (ORDER BY d) AS dy,
+                   LAG(x) OVER (ORDER BY d) AS xl
+            FROM series
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(xl) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(xl * xl) AS BIGINT) AS sxx,
+                   CAST(SUM(xl * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM pairs WHERE xl IS NOT NULL
+        )
+        SELECT n,
+               {sql_dround(
+                   "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                   " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+               )} AS rho,
+               {sql_dround(
+                   "((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                   " / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+                   " / SQRT("
+                   " ((CAST(syy AS DOUBLE)"
+                   "   - (CAST(sy AS DOUBLE) * sy) / n"
+                   "   - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+                   "      / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))"
+                   "     * (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy / n))"
+                   "  / (n - 2))"
+                   " / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx / n))"
+               )} AS df_t_stat
+        FROM m
+    """,
+)
+def agg_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A46: Dickey-Fuller unit-root statistic (with-intercept, no
+    augmentation) on the daily series — regress Δxₜ on xₜ₋₁ and report
+    the slope's t-statistic: the stationarity screen that decides
+    whether the forecast keys may difference (strongly negative t →
+    mean-reverting; near 0 → random walk).  Completes the TS diagnostic
+    battery (acf, ljung_box, runs, hurst).
+
+    All sufficient statistics are EXACT integers (counts and lagged
+    counts); ρ̂ and its t are two fixed IEEE chains rounded 6 dp.  One
+    corpus day-count; the lag and the moments run on the O(span)
+    series."""
+    ev = load(spark, sf_dir, "events")
+    series = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    pairs = series.select(
+        (F.col("x") - F.lag("x").over(w_ord)).alias("dy"),
+        F.lag("x").over(w_ord).alias("xl"),
+    ).where(F.col("xl").isNotNull())
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xl").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("xl") * F.col("xl")).cast("long").alias("sxx"),
+        F.sum(F.col("xl") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sxx_c = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+    rho = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / (
+        n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    sse = (
+        F.col("syy").cast("double")
+        - (F.col("sy").cast("double") * F.col("sy")) / F.col("n")
+        - rho * (F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy") / F.col("n"))
+    )
+    t = rho / F.sqrt((sse / (F.col("n") - 2)) / sxx_c)
+    return m.select("n", dround(rho).alias("rho"), dround(t).alias("df_t_stat"))

@@ -2460,3 +2460,20 @@ def test_mattr_is_codegen_arrays_and_sprt_is_prefix_scaffold(spark):
     assert C.scan_count(s) <= 2  # prefix scaffold (exchange-shared)
     assert "CartesianProduct" not in splan
     C.assert_no_python_row_path(s)
+
+
+def test_adf_and_assortativity_shapes(spark):
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_assortativity,
+    )
+    from odc_product_docker_images_spark.operators.stats_tests import agg_adf_test
+
+    a = agg_adf_test(spark, SF)
+    assert C.scan_count(a) == 1
+    assert "Join" not in C.formatted_plan(a)
+    C.assert_no_python_row_path(a)
+    g = graph_assortativity(spark, SF)
+    plan = C.formatted_plan(g)
+    assert C.scan_count(g) <= 1  # persisted edges/degrees
+    assert "BroadcastHashJoin" in plan
+    C.assert_no_python_row_path(g)

@@ -1671,3 +1671,53 @@ def test_sprt_matches_python_walk(spark):
         assert abs(row["llr_at_decision"] - llr_at) < 1e-9
         # the walk never crossed earlier (first-crossing property)
         assert row["n_at_decision"] <= row["n_total"]
+
+
+def test_adf_matches_numpy_ols(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_adf_test
+
+    row = agg_adf_test(spark, SF).collect()[0]
+    ev = _events()
+    x = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().to_numpy(dtype=float)
+    dy, xl = np.diff(x), x[:-1]
+    n = len(dy)
+    X = np.column_stack([np.ones(n), xl])
+    beta, res, *_ = np.linalg.lstsq(X, dy, rcond=None)
+    rho = beta[1]
+    e = dy - X @ beta
+    se = np.sqrt(
+        (e @ e / (n - 2)) / ((xl - xl.mean()) ** 2).sum()
+    )
+    assert row["n"] == n
+    assert abs(row["rho"] - rho) < 1e-6
+    assert abs(row["df_t_stat"] - rho / se) < 1e-4
+    # a stationary counting series mean-reverts: rho < 0, t well negative
+    assert row["rho"] < 0 and row["df_t_stat"] < -1
+
+
+def test_assortativity_matches_python(spark):
+    from collections import Counter
+
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_assortativity,
+    )
+
+    row = graph_assortativity(spark, SF).collect()[0]
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = {(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)}
+    deg = Counter()
+    for u, v in edges:
+        deg[u] += 1
+        deg[v] += 1
+    dx, dy = [], []
+    for u, v in edges:
+        dx += [deg[u], deg[v]]
+        dy += [deg[v], deg[u]]
+    dx, dy = np.array(dx, dtype=float), np.array(dy, dtype=float)
+    r = np.corrcoef(dx, dy)[0, 1]
+    assert row["n_edges"] == len(edges)
+    assert abs(row["assortativity"] - r) < 1e-5
+    # bipartite supplier-hub structure: disassortative
+    assert -1.0 <= row["assortativity"] < 0.1
