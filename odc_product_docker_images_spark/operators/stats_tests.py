@@ -1185,9 +1185,9 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(SUM(m) AS BIGINT) AS n
             FROM (SELECT value, MAX(m) AS m FROM vstats GROUP BY value)
         )
-        SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
+SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
                CAST(MAX(t.n) AS BIGINT) AS n_total,
-               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * (CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n))))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * (CAST(CAST(CAST(ROUND((SUM(CAST(CAST((CASE WHEN ABS((CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE (CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j)) END) AS VARCHAR) AS DECIMAL(30,10)))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n)))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_stat
+               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n))))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n)))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_stat
         FROM contrib CROSS JOIN ties t
     """,
 )
@@ -1261,17 +1261,23 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = contrib.crossJoin(F.broadcast(ties))
     n = F.max("n").cast("double")
-    # per-group terms are exact IEEE chains on integers; the cross-group
-    # sum rides the decimal path (a bare float SUM re-associates run to
-    # run — caught as a flaky last-digit parity mismatch)
-    term_sum = exact_double(
-        F.sum(
-            dec_cast(
-                F.col("r2_j").cast("double")
-                * F.col("r2_j")
-                / (F.lit(4.0) * F.col("n_j"))
-            )
-        )
+    # per-group terms are deterministic IEEE chains on integers; the
+    # cross-group sum is a FOLD over the group-key-sorted term array —
+    # fixed order on both engines (a bare float SUM re-associates run to
+    # run, and the decimal path overflows its int64 hop at sf0.1 where
+    # the term sum reaches ~1e15: both caught)
+    term_struct = F.struct(
+        F.col("event_type"),
+        (
+            F.col("r2_j").cast("double")
+            * F.col("r2_j")
+            / (F.lit(4.0) * F.col("n_j"))
+        ).alias("term"),
+    )
+    term_sum = F.aggregate(
+        F.sort_array(F.collect_list(term_struct)),
+        F.lit(0.0),
+        lambda a, v: a + v["term"],
     )
     h_raw = (
         F.lit(12.0) / (n * (F.max("n") + 1)) * term_sum
