@@ -202,6 +202,8 @@ R6D = [
     "agg_sprt_decision",
     "agg_adf_test",
     "graph_assortativity",
+    "join_bipartite_projection",
+    "agg_new_vs_returning",
 ]
 
 R5 = [

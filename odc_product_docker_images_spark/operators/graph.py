@@ -871,3 +871,45 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") / 2).cast("long").alias("n_edges"),
         dround(r).alias("assortativity"),
     )
+
+
+_BIPROJ_MIN_SHARED = 3
+
+
+@register(
+    "join_bipartite_projection",
+    oracle=f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), pairs AS (
+            SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+            FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+            GROUP BY a.s, b.s
+        )
+        SELECT s1, s2, shared
+        FROM pairs WHERE shared >= {_BIPROJ_MIN_SHARED}
+    """,
+)
+def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection — suppliers linked by the parts they share,
+    weighted by co-occurrence count (≥ {_BIPROJ_MIN_SHARED}): the
+    co-purchase/co-engagement substrate every collaborative-filtering
+    and entity-linking pipeline builds first.  Pairs form per part via
+    a self-equi-join on the part key with s1 < s2 — fan-out is bounded
+    by the per-part degree (max 41 here), and at 100 TB hub parts get
+    the df-cap treatment ``dedup_ngram_dfcap`` demonstrates (cap or
+    drop super-connectors BEFORE pairing; the shape is identical).
+    One distinct pass + one equi-join + one pair count; exact
+    integers."""
+    li = load(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = edges.alias("a")
+    b = edges.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    return pairs.where(F.col("shared") >= _BIPROJ_MIN_SHARED)

@@ -1873,3 +1873,48 @@ def agg_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(sc_ / wc).alias("mu_control"),
         dround(st / wt - sc_ / wc).alias("ate_iptw"),
     )
+
+
+@register(
+    "agg_new_vs_returning",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS first_day
+            FROM events GROUP BY user_id
+        ), tagged AS (
+            SELECT DATE_TRUNC('day', e.ts) AS day, e.user_id,
+                   CAST(DATE_TRUNC('day', e.ts) = f.first_day AS INTEGER)
+                       AS is_new
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+            GROUP BY 1, 2, 3
+        )
+        SELECT day,
+               CAST(SUM(is_new) AS BIGINT) AS new_users,
+               CAST(COUNT(*) - SUM(is_new) AS BIGINT) AS returning_users
+        FROM tagged GROUP BY day
+    """,
+)
+def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: daily new vs returning active users — the first product
+    split on every growth dashboard (is DAU growth acquisition or
+    retention?).  A user is "new" on their first-ever active day.
+
+    Single lineage, no join: the first-seen day is a MIN window over
+    the user partitioning of the (user, day) distinct activity table,
+    so dedup, first-day, and the daily rollup share one user-clustered
+    Exchange plus the final day regroup.  (The oracle states it with
+    the join-back form — semantically identical.)  Exact integers
+    throughout."""
+    ev = load(spark, sf_dir, "events")
+    user_days = (
+        ev.select("user_id", F.date_trunc("day", "ts").alias("day")).distinct()
+    )
+    w_u = Window.partitionBy("user_id")
+    tagged = user_days.select(
+        "day",
+        (F.col("day") == F.min("day").over(w_u)).cast("int").alias("is_new"),
+    )
+    return tagged.groupBy("day").agg(
+        F.sum("is_new").cast("long").alias("new_users"),
+        (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("returning_users"),
+    )

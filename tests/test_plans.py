@@ -2480,3 +2480,23 @@ def test_adf_and_assortativity_shapes(spark):
     assert C.scan_count(g) <= 2  # cache-state-dependent (see kcore note)
     assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(g)
+
+
+def test_biproj_and_new_returning_shapes(spark):
+    from odc_product_docker_images_spark.operators.graph import (
+        join_bipartite_projection,
+    )
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_new_vs_returning,
+    )
+
+    p = join_bipartite_projection(spark, SF)
+    plan = C.formatted_plan(p)
+    assert "CartesianProduct" not in plan
+    assert C.scan_count(p) <= 2  # self-join sides of the distinct table
+    C.assert_no_python_row_path(p)
+    nv = agg_new_vs_returning(spark, SF)
+    nplan = C.formatted_plan(nv)
+    assert C.scan_count(nv) == 1
+    assert "Join" not in nplan  # first-day is a window, not a join-back
+    C.assert_no_python_row_path(nv)

@@ -1721,3 +1721,48 @@ def test_assortativity_matches_python(spark):
     assert abs(row["assortativity"] - r) < 1e-5
     # bipartite supplier-hub structure: disassortative
     assert -1.0 <= row["assortativity"] < 0.1
+
+
+def test_bipartite_projection_matches_python(spark):
+    from collections import Counter
+    from itertools import combinations
+
+    from odc_product_docker_images_spark.operators.graph import (
+        join_bipartite_projection,
+    )
+
+    got = {
+        (r["s1"], r["s2"]): r["shared"]
+        for r in join_bipartite_projection(spark, SF).collect()
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    by_part = {}
+    for s, p in set(zip(li.l_suppkey, li.l_partkey)):
+        by_part.setdefault(p, set()).add(s)
+    pairs = Counter()
+    for ss in by_part.values():
+        for a, b in combinations(sorted(ss), 2):
+            pairs[(a, b)] += 1
+    expect = {k: v for k, v in pairs.items() if v >= 3}
+    assert got == expect and expect
+    # projection symmetry convention: s1 < s2 everywhere
+    assert all(a < b for a, b in got)
+
+
+def test_new_vs_returning_matches_python_and_conserves(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_new_vs_returning,
+    )
+
+    rows = {r["day"]: r for r in agg_new_vs_returning(spark, SF).collect()}
+    ev = _events()
+    ud = ev.assign(day=ev.ts.dt.floor("D"))[["user_id", "day"]].drop_duplicates()
+    first = ud.groupby("user_id")["day"].min()
+    for day, grp in ud.groupby("day"):
+        new = int((grp.user_id.map(first) == day).sum())
+        r = rows[day]
+        assert (r["new_users"], r["returning_users"]) == (new, len(grp) - new)
+    # conservation: total new users across days == total distinct users
+    assert sum(r["new_users"] for r in rows.values()) == ev.user_id.nunique()
