@@ -204,6 +204,8 @@ R6D = [
     "graph_assortativity",
     "join_bipartite_projection",
     "agg_new_vs_returning",
+    "composite_q10_shape",
+    "agg_entropy_by_group",
 ]
 
 R5 = [

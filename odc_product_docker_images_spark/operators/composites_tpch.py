@@ -60,3 +60,62 @@ def composite_q18_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "composite_q10_shape",
+    oracle=f"""
+        WITH rev AS (
+            SELECT o.o_custkey,
+                   {sql_dsum(
+                       "l.l_extendedprice * (1.0 - l.l_discount)", "revenue"
+                   )}
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_returnflag = 'R'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o.o_custkey
+        )
+        SELECT c.c_custkey, c.c_name, c.c_nationkey AS nation,
+               c.c_acctbal, r.revenue
+        FROM rev r JOIN customer c ON r.o_custkey = c.c_custkey
+        ORDER BY r.revenue DESC, c.c_custkey ASC
+        LIMIT 20
+    """,
+)
+def composite_q10_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — top-20 customers by returned-item revenue in a
+    one-year window: the returned-merchandise loss report.  The classic
+    star probe: the fact scan keeps only R-flag rows and the year window
+    (both predicates PUSHED), joins the orders key bridge, aggregates
+    once per customer, decorates from the broadcast customer dim, and
+    finishes with a limit-20 TakeOrdered (revenue DESC, custkey
+    tie-break) — never a global sort."""
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    od = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    rev = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+                "revenue",
+            )
+        )
+    )
+    cu = load(spark, sf_dir, "customer")
+    return (
+        rev.join(F.broadcast(cu), rev.o_custkey == cu.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_nationkey").cast("int").alias("nation"),
+            "c_acctbal",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )

@@ -1918,3 +1918,54 @@ def agg_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new").cast("long").alias("new_users"),
         (F.count(F.lit(1)) - F.sum("is_new")).cast("long").alias("returning_users"),
     )
+
+
+@register(
+    "agg_entropy_by_group",
+    oracle=f"""
+        WITH mix AS (
+            SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ), probs AS (
+            SELECT user_id, c,
+                   CAST(SUM(c) OVER (PARTITION BY user_id) AS BIGINT) AS n
+            FROM mix
+        ), terms AS (
+            SELECT user_id, n,
+                   {sql_dround(
+                       "-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n)"
+                   )} AS h_term
+            FROM probs
+        )
+        SELECT user_id,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               {sql_dsum("h_term", "entropy")}
+        FROM terms GROUP BY user_id
+    """,
+)
+def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A48: Shannon entropy of each user's event-type mix — the
+    behavioral-diversity feature (one-trick users score 0, uniform
+    explorers ln 5) that feeds churn and segmentation models; the
+    per-entity companion to the corpus-level ``text_token_entropy``.
+    One (user, type) count; per-user totals are windows on the SAME
+    user clustering; −p·ln p terms round 6 dp into the decimal sum —
+    two linear shuffles end to end."""
+    ev = load(spark, sf_dir, "events")
+    mix = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    w_u = Window.partitionBy("user_id")
+    probs = mix.select(
+        "user_id", "c", F.sum("c").over(w_u).cast("long").alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    terms = probs.select(
+        "user_id", "n", dround(-p * F.log(p)).alias("h_term")
+    )
+    return terms.groupBy("user_id").agg(
+        F.max("n").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        dsum("h_term", "entropy"),
+    )

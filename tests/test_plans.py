@@ -2500,3 +2500,25 @@ def test_biproj_and_new_returning_shapes(spark):
     assert C.scan_count(nv) == 1
     assert "Join" not in nplan  # first-day is a window, not a join-back
     C.assert_no_python_row_path(nv)
+
+
+def test_q10_and_entropy_shapes(spark):
+    from odc_product_docker_images_spark.operators.composites_tpch import (
+        composite_q10_shape,
+    )
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_entropy_by_group,
+    )
+
+    q = composite_q10_shape(spark, SF)
+    plan = C.formatted_plan(q)
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "l_returnflag" in C.pushed_filters(q)
+    C.assert_no_python_row_path(q)
+    e = agg_entropy_by_group(spark, SF)
+    assert C.scan_count(e) == 1
+    assert "Join" not in C.formatted_plan(e)
+    # two linear shuffles: (user,type) count then user re-cluster
+    assert C.exchange_count(e) <= 2
+    C.assert_no_python_row_path(e)

@@ -1766,3 +1766,55 @@ def test_new_vs_returning_matches_python_and_conserves(spark):
         assert (r["new_users"], r["returning_users"]) == (new, len(grp) - new)
     # conservation: total new users across days == total distinct users
     assert sum(r["new_users"] for r in rows.values()) == ev.user_id.nunique()
+
+
+def test_q10_matches_pandas_star_probe(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.composites_tpch import (
+        composite_q10_shape,
+    )
+
+    rows = composite_q10_shape(spark, SF).collect()
+    li = pq.read_table(f"{SF}/lineitem.parquet").to_pandas()
+    od = pq.read_table(f"{SF}/orders.parquet").to_pandas()
+    cu = pq.read_table(f"{SF}/customer.parquet").to_pandas()
+    li = li[li.l_returnflag == "R"]
+    od = od[
+        (od.o_orderdate >= pd.Timestamp("1996-01-01"))
+        & (od.o_orderdate < pd.Timestamp("1997-01-01"))
+    ]
+    j = li.merge(od, left_on="l_orderkey", right_on="o_orderkey")
+    j["rev"] = j.l_extendedprice * (1 - j.l_discount)
+    rev = j.groupby("o_custkey")["rev"].sum().round(6)
+    top = rev.reset_index().sort_values(
+        ["rev", "o_custkey"], ascending=[False, True]
+    ).head(20)
+    assert len(rows) == 20
+    for r, (_, e) in zip(rows, top.iterrows()):
+        assert r["c_custkey"] == e.o_custkey
+        assert abs(r["revenue"] - e.rev) < 1e-5
+    cmap = cu.set_index("c_custkey")
+    for r in rows:
+        assert r["c_name"] == cmap.loc[r["c_custkey"], "c_name"]
+
+
+def test_entropy_by_group_matches_python(spark):
+    import math
+    from collections import Counter
+
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_entropy_by_group,
+    )
+
+    got = {r["user_id"]: r for r in agg_entropy_by_group(spark, SF).collect()}
+    ev = _events()
+    for uid, grp in ev.groupby("user_id"):
+        mix = Counter(grp.event_type)
+        n = sum(mix.values())
+        h = sum(round(-(c / n) * math.log(c / n), 6) for c in mix.values())
+        r = got[uid]
+        assert (r["n_events"], r["n_types"]) == (n, len(mix))
+        assert abs(r["entropy"] - h) < 1e-6
+        # bounds: 0 <= H <= ln(n_types)
+        assert -1e-9 <= r["entropy"] <= math.log(len(mix)) + 1e-6
