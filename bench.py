@@ -206,6 +206,8 @@ R6D = [
     "agg_new_vs_returning",
     "composite_q10_shape",
     "agg_entropy_by_group",
+    "agg_capture_recapture",
+    "agg_gamma_mom",
 ]
 
 R5 = [

@@ -1969,3 +1969,109 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         dsum("h_term", "entropy"),
     )
+
+
+_CR_SPLIT = "2024-01-16"
+
+
+@register(
+    "agg_capture_recapture",
+    oracle=f"""
+        WITH seen AS (
+            SELECT user_id,
+                   MAX(CASE WHEN ts < TIMESTAMP '{_CR_SPLIT}'
+                            THEN 1 ELSE 0 END) AS s1,
+                   MAX(CASE WHEN ts >= TIMESTAMP '{_CR_SPLIT}'
+                            THEN 1 ELSE 0 END) AS s2
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(SUM(s1) AS BIGINT) AS n1,
+               CAST(SUM(s2) AS BIGINT) AS n2,
+               CAST(SUM(s1 * s2) AS BIGINT) AS m_both,
+               CAST(COUNT(*) AS BIGINT) AS n_observed,
+               {sql_dround(
+                   "(CAST(SUM(s1) + 1 AS DOUBLE) * (SUM(s2) + 1))"
+                   " / (SUM(s1 * s2) + 1) - 1.0"
+               )} AS chapman_n_hat
+        FROM seen
+    """,
+)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A49: Chapman capture-recapture estimate of the true population
+    size from two observation windows (first/second half-month) — the
+    how-many-users-exist-that-we-never-saw estimator used for audience
+    and wildlife censuses alike: N̂ = (n₁+1)(n₂+1)/(m+1) − 1 on the
+    overlap m.  One conditional per-user aggregate + a 1-row integer
+    reduction; the estimator is a single 6 dp IEEE chain on exact
+    counts."""
+    ev = load(spark, sf_dir, "events")
+    seen = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(F.col("ts") < F.lit(_CR_SPLIT).cast("timestamp"), 1).otherwise(0)
+        ).alias("s1"),
+        F.max(
+            F.when(F.col("ts") >= F.lit(_CR_SPLIT).cast("timestamp"), 1).otherwise(
+                0
+            )
+        ).alias("s2"),
+    )
+    return seen.agg(
+        F.sum("s1").cast("long").alias("n1"),
+        F.sum("s2").cast("long").alias("n2"),
+        F.sum(F.col("s1") * F.col("s2")).cast("long").alias("m_both"),
+        F.count(F.lit(1)).cast("long").alias("n_observed"),
+        dround(
+            (F.sum("s1").cast("double") + 1)
+            * (F.sum("s2") + 1)
+            / (F.sum(F.col("s1") * F.col("s2")) + 1)
+            - F.lit(1.0)
+        ).alias("chapman_n_hat"),
+    )
+
+
+@register(
+    "agg_gamma_mom",
+    oracle=f"""
+        WITH purch AS (
+            SELECT value AS x FROM events WHERE event_type = 'purchase'
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("x", "s")}, {sql_dsum("x * x", "q")}
+            FROM purch
+        )
+        SELECT n,
+               {sql_dround("s / n")} AS mean_x,
+               {sql_dround("(q - s * s / n) / (n - 1)")} AS var_x,
+               {sql_dround(
+                   "(s / n) * (s / n) / ((q - s * s / n) / (n - 1))"
+               )} AS gamma_shape,
+               {sql_dround(
+                   "((q - s * s / n) / (n - 1)) / (s / n)"
+               )} AS gamma_scale
+        FROM m
+    """,
+)
+def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A50: method-of-moments Gamma fit of purchase values — k = μ²/σ²,
+    θ = σ²/μ: the parametric spend model behind LTV simulation and
+    premium-pricing curves (the continuous sibling of
+    ``agg_overdispersion``'s NB fit).  One sufficient-statistics pass;
+    all four outputs are 6 dp IEEE chains on the decimal-path sums."""
+    ev = load(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("value").alias("x")
+    )
+    m = purch.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("x", "s"),
+        dsum(F.col("x") * F.col("x"), "q"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    return m.select(
+        "n",
+        dround(mean).alias("mean_x"),
+        dround(var).alias("var_x"),
+        dround(mean * mean / var).alias("gamma_shape"),
+        dround(var / mean).alias("gamma_scale"),
+    )

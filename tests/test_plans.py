@@ -2522,3 +2522,16 @@ def test_q10_and_entropy_shapes(spark):
     # two linear shuffles: (user,type) count then user re-cluster
     assert C.exchange_count(e) <= 2
     C.assert_no_python_row_path(e)
+
+
+def test_capture_and_gamma_are_single_pass(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_capture_recapture,
+        agg_gamma_mom,
+    )
+
+    for fn in (agg_capture_recapture, agg_gamma_mom):
+        df = fn(spark, SF)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in C.formatted_plan(df), fn.__name__
+        C.assert_no_python_row_path(df)

@@ -1818,3 +1818,41 @@ def test_entropy_by_group_matches_python(spark):
         assert abs(r["entropy"] - h) < 1e-6
         # bounds: 0 <= H <= ln(n_types)
         assert -1e-9 <= r["entropy"] <= math.log(len(mix)) + 1e-6
+
+
+def test_capture_recapture_matches_python(spark):
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_capture_recapture,
+    )
+
+    row = agg_capture_recapture(spark, SF).collect()[0]
+    ev = _events()
+    split = pd.Timestamp("2024-01-16")
+    s1 = set(ev.loc[ev.ts < split, "user_id"])
+    s2 = set(ev.loc[ev.ts >= split, "user_id"])
+    m = len(s1 & s2)
+    n_hat = (len(s1) + 1) * (len(s2) + 1) / (m + 1) - 1
+    assert (row["n1"], row["n2"], row["m_both"]) == (len(s1), len(s2), m)
+    assert row["n_observed"] == len(s1 | s2)
+    assert abs(row["chapman_n_hat"] - n_hat) < 1e-6
+    # the estimate can never undercut what was directly observed (both
+    # windows saw nearly everyone in this dense fixture)
+    assert row["chapman_n_hat"] >= row["m_both"]
+
+
+def test_gamma_mom_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_gamma_mom
+
+    row = agg_gamma_mom(spark, SF).collect()[0]
+    ev = _events()
+    x = ev.loc[ev.event_type == "purchase", "value"].to_numpy()
+    mean, var = x.mean(), x.var(ddof=1)
+    assert row["n"] == len(x)
+    assert abs(row["mean_x"] - mean) < 1e-4
+    assert abs(row["var_x"] - var) < 1e-3
+    assert abs(row["gamma_shape"] - mean * mean / var) < 1e-4
+    assert abs(row["gamma_scale"] - var / mean) < 1e-4
+    # moments identity: shape * scale == mean
+    assert abs(row["gamma_shape"] * row["gamma_scale"] - mean) < 1e-3
