@@ -208,6 +208,7 @@ R6D = [
     "agg_entropy_by_group",
     "agg_capture_recapture",
     "agg_gamma_mom",
+    "ml_ndcg_at_k",
 ]
 
 R5 = [

@@ -40,6 +40,7 @@ from ..functions.det import (
 )
 from ..io import load
 from ..registry import register
+from ..textvec.similarity import dot as dot_me
 
 _SCORE_BUCKET_W = 16.0  # buckets = floor(score * 16): ~13 over the ±0.4 range
 
@@ -784,4 +785,129 @@ def ml_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.sqrt(var10 / F.col("n1") + var01 / F.col("n0"))).alias(
             "delong_se"
         ),
+    )
+
+
+_NDCG_K = 10
+_LOG2 = 0.6931471805599453  # ln 2: discount = ln(i+1)/ln 2
+
+
+@register(
+    "ml_ndcg_at_k",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 500
+        ), scored AS (
+            SELECT q.vec_id AS qid, b.vec_id AS bid,
+                   CAST(q.label = b.label AS INTEGER) AS rel,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                         i -> q.e[i] * b.e[i])) / (q.nrm * b.nrm), 6) AS cos
+            FROM q JOIN n b ON q.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT qid, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, bid ASC) AS rk,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY rel DESC, cos DESC, bid ASC)
+                       AS ideal_rk
+            FROM scored
+        ), gains AS (
+            SELECT qid,
+                   {sql_exact_double(
+                       "SUM(CASE WHEN rk <= " + str(_NDCG_K) + " THEN "
+                       + sql_dec_cast(
+                           "rel * CAST(" + repr(_LOG2) + " AS DOUBLE)"
+                           " / LN(rk + 1.0)"
+                       ) + " END)"
+                   )} AS dcg,
+                   {sql_exact_double(
+                       "SUM(CASE WHEN ideal_rk <= " + str(_NDCG_K) + " THEN "
+                       + sql_dec_cast(
+                           "rel * CAST(" + repr(_LOG2) + " AS DOUBLE)"
+                           " / LN(ideal_rk + 1.0)"
+                       ) + " END)"
+                   )} AS idcg
+            FROM ranked GROUP BY qid
+        )
+        SELECT qid AS vec_id, COALESCE(dcg, 0.0) AS dcg, idcg,
+               CASE WHEN idcg > 0.0
+                    THEN {sql_dround("COALESCE(dcg, 0.0) / idcg")}
+                    ELSE CAST(0.0 AS DOUBLE) END AS ndcg_at_k
+        FROM gains
+    """,
+)
+def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12: NDCG@{_NDCG_K} for cosine retrieval against label-match
+    relevance over the fixed query panel — the graded ranking metric
+    every retrieval/rerank stack reports beside recall (position
+    discounting is what separates it from hit-rate).  DCG uses the
+    standard 1/log₂(rank+1) discount; the ideal ranking re-sorts by
+    relevance first, giving a per-query normalizer.
+
+    Shape: one broadcast-panel pass scores candidates; both the actual
+    and ideal rankings are row_number windows over the per-query
+    partitions (panel-bounded, the matryoshka convention); the top-k
+    gains reduce through the decimal path; NDCG rounds 6 dp.  Cosines
+    round 6 dp before ranking so order is cross-engine frozen."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_me(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = n.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = F.round(
+        dot_me(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = joined.select(
+        "qid",
+        F.col("vec_id").alias("bid"),
+        (F.col("qlabel") == F.col("label")).cast("int").alias("rel"),
+        cos.alias("cos"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("bid").asc()
+    )
+    w_ideal = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("cos").desc(), F.col("bid").asc()
+    )
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number().over(w_rank).alias("rk"),
+        F.row_number().over(w_ideal).alias("ideal_rk"),
+    )
+    gain = F.col("rel") * F.lit(_LOG2) / F.log(F.col("rk") + 1.0)
+    igain = F.col("rel") * F.lit(_LOG2) / F.log(F.col("ideal_rk") + 1.0)
+    gains = ranked.groupBy("qid").agg(
+        exact_double(
+            F.sum(F.when(F.col("rk") <= _NDCG_K, dec_cast(gain)))
+        ).alias("dcg"),
+        exact_double(
+            F.sum(F.when(F.col("ideal_rk") <= _NDCG_K, dec_cast(igain)))
+        ).alias("idcg"),
+    )
+    return gains.select(
+        F.col("qid").alias("vec_id"),
+        F.coalesce(F.col("dcg"), F.lit(0.0)).alias("dcg"),
+        "idcg",
+        F.when(
+            F.col("idcg") > 0.0,
+            dround(F.coalesce(F.col("dcg"), F.lit(0.0)) / F.col("idcg")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("ndcg_at_k"),
     )

@@ -2535,3 +2535,13 @@ def test_capture_and_gamma_are_single_pass(spark):
         assert C.scan_count(df) == 1, fn.__name__
         assert "Join" not in C.formatted_plan(df), fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_ndcg_rankings_are_panel_windows(spark):
+    from odc_product_docker_images_spark.operators.model_eval import ml_ndcg_at_k
+
+    df = ml_ndcg_at_k(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)

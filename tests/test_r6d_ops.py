@@ -1856,3 +1856,36 @@ def test_gamma_mom_matches_numpy(spark):
     assert abs(row["gamma_scale"] - var / mean) < 1e-4
     # moments identity: shape * scale == mean
     assert abs(row["gamma_shape"] * row["gamma_scale"] - mean) < 1e-3
+
+
+def test_ndcg_matches_python_reference(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.model_eval import ml_ndcg_at_k
+
+    got = {r["vec_id"]: r for r in ml_ndcg_at_k(spark, SF).collect()}
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    qmask = (ids % 50 == 0) & (ids < 500)
+    assert set(got) == set(ids[qmask].tolist())
+    for qi in np.where(qmask)[0]:
+        cos = np.round(Xn @ Xn[qi], 6)
+        rel = (labels == labels[qi]).astype(int)
+        order = np.lexsort((ids, -cos))
+        order = order[order != qi][:]
+        dcg = sum(
+            rel[j] / math.log2(i + 2) for i, j in enumerate(order[:10])
+        )
+        iorder = np.lexsort((ids, -cos, -rel))
+        iorder = iorder[iorder != qi]
+        idcg = sum(
+            rel[j] / math.log2(i + 2) for i, j in enumerate(iorder[:10])
+        )
+        r = got[ids[qi]]
+        assert abs(r["dcg"] - dcg) < 1e-4, ids[qi]
+        assert abs(r["idcg"] - idcg) < 1e-4
+        assert abs(r["ndcg_at_k"] - (dcg / idcg if idcg else 0.0)) < 1e-4
+        assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9
