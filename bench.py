@@ -209,6 +209,8 @@ R6D = [
     "agg_capture_recapture",
     "agg_gamma_mom",
     "ml_ndcg_at_k",
+    "agg_odds_ratio_mh",
+    "agg_cohort_decay_fit",
 ]
 
 R5 = [

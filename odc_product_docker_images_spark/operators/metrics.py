@@ -1972,6 +1972,7 @@ def agg_entropy_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CR_SPLIT = "2024-01-16"
+_LN2_CONST = 0.6931471805599453
 
 
 @register(
@@ -2074,4 +2075,103 @@ def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(var).alias("var_x"),
         dround(mean * mean / var).alias("gamma_shape"),
         dround(var / mean).alias("gamma_scale"),
+    )
+
+
+@register(
+    "agg_cohort_decay_fit",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, MIN(DATE_TRUNC('day', ts)) AS d0
+            FROM events GROUP BY user_id
+        ), act AS (
+            SELECT DISTINCT e.user_id,
+                   DATE_DIFF('day', CAST(f.d0 AS DATE),
+                             CAST(DATE_TRUNC('day', e.ts) AS DATE)) // 7
+                       AS wk
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        ), base AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n0 FROM act
+        ), ret AS (
+            SELECT wk,
+                   CAST(COUNT(*) AS BIGINT) AS active,
+                   {sql_dround(
+                       "LN(CAST(COUNT(*) AS DOUBLE) / MAX(b.n0))"
+                   )} AS ln_ret
+            FROM act CROSS JOIN base b
+            WHERE wk >= 1
+            GROUP BY wk
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   {sql_dsum("CAST(wk AS DOUBLE)", "sx")},
+                   {sql_dsum("ln_ret", "sy")},
+                   {sql_dsum("CAST(wk AS DOUBLE) * wk", "sxx")},
+                   {sql_dsum("CAST(wk AS DOUBLE) * ln_ret", "sxy")}
+            FROM ret
+        )
+        SELECT k AS n_weeks,
+               {sql_dround(
+                   "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
+               )} AS decay_rate,
+               {sql_dround(
+                   f"-CAST({_LN2_CONST!r} AS DOUBLE)"
+                   " / ((k * sxy - sx * sy) / (k * sxx - sx * sx))"
+               )} AS half_life_weeks
+        FROM m
+    """,
+)
+def agg_cohort_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51: exponential retention-decay fit — regress ln(weekly
+    retention) on week offset and report the decay rate and half-life:
+    the two numbers a growth team quotes from the retention curve
+    ``agg_retention_cohort`` tabulates.  Retention here is
+    fraction-of-ever-active users active in week k ≥ 1 since their own
+    first day.
+
+    Corpus work: first-day + (user, week) dedup; the fit runs on the
+    O(weeks) table with decimal-path moments; ln and the OLS outputs
+    round 6 dp; half-life = −ln2/slope uses the exact double ln2
+    literal."""
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id")
+    act = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").alias("day"),
+        )
+        .distinct()
+        .select(
+            "user_id",
+            F.floor(
+                F.datediff(F.col("day"), F.min("day").over(w_u)) / 7
+            ).alias("wk"),
+        )
+        .distinct()
+    )
+    base = act.agg(F.countDistinct("user_id").cast("long").alias("n0"))
+    ret = (
+        act.where(F.col("wk") >= 1)
+        .crossJoin(F.broadcast(base))
+        .groupBy("wk")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("active"),
+            dround(
+                F.log(F.count(F.lit(1)).cast("double") / F.max("n0"))
+            ).alias("ln_ret"),
+        )
+    )
+    m = ret.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        dsum(F.col("wk").cast("double"), "sx"),
+        dsum("ln_ret", "sy"),
+        dsum(F.col("wk").cast("double") * F.col("wk"), "sxx"),
+        dsum(F.col("wk").cast("double") * F.col("ln_ret"), "sxy"),
+    )
+    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("k").alias("n_weeks"),
+        dround(slope).alias("decay_rate"),
+        dround(-F.lit(_LN2_CONST) / slope).alias("half_life_weeks"),
     )

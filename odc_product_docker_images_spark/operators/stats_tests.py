@@ -2104,3 +2104,73 @@ def agg_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = rho / F.sqrt((sse / (F.col("n") - 2)) / sxx_c)
     return m.select("n", dround(rho).alias("rho"), dround(t).alias("df_t_stat"))
+
+
+@register(
+    "agg_odds_ratio_mh",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  AND value > CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                  AND value <= CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  AND value > CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                  AND value <= CAST({_CMH_SUCCESS!r} AS DOUBLE)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM events GROUP BY event_type
+        ), terms AS (
+            SELECT {sql_dround(
+                       "CAST(a AS DOUBLE) * d / (a + b + c + d)"
+                   )} AS rn_,
+                   {sql_dround(
+                       "CAST(b AS DOUBLE) * c / (a + b + c + d)"
+                   )} AS sn_
+            FROM cells
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               {sql_dsum("rn_", "sum_ad_n")},
+               {sql_dsum("sn_", "sum_bc_n")},
+               {sql_dround(
+                   "(" + sql_exact_double("SUM(" + sql_dec_cast("rn_") + ")")
+                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("sn_") + ")")
+                   + ")"
+               )} AS or_mh
+        FROM terms
+    """,
+)
+def agg_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33+: Mantel-Haenszel common odds ratio — the pooled EFFECT SIZE
+    whose null ``agg_cmh_test`` tests: OR_MH = Σ(aᵢdᵢ/nᵢ)/Σ(bᵢcᵢ/nᵢ)
+    across the event-type strata (robust to zero cells, the reason it
+    beats averaging per-stratum ORs).  Same one-conditional-aggregate
+    shape as the test; per-stratum terms are fixed IEEE chains on exact
+    2×2 margins rounded 6 dp, pooled through decimal sums; the ratio is
+    parenthesized (infix trap) and rounds 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    arm1 = F.col("user_id") % 2 == 1
+    succ = F.col("value") > F.lit(_CMH_SUCCESS)
+    cells = ev.groupBy("event_type").agg(
+        F.sum((arm1 & succ).cast("int")).cast("long").alias("a"),
+        F.sum((arm1 & ~succ).cast("int")).cast("long").alias("b"),
+        F.sum((~arm1 & succ).cast("int")).cast("long").alias("c"),
+        F.sum((~arm1 & ~succ).cast("int")).cast("long").alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    terms = cells.select(
+        dround(F.col("a").cast("double") * F.col("d") / n).alias("rn_"),
+        dround(F.col("b").cast("double") * F.col("c") / n).alias("sn_"),
+    )
+    sr = exact_double(F.sum(dec_cast("rn_")))
+    ss = exact_double(F.sum(dec_cast("sn_")))
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata"),
+        dsum("rn_", "sum_ad_n"),
+        dsum("sn_", "sum_bc_n"),
+        dround(sr / ss).alias("or_mh"),
+    )

@@ -207,7 +207,8 @@ GRADING_WINDOW = [
     #     text_mattr, agg_sprt_decision, agg_adf_test, graph_assortativity,
     #     join_bipartite_projection, agg_new_vs_returning,
     #     composite_q10_shape, agg_entropy_by_group,
-    #     agg_capture_recapture, agg_gamma_mom, ml_ndcg_at_k
+    #     agg_capture_recapture, agg_gamma_mom, ml_ndcg_at_k,
+    #     agg_odds_ratio_mh, agg_cohort_decay_fit
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

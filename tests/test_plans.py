@@ -2545,3 +2545,22 @@ def test_ndcg_rankings_are_panel_windows(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_ormh_and_decay_shapes(spark):
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_cohort_decay_fit,
+    )
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_odds_ratio_mh,
+    )
+
+    o = agg_odds_ratio_mh(spark, SF)
+    assert C.scan_count(o) == 1
+    assert "Join" not in C.formatted_plan(o)
+    C.assert_no_python_row_path(o)
+    d = agg_cohort_decay_fit(spark, SF)
+    plan = C.formatted_plan(d)
+    assert C.scan_count(d) <= 2  # activity pass + 1-row base broadcast
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(d)

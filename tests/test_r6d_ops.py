@@ -1889,3 +1889,60 @@ def test_ndcg_matches_python_reference(spark):
         assert abs(r["idcg"] - idcg) < 1e-4
         assert abs(r["ndcg_at_k"] - (dcg / idcg if idcg else 0.0)) < 1e-4
         assert 0.0 <= r["ndcg_at_k"] <= 1.0 + 1e-9
+
+
+def test_odds_ratio_mh_matches_python_and_cmh_consistency(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_cmh_test,
+        agg_odds_ratio_mh,
+    )
+
+    row = agg_odds_ratio_mh(spark, SF).collect()[0]
+    cmh = agg_cmh_test(spark, SF).collect()[0]
+    ev = _events()
+    num = den = 0.0
+    for _, grp in ev.groupby("event_type"):
+        arm1 = grp.user_id % 2 == 1
+        succ = grp.value > 250.0
+        a = int((arm1 & succ).sum()); b = int((arm1 & ~succ).sum())
+        c = int((~arm1 & succ).sum()); d = int((~arm1 & ~succ).sum())
+        n = a + b + c + d
+        num += round(a * d / n, 6)
+        den += round(b * c / n, 6)
+    assert row["n_strata"] == 5
+    assert abs(row["sum_ad_n"] - num) < 1e-4
+    assert abs(row["sum_bc_n"] - den) < 1e-4
+    assert abs(row["or_mh"] - num / den) < 1e-5
+    # direction consistency with the CMH test: OR > 1 iff observed > expected
+    assert (row["or_mh"] > 1) == (cmh["observed"] > cmh["expected"])
+
+
+def test_cohort_decay_matches_python(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.metrics import (
+        agg_cohort_decay_fit,
+    )
+
+    row = agg_cohort_decay_fit(spark, SF).collect()[0]
+    ev = _events()
+    ud = ev.assign(day=ev.ts.dt.floor("D"))[["user_id", "day"]].drop_duplicates()
+    first = ud.groupby("user_id")["day"].transform("min")
+    wk = ((ud.day - first).dt.days // 7)
+    uw = set(zip(ud.user_id, wk))
+    n0 = ud.user_id.nunique()
+    from collections import Counter
+
+    per_wk = Counter(w for _, w in uw if w >= 1)
+    pts = sorted(per_wk.items())
+    xs = np.array([w for w, _ in pts], dtype=float)
+    ys = np.array([round(math.log(c / n0), 6) for _, c in pts])
+    k = len(pts)
+    slope = (k * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+        k * (xs * xs).sum() - xs.sum() ** 2
+    )
+    assert row["n_weeks"] == k
+    assert abs(row["decay_rate"] - slope) < 1e-5
+    assert abs(row["half_life_weeks"] - (-math.log(2) / slope)) < 1e-3
+    # retention decays: negative slope, positive half-life
+    assert row["decay_rate"] < 0 < row["half_life_weeks"]
