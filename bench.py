@@ -211,6 +211,7 @@ R6D = [
     "ml_ndcg_at_k",
     "agg_odds_ratio_mh",
     "agg_cohort_decay_fit",
+    "ml_recall_at_k",
 ]
 
 R5 = [

@@ -911,3 +911,96 @@ def ml_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("ndcg_at_k"),
     )
+
+
+_RAK_K = 10
+
+
+@register(
+    "ml_recall_at_k",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id, label,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), q AS (
+            SELECT * FROM n WHERE vec_id % 50 = 0 AND vec_id < 500
+        ), scored AS (
+            SELECT q.vec_id AS qid, b.vec_id AS bid,
+                   CAST(q.label = b.label AS INTEGER) AS rel,
+                   ROUND(LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                         i -> q.e[i] * b.e[i])) / (q.nrm * b.nrm), 6) AS cos
+            FROM q JOIN n b ON q.vec_id != b.vec_id
+        ), ranked AS (
+            SELECT qid, rel,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY cos DESC, bid ASC) AS rk,
+                   CAST(SUM(rel) OVER (PARTITION BY qid) AS BIGINT)
+                       AS n_relevant
+            FROM scored
+        )
+        SELECT qid AS vec_id,
+               CAST(MAX(n_relevant) AS BIGINT) AS n_relevant,
+               CAST(SUM(CASE WHEN rk <= {_RAK_K} THEN rel ELSE 0 END)
+                    AS BIGINT) AS hits_at_k,
+               CAST(SUM(CASE WHEN rk <= {_RAK_K} THEN rel ELSE 0 END)
+                    AS DOUBLE) / {_RAK_K} AS precision_at_k,
+               CAST(SUM(CASE WHEN rk <= {_RAK_K} THEN rel ELSE 0 END)
+                    AS DOUBLE)
+                   / LEAST(MAX(n_relevant), {_RAK_K}) AS recall_at_k
+        FROM ranked GROUP BY qid
+    """,
+)
+def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13: precision@{_RAK_K} and (budget-normalized) recall@{_RAK_K}
+    for cosine retrieval over the fixed panel — the unweighted
+    companions of ``ml_ndcg_at_k`` (recall normalizes by
+    min(relevant, k), the standard bounded form when relevant sets
+    exceed the budget).  Same broadcast-panel scoring; the per-query
+    relevant total is a window on the SAME query partitioning as the
+    rank; hits are exact integers, the two ratios exact divisions."""
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.sqrt(dot_me(F.col("embedding"), F.col("embedding"))).alias("nrm"),
+    )
+    q = n.where((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = n.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    cos = F.round(
+        dot_me(F.col("qe"), F.col("embedding")) / (F.col("qn") * F.col("nrm")), 6
+    )
+    scored = joined.select(
+        "qid",
+        F.col("vec_id").alias("bid"),
+        (F.col("qlabel") == F.col("label")).cast("int").alias("rel"),
+        cos.alias("cos"),
+    )
+    w_rank = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("bid").asc()
+    )
+    w_q = Window.partitionBy("qid")
+    ranked = scored.select(
+        "qid",
+        "rel",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("rel").over(w_q).cast("long").alias("n_relevant"),
+    )
+    hits = F.sum(F.when(F.col("rk") <= _RAK_K, F.col("rel")).otherwise(0))
+    return ranked.groupBy("qid").agg(
+        F.max("n_relevant").cast("long").alias("n_relevant"),
+        hits.cast("long").alias("hits_at_k"),
+        (hits.cast("double") / _RAK_K).alias("precision_at_k"),
+        (
+            hits.cast("double")
+            / F.least(F.max("n_relevant"), F.lit(_RAK_K))
+        ).alias("recall_at_k"),
+    ).withColumnRenamed("qid", "vec_id")

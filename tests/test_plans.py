@@ -2564,3 +2564,15 @@ def test_ormh_and_decay_shapes(spark):
     assert C.scan_count(d) <= 2  # activity pass + 1-row base broadcast
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(d)
+
+
+def test_recall_at_k_shares_panel_shape(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_recall_at_k,
+    )
+
+    df = ml_recall_at_k(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)

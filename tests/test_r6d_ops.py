@@ -1946,3 +1946,29 @@ def test_cohort_decay_matches_python(spark):
     assert abs(row["half_life_weeks"] - (-math.log(2) / slope)) < 1e-3
     # retention decays: negative slope, positive half-life
     assert row["decay_rate"] < 0 < row["half_life_weeks"]
+
+
+def test_recall_at_k_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_recall_at_k,
+    )
+
+    got = {r["vec_id"]: r for r in ml_recall_at_k(spark, SF).collect()}
+    emb = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(emb.embedding.to_numpy()).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    ids = emb.vec_id.to_numpy()
+    labels = emb.label.to_numpy()
+    qmask = (ids % 50 == 0) & (ids < 500)
+    for qi in np.where(qmask)[0]:
+        cos = np.round(Xn @ Xn[qi], 6)
+        order = np.lexsort((ids, -cos))
+        order = order[order != qi]
+        rel = labels[order] == labels[qi]
+        n_rel = int(rel.sum())
+        hits = int(rel[:10].sum())
+        r = got[ids[qi]]
+        assert (r["n_relevant"], r["hits_at_k"]) == (n_rel, hits), ids[qi]
+        assert abs(r["precision_at_k"] - hits / 10) < 1e-12
+        assert abs(r["recall_at_k"] - hits / min(n_rel, 10)) < 1e-12
+        assert 0 <= r["recall_at_k"] <= 1
