@@ -212,6 +212,7 @@ R6D = [
     "agg_odds_ratio_mh",
     "agg_cohort_decay_fit",
     "ml_recall_at_k",
+    "text_winnowing",
 ]
 
 R5 = [

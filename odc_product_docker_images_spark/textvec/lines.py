@@ -20,7 +20,7 @@ the join input is one row per distinct span, not per occurrence.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
@@ -101,5 +101,116 @@ def dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(
                 F.sum(boiler) / F.count(F.lit(1)).cast("double"), 6
             ).alias("boiler_frac"),
+        )
+    )
+
+
+_WIN_K = 4  # k-gram size (tokens)
+_WIN_W = 4  # winnowing window (grams)
+
+
+@register(
+    "text_winnowing",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   LIST_FILTER(STRING_SPLIT(text, ' '), x -> x <> '') AS ts
+            FROM documents
+        ), grams AS (
+            SELECT doc_id, gpos,
+                   MD5(ARRAY_TO_STRING(ts[gpos : gpos + {_WIN_K} - 1], ' '))
+                       AS gh
+            FROM toks
+            CROSS JOIN UNNEST(RANGE(1, LEN(ts) - {_WIN_K} + 2)) AS t(gpos)
+            WHERE LEN(ts) >= {_WIN_K} + {_WIN_W} - 1
+        ), nbrs AS (
+            SELECT doc_id, gpos, gh,
+                   LAG(gh, 1) OVER w AS l1, LAG(gh, 2) OVER w AS l2,
+                   LAG(gh, 3) OVER w AS l3,
+                   LEAD(gh, 1) OVER w AS r1, LEAD(gh, 2) OVER w AS r2,
+                   LEAD(gh, 3) OVER w AS r3,
+                   CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT)
+                       AS n_grams
+            FROM grams
+            WINDOW w AS (PARTITION BY doc_id ORDER BY gpos)
+        ), sel AS (
+            SELECT doc_id, gpos, gh, n_grams,
+                   CAST(
+                       gh < LEAST(COALESCE(r1, ''), COALESCE(r2, ''),
+                                  COALESCE(r3, ''))
+                    OR (gh < LEAST(COALESCE(l1, ''))
+                        AND gh < LEAST(COALESCE(r1, ''), COALESCE(r2, '')))
+                    OR (gh < LEAST(COALESCE(l1, ''), COALESCE(l2, ''))
+                        AND gh < COALESCE(r1, ''))
+                    OR gh < LEAST(COALESCE(l1, ''), COALESCE(l2, ''),
+                                  COALESCE(l3, ''))
+                   AS INTEGER) AS selected
+            FROM nbrs
+        )
+        SELECT doc_id,
+               CAST(MAX(n_grams) AS BIGINT) AS n_grams,
+               CAST(SUM(selected) AS BIGINT) AS n_fingerprints,
+               CAST(SUM(selected) AS DOUBLE) / MAX(n_grams) AS density
+        FROM sel GROUP BY doc_id
+    """,
+)
+def text_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X4: winnowing fingerprint selection (Schleimer-Wilkerson-Aiken
+    / MOSS) — pick the minimum k-gram hash of every w-gram window so any
+    match of length ≥ w+k−1 is guaranteed caught with density ≈ 2/(w+1):
+    the position-robust document fingerprinting behind plagiarism and
+    near-dup span detection (``text_fingerprint``'s principled upgrade).
+
+    The per-window argmin NEVER materializes windows: with distinct
+    hashes (md5 on token grams), position p is selected iff its hash
+    beats min(L_j ∪ R_{{w-1-j}}) for SOME split of its w−1 neighbors —
+    so w−1 lag + w−1 lead columns over ONE per-doc ordering decide
+    selection locally ('' < every hex digit invalidates incomplete edge
+    windows).  One tokenize pass, one doc-partition window stack, exact
+    counts; the density column shows the ≈2/(w+1) guarantee."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.select(
+        "doc_id",
+        F.filter(F.split("text", " "), lambda x: x != "").alias("ts"),
+    ).where(F.size("ts") >= _WIN_K + _WIN_W - 1)
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {_WIN_K} + 1), i ->"
+                f" md5(array_join(slice(ts, i, {_WIN_K}), ' ')))"
+            )
+        ).alias("gpos0", "gh"),
+    )
+    w_d = Window.partitionBy("doc_id").orderBy("gpos0")
+    w_all = Window.partitionBy("doc_id")
+    # missing neighbors INVALIDATE their split (the textbook algorithm
+    # only considers COMPLETE w-windows): '' sorts below every hex digest
+    # so gh < '' is false — a +inf sentinel would spuriously select the
+    # first/last w-1 positions (caught by the reference-loop test)
+    NEG = F.lit("")
+    nbrs = grams.select(
+        "doc_id",
+        "gh",
+        *[F.coalesce(F.lag("gh", j).over(w_d), NEG).alias(f"l{j}") for j in (1, 2, 3)],
+        *[F.coalesce(F.lead("gh", j).over(w_d), NEG).alias(f"r{j}") for j in (1, 2, 3)],
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n_grams"),
+    )
+    gh = F.col("gh")
+    sel = (
+        (gh < F.least(F.col("r1"), F.col("r2"), F.col("r3")))
+        | ((gh < F.col("l1")) & (gh < F.least(F.col("r1"), F.col("r2"))))
+        | ((gh < F.least(F.col("l1"), F.col("l2"))) & (gh < F.col("r1")))
+        | (gh < F.least(F.col("l1"), F.col("l2"), F.col("l3")))
+    ).cast("int")
+    return (
+        nbrs.select("doc_id", "n_grams", sel.alias("selected"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_grams").cast("long").alias("n_grams"),
+            F.sum("selected").cast("long").alias("n_fingerprints"),
+            (F.sum("selected").cast("double") / F.max("n_grams")).alias(
+                "density"
+            ),
         )
     )

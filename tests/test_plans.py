@@ -2576,3 +2576,15 @@ def test_recall_at_k_shares_panel_shape(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_winnowing_is_local_window_stack(spark):
+    """Selection decides locally from lag/lead columns on one per-doc
+    ordering — no window materialization, no join."""
+    from odc_product_docker_images_spark.textvec.lines import text_winnowing
+
+    df = text_winnowing(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)

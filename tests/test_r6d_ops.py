@@ -1972,3 +1972,43 @@ def test_recall_at_k_matches_numpy(spark):
         assert abs(r["precision_at_k"] - hits / 10) < 1e-12
         assert abs(r["recall_at_k"] - hits / min(n_rel, 10)) < 1e-12
         assert 0 <= r["recall_at_k"] <= 1
+
+
+def test_winnowing_matches_reference_algorithm(spark):
+    """Recompute with the TEXTBOOK winnowing loop (explicit windows,
+    rightmost-min rule) — with distinct md5 hashes the boundary
+    decomposition must select the identical fingerprint count."""
+    import hashlib
+
+    from odc_product_docker_images_spark.textvec.lines import text_winnowing
+
+    got = {r["doc_id"]: r for r in text_winnowing(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    k, w = 4, 4
+    n_checked = 0
+    for _, d in docs.iterrows():
+        ws_ = [t for t in d.text.split(" ") if t]
+        if len(ws_) < k + w - 1:
+            assert d.doc_id not in got
+            continue
+        hs = [
+            hashlib.md5(" ".join(ws_[i : i + k]).encode()).hexdigest()
+            for i in range(len(ws_) - k + 1)
+        ]
+        selected = set()
+        for e in range(w - 1, len(hs)):
+            window = hs[e - w + 1 : e + 1]
+            m = min(window)
+            # rightmost minimal (md5s are distinct in practice; argmin ok)
+            selected.add(e - w + 1 + window.index(m))
+        r = got[d.doc_id]
+        assert r["n_grams"] == len(hs)
+        assert r["n_fingerprints"] == len(selected), d.doc_id
+        # density: positive, at most 1, and each fingerprint covers at
+        # most w windows of the clipped window set
+        assert 0 < r["density"] <= 1.0
+        assert r["n_fingerprints"] * w >= max(1, len(hs) - w + 1) - w
+        n_checked += 1
+    assert n_checked == len(got) > 0
+    dens = np.mean([r["density"] for r in got.values()])
+    assert 0.2 < dens < 0.7  # ~2/(w+1)=0.4 with repeated-token corpora drift
