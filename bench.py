@@ -213,6 +213,8 @@ R6D = [
     "agg_cohort_decay_fit",
     "ml_recall_at_k",
     "text_winnowing",
+    "agg_interevent_burstiness",
+    "agg_apdex_daily",
 ]
 
 R5 = [

@@ -2175,3 +2175,46 @@ def agg_cohort_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(slope).alias("decay_rate"),
         dround(-F.lit(_LN2_CONST) / slope).alias("half_life_weeks"),
     )
+
+
+_APDEX_T = 100.0  # satisfied threshold; tolerating up to 4T
+
+
+@register(
+    "agg_apdex_daily",
+    oracle=f"""
+        SELECT DATE_TRUNC('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN value <= CAST({_APDEX_T!r} AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS satisfied,
+               CAST(SUM(CASE WHEN value > CAST({_APDEX_T!r} AS DOUBLE)
+                              AND value <= CAST({4 * _APDEX_T!r} AS DOUBLE)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tolerating,
+               (CAST(SUM(CASE WHEN value <= CAST({_APDEX_T!r} AS DOUBLE)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                + SUM(CASE WHEN value > CAST({_APDEX_T!r} AS DOUBLE)
+                            AND value <= CAST({4 * _APDEX_T!r} AS DOUBLE)
+                           THEN 1 ELSE 0 END) / 2.0)
+                   / COUNT(*) AS apdex
+        FROM events GROUP BY 1
+    """,
+)
+def agg_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53: daily Apdex score — (satisfied + tolerating/2)/n with the
+    standard T/4T latency bands (value plays response time, T =
+    {_APDEX_T}): THE user-satisfaction SLO aggregate, the bounded [0,1]
+    summary raw latency percentiles don't give.  One conditional
+    day-grouped pass; counts exact, the score one exact division."""
+    ev = load(spark, sf_dir, "events")
+    sat = F.sum((F.col("value") <= _APDEX_T).cast("int"))
+    tol = F.sum(
+        ((F.col("value") > _APDEX_T) & (F.col("value") <= 4 * _APDEX_T)).cast("int")
+    )
+    return ev.groupBy(F.date_trunc("day", "ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        sat.cast("long").alias("satisfied"),
+        tol.cast("long").alias("tolerating"),
+        ((sat.cast("double") + tol / F.lit(2.0)) / F.count(F.lit(1))).alias(
+            "apdex"
+        ),
+    )

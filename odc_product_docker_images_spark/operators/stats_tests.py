@@ -2174,3 +2174,70 @@ def agg_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("sn_", "sum_bc_n"),
         dround(sr / ss).alias("or_mh"),
     )
+
+
+@register(
+    "agg_interevent_burstiness",
+    oracle=f"""
+        WITH gaps AS (
+            SELECT user_id,
+                   CAST(DATE_DIFF('second', LAG(ts) OVER w, ts) AS DOUBLE)
+                       AS gap
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), m AS (
+            SELECT user_id,
+                   CAST(COUNT(gap) AS BIGINT) AS n,
+                   {sql_dsum("gap", "s")},
+                   {sql_dsum("gap * gap", "q")}
+            FROM gaps WHERE gap IS NOT NULL
+            GROUP BY user_id HAVING COUNT(gap) >= 10
+        )
+        SELECT user_id, n,
+               {sql_dround("s / n")} AS mean_gap,
+               {sql_dround(
+                   "(SQRT((q - s * s / n) / n) - s / n)"
+                   " / (SQRT((q - s * s / n) / n) + s / n)"
+               )} AS burstiness_b
+        FROM m
+    """,
+)
+def agg_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52: Goh-Barabási burstiness B = (σ−μ)/(σ+μ) of each user's
+    inter-event times — B→−1 periodic heartbeat, 0 Poisson, →+1 bursty
+    sessions: the temporal twin of ``text_burstiness``'s token Fano
+    ratio and the one-number answer to "bot or human cadence?".
+
+    One lag window on the user clustering produces the gaps, one
+    moments aggregate per user (≥10 gaps); population σ and B are 6 dp
+    IEEE chains on the decimal-path sums.  Gap seconds are exact
+    integers (micros truncate identically under DATE_DIFF/second on
+    both engines)."""
+    ev = load(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w_u))
+        )
+        .cast("double")
+        .alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    m = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("long").alias("n"),
+            dsum("gap", "s"),
+            dsum(F.col("gap") * F.col("gap"), "q"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    mean = F.col("s") / F.col("n")
+    sigma = F.sqrt((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / F.col("n"))
+    return m.select(
+        "user_id",
+        "n",
+        dround(mean).alias("mean_gap"),
+        dround((sigma - mean) / (sigma + mean)).alias("burstiness_b"),
+    )

@@ -2588,3 +2588,19 @@ def test_winnowing_is_local_window_stack(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_interevent_and_apdex_shapes(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_apdex_daily
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_interevent_burstiness,
+    )
+
+    b = agg_interevent_burstiness(spark, SF)
+    assert C.scan_count(b) == 1
+    assert "Join" not in C.formatted_plan(b)
+    C.assert_no_python_row_path(b)
+    a = agg_apdex_daily(spark, SF)
+    assert C.scan_count(a) == 1
+    assert C.exchange_count(a) <= 1
+    C.assert_no_python_row_path(a)

@@ -2012,3 +2012,39 @@ def test_winnowing_matches_reference_algorithm(spark):
     assert n_checked == len(got) > 0
     dens = np.mean([r["density"] for r in got.values()])
     assert 0.2 < dens < 0.7  # ~2/(w+1)=0.4 with repeated-token corpora drift
+
+
+def test_interevent_burstiness_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_interevent_burstiness,
+    )
+
+    got = {r["user_id"]: r for r in agg_interevent_burstiness(spark, SF).collect()}
+    ev = _events().sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        t = grp.ts.astype("datetime64[s]").astype(np.int64).to_numpy()
+        gaps = np.diff(t).astype(float)
+        if len(gaps) < 10:
+            assert uid not in got
+            continue
+        mu, sd = gaps.mean(), gaps.std()
+        b = (sd - mu) / (sd + mu)
+        r = got[uid]
+        assert r["n"] == len(gaps)
+        assert abs(r["mean_gap"] - mu) < 1e-4
+        assert abs(r["burstiness_b"] - b) < 1e-5
+        assert -1.0 <= r["burstiness_b"] <= 1.0
+
+
+def test_apdex_matches_python_and_bounds(spark):
+    from odc_product_docker_images_spark.operators.metrics import agg_apdex_daily
+
+    rows = {r["day"]: r for r in agg_apdex_daily(spark, SF).collect()}
+    ev = _events()
+    for day, grp in ev.groupby(ev.ts.dt.floor("D")):
+        sat = int((grp.value <= 100.0).sum())
+        tol = int(((grp.value > 100.0) & (grp.value <= 400.0)).sum())
+        r = rows[day]
+        assert (r["n"], r["satisfied"], r["tolerating"]) == (len(grp), sat, tol)
+        assert abs(r["apdex"] - (sat + tol / 2) / len(grp)) < 1e-12
+        assert 0.0 <= r["apdex"] <= 1.0
