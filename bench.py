@@ -215,6 +215,8 @@ R6D = [
     "text_winnowing",
     "agg_interevent_burstiness",
     "agg_apdex_daily",
+    "agg_gumbel_fit",
+    "window_record_highs",
 ]
 
 R5 = [

@@ -2241,3 +2241,127 @@ def agg_interevent_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mean).alias("mean_gap"),
         dround((sigma - mean) / (sigma + mean)).alias("burstiness_b"),
     )
+
+
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = 0.7796968012336763  # sqrt(6)/pi
+
+
+@register(
+    "agg_gumbel_fit",
+    oracle=f"""
+        WITH daily_user AS (
+            SELECT DATE_TRUNC('day', ts) AS d, user_id,
+                   {sql_dsum("value", "spend")}
+            FROM events GROUP BY 1, 2
+        ), maxima AS (
+            SELECT d, MAX(spend) AS block_max
+            FROM daily_user GROUP BY d
+        ), m AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("block_max", "s")},
+                   {sql_dsum("block_max * block_max", "q")}
+            FROM maxima
+        )
+        SELECT n,
+               {sql_dround("s / n")} AS mean_max,
+               {sql_dround(
+                   "SQRT((q - s * s / n) / (n - 1))"
+               )} AS sd_max,
+               {sql_dround(
+                   f"SQRT((q - s * s / n) / (n - 1))"
+                   f" * CAST({_SQRT6_OVER_PI!r} AS DOUBLE)"
+               )} AS gumbel_beta,
+               {sql_dround(
+                   f"s / n - CAST({_EULER_GAMMA!r} AS DOUBLE)"
+                   f" * (SQRT((q - s * s / n) / (n - 1))"
+                   f" * CAST({_SQRT6_OVER_PI!r} AS DOUBLE))"
+               )} AS gumbel_mu
+        FROM m
+    """,
+)
+def agg_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54: Gumbel fit of daily block maxima — method-of-moments EVT on
+    the max per-user daily spend (β = σ√6/π, μ = x̄ − γβ): the
+    extreme-value tier behind "what peak should capacity plan for",
+    which mean/percentile aggregates structurally underestimate.
+
+    Corpus work: one (day, user) aggregate; the block-maxima and
+    moments stages run on O(days) rows.  √6/π and Euler-Mascheroni are
+    exact double literals; moments ride the decimal path; all outputs
+    round 6 dp."""
+    ev = load(spark, sf_dir, "events")
+    daily_user = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "user_id"
+    ).agg(dsum("value", "spend"))
+    maxima = daily_user.groupBy("d").agg(F.max("spend").alias("block_max"))
+    m = maxima.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum("block_max", "s"),
+        dsum(F.col("block_max") * F.col("block_max"), "q"),
+    )
+    mean = F.col("s") / F.col("n")
+    sd = F.sqrt((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    beta = sd * F.lit(_SQRT6_OVER_PI)
+    return m.select(
+        "n",
+        dround(mean).alias("mean_max"),
+        dround(sd).alias("sd_max"),
+        dround(beta).alias("gumbel_beta"),
+        dround(mean - F.lit(_EULER_GAMMA) * beta).alias("gumbel_mu"),
+    )
+
+
+@register(
+    "window_record_highs",
+    oracle="""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), runmax AS (
+            SELECT d, x,
+                   MAX(x) OVER (ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS prev_max,
+                   ROW_NUMBER() OVER (ORDER BY d) AS i
+            FROM daily
+        )
+        SELECT d, x,
+               CAST(prev_max IS NULL OR x > prev_max AS INT) AS is_record,
+               CAST(SUM(CASE WHEN prev_max IS NULL OR x > prev_max
+                             THEN 1 ELSE 0 END)
+                    OVER (ORDER BY d) AS BIGINT) AS n_records_so_far
+        FROM runmax
+    """,
+)
+def window_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W17: running record highs of the daily series — flag every new
+    all-time-high and the cumulative record count: the headline-metric
+    tracker, and a randomness probe (an i.i.d. series collects ≈ Hₙ ≈
+    ln n records; trending series far exceed it — the pytest oracle
+    checks the count against the harmonic expectation band).  One
+    day-count aggregate; the strict-prefix running max and the record
+    cumsum are two windows on the O(span) series."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_prev = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_cum = Window.partitionBy(F.lit(0)).orderBy("d")
+    runmax = daily.select(
+        "d", "x", F.max("x").over(w_prev).alias("prev_max")
+    )
+    is_rec = (F.col("prev_max").isNull() | (F.col("x") > F.col("prev_max"))).cast(
+        "int"
+    )
+    return runmax.select(
+        "d",
+        "x",
+        is_rec.alias("is_record"),
+        F.sum(is_rec).over(w_cum).cast("long").alias("n_records_so_far"),
+    )

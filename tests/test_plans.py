@@ -2604,3 +2604,16 @@ def test_interevent_and_apdex_shapes(spark):
     assert C.scan_count(a) == 1
     assert C.exchange_count(a) <= 1
     C.assert_no_python_row_path(a)
+
+
+def test_gumbel_and_records_shapes(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_gumbel_fit,
+        window_record_highs,
+    )
+
+    for fn in (agg_gumbel_fit, window_record_highs):
+        df = fn(spark, SF)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in C.formatted_plan(df), fn.__name__
+        C.assert_no_python_row_path(df)

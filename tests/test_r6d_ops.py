@@ -2048,3 +2048,51 @@ def test_apdex_matches_python_and_bounds(spark):
         assert (r["n"], r["satisfied"], r["tolerating"]) == (len(grp), sat, tol)
         assert abs(r["apdex"] - (sat + tol / 2) / len(grp)) < 1e-12
         assert 0.0 <= r["apdex"] <= 1.0
+
+
+def test_gumbel_fit_matches_numpy(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_gumbel_fit,
+    )
+
+    row = agg_gumbel_fit(spark, SF).collect()[0]
+    ev = _events()
+    spend = (
+        ev.groupby([ev.ts.dt.floor("D"), "user_id"])["value"].sum().round(6)
+    )
+    mx = spend.groupby(level=0).max().to_numpy()
+    mean, sd = mx.mean(), mx.std(ddof=1)
+    beta = sd * math.sqrt(6) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    assert row["n"] == len(mx)
+    assert abs(row["mean_max"] - mean) < 1e-4
+    assert abs(row["gumbel_beta"] - beta) < 1e-4
+    assert abs(row["gumbel_mu"] - mu) < 1e-3
+    # location below the mean, scale positive
+    assert row["gumbel_mu"] < row["mean_max"] and row["gumbel_beta"] > 0
+
+
+def test_record_highs_matches_python_and_harmonic_band(spark):
+    import math
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        window_record_highs,
+    )
+
+    rows = sorted(window_record_highs(spark, SF).collect(), key=lambda r: r["d"])
+    ev = _events()
+    x = ev.groupby(ev.ts.dt.floor("D")).size().sort_index().to_numpy()
+    best = -1
+    n_rec = 0
+    for r, v in zip(rows, x):
+        is_rec = int(v > best)
+        best = max(best, v)
+        n_rec += is_rec
+        assert r["x"] == v
+        assert r["is_record"] == is_rec
+        assert r["n_records_so_far"] == n_rec
+    # i.i.d.-ish series: record count near the harmonic number H_n
+    hn = sum(1 / k for k in range(1, len(x) + 1))
+    assert n_rec <= 3 * hn + 2
