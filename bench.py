@@ -217,6 +217,8 @@ R6D = [
     "agg_apdex_daily",
     "agg_gumbel_fit",
     "window_record_highs",
+    "agg_srm_check",
+    "window_mix_drift",
 ]
 
 R5 = [

@@ -2365,3 +2365,130 @@ def window_record_highs(spark: SparkSession, sf_dir: str) -> DataFrame:
         is_rec.alias("is_record"),
         F.sum(is_rec).over(w_cum).cast("long").alias("n_records_so_far"),
     )
+
+
+@register(
+    "agg_srm_check",
+    oracle=f"""
+        WITH counts AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0
+            FROM events
+        )
+        SELECT n1, n0,
+               {sql_dround(
+                   "POW(n1 - (n1 + n0) / CAST(2.0 AS DOUBLE), 2)"
+                   " / ((n1 + n0) / CAST(2.0 AS DOUBLE))"
+                   " + POW(n0 - (n1 + n0) / CAST(2.0 AS DOUBLE), 2)"
+                   " / ((n1 + n0) / CAST(2.0 AS DOUBLE))"
+               )} AS srm_chi2,
+               CAST({sql_dround(
+                   "POW(n1 - (n1 + n0) / CAST(2.0 AS DOUBLE), 2)"
+                   " / ((n1 + n0) / CAST(2.0 AS DOUBLE))"
+                   " + POW(n0 - (n1 + n0) / CAST(2.0 AS DOUBLE), 2)"
+                   " / ((n1 + n0) / CAST(2.0 AS DOUBLE))"
+               )} > CAST(3.841 AS DOUBLE) AS INT) AS srm_flag
+        FROM counts
+    """,
+)
+def agg_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A55: sample-ratio-mismatch check — goodness-of-fit χ² of the arm
+    traffic counts against the designed 50/50 split: the FIRST gate
+    every experiment platform runs, because a biased assignment
+    invalidates every downstream test (welch/CUPED/TOST) regardless of
+    their p-values.  (``agg_chi_square`` tests association; this tests
+    the allocation itself.)  One conditional count + a 1-row exact-int
+    χ² chain; the flag compares the 6 dp statistic to the χ²₁ 5%
+    critical value on both engines."""
+    ev = load(spark, sf_dir, "events")
+    counts = ev.agg(
+        F.sum((F.col("user_id") % 2 == 1).cast("int")).cast("long").alias("n1"),
+        F.sum((F.col("user_id") % 2 == 0).cast("int")).cast("long").alias("n0"),
+    )
+    exp = (F.col("n1") + F.col("n0")) / F.lit(2.0)
+    chi2 = dround(
+        F.pow(F.col("n1") - exp, F.lit(2.0)) / exp
+        + F.pow(F.col("n0") - exp, F.lit(2.0)) / exp
+    )
+    return counts.select(
+        "n1",
+        "n0",
+        chi2.alias("srm_chi2"),
+        (chi2 > F.lit(3.841)).cast("int").alias("srm_flag"),
+    )
+
+
+@register(
+    "window_mix_drift",
+    oracle=f"""
+        WITH mix AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v1,
+                   CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v2,
+                   CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v3,
+                   CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v4,
+                   CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS v5
+            FROM events GROUP BY 1
+        ), lagged AS (
+            SELECT d, v1, v2, v3, v4, v5,
+                   LAG(v1) OVER w AS p1, LAG(v2) OVER w AS p2,
+                   LAG(v3) OVER w AS p3, LAG(v4) OVER w AS p4,
+                   LAG(v5) OVER w AS p5
+            FROM mix WINDOW w AS (ORDER BY d)
+        )
+        SELECT d,
+               CASE WHEN p1 IS NOT NULL THEN {sql_dround(
+                   "CAST(v1 * p1 + v2 * p2 + v3 * p3 + v4 * p4 + v5 * p5"
+                   " AS DOUBLE)"
+                   " / (SQRT(CAST(v1*v1 + v2*v2 + v3*v3 + v4*v4 + v5*v5"
+                   " AS DOUBLE))"
+                   " * SQRT(CAST(p1*p1 + p2*p2 + p3*p3 + p4*p4 + p5*p5"
+                   " AS DOUBLE)))"
+               )} END AS mix_cosine
+        FROM lagged
+    """,
+)
+def window_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W18: day-over-day event-mix drift — cosine similarity between
+    consecutive days' event-type count vectors: the cheap "did the
+    traffic PROFILE change" monitor that catches mix shifts total
+    volume hides (the windowed companion of ``text_js_divergence``).
+    One conditional day pivot; each day's 5-vector meets its
+    predecessor through lag columns on the O(span) ordering; the dot
+    and norms are exact integer sums into one 6 dp IEEE chain."""
+    ev = load(spark, sf_dir, "events")
+    types = ["view", "click", "purchase", "signup", "error"]
+    mix = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("int"))
+            .cast("long")
+            .alias(f"v{i+1}")
+            for i, t in enumerate(types)
+        ]
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    lagged = mix.select(
+        "d",
+        *[F.col(f"v{i}") for i in range(1, 6)],
+        *[F.lag(f"v{i}").over(w_ord).alias(f"p{i}") for i in range(1, 6)],
+    )
+    dot = sum(F.col(f"v{i}") * F.col(f"p{i}") for i in range(1, 6))
+    nv = F.sqrt(
+        sum(F.col(f"v{i}") * F.col(f"v{i}") for i in range(1, 6)).cast("double")
+    )
+    np_ = F.sqrt(
+        sum(F.col(f"p{i}") * F.col(f"p{i}") for i in range(1, 6)).cast("double")
+    )
+    return lagged.select(
+        "d",
+        F.when(
+            F.col("p1").isNotNull(), dround(dot.cast("double") / (nv * np_))
+        ).alias("mix_cosine"),
+    )

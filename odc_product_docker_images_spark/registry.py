@@ -210,7 +210,8 @@ GRADING_WINDOW = [
     #     agg_capture_recapture, agg_gamma_mom, ml_ndcg_at_k,
     #     agg_odds_ratio_mh, agg_cohort_decay_fit, ml_recall_at_k,
     #     text_winnowing, agg_interevent_burstiness, agg_apdex_daily,
-    #     agg_gumbel_fit, window_record_highs
+    #     agg_gumbel_fit, window_record_highs, agg_srm_check,
+    #     window_mix_drift
     #     (r6d continuation-session additions, window already full),
     #     sql_frontend, table_clone_shallow, multimodal_image_resize,
     #     join_interval_overlap, udtf_dynamic_schema,

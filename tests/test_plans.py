@@ -2617,3 +2617,16 @@ def test_gumbel_and_records_shapes(spark):
         assert C.scan_count(df) == 1, fn.__name__
         assert "Join" not in C.formatted_plan(df), fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_srm_and_mix_drift_shapes(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_srm_check,
+        window_mix_drift,
+    )
+
+    for fn in (agg_srm_check, window_mix_drift):
+        df = fn(spark, SF)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in C.formatted_plan(df), fn.__name__
+        C.assert_no_python_row_path(df)

@@ -2096,3 +2096,43 @@ def test_record_highs_matches_python_and_harmonic_band(spark):
     # i.i.d.-ish series: record count near the harmonic number H_n
     hn = sum(1 / k for k in range(1, len(x) + 1))
     assert n_rec <= 3 * hn + 2
+
+
+def test_srm_matches_python_and_parity_split_passes(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import agg_srm_check
+
+    row = agg_srm_check(spark, SF).collect()[0]
+    ev = _events()
+    n1 = int((ev.user_id % 2 == 1).sum())
+    n0 = int((ev.user_id % 2 == 0).sum())
+    exp = (n1 + n0) / 2
+    chi2 = (n1 - exp) ** 2 / exp + (n0 - exp) ** 2 / exp
+    assert (row["n1"], row["n0"]) == (n1, n0)
+    assert abs(row["srm_chi2"] - chi2) < 1e-5
+    assert row["srm_flag"] == int(chi2 > 3.841)
+
+
+def test_mix_drift_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        window_mix_drift,
+    )
+
+    rows = sorted(window_mix_drift(spark, SF).collect(), key=lambda r: r["d"])
+    ev = _events()
+    types = ["view", "click", "purchase", "signup", "error"]
+    piv = (
+        ev.groupby([ev.ts.dt.floor("D"), "event_type"])
+        .size()
+        .unstack(fill_value=0)
+        .reindex(columns=types, fill_value=0)
+        .sort_index()
+    )
+    V = piv.to_numpy(dtype=float)
+    assert rows[0]["mix_cosine"] is None
+    for i in range(1, len(V)):
+        ref = V[i] @ V[i - 1] / (
+            np.linalg.norm(V[i]) * np.linalg.norm(V[i - 1])
+        )
+        assert abs(rows[i]["mix_cosine"] - ref) < 1e-6, i
+        # stable synthetic mix: consecutive days stay highly similar
+        assert rows[i]["mix_cosine"] > 0.8

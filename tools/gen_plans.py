@@ -61,7 +61,7 @@ AUDIT = [
     "multimodal_safetensors_roundtrip",
     "text_keyphrase_rake", "join_haversine_radius", "forecast_kalman_1d",
     "table_delete_vectors", "window_theil_sen", "agg_hhi_concentration",
-    "ml_gmm_em_step", "window_drawdown", "join_scd2_asof", "ml_ridge_closed_form", "ml_pca_power_step", "ml_lift_table", "agg_mann_whitney", "text_feature_hashing", "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest", "ml_target_encoding", "agg_spc_rules", "agg_fifo_allocation", "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics", "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step", "agg_markov_absorption", "product_phenology", "agg_logrank_test", "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean", "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins", "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite", "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step", "text_readability", "geo_idw_interpolate", "agg_ljung_box", "ml_isotonic_pava", "raster_flow_direction", "raster_hillshade", "table_bloom_skipping", "graph_label_prop_step", "agg_spatial_moran", "text_collocations_pmi", "agg_abc_classification", "agg_bitmap_distinct", "agg_stl_lite", "window_rolling_corr", "agg_hurst_rs", "sim_matryoshka_prefix", "ml_naive_bayes", "profile_parquet_footers", "forecast_croston", "agg_price_index", "agg_ks_by_group_fdr", "agg_cmh_test", "table_content_checksum", "agg_kruskal_wallis", "agg_spearman_corr", "ml_decision_stump", "agg_cohens_kappa", "agg_lorenz_points", "text_compression_ratio", "agg_wilcoxon_signed_rank", "agg_cronbach_alpha", "ml_platt_scaling_step", "graph_kcore_step", "agg_tost_equivalence", "agg_breusch_pagan", "agg_runs_test", "agg_theil_index", "agg_hill_tail", "text_js_divergence", "text_burstiness", "agg_overdispersion", "agg_iptw_ate", "ml_auc_delong_se", "text_mattr", "agg_sprt_decision", "agg_adf_test", "graph_assortativity", "join_bipartite_projection", "agg_new_vs_returning", "composite_q10_shape", "agg_entropy_by_group", "agg_capture_recapture", "agg_gamma_mom", "ml_ndcg_at_k", "agg_odds_ratio_mh", "agg_cohort_decay_fit", "ml_recall_at_k", "text_winnowing", "agg_interevent_burstiness", "agg_apdex_daily", "agg_gumbel_fit", "window_record_highs",
+    "ml_gmm_em_step", "window_drawdown", "join_scd2_asof", "ml_ridge_closed_form", "ml_pca_power_step", "ml_lift_table", "agg_mann_whitney", "text_feature_hashing", "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest", "ml_target_encoding", "agg_spc_rules", "agg_fifo_allocation", "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics", "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step", "agg_markov_absorption", "product_phenology", "agg_logrank_test", "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean", "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins", "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite", "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step", "text_readability", "geo_idw_interpolate", "agg_ljung_box", "ml_isotonic_pava", "raster_flow_direction", "raster_hillshade", "table_bloom_skipping", "graph_label_prop_step", "agg_spatial_moran", "text_collocations_pmi", "agg_abc_classification", "agg_bitmap_distinct", "agg_stl_lite", "window_rolling_corr", "agg_hurst_rs", "sim_matryoshka_prefix", "ml_naive_bayes", "profile_parquet_footers", "forecast_croston", "agg_price_index", "agg_ks_by_group_fdr", "agg_cmh_test", "table_content_checksum", "agg_kruskal_wallis", "agg_spearman_corr", "ml_decision_stump", "agg_cohens_kappa", "agg_lorenz_points", "text_compression_ratio", "agg_wilcoxon_signed_rank", "agg_cronbach_alpha", "ml_platt_scaling_step", "graph_kcore_step", "agg_tost_equivalence", "agg_breusch_pagan", "agg_runs_test", "agg_theil_index", "agg_hill_tail", "text_js_divergence", "text_burstiness", "agg_overdispersion", "agg_iptw_ate", "ml_auc_delong_se", "text_mattr", "agg_sprt_decision", "agg_adf_test", "graph_assortativity", "join_bipartite_projection", "agg_new_vs_returning", "composite_q10_shape", "agg_entropy_by_group", "agg_capture_recapture", "agg_gamma_mom", "ml_ndcg_at_k", "agg_odds_ratio_mh", "agg_cohort_decay_fit", "ml_recall_at_k", "text_winnowing", "agg_interevent_burstiness", "agg_apdex_daily", "agg_gumbel_fit", "window_record_highs", "agg_srm_check", "window_mix_drift",
     "agg_multi_stat", "agg_mean", "agg_median", "agg_max_by",
     "agg_grouping_sets", "agg_mode", "agg_weighted_mean", "agg_corr",
     "join_inner", "join_broadcast", "join_asof", "join_range",
