@@ -2110,13 +2110,14 @@ def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM ret
         )
         SELECT k AS n_weeks,
-               {sql_dround(
+               CASE WHEN k * sxx - sx * sx = 0 THEN NULL ELSE {sql_dround(
                    "(k * sxy - sx * sy) / (k * sxx - sx * sx)"
-               )} AS decay_rate,
-               {sql_dround(
+               )} END AS decay_rate,
+               CASE WHEN k * sxx - sx * sx = 0
+                      OR k * sxy - sx * sy = 0 THEN NULL ELSE {sql_dround(
                    f"-CAST({_LN2_CONST!r} AS DOUBLE)"
                    " / ((k * sxy - sx * sy) / (k * sxx - sx * sx))"
-               )} AS half_life_weeks
+               )} END AS half_life_weeks
         FROM m
     """,
 )
@@ -2167,13 +2168,20 @@ def agg_cohort_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("wk").cast("double") * F.col("wk"), "sxx"),
         dsum(F.col("wk").cast("double") * F.col("ln_ret"), "sxy"),
     )
-    slope = (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
-    )
+    # Degenerate grains (sf0.001: all activity in week 0 → ret has ≤1 row)
+    # make the OLS denominator exactly 0 — ANSI would throw DIVIDE_BY_ZERO.
+    # Guard with the exact zero test on both sides (oracle CASE mirrors it);
+    # a zero NUMERATOR likewise nulls the half-life (−ln2/0).  Outputs are
+    # NULL, matching the `window_rolling_slope` degenerate-slope convention.
+    num = F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
     return m.select(
         F.col("k").alias("n_weeks"),
-        dround(slope).alias("decay_rate"),
-        dround(-F.lit(_LN2_CONST) / slope).alias("half_life_weeks"),
+        F.when(den != 0, dround(slope)).alias("decay_rate"),
+        F.when(
+            (den != 0) & (num != 0), dround(-F.lit(_LN2_CONST) / slope)
+        ).alias("half_life_weeks"),
     )
 
 
