@@ -332,7 +332,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "sections_sec": {
-                    name: round(sum(v.values()), 3) for name, v in sections.items()
+                    name: float(round(sum(v.values()), 3))
+                    for name, v in sections.items()
                 },
                 "detail": "BENCH_DETAIL.json",
             }

@@ -874,6 +874,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BIPROJ_MIN_SHARED = 3
+_BIPROJ_HUB_CAP = 64  # per-part degree cap — drop super-connector parts
 
 
 @register(
@@ -881,9 +882,14 @@ _BIPROJ_MIN_SHARED = 3
     oracle=f"""
         WITH edges AS (
             SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), capped AS (
+            SELECT s, p FROM (
+                SELECT s, p, COUNT(*) OVER (PARTITION BY p) AS pdeg
+                FROM edges
+            ) WHERE pdeg <= {_BIPROJ_HUB_CAP}
         ), pairs AS (
             SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
-            FROM edges a JOIN edges b ON a.p = b.p AND a.s < b.s
+            FROM capped a JOIN capped b ON a.p = b.p AND a.s < b.s
             GROUP BY a.s, b.s
         )
         SELECT s1, s2, shared
@@ -895,18 +901,28 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted by co-occurrence count (≥ {_BIPROJ_MIN_SHARED}): the
     co-purchase/co-engagement substrate every collaborative-filtering
     and entity-linking pipeline builds first.  Pairs form per part via
-    a self-equi-join on the part key with s1 < s2 — fan-out is bounded
-    by the per-part degree (max 41 here), and at 100 TB hub parts get
-    the df-cap treatment ``dedup_ngram_dfcap`` demonstrates (cap or
-    drop super-connectors BEFORE pairing; the shape is identical).
-    One distinct pass + one equi-join + one pair count; exact
-    integers."""
+    a self-equi-join on the part key with s1 < s2.  A single hub part of
+    degree d contributes d²/2 pairs, so super-connector parts (degree >
+    {_BIPROJ_HUB_CAP}) are DROPPED before pairing — the df-cap
+    convention ``dedup_ngram_dfcap`` / ``graph_link_prediction`` use:
+    co-membership in a universally-shared container carries no
+    similarity signal, and the cap is what bounds the self-join fan-out
+    at 100 TB.  The degree is a COUNT window over the same part key the
+    join shuffles on (no agg + join-back branch duplication); the cap
+    predicate sits under the pairing join on both engines.  One
+    distinct pass + one windowed filter + one equi-join + one pair
+    count; exact integers."""
     li = load(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
-    a = edges.alias("a")
-    b = edges.alias("b")
+    capped = (
+        edges.withColumn("pdeg", F.count(F.lit(1)).over(Window.partitionBy("p")))
+        .where(F.col("pdeg") <= _BIPROJ_HUB_CAP)
+        .drop("pdeg")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
     pairs = (
         a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
         .groupBy(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))

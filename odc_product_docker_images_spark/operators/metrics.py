@@ -2041,14 +2041,16 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM purch
         )
         SELECT n,
-               {sql_dround("s / n")} AS mean_x,
-               {sql_dround("(q - s * s / n) / (n - 1)")} AS var_x,
-               {sql_dround(
+               CASE WHEN n > 0 THEN {sql_dround("s / n")} END AS mean_x,
+               CASE WHEN n > 1 THEN {sql_dround(
+                   "(q - s * s / n) / (n - 1)"
+               )} END AS var_x,
+               CASE WHEN n > 1 AND q - s * s / n <> 0 THEN {sql_dround(
                    "(s / n) * (s / n) / ((q - s * s / n) / (n - 1))"
-               )} AS gamma_shape,
-               {sql_dround(
+               )} END AS gamma_shape,
+               CASE WHEN n > 1 AND s <> 0 THEN {sql_dround(
                    "((q - s * s / n) / (n - 1)) / (s / n)"
-               )} AS gamma_scale
+               )} END AS gamma_scale
         FROM m
     """,
 )
@@ -2057,7 +2059,12 @@ def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
     θ = σ²/μ: the parametric spend model behind LTV simulation and
     premium-pricing curves (the continuous sibling of
     ``agg_overdispersion``'s NB fit).  One sufficient-statistics pass;
-    all four outputs are 6 dp IEEE chains on the decimal-path sums."""
+    all four outputs are 6 dp IEEE chains on the decimal-path sums.
+
+    Degenerate grains (ANSI DIVIDE_BY_ZERO, the ``agg_cohort_decay_fit``
+    class): n=0 nulls the mean, n<=1 nulls the variance, var=0 (all
+    purchases equal) nulls the shape, mean=0 nulls the scale — exact
+    zero-tests on the bit-identical sums, CASE-mirrored in the oracle."""
     ev = load(spark, sf_dir, "events")
     purch = ev.where(F.col("event_type") == "purchase").select(
         F.col("value").alias("x")
@@ -2067,14 +2074,18 @@ def agg_gamma_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("x", "s"),
         dsum(F.col("x") * F.col("x"), "q"),
     )
-    mean = F.col("s") / F.col("n")
-    var = (F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1)
+    n, s, q = F.col("n"), F.col("s"), F.col("q")
+    mean = s / n
+    var_num = q - s * s / n
+    var = var_num / (n - 1)
     return m.select(
         "n",
-        dround(mean).alias("mean_x"),
-        dround(var).alias("var_x"),
-        dround(mean * mean / var).alias("gamma_shape"),
-        dround(var / mean).alias("gamma_scale"),
+        F.when(n > 0, dround(mean)).alias("mean_x"),
+        F.when(n > 1, dround(var)).alias("var_x"),
+        F.when((n > 1) & (var_num != 0), dround(mean * mean / var)).alias(
+            "gamma_shape"
+        ),
+        F.when((n > 1) & (s != 0), dround(var / mean)).alias("gamma_scale"),
     )
 
 

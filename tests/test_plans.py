@@ -2494,6 +2494,11 @@ def test_biproj_and_new_returning_shapes(spark):
     plan = C.formatted_plan(p)
     assert "CartesianProduct" not in plan
     assert C.scan_count(p) <= 2  # self-join sides of the distinct table
+    # hub cap: the per-part degree window + filter sit UNDER the pairing
+    # self-join (the d²/2 fan-out guard) — both self-join inputs are capped
+    assert "Window" in plan
+    assert plan.count("pdeg") >= 2  # window output filtered on each side
+    assert "64" in plan  # _BIPROJ_HUB_CAP predicate survives into the plan
     C.assert_no_python_row_path(p)
     nv = agg_new_vs_returning(spark, SF)
     nplan = C.formatted_plan(nv)

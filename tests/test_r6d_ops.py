@@ -1743,6 +1743,8 @@ def test_bipartite_projection_matches_python(spark):
         by_part.setdefault(p, set()).add(s)
     pairs = Counter()
     for ss in by_part.values():
+        if len(ss) > 64:  # _BIPROJ_HUB_CAP: super-connector parts dropped
+            continue
         for a, b in combinations(sorted(ss), 2):
             pairs[(a, b)] += 1
     expect = {k: v for k, v in pairs.items() if v >= 3}
