@@ -30,6 +30,30 @@ _DAMP = 0.85
 _DST_OFF = 10_000_000  # part keys into their own node-id namespace
 
 
+def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once distinct supplier→part edge artifact (src, dst).
+
+    The iterative-algorithm contract: the edge table is reused by every
+    term of every iteration, and Spark lineages re-scan their source per
+    consumer — without this, the executed step plan re-read lineitem NINE
+    times (measured).  A real deployment keeps the edge table as a
+    bucketed/sorted artifact; here a scratch parquet under .tmp/ is the
+    same move at fixture scale.  DETERMINISTIC path keyed on sf_dir +
+    write-once: a uuid-per-call path re-ran the distinct+write job on
+    every invocation (bench, parity, gen_plans) and leaked a directory
+    each time (the measure_skew.py build() pattern).  Shared by
+    ``graph_pagerank_step`` and ``graph_pagerank_loop``."""
+    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"pr_edges_{tag}"
+    if not (edge_path / "_SUCCESS").exists():
+        lf = load(spark, sf_dir, "lineitem")
+        lf.select(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + _DST_OFF).alias("dst"),
+        ).distinct().write.mode("overwrite").parquet(str(edge_path))
+    return spark.read.parquet(str(edge_path))
+
+
 @register(
     "graph_pagerank_step",
     oracle=f"""
@@ -83,28 +107,7 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final affine combination is the identical literal-for-literal
     double expression in both engines (DOUBLE casts on every literal —
     DuckDB parses bare float literals as DECIMAL)."""
-    import re
-    from pathlib import Path
-
-    lf = load(spark, sf_dir, "lineitem")
-    # Materialize the distinct edge list ONCE (the iterative-algorithm
-    # contract: the edge table is reused by every term of every iteration,
-    # and Spark lineages re-scan their source per consumer — without this,
-    # the executed plan re-read lineitem NINE times, measured).  A real
-    # deployment keeps the edge table as a bucketed/sorted artifact; here
-    # a scratch parquet under .tmp/ is the same move at fixture scale.
-    # DETERMINISTIC path keyed on sf_dir + write-once: a uuid-per-call
-    # path re-ran the distinct+write job on every invocation (bench, parity,
-    # gen_plans) and leaked a directory each time (the measure_skew.py
-    # build() pattern).
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
-    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"pr_edges_{tag}"
-    if not (edge_path / "_SUCCESS").exists():
-        lf.select(
-            F.col("l_suppkey").alias("src"),
-            (F.col("l_partkey") + _DST_OFF).alias("dst"),
-        ).distinct().write.mode("overwrite").parquet(str(edge_path))
-    edges = spark.read.parquet(str(edge_path))
+    edges = _pagerank_edges(spark, sf_dir)
     nodes = (
         edges.select(F.col("src").alias("id"))
         .union(edges.select(F.col("dst").alias("id")))
@@ -133,6 +136,124 @@ def graph_pagerank_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .crossJoin(F.broadcast(dang))
         .select(F.col("id").alias("node_id"), pr.alias("pr"))
+    )
+
+
+_PR_ITERS = 3  # unrolled power iterations (fixed K — the MMR convention)
+
+
+def _pagerank_loop_oracle(k: int) -> str:
+    """Chained-CTE oracle for K unrolled PageRank iterations — the
+    fixed-K sibling of ``forecast_holt``'s recursive CTE (recursion over
+    a VECTOR state needs grouped aggregation per step, which recursive
+    CTE terms disallow, so the fixed iteration count unrolls instead)."""
+    dangling_sum = sql_exact_double(f"SUM({sql_dec_cast('m')})")
+    contrib_sum = sql_exact_double(f"SUM({sql_dec_cast('p.m / p.od')})")
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), outdeg AS (
+            SELECT src, CAST(COUNT(*) AS DOUBLE) AS od FROM edges GROUP BY src
+        ), base AS (
+            SELECT nodes.id AS id, outdeg.od AS od
+            FROM (SELECT src AS id FROM edges UNION SELECT dst FROM edges) nodes
+            LEFT JOIN outdeg ON nodes.id = outdeg.src
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM base
+        ), pr0 AS (
+            SELECT id, od, CAST(1.0 AS DOUBLE) AS m FROM base
+        )"""
+    ]
+    for i in range(k):
+        parts.append(
+            f""", d{i} AS (
+            SELECT {dangling_sum} AS dm FROM pr{i} WHERE od IS NULL
+        ), c{i + 1} AS (
+            SELECT e.dst AS id, {contrib_sum} AS c
+            FROM edges e JOIN pr{i} p ON e.src = p.id
+            GROUP BY e.dst
+        ), pr{i + 1} AS (
+            SELECT b.id, b.od,
+                   CAST(0.15 AS DOUBLE) + CAST({_DAMP!r} AS DOUBLE)
+                     * (COALESCE(c, CAST(0.0 AS DOUBLE))
+                        + COALESCE(dm, CAST(0.0 AS DOUBLE)) / n) AS m
+            FROM base b LEFT JOIN c{i + 1} ON b.id = c{i + 1}.id
+            CROSS JOIN d{i} CROSS JOIN stats
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT pr{k}.id AS node_id, m / n AS pr
+        FROM pr{k} CROSS JOIN stats"""
+    )
+    return "".join(parts)
+
+
+@register("graph_pagerank_loop", oracle=_pagerank_loop_oracle(_PR_ITERS))
+def graph_pagerank_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: the FULL PageRank loop — K={_PR_ITERS} power iterations of
+    ``graph_pagerank_step``'s verified recurrence over the supplier→part
+    edge set, unrolled with a per-iteration ``persist()`` (the
+    ``sim_mmr_rerank`` lesson: without it the lineage re-executes the
+    whole chain O(K²)).  State is carried in UNIT-MASS form m = N·pr
+    (m₀ = 1): the order-sensitive per-destination sums run over O(1)
+    masses where the decimal path's 6 dp round keeps full precision, and
+    every iteration's affine update is the identical literal-for-literal
+    double expression on both engines, so the chain is bit-identical and
+    the final pr = m_K/N hashes with NO further rounding.
+
+    Spark-first: each iteration is exactly Pregel's cost model expressed
+    relationally — one equi-join shuffle (edges ⋈ prₖ on src) + one
+    hash-agg shuffle (contributions on dst) + a broadcast of the two
+    1-row scalars (dangling mass, N); the persisted state table is
+    O(nodes), the 100 TB scale axis is |edges| per iteration and K stays
+    a small constant.  The oracle unrolls the same K steps as chained
+    CTEs (grouped aggregation per step rules out the recursive-CTE form
+    — see ``_pagerank_loop_oracle``)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("double").alias("od")
+    )
+    nodes = (
+        edges.select(F.col("src").alias("id"))
+        .union(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    base = (
+        nodes.join(outdeg, nodes["id"] == outdeg["src"], "left")
+        .select("id", "od")
+        .persist()
+    )
+    stats = base.agg(F.count(F.lit(1)).cast("double").alias("n")).persist()
+    pr = base.withColumn("m", F.lit(1.0)).persist()
+    for _ in range(_PR_ITERS):
+        dang = pr.where(F.col("od").isNull()).agg(
+            exact_double(F.sum(dec_cast("m"))).alias("dm")
+        )
+        contrib = (
+            edges.join(pr, edges["src"] == pr["id"])
+            .groupBy(F.col("dst").alias("cid"))
+            .agg(
+                exact_double(
+                    F.sum(dec_cast(F.col("m") / F.col("od")))
+                ).alias("c")
+            )
+        )
+        m_next = F.lit(0.15) + F.lit(_DAMP) * (
+            F.coalesce(F.col("c"), F.lit(0.0))
+            + F.coalesce(F.col("dm"), F.lit(0.0)) / F.col("n")
+        )
+        pr = (
+            base.join(contrib, base["id"] == contrib["cid"], "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(stats))
+            .select("id", "od", m_next.alias("m"))
+            .persist()
+        )
+    return pr.crossJoin(F.broadcast(stats)).select(
+        F.col("id").alias("node_id"), (F.col("m") / F.col("n")).alias("pr")
     )
 
 

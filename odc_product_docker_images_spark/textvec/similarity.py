@@ -421,3 +421,72 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bp.cp").alias("prefix_cos"),
         (F.col("bf.nb") == F.col("bp.nb")).cast("int").alias("agree"),
     )
+
+
+_ANN_RECALL_FLOORS = {"ivf": 65, "lsh": 85}  # percent, at the cos≈0.4 hard band
+
+
+@register(
+    "sim_ann_recall",
+    oracle=f"""
+        WITH n AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e,
+                   SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+            FROM embeddings
+        ), t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+            WHERE LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                  i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
+        )
+        SELECT m.method AS method, t.n_true AS n_true,
+               CAST(m.floor_pct AS BIGINT) AS floor_pct,
+               TRUE AS floor_met
+        FROM t CROSS JOIN (VALUES
+            ('ivf', {_ANN_RECALL_FLOORS["ivf"]}),
+            ('lsh', {_ANN_RECALL_FLOORS["lsh"]})) AS m(method, floor_pct)
+    """,
+)
+def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 quality gate: DRIVER-CHECKABLE recall floors for both ANN paths
+    — per method, the exact near-dup pair count (``dedup_embedding``'s
+    cos ≥ 0.4 ground truth, SQL-verified) and a boolean asserting
+    |ANN ∩ exact| ≥ floor% of exact.  The oracle pins ``floor_met`` to
+    TRUE: an LSH banding or IVF probing regression that drops recall
+    below the floor flips the boolean and the driver's hash row goes
+    red — closing the "⊘ rows-only check cannot catch a recall
+    regression" gap for ``sim_ann_lsh``/``sim_ann_ivf``.
+
+    Floors ({_ANN_RECALL_FLOORS!r}) sit under the measured fixture
+    recalls at the adversarial cos≈0.4 band (LSH ≈0.9+ with H=14 tables,
+    IVF ≈0.82 with symmetric 3-probe; a true near-dup band cos ≥ 0.9
+    recalls ≈1 for both).  Both candidate sets are exact-verified, so
+    precision is 1 by construction and the intersection is a semi-join
+    on the pair key.  Scale: truth is the blocked BLAS pair kernel, the
+    ANN sides are the production candidates — everything rides the same
+    bounded pair tables; the two 1-row hit counts broadcast."""
+    from .dedup import dedup_embedding
+    from .similarity_ivf import sim_ann_ivf
+
+    truth = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b").persist()
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+
+    def gate(method: str, cand: DataFrame) -> DataFrame:
+        floor_pct = _ANN_RECALL_FLOORS[method]
+        hits = truth.join(cand, ["vec_a", "vec_b"], "left_semi").agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        return n_true.crossJoin(F.broadcast(hits)).select(
+            F.lit(method).alias("method"),
+            F.col("n_true"),
+            F.lit(floor_pct).cast("long").alias("floor_pct"),
+            (F.col("hits") * 100 >= F.lit(floor_pct) * F.col("n_true")).alias(
+                "floor_met"
+            ),
+        )
+
+    ivf = gate("ivf", sim_ann_ivf(spark, sf_dir).select("vec_a", "vec_b"))
+    lsh = gate("lsh", sim_ann_lsh(spark, sf_dir).select("vec_a", "vec_b"))
+    return ivf.unionByName(lsh)

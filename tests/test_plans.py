@@ -2635,3 +2635,23 @@ def test_srm_and_mix_drift_shapes(spark):
         assert C.scan_count(df) == 1, fn.__name__
         assert "Join" not in C.formatted_plan(df), fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_pagerank_loop_shape(spark):
+    """Unrolled-K iterative loop: per-iteration persist (InMemoryRelation
+    truncates each iteration's lineage), no Cartesian blow-up, and every
+    parquet scan is the write-once edge artifact — executed edge passes
+    are 2 (nodes union) + 1 (outdeg) + K (per-iteration contrib join),
+    each inside a cached-once subtree."""
+    from odc_product_docker_images_spark.operators.graph import (
+        _PR_ITERS,
+        graph_pagerank_loop,
+    )
+
+    df = graph_pagerank_loop(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # per-iteration persist in effect
+    assert C.scan_count(df) <= 3 + _PR_ITERS
+    assert "lineitem" not in plan  # only the .tmp edge artifact is scanned
+    C.assert_no_python_row_path(df)

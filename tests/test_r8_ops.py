@@ -1,0 +1,111 @@
+"""Round-8 operator tests — independent semantic checks beside the
+DuckDB parity gate (the test_r6c/r6d convention): each key is validated
+against a different algorithm (numpy/stdlib reference implementations
+over the raw fixture) rather than the SQL oracle's relational form."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.01"
+DAMP = 0.85
+
+
+def test_pagerank_loop_matches_numpy_power_iteration(spark):
+    """Three unrolled iterations must track a plain numpy power iteration
+    (uniform start, dangling redistribution) — the per-iteration decimal
+    6 dp rounds bound the drift at ~K·1e-6 per node mass."""
+    from odc_product_docker_images_spark.operators.graph import (
+        _PR_ITERS,
+        graph_pagerank_loop,
+    )
+
+    got = {
+        r["node_id"]: r["pr"] for r in graph_pagerank_loop(spark, SF).collect()
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = sorted({(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    m = np.ones(n)  # unit-mass form: m = N * pr
+    for _ in range(_PR_ITERS):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += m[idx[u]] / outdeg[idx[u]]
+        dangling = m[outdeg == 0].sum()
+        m = 0.15 + DAMP * (contrib + dangling / n)
+    expect = m / n
+    assert set(got) == set(nodes)
+    diff = max(abs(got[v] - expect[idx[v]]) for v in nodes)
+    assert diff < 1e-7  # 6 dp rounds on O(1) masses, divided by n
+    # dangling redistribution conserves total mass: sum(pr) == 1
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_loop_converges_toward_fixed_point(spark):
+    """The K-step vector must be strictly closer to the true fixed point
+    than the 1-step vector — the loop genuinely iterates rather than
+    re-emitting the first step."""
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_pagerank_loop,
+        graph_pagerank_step,
+    )
+
+    loop = {
+        r["node_id"]: r["pr"] for r in graph_pagerank_loop(spark, SF).collect()
+    }
+    step = {
+        r["node_id"]: r["pr"] for r in graph_pagerank_step(spark, SF).collect()
+    }
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = sorted({(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)})
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    m = np.ones(n)
+    for _ in range(200):  # effectively the fixed point
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += m[idx[u]] / outdeg[idx[u]]
+        m = 0.15 + DAMP * (contrib + m[outdeg == 0].sum() / n)
+    fixed = m / n
+    err_loop = max(abs(loop[v] - fixed[idx[v]]) for v in nodes)
+    err_step = max(abs(step[v] - fixed[idx[v]]) for v in nodes)
+    assert err_loop < err_step
+
+
+def test_ann_recall_gate_matches_recomputed_recall(spark):
+    """The gate's booleans must equal a recomputed recall-vs-floor check,
+    and the fixture recalls must actually clear their floors."""
+    from odc_product_docker_images_spark.textvec.dedup import dedup_embedding
+    from odc_product_docker_images_spark.textvec.similarity import (
+        sim_ann_lsh,
+        sim_ann_recall,
+    )
+    from odc_product_docker_images_spark.textvec.similarity_ivf import sim_ann_ivf
+
+    rows = {r["method"]: r for r in sim_ann_recall(spark, SF).collect()}
+    assert set(rows) == {"lsh", "ivf"}
+    exact = {
+        (r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF).toPandas().itertuples()
+    }
+    assert exact
+    for method, fn in [("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf)]:
+        got = {(r.vec_a, r.vec_b) for r in fn(spark, SF).toPandas().itertuples()}
+        recall = len(exact & got) / len(exact)
+        r = rows[method]
+        assert r["n_true"] == len(exact)
+        assert r["floor_met"] == (recall * 100 >= r["floor_pct"]), method
+        assert r["floor_met"], f"{method} recall {recall:.2f} under floor"
