@@ -323,21 +323,32 @@ def main() -> None:
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
     print(f"# full per-section detail: {detail_path}", file=sys.stderr)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": round(total, 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "sections_sec": {
-                    name: float(round(sum(v.values()), 3))
-                    for name, v in sections.items()
-                },
-                "detail": "BENCH_DETAIL.json",
-            }
-        )
+    print(summary_line(total, timings, sections, sf))
+
+
+def summary_line(
+    total: float,
+    timings: dict[str, float],
+    sections: dict[str, dict[str, float]],
+    sf: float,
+) -> str:
+    """The driver-parsed stdout contract: ONE small JSON line (tested by
+    tests/test_driver_contract.py — the BENCH_r06 `"parsed": null` failure
+    class).  Per-key detail stays in BENCH_DETAIL.json; section totals are
+    always floats (an empty section's sum is int 0 otherwise)."""
+    return json.dumps(
+        {
+            "metric": "headline_suite_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "sections_sec": {
+                name: float(round(sum(v.values()), 3))
+                for name, v in sections.items()
+            },
+            "detail": "BENCH_DETAIL.json",
+        }
     )
 
 

@@ -203,6 +203,61 @@ def source_tile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_tile_scan_tiff",
+    oracle=f"""
+        WITH px AS (
+            SELECT a.range AS y, b.range AS x,
+                   CAST((a.range * 31 + b.range * 17) % 255 AS DOUBLE) AS red,
+                   CAST((a.range * 13 + b.range * 41) % 255 AS DOUBLE) AS nir
+            FROM RANGE(0, 128) a CROSS JOIN RANGE(0, 128) b
+        )
+        SELECT CAST(FLOOR(y / 16) AS BIGINT) AS cell_y,
+               CAST(FLOOR(x / 16) AS BIGINT) AS cell_x,
+               {sql_davg("(nir - red) / (nir + red + 1e-9)", "mean_ndvi")},
+               COUNT(*) AS n_px
+        FROM px GROUP BY 1, 2
+    """,
+)
+def source_tile_scan_tiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: ``source_tile_scan``'s pipeline with the GDAL-shaped read made
+    REAL — each DataSource partition opens and decodes actual striped
+    GeoTIFF blobs (the ``multimodal/geotiff.py`` walker: header, IFD,
+    out-of-line strip offset/byte-count arrays, geo tags) instead of
+    synthesizing pixels arithmetically.  The blob store is generated
+    write-once from the SAME deterministic formula, so the DuckDB RANGE
+    oracle still hashes the WHOLE pipeline end-to-end: a codec bug
+    (wrong strip order, endianness, offset arithmetic) lands in the
+    pixel values and flips the hash row.  Per-tile decode tasks are
+    independent executors reads — the Datacube.load / GDAL fan-out
+    shape; at 100 TB the blob dir is the object bucket."""
+    from pathlib import Path
+
+    from ..sources.tile_source import ensure_tiff_tiles, register_tile_source
+
+    blob_dir = Path(__file__).resolve().parents[2] / ".tmp" / "tiff_tiles"
+    ensure_tiff_tiles(str(blob_dir))
+    register_tile_source(spark)
+    px = (
+        spark.read.format("tiff_tiles")
+        .option("path", str(blob_dir))
+        .option("tiles", "4")
+        .option("tile_size", "32")
+        .load()
+    )
+    ndvi = (px["nir"] - px["red"]) / (px["nir"] + px["red"] + F.lit(1e-9))
+    cell = [F.floor(F.col("y") / 16).cast("long").alias("cell_y"),
+            F.floor(F.col("x") / 16).cast("long").alias("cell_x")]
+    return (
+        px.select(*cell, ndvi.alias("ndvi"))
+        .groupBy("cell_y", "cell_x")
+        .agg(
+            davg("ndvi", "mean_ndvi"),
+            F.count(F.lit(1)).alias("n_px"),
+        )
+    )
+
+
+@register(
     "regrid_bin",
     oracle=f"""
         SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS cell_x,

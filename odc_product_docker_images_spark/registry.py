@@ -124,112 +124,88 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.nb",
 ]
 
-# Round-6 grading window: the driver grades ~the first 50 keys in
+# Round-8 grading window: the driver grades ~the first 50 keys in
 # ``queries()`` dict order.  ``all_queries()`` yields these keys first (in
 # this order), then every other registered key in registration order.
 #
-# Composition note: the round-5 grading cycle produced NO driver artifacts
-# (no CORRECTNESS_r05.json exists), so the r5 window never earned rows —
-# as of r6, 67 of the 207 registered keys have never had a driver
-# CORRECTNESS row (all pass local `tools/check_parity.py`).  67 > 50, so
-# this window holds the flagship + new-r6 keys + 49-ish rotation slots.
-# Rotation slots are ordered UNIQUE-FAMILY-FIRST: when a new r6 key is
-# added (new keys always enter the window, per CLAUDE.md), pop the LAST
-# rotation entry into the R7 DEFER list below — tail entries all have an
-# in-window sibling exercising the same module/code path.
+# Composition (the ROTATION contract — CORRECTNESS_r06/r07 re-confirmed
+# the same 50 keys twice, so r8 swaps every non-flagship slot):
+#   1 flagship + 3 new-r8 keys (new keys ALWAYS enter, per CLAUDE.md)
+#   + 2 re-grades whose code changed this round
+#   + 44 rotation slots = the OLDEST never-driver-graded full-oracle keys,
+#     in R7-defer-list order (the r6c backlog first).
+# When a new r8 key is added, pop the LAST rotation entry back into the
+# R9 DEFER list below.  Derive "never graded" from the CORRECTNESS_r*.json
+# files, never from memory (r5 produced no artifacts at all).
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- new r6 keys (each addition displaces the rotation tail) --
-    "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
-    "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
-    "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
-    "agg_assoc_rules", "sample_weighted", "agg_attribution",
-    "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-    "stream_cdc_apply", "scalar_geohash", "forecast_holt",
-    "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
-    "window_interpolate_linear", "text_inverted_index",
-    "table_incremental_join",
-    # -- rotation: never driver-graded, unique families first --
-    # r5 geo/product path
-    "sink_geotiff_roundtrip", "sink_geotiff_tiled", "proj_crs_curvilinear",
-    "scalar_solar_day", "udf_wofs_confidence",
-    "product_burn_mapping", "regrid_conservative", "raster_focal_mean",
-    "agg_zonal_stats", "join_polygon_zone",
-    # r5 LLM-pipeline path
-    "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",
-    "dedup_substring_spans", "data_mix_temperature", "sim_mmr_rerank",
-    # r5 analytics/monitoring
-    "agg_mann_kendall", "window_cusum_change",
-    "agg_resample_ohlc", "profile_drift_psi", "profile_skew_keys",
-    "agg_funnel_steps", "agg_retention_cohort", "agg_gini",
-    "graph_subtree_rollup",
-    # R7 DEFER LIST — never driver-graded keys left out of the r6 window
-    # (all pass local parity; rotate them in next round once the r6 keys
-    # above have earned their rows):
-    #   oracled: stream_ohlc_bars, stream_session_timeout,
-    #     source_stream_feed,
-    #     dedup_url_canonical, window_rolling_median, agg_cohort_ltv,
-    #     text_token_entropy, agg_cuped, sim_hybrid_rrf,
-    #     forecast_holt_winters, agg_bootstrap_ci, agg_sessionize,
-    #     graph_modularity, multimodal_tar_index,
-    #     multimodal_safetensors_roundtrip, text_keyphrase_rake,
-    #     join_haversine_radius, forecast_kalman_1d,
-    #     table_delete_vectors, window_theil_sen, agg_hhi_concentration,
-    #     ml_gmm_em_step, window_drawdown, join_scd2_asof,
-    #     ml_ridge_closed_form, ml_pca_power_step, ml_lift_table,
-    #     agg_mann_whitney, text_feature_hashing, geo_dbscan_core,
-    #     text_quality_gopher, join_asof_nearest, ml_target_encoding,
-    #     agg_spc_rules, table_wap_publish, agg_fifo_allocation,
-    #     agg_revenue_bridge, agg_skyline_2d,
-    #     forecast_backtest_metrics, agg_diff_in_diff,
-    #     dedup_survivorship, graph_bfs_step, agg_markov_absorption,
-    #     product_phenology, agg_logrank_test
-    #     (r6c additions, window already full),
-    #     agg_ks_test, agg_anova_oneway, agg_acf, agg_circular_mean,
-    #     ml_roc_curve, ml_auc_exact, ml_calibration_bins,
-    #     ml_confusion_metrics, raster_slope_aspect, agg_medoid_composite,
-    #     agg_winsorized_mean, sample_bottomk_hash, graph_hits_step,
-    #     text_readability, geo_idw_interpolate, agg_ljung_box,
-    #     raster_flow_direction, raster_hillshade, table_bloom_skipping,
-    #     graph_label_prop_step, agg_spatial_moran, text_collocations_pmi,
-    #     agg_abc_classification, agg_bitmap_distinct, agg_stl_lite,
-    #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix,
-    #     ml_naive_bayes, profile_parquet_footers, forecast_croston,
-    #     agg_price_index, agg_ks_by_group_fdr, agg_cmh_test,
-    #     table_content_checksum, agg_kruskal_wallis, agg_spearman_corr,
-    #     ml_decision_stump, agg_cohens_kappa, agg_lorenz_points,
-    #     agg_wilcoxon_signed_rank, agg_cronbach_alpha,
-    #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
-    #     agg_breusch_pagan, agg_runs_test, agg_theil_index,
-    #     agg_hill_tail, text_js_divergence, text_burstiness,
-    #     agg_overdispersion, agg_iptw_ate, ml_auc_delong_se,
-    #     text_mattr, agg_sprt_decision, agg_adf_test, graph_assortativity,
-    #     join_bipartite_projection, agg_new_vs_returning,
-    #     composite_q10_shape, agg_entropy_by_group,
-    #     agg_capture_recapture, agg_gamma_mom, ml_ndcg_at_k,
+    # -- new r8 keys --
+    "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
+    # -- re-grades: code changed r8 (hub cap / divide guards), never
+    #    driver-graded before either --
+    "join_bipartite_projection", "agg_gamma_mom",
+    # -- rotation: oldest never-driver-graded full-oracle keys --
+    "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
+    "dedup_url_canonical", "window_rolling_median", "agg_cohort_ltv",
+    "text_token_entropy", "agg_cuped", "sim_hybrid_rrf",
+    "forecast_holt_winters", "agg_bootstrap_ci", "agg_sessionize",
+    "graph_modularity", "multimodal_tar_index",
+    "multimodal_safetensors_roundtrip", "text_keyphrase_rake",
+    "join_haversine_radius", "forecast_kalman_1d", "table_delete_vectors",
+    "window_theil_sen", "agg_hhi_concentration", "ml_gmm_em_step",
+    "window_drawdown", "join_scd2_asof", "ml_ridge_closed_form",
+    "ml_pca_power_step", "ml_lift_table", "agg_mann_whitney",
+    "text_feature_hashing", "geo_dbscan_core", "text_quality_gopher",
+    "join_asof_nearest", "ml_target_encoding", "agg_spc_rules",
+    "table_wap_publish", "agg_fifo_allocation", "agg_revenue_bridge",
+    "agg_skyline_2d", "forecast_backtest_metrics", "agg_diff_in_diff",
+    "dedup_survivorship", "graph_bfs_step", "agg_markov_absorption",
+    "product_phenology",
+    # R9 DEFER LIST — never driver-graded oracled keys still waiting
+    # (all pass local parity; next rotation starts here, oldest first):
+    #   agg_logrank_test (last r6c key),
+    #   then r6d: agg_ks_test, agg_anova_oneway, agg_acf,
+    #     agg_circular_mean, ml_roc_curve, ml_auc_exact,
+    #     ml_calibration_bins, ml_confusion_metrics, raster_slope_aspect,
+    #     agg_medoid_composite, agg_winsorized_mean, sample_bottomk_hash,
+    #     graph_hits_step, text_readability, geo_idw_interpolate,
+    #     agg_ljung_box, raster_flow_direction, raster_hillshade,
+    #     table_bloom_skipping, graph_label_prop_step, agg_spatial_moran,
+    #     text_collocations_pmi, agg_abc_classification,
+    #     agg_bitmap_distinct, agg_stl_lite, window_rolling_corr,
+    #     agg_hurst_rs, sim_matryoshka_prefix, ml_naive_bayes,
+    #     profile_parquet_footers, forecast_croston, agg_price_index,
+    #     agg_ks_by_group_fdr, agg_cmh_test, table_content_checksum,
+    #     agg_kruskal_wallis, agg_spearman_corr, ml_decision_stump,
+    #     agg_cohens_kappa, agg_lorenz_points, agg_wilcoxon_signed_rank,
+    #     agg_cronbach_alpha, ml_platt_scaling_step, graph_kcore_step,
+    #     agg_tost_equivalence, agg_breusch_pagan, agg_runs_test,
+    #     agg_theil_index, agg_hill_tail, text_js_divergence,
+    #     text_burstiness, agg_overdispersion, agg_iptw_ate,
+    #     ml_auc_delong_se, text_mattr, agg_sprt_decision, agg_adf_test,
+    #     graph_assortativity, agg_new_vs_returning, composite_q10_shape,
+    #     agg_entropy_by_group, agg_capture_recapture, ml_ndcg_at_k,
     #     agg_odds_ratio_mh, agg_cohort_decay_fit, ml_recall_at_k,
     #     text_winnowing, agg_interevent_burstiness, agg_apdex_daily,
     #     agg_gumbel_fit, window_record_highs, agg_srm_check,
-    #     window_mix_drift
-    #     (r6d continuation-session additions, window already full),
-    #     sql_frontend, table_clone_shallow, multimodal_image_resize,
-    #     join_interval_overlap, udtf_dynamic_schema,
-    #     graph_pagerank_step, table_restore, multimodal_png_decode,
-    #     sample_stratified (sibling sample_weighted in), dedup_boilerplate,
-    #     window_seasonal_zscore, proj_crs_roundtrip, table_constraint_check,
-    #     sim_kmeans_step, source_jsonl_roundtrip,
+    #     window_mix_drift,
+    #   then the pre-r6c stragglers: sql_frontend, table_clone_shallow,
+    #     multimodal_image_resize, join_interval_overlap,
+    #     udtf_dynamic_schema, graph_pagerank_step, table_restore,
+    #     multimodal_png_decode, sample_stratified, dedup_boilerplate,
+    #     window_seasonal_zscore, proj_crs_roundtrip,
+    #     table_constraint_check, sim_kmeans_step, source_jsonl_roundtrip,
     #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
-    #     sim_rerank_adc_exact, agg_percentile_composite,
-    #     agg_mad_1d, composite_q18_shape, join_nearest_neighbor,
-    #     profile_table, proj_unpivot_bands, raster_morph_close,
-    #     regrid_pyramid, sim_quantize_pq, source_csv_roundtrip,
+    #     sim_rerank_adc_exact, agg_percentile_composite, agg_mad_1d,
+    #     composite_q18_shape, join_nearest_neighbor, profile_table,
+    #     proj_unpivot_bands, raster_morph_close, regrid_pyramid,
+    #     sim_quantize_pq, source_csv_roundtrip,
     #     source_fixed_width_roundtrip, table_schema_evolution,
     #     table_vacuum, udf_arrow_map, window_despike
     #   rows-only (weaker driver check; pytest oracles cover them):
     #     agg_geomedian_mads, multimodal_jpeg_decode, text_bpe_tokens,
-    #     text_heavy_hitters, ml_isotonic_pava (r6d),
-    #     text_compression_ratio (r6d)
+    #     text_heavy_hitters, ml_isotonic_pava, text_compression_ratio
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
     #   (+ any keys added after this comment — check COVERAGE.md vs

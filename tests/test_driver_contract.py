@@ -64,11 +64,12 @@ def test_grading_window_holds_showcase_surface():
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
     window = json.loads(out.stdout.strip().splitlines()[-1])
-    # Round-6 rotation: the r5 grading cycle produced no driver artifacts,
-    # so 67 keys still lack a driver CORRECTNESS row; the r6 window holds
-    # the flagship + 49 of them (unique families first).  GRADING_WINDOW in
-    # registry.py is the source of truth; this pins that its registered
-    # members actually surface in the first 50 of a FRESH process.
+    # Round-8 rotation: CORRECTNESS_r06/r07 graded the same 50 keys twice,
+    # so every non-flagship slot rotated to the never-driver-graded
+    # backlog (oldest first) plus this round's new/changed keys.
+    # GRADING_WINDOW in registry.py is the source of truth; this pins that
+    # its registered members actually surface in the first 50 of a FRESH
+    # process.
     from odc_product_docker_images_spark import registry as reg
 
     registered = set(reg.all_queries())
@@ -77,33 +78,45 @@ def test_grading_window_holds_showcase_surface():
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
     # LITERAL composition pin (not derived from GRADING_WINDOW, which would
-    # be tautological): the flagship + one representative per rotated
-    # family, spot-pinned so a registry edit can't silently drop a family.
+    # be tautological): the full r8 window, so a registry edit can't
+    # silently drop a slot or re-submit an already-graded key.
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # new r6 keys — all of them
-        "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
-        "agg_rolling_distinct", "window_rolling_slope", "table_scd2_build",
-        "graph_triangle_count", "join_range_bucket", "text_lm_bigram",
-        "agg_assoc_rules", "sample_weighted", "agg_attribution",
-        "graph_link_prediction", "agg_chi_square", "agg_survival_curve",
-        "stream_cdc_apply", "scalar_geohash", "forecast_holt",
-        "agg_markov_transitions", "agg_rfm_segments", "profile_benford",
-        "window_interpolate_linear", "text_inverted_index",
-        "table_incremental_join",
-        # r5 geo/product family
-        "sink_geotiff_tiled", "proj_crs_curvilinear", "scalar_solar_day",
-        "udf_wofs_confidence", "join_polygon_zone",
-        # r5 LLM-pipeline family
-        "text_bpe_train_step", "text_quality_lr_step", "dedup_semantic",
-        "dedup_substring_spans", "sim_mmr_rerank", "data_mix_temperature",
-        # r5 analytics/monitoring family
-        "agg_mann_kendall", "window_cusum_change", "agg_resample_ohlc",
-        "profile_drift_psi", "agg_funnel_steps", "agg_retention_cohort",
-        "agg_gini", "graph_subtree_rollup",
+        # new r8 keys — all of them
+        "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
+        # re-grades: code changed r8
+        "join_bipartite_projection", "agg_gamma_mom",
+        # rotation: oldest never-driver-graded full-oracle keys
+        "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
+        "dedup_url_canonical", "window_rolling_median", "agg_cohort_ltv",
+        "text_token_entropy", "agg_cuped", "sim_hybrid_rrf",
+        "forecast_holt_winters", "agg_bootstrap_ci", "agg_sessionize",
+        "graph_modularity", "multimodal_tar_index",
+        "multimodal_safetensors_roundtrip", "text_keyphrase_rake",
+        "join_haversine_radius", "forecast_kalman_1d",
+        "table_delete_vectors", "window_theil_sen",
+        "agg_hhi_concentration", "ml_gmm_em_step", "window_drawdown",
+        "join_scd2_asof", "ml_ridge_closed_form", "ml_pca_power_step",
+        "ml_lift_table", "agg_mann_whitney", "text_feature_hashing",
+        "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest",
+        "ml_target_encoding", "agg_spc_rules", "table_wap_publish",
+        "agg_fifo_allocation", "agg_revenue_bridge", "agg_skyline_2d",
+        "forecast_backtest_metrics", "agg_diff_in_diff",
+        "dedup_survivorship", "graph_bfs_step", "agg_markov_absorption",
+        "product_phenology",
     }
     missing_literal = literal_pin - set(window)
-    assert not missing_literal, f"r6 pin violated: {missing_literal}"
+    assert not missing_literal, f"r8 pin violated: {missing_literal}"
+    # no already-graded key (other than the flagship) occupies a slot —
+    # the r7 failure mode was burning the grading budget on re-confirms
+    import glob
+
+    graded: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        graded |= set(json.load(open(f)))
+    stale = (set(window) & graded) - {"agg_multi_stat"}
+    assert not stale, f"window wastes slots on already-graded keys: {stale}"
 
 
 def test_entry_does_not_scramble_registration_order():
@@ -119,3 +132,35 @@ def test_entry_does_not_scramble_registration_order():
     src = open(ent.__file__).read()
     assert "from odc_product_docker_images_spark.operators" not in src
     assert list(reg.all_queries()) == before
+
+
+def test_bench_summary_line_is_small_parseable_json():
+    """The driver tail-captures bench.py's LAST stdout line — BENCH_r06
+    overflowed it with per-key detail and parsed as null.  Pin the
+    contract: one json.loads-able line with the required keys, float
+    section totals (even for empty sections), and a bounded size."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    line = bench.summary_line(
+        12.3456,
+        {"q1": 1.5, "q2": 2.25},
+        {"r5": {"a": 1.0, "b": 0.5}, "r8": {}},
+        0.1,
+    )
+    assert "\n" not in line
+    d = json.loads(line)
+    assert d["metric"] == "headline_suite_wall"
+    assert d["unit"] == "sec"
+    assert d["value"] == 12.346
+    assert d["queries"] == {"q1": 1.5, "q2": 2.25}
+    assert d["sf"] == 0.1
+    assert isinstance(d["sections_sec"]["r8"], float)  # empty section
+    assert d["sections_sec"] == {"r5": 1.5, "r8": 0.0}
+    # stays far under any sane tail-capture window even with the real
+    # headline key set (~25 keys at ~30 chars each)
+    assert len(line) < 4096

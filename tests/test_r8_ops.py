@@ -109,3 +109,43 @@ def test_ann_recall_gate_matches_recomputed_recall(spark):
         assert r["n_true"] == len(exact)
         assert r["floor_met"] == (recall * 100 >= r["floor_pct"]), method
         assert r["floor_met"], f"{method} recall {recall:.2f} under floor"
+
+
+def test_tiff_tile_source_matches_synthetic_and_blob_spec(spark):
+    """The TIFF-backed source must reproduce the synthetic source's
+    pipeline output exactly, and each blob must be an independently
+    decodable spec-correct GeoTIFF carrying the writer's geo tags."""
+    from pathlib import Path
+
+    from odc_product_docker_images_spark.multimodal.geotiff import (
+        _SCALE,
+        _TIEPOINT,
+        _decode_tiff,
+    )
+    from odc_product_docker_images_spark.operators.scans import (
+        source_tile_scan,
+        source_tile_scan_tiff,
+    )
+    from odc_product_docker_images_spark.sources.tile_source import (
+        _tile_band_raster,
+        ensure_tiff_tiles,
+    )
+
+    tiff = {
+        (r["cell_y"], r["cell_x"]): (r["mean_ndvi"], r["n_px"])
+        for r in source_tile_scan_tiff(spark, SF).collect()
+    }
+    synth = {
+        (r["cell_y"], r["cell_x"]): (r["mean_ndvi"], r["n_px"])
+        for r in source_tile_scan(spark, SF).collect()
+    }
+    assert tiff == synth and len(tiff) == 64
+
+    blob_dir = Path("/root/repo/.tmp/tiff_tiles")
+    ensure_tiff_tiles(str(blob_dir))
+    payload = (blob_dir / "tile_2_3_nir.tif").read_bytes()
+    assert payload[:4] == b"II\x2a\x00"  # little-endian classic TIFF magic
+    w, h, raster, ps, tp, _gk = _decode_tiff(payload)
+    assert (w, h) == (32, 32)
+    assert (raster == _tile_band_raster(2, 3, 32, "nir")).all()
+    assert tuple(ps) == _SCALE and tuple(tp) == _TIEPOINT
