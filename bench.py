@@ -224,6 +224,19 @@ R6D = [
 # Round-7 additions (new keys this round; all enter the r7 grading window).
 R7: list[str] = []
 
+# Round-8 additions (all enter the r8 grading window): the iterative-loop
+# tier (unrolled verified steps), the ANN recall gate, the TIFF-decoding
+# tile source, and the stupid-backoff trigram LM.
+R8 = [
+    "graph_pagerank_loop",
+    "graph_kcore_loop",
+    "graph_label_prop_loop",
+    "sim_kmeans_loop",
+    "sim_ann_recall",
+    "source_tile_scan_tiff",
+    "text_lm_trigram",
+]
+
 R5 = [
     "sink_geotiff_roundtrip",
     "proj_crs_curvilinear",
@@ -305,6 +318,7 @@ def main() -> None:
         "r6c": _time_keys(spark, qs, sf_dir, "r6c", R6C, 2),
         "r6d": _time_keys(spark, qs, sf_dir, "r6d", R6D, 2),
         "r7": _time_keys(spark, qs, sf_dir, "r7", R7, 2),
+        "r8": _time_keys(spark, qs, sf_dir, "r8", R8, 2),
     }
 
     # Full per-key detail goes to a FILE (BENCH_r06 lesson: the one-line

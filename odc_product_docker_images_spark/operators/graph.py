@@ -912,6 +912,242 @@ def graph_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 3  # alternating bipartite half-steps: parts, suppliers, parts
+
+
+def _lpa_loop_oracle(rounds: int) -> str:
+    """Chained-CTE oracle for K alternating label-propagation rounds
+    (odd rounds: parts vote from supplier labels; even rounds: suppliers
+    re-vote from part labels, keeping their seed on no votes)."""
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), s0 AS (
+            SELECT s_suppkey AS node, CAST(s_nationkey AS BIGINT) AS label
+            FROM supplier
+        )"""
+    ]
+    sup, par = "s0", None
+    for r in range(1, rounds + 1):
+        if r % 2 == 1:
+            parts.append(
+                f""", v{r} AS (
+            SELECT e.dst AS node, s.label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM edges e JOIN {sup} s ON e.src = s.node
+            GROUP BY e.dst, s.label
+        ), p{r} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label ASC) AS rn
+                FROM v{r}
+            ) WHERE rn = 1
+        )"""
+            )
+            par = f"p{r}"
+        else:
+            parts.append(
+                f""", v{r} AS (
+            SELECT e.src AS node, p.label, CAST(COUNT(*) AS BIGINT) AS n
+            FROM edges e JOIN {par} p ON e.dst = p.node
+            GROUP BY e.src, p.label
+        ), m{r} AS (
+            SELECT node, label FROM (
+                SELECT node, label,
+                       ROW_NUMBER() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label ASC) AS rn
+                FROM v{r}
+            ) WHERE rn = 1
+        ), s{r} AS (
+            SELECT s.node, COALESCE(m.label, s.label) AS label
+            FROM s0 s LEFT JOIN m{r} m ON s.node = m.node
+        )"""
+            )
+            sup = f"s{r}"
+    parts.append(
+        f"""
+        SELECT node AS node_id, 'supplier' AS side, label FROM {sup}
+        UNION ALL
+        SELECT node AS node_id, 'part' AS side, label FROM {par}"""
+    )
+    return "".join(parts)
+
+
+@register("graph_label_prop_loop", oracle=_lpa_loop_oracle(_LPA_ROUNDS))
+def graph_label_prop_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: the FULL label-propagation loop — {_LPA_ROUNDS} alternating
+    half-steps of ``graph_label_prop_step``'s verified mode vote on the
+    bipartite supplier↔part graph (odd rounds: parts adopt the mode of
+    their suppliers' labels; even rounds: suppliers re-vote from their
+    parts', keeping their nation seed when voteless), emitting every
+    node's final label.  This IS synchronous LPA on a bipartite graph —
+    each full sweep decomposes into the two one-sided votes.
+
+    Per-round ``persist()`` of the O(nodes) label table (the
+    ``graph_pagerank_loop`` convention); each half-step is one
+    broadcast/equi join of labels onto the edge list + one (node, label)
+    vote count + the argmax-and-total over ONE node window — two linear
+    shuffles, exact integers, ties broken (votes desc, label asc) so the
+    loop is deterministic on both engines."""
+    edges = _pagerank_edges(spark, sf_dir)
+    seeds = (
+        load(spark, sf_dir, "supplier")
+        .select(
+            F.col("s_suppkey").alias("node"),
+            F.col("s_nationkey").cast("long").alias("label"),
+        )
+        .persist()
+    )
+
+    def mode_vote(pairs: DataFrame) -> DataFrame:
+        votes = pairs.groupBy("node", "label").agg(
+            F.count(F.lit(1)).cast("long").alias("n")
+        )
+        w = Window.partitionBy("node").orderBy(F.col("n").desc(), F.col("label").asc())
+        return (
+            votes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+
+    sup, par = seeds, None
+    for r in range(1, _LPA_ROUNDS + 1):
+        if r % 2 == 1:
+            lbl = sup.select(F.col("node").alias("src"), "label")
+            par = mode_vote(
+                edges.join(F.broadcast(lbl), "src").select(
+                    F.col("dst").alias("node"), "label"
+                )
+            ).persist()
+        else:
+            lbl = par.select(F.col("node").alias("dst"), "label")
+            voted = mode_vote(
+                edges.join(F.broadcast(lbl), "dst").select(
+                    F.col("src").alias("node"), "label"
+                )
+            )
+            sup = (
+                seeds.alias("s")
+                .join(voted.alias("m"), "node", "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("m.label"), F.col("s.label")).alias("label"),
+                )
+                .persist()
+            )
+    return sup.select(
+        F.col("node").alias("node_id"), F.lit("supplier").alias("side"), "label"
+    ).unionByName(
+        par.select(F.col("node").alias("node_id"), F.lit("part").alias("side"), "label")
+    )
+
+
+_KCORE_PEELS = 3  # unrolled peel iterations (fixed K — the loop convention)
+
+
+def _kcore_loop_oracle(peels: int) -> str:
+    """Chained-CTE oracle for K unrolled k-core peels (the
+    ``graph_pagerank_loop`` convention; exact integers throughout).
+    k is DATA-DERIVED — the lower-median degree — so the peel bites at
+    every fixture grain (any fixed literal is vacuous at one grain and
+    a wipe-out at another: measured min degree 8 at sf0.001 vs 13 at
+    sf0.01)."""
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), und AS (
+            SELECT src AS u, dst AS v FROM edges
+            UNION ALL SELECT dst, src FROM edges
+        ), d1 AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+        ), med AS (
+            SELECT d AS k FROM (
+                SELECT d, ROW_NUMBER() OVER (ORDER BY d, u) AS rn,
+                       CAST(COUNT(*) OVER () AS BIGINT) AS n
+                FROM d1
+            ) WHERE rn = (n + 1) // 2
+        ), a1 AS (
+            SELECT u FROM d1 CROSS JOIN med WHERE d >= k
+        )"""
+    ]
+    for i in range(2, peels + 1):
+        parts.append(
+            f""", s{i} AS (
+            SELECT e.u, e.v FROM und e
+            JOIN a{i - 1} x ON e.u = x.u
+            JOIN a{i - 1} y ON e.v = y.u
+        ), d{i} AS (
+            SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM s{i} GROUP BY u
+        ), a{i} AS (
+            SELECT u FROM d{i} CROSS JOIN med WHERE d >= k
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT u AS node_id, d AS deg, k
+        FROM d{peels} CROSS JOIN med WHERE d >= k"""
+    )
+    return "".join(parts)
+
+
+@register("graph_kcore_loop", oracle=_kcore_loop_oracle(_KCORE_PEELS))
+def graph_kcore_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: the FULL k-core peel — {_KCORE_PEELS} unrolled iterations
+    of ``graph_kcore_step``'s verified peel on the undirected
+    supplier↔part graph, emitting the survivors and their INDUCED
+    degrees after the last peel.  k is the lower-median degree (exact
+    integer selection, (votes, id)-ordered) rather than a literal: a
+    fixed k is vacuous at one fixture grain and a wipe-out at another
+    (measured), while the median peels ~45% of nodes at every grain —
+    so the induced-degree recount is genuinely exercised.
+
+    Per-iteration ``persist()`` of the O(nodes) degree table (alive is a
+    cheap filter of the cache — persisting only the alive set re-plans
+    the final degree subtree into both its consumers); each peel is one
+    induced-subgraph filter (two equi-joins against the alive set) + one
+    degree hash-agg — two linear shuffles, exact integers, per-peel cost
+    O(|E_alive|) monotonically shrinking at 100 TB.  The median rides
+    one global window over the BOUNDED degree table (never the corpus)
+    and broadcasts as a 1-row scalar.  The oracle unrolls the same peels
+    as chained CTEs."""
+    edges = _pagerank_edges(spark, sf_dir)
+    und = edges.select(F.col("src").alias("u"), F.col("dst").alias("v")).unionAll(
+        edges.select(F.col("dst").alias("u"), F.col("src").alias("v"))
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).persist()
+    wq = Window.orderBy("d", "u")
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = (
+        deg.select(
+            "d",
+            F.row_number().over(wq).alias("rn"),
+            F.count(F.lit(1)).over(wall).cast("long").alias("n"),
+        )
+        .where(F.col("rn") == F.shiftright(F.col("n") + 1, 1))
+        .select(F.col("d").alias("k"))
+        .persist()
+    )
+    for _ in range(_KCORE_PEELS - 1):
+        alive = (
+            deg.crossJoin(F.broadcast(med)).where(F.col("d") >= F.col("k")).select("u")
+        )
+        surv = und.join(F.broadcast(alive), "u").join(
+            F.broadcast(alive.select(F.col("u").alias("v"))), "v"
+        )
+        deg = (
+            surv.groupBy("u").agg(F.count(F.lit(1)).cast("long").alias("d")).persist()
+        )
+    return (
+        deg.crossJoin(F.broadcast(med))
+        .where(F.col("d") >= F.col("k"))
+        .select(F.col("u").alias("node_id"), F.col("d").alias("deg"), "k")
+    )
+
+
 @register(
     "graph_assortativity",
     oracle=f"""

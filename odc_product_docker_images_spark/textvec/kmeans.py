@@ -186,3 +186,127 @@ def ml_pca_power_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.select(
         "dim_idx", "w", (F.col("w") / norm).alias("v_next")
     )
+
+
+_KM_ITERS = 3  # unrolled Lloyd iterations (the graph_pagerank_loop convention)
+
+
+def _kmeans_loop_oracle(iters: int) -> str:
+    """Chained-CTE oracle for K unrolled Lloyd iterations: each round
+    re-derives the centroid arrays from the previous update's
+    (centroid, dim) means — grouped aggregation per step rules out the
+    recursive-CTE form, so the fixed iteration count unrolls (the
+    ``graph_pagerank_loop`` convention)."""
+    dist = sql_dround(
+        "LIST_SUM(LIST_TRANSFORM(RANGE(1, "
+        + str(_DIM + 1)
+        + "), i -> (e[i] - ce[i]) * (e[i] - ce[i])))"
+    )
+    parts = [
+        f"""
+        WITH v AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), c0 AS (
+            SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_K}
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", d{i} AS (
+            SELECT v.vec_id, c.centroid_id, {dist} AS dist
+            FROM v CROSS JOIN c{i - 1} c
+        ), a{i} AS (
+            SELECT vec_id, centroid_id FROM (
+                SELECT vec_id, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id
+                                          ORDER BY dist, centroid_id) AS rn
+                FROM d{i}
+            ) WHERE rn = 1
+        ), sz{i} AS (
+            SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n_members
+            FROM a{i} GROUP BY centroid_id
+        ), u{i} AS (
+            SELECT a.centroid_id,
+                   CAST(dims.i AS INTEGER) AS dim,
+                   {sql_davg("e[dims.i]", "new_val")},
+                   MAX(n_members) AS n_members
+            FROM a{i} a
+            JOIN v USING (vec_id)
+            JOIN sz{i} USING (centroid_id)
+            CROSS JOIN RANGE(1, {_DIM + 1}) dims(i)
+            GROUP BY a.centroid_id, dims.i
+        ), c{i} AS (
+            SELECT centroid_id, LIST(new_val ORDER BY dim) AS ce
+            FROM u{i} GROUP BY centroid_id
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT centroid_id, dim, new_val, n_members FROM u{iters}"""
+    )
+    return "".join(parts)
+
+
+@register("sim_kmeans_loop", oracle=_kmeans_loop_oracle(_KM_ITERS))
+def sim_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the FULL Lloyd loop — {_KM_ITERS} unrolled iterations of
+    ``sim_kmeans_step``'s verified assign+update, the deterministic
+    auditable twin of the ``sim_ann_ivf`` trainer.  Each round broadcasts
+    the previous round's centroids back onto the vector scan (rebuilt as
+    arrays from the (centroid, dim) means — ``array_sort`` on (dim, val)
+    structs mirrors DuckDB's ``LIST(... ORDER BY dim)`` exactly), so the
+    corpus is scanned once per iteration — Lloyd's inherent cost — while
+    everything between iterations is K·D-bounded and persisted (the
+    ``graph_pagerank_loop`` convention).
+
+    Determinism across the CHAIN: means take the exact decimal path
+    (bit-identical), centroid arrays rebuilt from them are bit-identical,
+    distances fold left-to-right over the same element order and round
+    6 dp BEFORE the (dist, centroid_id) argmin — so every assignment,
+    size, and mean hashes with no tolerance after three rounds.  Clusters
+    that lose all members drop out on both engines identically (the
+    update only emits assigned centroids)."""
+    v = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
+    )
+    cent = v.where(F.col("vec_id") < _K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")
+    )
+    upd = None
+    for _ in range(_KM_ITERS):
+        sq = F.zip_with("e", "ce", lambda x, y: (x - y) * (x - y))
+        dist = dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x)).alias(
+            "dist"
+        )
+        d = v.crossJoin(F.broadcast(cent)).select("vec_id", "centroid_id", "e", dist)
+        w = Window.partitionBy("vec_id").orderBy("dist", "centroid_id")
+        a = (
+            d.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "centroid_id", "e")
+        )
+        sizes = a.groupBy("centroid_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_members")
+        )
+        upd = (
+            a.select("centroid_id", F.posexplode("e").alias("pos", "val"))
+            .groupBy("centroid_id", (F.col("pos") + 1).cast("int").alias("dim"))
+            .agg(davg("val", "new_val"))
+            .join(F.broadcast(sizes), "centroid_id")
+            .select("centroid_id", "dim", "new_val", "n_members")
+            .persist()
+        )
+        cent = (
+            upd.groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim"), F.col("new_val")))
+                ).alias("pairs")
+            )
+            .select(
+                "centroid_id",
+                F.transform("pairs", lambda s: s["new_val"]).alias("ce"),
+            )
+        )
+    return upd

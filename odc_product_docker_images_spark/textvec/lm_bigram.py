@@ -113,3 +113,155 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), davg("lnp", "avg_logprob"))
     )
+
+
+_PRUNE = 2  # keep a trigram/bigram type only if seen >= _PRUNE times
+_BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007 convention)
+_BACKOFF2 = _BACKOFF * _BACKOFF  # exact double product, repr'd into BOTH sides
+
+
+@register(
+    "text_lm_trigram",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(STRING_SPLIT(text, ' ')) AS w,
+                   GENERATE_SUBSCRIPTS(STRING_SPLIT(text, ' '), 1) AS pos
+            FROM documents
+        ), tg AS (
+            SELECT doc_id,
+                   LAG(w, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w1,
+                   LAG(w, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+                   w AS w3
+            FROM toks
+            QUALIFY w1 IS NOT NULL
+        ), t3 AS (
+            SELECT w1, w2, w3, CAST(COUNT(*) AS BIGINT) AS c123
+            FROM tg GROUP BY w1, w2, w3
+        ), t3c AS (
+            SELECT w1, w2, w3, c123,
+                   CAST(SUM(c123) OVER (PARTITION BY w1, w2) AS BIGINT) AS c12
+            FROM t3
+        ), b AS (
+            SELECT w2, w3, CAST(SUM(c123) AS BIGINT) AS c23
+            FROM t3 GROUP BY w2, w3
+        ), bc AS (
+            SELECT w2, w3, c23,
+                   CAST(SUM(c23) OVER (PARTITION BY w2) AS BIGINT) AS c2
+            FROM b
+        ), ug AS (
+            SELECT w3, CAST(SUM(c23) AS BIGINT) AS c3 FROM b GROUP BY w3
+        ), ugc AS (
+            SELECT w3, c3, CAST(SUM(c3) OVER () AS BIGINT) AS nn FROM ug
+        ), model AS (
+            SELECT t.w1, t.w2, t.w3,
+                   CASE WHEN t.c123 >= {_PRUNE} THEN 0
+                        WHEN bc.c23 >= {_PRUNE} THEN 1
+                        ELSE 2 END AS tier,
+                   ROUND(LN(CASE
+                       WHEN t.c123 >= {_PRUNE}
+                           THEN CAST(t.c123 AS DOUBLE) / CAST(t.c12 AS DOUBLE)
+                       WHEN bc.c23 >= {_PRUNE}
+                           THEN CAST({_BACKOFF!r} AS DOUBLE)
+                                * (CAST(bc.c23 AS DOUBLE) / CAST(bc.c2 AS DOUBLE))
+                       ELSE CAST({_BACKOFF2!r} AS DOUBLE)
+                            * (CAST(u.c3 AS DOUBLE) / CAST(u.nn AS DOUBLE))
+                   END), 6) AS lnp
+            FROM t3c t
+            JOIN bc ON t.w2 = bc.w2 AND t.w3 = bc.w3
+            JOIN ugc u ON t.w3 = u.w3
+        )
+        SELECT tg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+               CAST(COUNT(CASE WHEN tier = 0 THEN 1 END) AS BIGINT) AS n_tri_hits,
+               CAST(COUNT(CASE WHEN tier = 1 THEN 1 END) AS BIGINT) AS n_bi_hits,
+               CAST(COUNT(CASE WHEN tier = 2 THEN 1 END) AS BIGINT) AS n_uni_hits,
+               {sql_davg("lnp", "avg_logprob")}
+        FROM tg JOIN model USING (w1, w2, w3)
+        GROUP BY tg.doc_id
+    """,
+)
+def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: KenLM-style trigram scoring with STUPID BACKOFF — the step
+    past text_lm_bigram toward the production LM filter.  The model
+    prunes singleton trigram/bigram types (c >= {_PRUNE} kept, the KenLM
+    pruning move), so scoring genuinely exercises the backoff chain:
+    s(w3|w1,w2) = c123/c12 if the trigram survives pruning, else
+    {_BACKOFF}·c23/c2 if the bigram does, else {_BACKOFF}²·c3/N — raw
+    relative frequencies, no normalization (Brants et al. 2007: the
+    backoff that scales because every count is a hash-agg).
+
+    ONE corpus pass builds every tier: the trigram TYPE table is
+    persisted and the bigram/unigram/total counts all derive from it by
+    vocab-bounded aggs and windows (c12/c2/N are partition windows over
+    the MODEL tables, never the corpus); scoring is the second corpus
+    pass — an equi-join on the trigram key.  Per-doc outputs: trigram
+    count, per-tier hit counts (exact integers — the backoff-path mix is
+    itself driver-verified), and the mean lnp (6 dp round per TYPE, then
+    the exact decimal mean, the text_lm_bigram policy).  The
+    {_BACKOFF}² factor is computed once in Python and repr'd into both
+    engines (0.4·0.4 ≠ 0.16 in IEEE — a literal 0.16 would diverge)."""
+    dc = load(spark, sf_dir, "documents")
+    toks = dc.repartition(32).select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    tg = (
+        toks.withColumn("w1", F.lag("w", 2).over(wdoc))
+        .withColumn("w2", F.lag("w", 1).over(wdoc))
+        .where(F.col("w1").isNotNull())
+        .select("doc_id", "w1", "w2", F.col("w").alias("w3"))
+    )
+    t3 = (
+        tg.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).cast("long").alias("c123"))
+        .persist()  # two consumers (context window + bigram rollup) —
+        # without the cache each re-plans the corpus tokenize+lag subtree
+    )
+    t3c = t3.withColumn(
+        "c12", F.sum("c123").over(Window.partitionBy("w1", "w2")).cast("long")
+    )
+    b = (
+        t3.groupBy("w2", "w3")
+        .agg(F.sum("c123").cast("long").alias("c23"))
+        .persist()  # two consumers (context window + unigram rollup)
+    )
+    bc = b.withColumn("c2", F.sum("c23").over(Window.partitionBy("w2")).cast("long"))
+    ug = b.groupBy("w3").agg(F.sum("c23").cast("long").alias("c3"))
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ugc = ug.withColumn("nn", F.sum("c3").over(wall).cast("long"))
+    tier = (
+        F.when(F.col("c123") >= _PRUNE, F.lit(0))
+        .when(F.col("c23") >= _PRUNE, F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    s = (
+        F.when(
+            F.col("c123") >= _PRUNE,
+            F.col("c123").cast("double") / F.col("c12").cast("double"),
+        )
+        .when(
+            F.col("c23") >= _PRUNE,
+            F.lit(_BACKOFF) * (F.col("c23").cast("double") / F.col("c2").cast("double")),
+        )
+        .otherwise(
+            F.lit(_BACKOFF2) * (F.col("c3").cast("double") / F.col("nn").cast("double"))
+        )
+    )
+    model = (
+        t3c.join(bc, ["w2", "w3"])
+        .join(ugc, "w3")
+        .select(
+            "w1", "w2", "w3", tier.alias("tier"), F.round(F.log(s), 6).alias("lnp")
+        )
+    )
+    return (
+        tg.join(model, ["w1", "w2", "w3"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+            F.count(F.when(F.col("tier") == 0, 1)).cast("long").alias("n_tri_hits"),
+            F.count(F.when(F.col("tier") == 1, 1)).cast("long").alias("n_bi_hits"),
+            F.count(F.when(F.col("tier") == 2, 1)).cast("long").alias("n_uni_hits"),
+            davg("lnp", "avg_logprob"),
+        )
+    )

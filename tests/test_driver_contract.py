@@ -84,6 +84,8 @@ def test_grading_window_holds_showcase_surface():
         "agg_multi_stat",  # flagship, every round
         # new r8 keys — all of them
         "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
+        "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
+        "text_lm_trigram",
         # re-grades: code changed r8
         "join_bipartite_projection", "agg_gamma_mom",
         # rotation: oldest never-driver-graded full-oracle keys
@@ -102,8 +104,6 @@ def test_grading_window_holds_showcase_surface():
         "ml_target_encoding", "agg_spc_rules", "table_wap_publish",
         "agg_fifo_allocation", "agg_revenue_bridge", "agg_skyline_2d",
         "forecast_backtest_metrics", "agg_diff_in_diff",
-        "dedup_survivorship", "graph_bfs_step", "agg_markov_absorption",
-        "product_phenology",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r8 pin violated: {missing_literal}"

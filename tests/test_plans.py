@@ -2655,3 +2655,55 @@ def test_pagerank_loop_shape(spark):
     assert C.scan_count(df) <= 3 + _PR_ITERS
     assert "lineitem" not in plan  # only the .tmp edge artifact is scanned
     C.assert_no_python_row_path(df)
+
+
+def test_r8_loop_shapes(spark):
+    """Unrolled iterative loops: per-iteration persist visible as
+    InMemoryTableScan, no Cartesian blow-up, no Python row path, and the
+    corpus-side scan counts stay at the per-iteration contract (Lloyd
+    re-reads vectors per round; the graph loops read only the write-once
+    edge artifact)."""
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_kcore_loop,
+        graph_label_prop_loop,
+    )
+    from odc_product_docker_images_spark.textvec.kmeans import sim_kmeans_loop
+
+    for fn, max_scans in (
+        (graph_kcore_loop, 6),
+        (graph_label_prop_loop, 5),
+        (sim_kmeans_loop, 8),
+    ):
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "InMemoryTableScan" in plan, fn.__name__
+        assert C.scan_count(df) <= max_scans, fn.__name__
+        C.assert_no_python_row_path(df)
+    # the graph loops scan only the .tmp edge artifact, never lineitem
+    for fn in (graph_kcore_loop, graph_label_prop_loop):
+        assert "lineitem" not in C.formatted_plan(fn(spark, SF)), fn.__name__
+
+
+def test_lm_trigram_two_touch_contract(spark):
+    """The corpus (documents) is scanned exactly twice — fit + score —
+    and every count between is a window/agg over model tables."""
+    from odc_product_docker_images_spark.textvec.lm_bigram import text_lm_trigram
+
+    df = text_lm_trigram(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted type tables
+    C.assert_no_python_row_path(df)
+
+
+def test_ann_recall_gate_shape(spark):
+    """Truth persists once (three consumers), hit counts ride broadcast
+    1-row joins, nothing Cartesian."""
+    from odc_product_docker_images_spark.textvec.similarity import sim_ann_recall
+
+    df = sim_ann_recall(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan

@@ -149,3 +149,119 @@ def test_tiff_tile_source_matches_synthetic_and_blob_spec(spark):
     assert (w, h) == (32, 32)
     assert (raster == _tile_band_raster(2, 3, 32, "nir")).all()
     assert tuple(ps) == _SCALE and tuple(tp) == _TIEPOINT
+
+
+def _edges_und():
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_suppkey", "l_partkey"]
+    ).to_pandas()
+    edges = sorted({(s, p + 10_000_000) for s, p in zip(li.l_suppkey, li.l_partkey)})
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    return edges, adj
+
+
+def test_kcore_loop_matches_python_peel(spark):
+    """Three median-k peels recomputed imperatively must agree on the
+    survivor set, the threshold, and every induced degree."""
+    from odc_product_docker_images_spark.operators.graph import (
+        _KCORE_PEELS,
+        graph_kcore_loop,
+    )
+
+    got = {r["node_id"]: (r["deg"], r["k"]) for r in graph_kcore_loop(spark, SF).collect()}
+    _, adj = _edges_und()
+    degs = sorted((len(vs), u) for u, vs in adj.items())
+    k = degs[(len(degs) + 1) // 2 - 1][0]  # lower median, (d, u)-ordered
+    alive = set(adj)
+    dd = {u: len(adj[u]) for u in alive}
+    for _ in range(_KCORE_PEELS - 1):
+        alive = {u for u in alive if dd[u] >= k}
+        dd = {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+    expect = {u: (d, k) for u, d in dd.items() if d >= k}
+    assert got == expect and got  # non-vacuous: the peel removed nodes
+    assert len(got) < len(adj)
+
+
+def test_label_prop_loop_matches_python(spark):
+    """Three alternating mode-vote rounds recomputed imperatively must
+    agree on every node's final label, and labels must actually move
+    (some supplier adopts a non-seed label)."""
+    from collections import Counter
+
+    from odc_product_docker_images_spark.operators.graph import (
+        graph_label_prop_loop,
+    )
+
+    got = {
+        (r["node_id"], r["side"]): r["label"]
+        for r in graph_label_prop_loop(spark, SF).collect()
+    }
+    edges, _ = _edges_und()
+    sup = pq.read_table(
+        f"{SF}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    seed = dict(zip(sup.s_suppkey, (int(x) for x in sup.s_nationkey)))
+
+    def mode_vote(pairs):  # [(node, label)] -> {node: argmax label}
+        votes = Counter(pairs)
+        best = {}
+        for (node, label), n in sorted(votes.items(), key=lambda kv: (kv[0][0], -kv[1], kv[0][1])):
+            best.setdefault(node, label)
+        return best
+
+    p = mode_vote([(v, seed[u]) for u, v in edges])
+    s2m = mode_vote([(u, p[v]) for u, v in edges])
+    s2 = {u: s2m.get(u, lbl) for u, lbl in seed.items()}
+    p3 = mode_vote([(v, s2[u]) for u, v in edges])
+    expect = {(u, "supplier"): l for u, l in s2.items()}
+    expect.update({(v, "part"): l for v, l in p3.items()})
+    assert got == expect
+    assert any(s2[u] != seed[u] for u in seed)  # labels propagated back
+
+
+def test_kmeans_loop_matches_numpy_lloyd(spark):
+    """Three Lloyd rounds recomputed in numpy (same seeding, same
+    tie-breaks) must agree on cluster sizes exactly and means to 1e-6."""
+    from odc_product_docker_images_spark.textvec.kmeans import (
+        _K,
+        _KM_ITERS,
+        sim_kmeans_loop,
+    )
+
+    rows = sim_kmeans_loop(spark, SF).collect()
+    em = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    em = em.sort_values("vec_id")
+    X = np.stack(em["embedding"].to_numpy()).astype(np.float64)
+    ids = em["vec_id"].to_numpy()
+    C = X[ids < _K].copy()
+    for _ in range(_KM_ITERS):
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = np.argmin(np.round(d2, 6), axis=1)  # ties: lowest centroid id
+        C = np.stack([X[assign == c].mean(axis=0) for c in range(C.shape[0])])
+    sizes = {c: int((assign == c).sum()) for c in range(C.shape[0])}
+    got_sizes = {}
+    for r in rows:
+        got_sizes[r["centroid_id"]] = r["n_members"]
+        assert abs(r["new_val"] - C[r["centroid_id"], r["dim"] - 1]) < 1e-6
+    assert got_sizes == sizes
+    assert len(rows) == len(sizes) * 64
+
+
+def test_trigram_backoff_tiers_fire_and_conserve(spark):
+    """All three stupid-backoff tiers must fire on the fixture (pruning
+    forces real backoff), per-doc tier counts must conserve, and scores
+    must be negative log-probs."""
+    from odc_product_docker_images_spark.textvec.lm_bigram import text_lm_trigram
+
+    rows = text_lm_trigram(spark, SF).collect()
+    assert rows
+    tot_tri = sum(r["n_tri_hits"] for r in rows)
+    tot_bi = sum(r["n_bi_hits"] for r in rows)
+    tot_uni = sum(r["n_uni_hits"] for r in rows)
+    assert tot_tri > 0 and tot_bi > 0 and tot_uni > 0
+    for r in rows:
+        assert r["n_tri_hits"] + r["n_bi_hits"] + r["n_uni_hits"] == r["n_trigrams"]
+        assert r["avg_logprob"] < 0
