@@ -235,6 +235,8 @@ R8 = [
     "sim_ann_recall",
     "source_tile_scan_tiff",
     "text_lm_trigram",
+    "sim_ivf_pq_funnel",
+    "graph_hits_loop",
 ]
 
 R5 = [

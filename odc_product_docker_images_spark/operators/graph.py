@@ -768,6 +768,117 @@ def graph_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HITS_ROUNDS = 3  # unrolled auth+hub rounds (the loop convention)
+
+
+def _hits_loop_oracle(rounds: int) -> str:
+    """Chained-CTE oracle for K unrolled HITS rounds — each round is the
+    verified step's auth update + hub update with the SAME decimal-path
+    sums and 6 dp rounds, fed the previous round's hub vector."""
+    dsum_auth = sql_exact_double("SUM(" + sql_dec_cast("a.auth") + ")")
+    dsum_hub = sql_exact_double("SUM(" + sql_dec_cast("h.hub") + ")")
+    norm = lambda col: sql_dround(  # noqa: E731
+        "SQRT("
+        + sql_exact_double("SUM(" + sql_dec_cast(f"{col} * {col}") + ")")
+        + ")"
+    )
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), hub0 AS (
+            SELECT DISTINCT src AS id, CAST(1.0 AS DOUBLE) AS hub FROM edges
+        )"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""", ar{i} AS (
+            SELECT e.dst AS id, {dsum_hub} AS araw
+            FROM edges e JOIN hub{i - 1} h ON e.src = h.id
+            GROUP BY e.dst
+        ), na{i} AS (
+            SELECT {norm("araw")} AS norm_a FROM ar{i}
+        ), auth{i} AS (
+            SELECT id, {sql_dround("araw / norm_a")} AS auth
+            FROM ar{i} CROSS JOIN na{i}
+        ), hr{i} AS (
+            SELECT e.src AS id, {dsum_auth} AS hraw
+            FROM edges e JOIN auth{i} a ON e.dst = a.id
+            GROUP BY e.src
+        ), nh{i} AS (
+            SELECT {norm("hraw")} AS norm_h FROM hr{i}
+        ), hub{i} AS (
+            SELECT id, {sql_dround("hraw / norm_h")} AS hub
+            FROM hr{i} CROSS JOIN nh{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT COALESCE(a.id, h.id) AS node_id,
+               COALESCE(a.auth, CAST(0.0 AS DOUBLE)) AS auth,
+               COALESCE(h.hub, CAST(0.0 AS DOUBLE)) AS hub
+        FROM auth{rounds} a FULL OUTER JOIN hub{rounds} h ON a.id = h.id"""
+    )
+    return "".join(parts)
+
+
+@register("graph_hits_loop", oracle=_hits_loop_oracle(_HITS_ROUNDS))
+def graph_hits_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: the FULL HITS loop — {_HITS_ROUNDS} unrolled rounds of
+    ``graph_hits_step``'s verified auth+hub update on the supplier→part
+    bipartite graph, from uniform hub init.  Each round: authority =
+    L2-normalized in-neighbor hub sum, hub = L2-normalized out-neighbor
+    authority sum — two linear shuffles per round, norms as 1-row
+    broadcast aggregates of node-bounded tables, every float riding the
+    decimal-path/6 dp discipline so the chain hashes bit-identically.
+    Per-stage ``persist()`` of the raw-score tables (each feeds its norm
+    AND its normalize — the step's 2^stages re-plan lesson, compounded
+    by unrolling).  The oracle unrolls the same rounds as chained CTEs.
+    On the bipartite graph the fixed point is the principal singular
+    vector pair of the biadjacency matrix; 3 rounds from uniform get
+    visibly past the in-degree first step (pinned in pytest)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    hub = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "hub", F.lit(1.0)
+    )
+    auth = None
+    for _ in range(_HITS_ROUNDS):
+        ar = (
+            edges.join(hub, edges.src == hub.id)
+            .groupBy(F.col("dst").alias("aid"))
+            .agg(exact_double(F.sum(dec_cast("hub"))).alias("araw"))
+            .persist()
+        )
+        na = ar.agg(
+            dround(
+                F.sqrt(exact_double(F.sum(dec_cast(F.col("araw") * F.col("araw")))))
+            ).alias("norm_a")
+        )
+        auth = ar.crossJoin(F.broadcast(na)).select(
+            F.col("aid").alias("id"), dround(F.col("araw") / F.col("norm_a")).alias("auth")
+        )
+        hr = (
+            edges.join(auth, edges.dst == auth.id)
+            .groupBy(F.col("src").alias("hid"))
+            .agg(exact_double(F.sum(dec_cast("auth"))).alias("hraw"))
+            .persist()
+        )
+        nh = hr.agg(
+            dround(
+                F.sqrt(exact_double(F.sum(dec_cast(F.col("hraw") * F.col("hraw")))))
+            ).alias("norm_h")
+        )
+        hub = hr.crossJoin(F.broadcast(nh)).select(
+            F.col("hid").alias("id"), dround(F.col("hraw") / F.col("norm_h")).alias("hub")
+        )
+    return auth.join(hub, auth.id == hub.id, "full_outer").select(
+        F.coalesce(auth.id, hub.id).alias("node_id"),
+        F.coalesce(F.col("auth"), F.lit(0.0)).alias("auth"),
+        F.coalesce(F.col("hub"), F.lit(0.0)).alias("hub"),
+    )
+
+
 @register(
     "graph_label_prop_step",
     oracle=f"""

@@ -351,3 +351,227 @@ def sim_rerank_adc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= _TOPK)
         .select("q_id", "vec_id", "exact_d2", F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+_NPROBE_F = 2  # IVF probes per query in the full funnel
+
+_SQL_FULL_DIST = sql_dround(
+    f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {_M * _SUB + 1}),"
+    " i -> (e[i] - be[i]) * (e[i] - be[i])))"
+)
+
+
+@register(
+    "sim_ivf_pq_funnel",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id, LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), c AS (
+            SELECT vec_id AS centroid_id, e AS ce FROM v WHERE vec_id < {_K}
+        ), ivf AS (
+            SELECT vec_id AS bucket_id, e AS be FROM v WHERE vec_id < {_K}
+        ), bd AS (
+            SELECT v.vec_id, i.bucket_id, {_SQL_FULL_DIST} AS bdist
+            FROM v CROSS JOIN ivf i
+        ), brk AS (
+            SELECT vec_id, bucket_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY bdist, bucket_id) AS rn
+            FROM bd
+        ), assign AS (
+            SELECT vec_id, bucket_id FROM brk WHERE rn = 1
+        ), probe AS (
+            SELECT vec_id AS q_id, bucket_id FROM brk
+            WHERE vec_id < {_NQ} AND rn <= {_NPROBE_F}
+        ), candpairs AS (
+            SELECT p.q_id, a.vec_id
+            FROM probe p JOIN assign a ON a.bucket_id = p.bucket_id
+        ), d AS (
+            SELECT v.vec_id, m.m, c.centroid_id,
+               CASE m.m {" ".join(f"WHEN {m} THEN {_sql_sub_dist(m)}" for m in range(_M))} END AS dist
+            FROM v CROSS JOIN RANGE(0, {_M}) m(m) CROSS JOIN c
+        ), codes AS (
+            SELECT vec_id, m, centroid_id AS code FROM (
+                SELECT vec_id, m, centroid_id,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                          ORDER BY dist, centroid_id) AS rn
+                FROM d
+            ) WHERE rn = 1
+        ), dtab AS (
+            SELECT vec_id AS q_id, m, centroid_id, dist
+            FROM d WHERE vec_id < {_NQ}
+        ), approx AS (
+            SELECT t.q_id, s.vec_id, {sql_dround("SUM(t.dist)")} AS approx_d2
+            FROM codes s
+            JOIN candpairs cp ON cp.vec_id = s.vec_id
+            JOIN dtab t ON t.q_id = cp.q_id AND t.m = s.m AND t.centroid_id = s.code
+            GROUP BY t.q_id, s.vec_id
+        ), ranked AS (
+            SELECT q_id, vec_id, approx_d2,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx_d2, vec_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY q_id) AS BIGINT) AS n_probed
+            FROM approx
+        ), cand AS (
+            SELECT q_id, vec_id, n_probed FROM ranked WHERE rn <= {_CAND}
+        ), exact AS (
+            SELECT cand.q_id, cand.vec_id, cand.n_probed,
+                   {sql_dround(f"LIST_SUM(LIST_TRANSFORM(RANGE(1, {_M * _SUB + 1}),"
+                               " i -> (q.e[i] - s.e[i]) * (q.e[i] - s.e[i])))")}
+                       AS exact_d2
+            FROM cand
+            JOIN v q ON q.vec_id = cand.q_id
+            JOIN v s ON s.vec_id = cand.vec_id
+        )
+        SELECT q_id, vec_id, exact_d2, n_probed, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+            SELECT q_id, vec_id, exact_d2, n_probed,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY exact_d2, vec_id) AS rnk
+            FROM exact
+        ) WHERE rnk <= {_TOPK}
+    """,
+)
+def sim_ivf_pq_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: the COMPLETE FAISS-shaped IVF-PQ query path in one verified
+    key — the composite the three PQ keys and the IVF key each pin one
+    stage of:
+
+    1. IVF coarse quantizer: every stored vector lands in its nearest
+       full-vector bucket (deterministic first-{_K} centroids); each
+       query probes its {_NPROBE_F} nearest buckets — the ADC scan below
+       touches ONLY probed-bucket candidates (n_probed per query is an
+       output column, so the driver hash also pins that the restriction
+       actually happened — at 8 buckets / 2 probes it is ~25% of the
+       corpus, never all of it).
+    2. ADC: approximate distance to each candidate = {_M} table lookups
+       on its PQ codes (codes + one broadcast codebook row; original
+       vectors untouched).
+    3. Exact rerank: full vectors fetched by equi-join for the top-{_CAND}
+       ADC candidates only; exact squared-L2 reranks to the final
+       top-{_TOPK}.
+
+    At 100 TB: stage-1 cost is one map-side argmin per stored vector
+    (bucket id stored with the codes); per-query work is
+    O(corpus/K_ivf·nprobe) ADC lookups + {_CAND} exact distances — the
+    sub-linear read path that justifies the index.  Every rank rounds
+    through dround with vec_id tie-breaks, so the funnel's TRAJECTORY
+    (probe sets, candidate cut, final ranks) is hash-gated end-to-end."""
+    v = _vectors(spark, sf_dir)
+    codebook = (
+        v.where(F.col("vec_id") < _K)
+        .select(
+            F.struct(F.col("vec_id").alias("centroid_id"), F.col("e").alias("ce")).alias("c")
+        )
+        .agg(F.sort_array(F.collect_list("c")).alias("cb"))
+    )
+
+    def full_dist(c: Column) -> Column:
+        sq = F.zip_with(F.col("e"), c["ce"], lambda x, y: (x - y) * (x - y))
+        return dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+    def bucket_struct(c: Column) -> Column:
+        return F.struct(full_dist(c).alias("dist"), c["centroid_id"].alias("bucket_id"))
+
+    def sub_dist(c: Column, m: int) -> Column:
+        sq = F.zip_with(
+            F.slice(F.col("e"), m * _SUB + 1, _SUB),
+            F.slice(c["ce"], m * _SUB + 1, _SUB),
+            lambda x, y: (x - y) * (x - y),
+        )
+        return dround(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+    def code_at(m: int):
+        return lambda c: F.struct(
+            sub_dist(c, m).alias("dist"), c["centroid_id"].alias("centroid_id")
+        )
+
+    def tab_at(m: int):
+        return lambda c: sub_dist(c, m)
+
+    with_cb = v.crossJoin(F.broadcast(codebook))
+    # stored side, one projection: IVF bucket + PQ codes (what the index
+    # persists per vector — the full vector never travels past this scan)
+    stored = with_cb.select(
+        "vec_id",
+        F.array_min(F.transform(F.col("cb"), bucket_struct))["bucket_id"].alias(
+            "bucket_id"
+        ),
+        *[
+            F.array_min(F.transform(F.col("cb"), code_at(m)))["centroid_id"].alias(
+                f"code_{m}"
+            )
+            for m in range(_M)
+        ],
+    )
+    # query side: nprobe bucket ids + the M ADC distance tables
+    probes = (
+        with_cb.where(F.col("vec_id") < _NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(
+                F.slice(
+                    F.sort_array(F.transform(F.col("cb"), bucket_struct)),
+                    1,
+                    _NPROBE_F,
+                )
+            ).alias("p"),
+        )
+        .select("q_id", F.col("p.bucket_id").alias("bucket_id"))
+    )
+    qtabs = (
+        with_cb.where(F.col("vec_id") < _NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            *[F.transform(F.col("cb"), tab_at(m)).alias(f"t{m}") for m in range(_M)],
+        )
+    )
+    cand = stored.join(F.broadcast(probes), "bucket_id").join(
+        F.broadcast(qtabs), "q_id"
+    )
+    lk = [
+        F.element_at(F.col(f"t{m}"), F.col(f"code_{m}").cast("int") + 1)
+        for m in range(_M)
+    ]
+    approx = cand.select(
+        "q_id", "vec_id", dround(((lk[0] + lk[1]) + lk[2]) + lk[3]).alias("approx_d2")
+    )
+    wq = Window.partitionBy("q_id")
+    ranked = approx.select(
+        "q_id",
+        "vec_id",
+        "approx_d2",
+        F.row_number().over(wq.orderBy("approx_d2", "vec_id")).alias("rn"),
+        F.count(F.lit(1)).over(wq).cast("long").alias("n_probed"),
+    )
+    shortlist = ranked.where(F.col("rn") <= _CAND).select("q_id", "vec_id", "n_probed")
+    qv = v.where(F.col("vec_id") < _NQ).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    sv = v.select("vec_id", F.col("e").alias("se"))
+    sqd = F.zip_with("qe", "se", lambda x, y: (x - y) * (x - y))
+    exact = (
+        shortlist.join(F.broadcast(qv), "q_id")
+        .join(sv, "vec_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "n_probed",
+            dround(F.aggregate(sqd, F.lit(0.0), lambda acc, x: acc + x)).alias(
+                "exact_d2"
+            ),
+        )
+    )
+    we = Window.partitionBy("q_id").orderBy("exact_d2", "vec_id")
+    return (
+        exact.withColumn("rnk", F.row_number().over(we))
+        .where(F.col("rnk") <= _TOPK)
+        .select(
+            "q_id",
+            "vec_id",
+            "exact_d2",
+            "n_probed",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )

@@ -85,7 +85,7 @@ def test_grading_window_holds_showcase_surface():
         # new r8 keys — all of them
         "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
         "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
-        "text_lm_trigram",
+        "text_lm_trigram", "sim_ivf_pq_funnel", "graph_hits_loop",
         # re-grades: code changed r8
         "join_bipartite_projection", "agg_gamma_mom",
         # rotation: oldest never-driver-graded full-oracle keys
@@ -103,7 +103,6 @@ def test_grading_window_holds_showcase_surface():
         "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest",
         "ml_target_encoding", "agg_spc_rules", "table_wap_publish",
         "agg_fifo_allocation", "agg_revenue_bridge", "agg_skyline_2d",
-        "forecast_backtest_metrics", "agg_diff_in_diff",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r8 pin violated: {missing_literal}"

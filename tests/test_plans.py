@@ -2707,3 +2707,23 @@ def test_ann_recall_gate_shape(spark):
     plan = C.formatted_plan(df)
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_ivf_pq_funnel_and_hits_loop_shapes(spark):
+    """Funnel: no Cartesian beyond the broadcast-literal crosses, codes
+    path broadcast-joined (never a corpus×corpus join).  HITS loop:
+    per-stage persist, edge-artifact-only scans."""
+    from odc_product_docker_images_spark.operators.graph import graph_hits_loop
+    from odc_product_docker_images_spark.textvec.pq import sim_ivf_pq_funnel
+
+    f = sim_ivf_pq_funnel(spark, SF)
+    fplan = C.formatted_plan(f)
+    assert "CartesianProduct" not in fplan
+    assert "BroadcastHashJoin" in fplan  # probe/qtab/candidate joins
+    C.assert_no_python_row_path(f)
+    h = graph_hits_loop(spark, SF)
+    hplan = C.formatted_plan(h)
+    assert "CartesianProduct" not in hplan
+    assert "InMemoryTableScan" in hplan
+    assert "lineitem" not in hplan  # write-once edge artifact only
+    C.assert_no_python_row_path(h)

@@ -265,3 +265,100 @@ def test_trigram_backoff_tiers_fire_and_conserve(spark):
     for r in rows:
         assert r["n_tri_hits"] + r["n_bi_hits"] + r["n_uni_hits"] == r["n_trigrams"]
         assert r["avg_logprob"] < 0
+
+
+def test_ivf_pq_funnel_matches_numpy_replica(spark):
+    """The whole IVF→ADC→exact funnel recomputed in numpy (same seeds,
+    same tie-breaks) must agree on probe restriction, shortlist, and the
+    final top-5 — and the bucket restriction must genuinely prune."""
+    from odc_product_docker_images_spark.textvec.pq import (
+        _CAND,
+        _K,
+        _M,
+        _NPROBE_F,
+        _NQ,
+        _SUB,
+        _TOPK,
+        sim_ivf_pq_funnel,
+    )
+
+    rows = sim_ivf_pq_funnel(spark, SF).collect()
+    em = pq.read_table(f"{SF}/embeddings.parquet").to_pandas().sort_values("vec_id")
+    X = np.stack(em["embedding"].to_numpy()).astype(np.float64)
+    ids = em["vec_id"].to_numpy()
+    C = X[ids < _K]
+    # stage 1: IVF assignment + probes (round like dround before argmin)
+    bd = np.round(((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), 6)
+    assign = np.argmin(bd, axis=1)
+    # stage 2: PQ codes + ADC tables
+    codes = np.zeros((len(X), _M), dtype=int)
+    tabs = {}
+    for m in range(_M):
+        sl = slice(m * _SUB, (m + 1) * _SUB)
+        d = np.round(((X[:, None, sl] - C[None, :, sl]) ** 2).sum(axis=2), 6)
+        codes[:, m] = np.argmin(d, axis=1)
+        tabs[m] = d
+    got = {}
+    for r in rows:
+        got.setdefault(r["q_id"], []).append(r)
+    assert set(got) == set(range(_NQ))
+    n = len(X)
+    for q in range(_NQ):
+        probe = np.argsort(bd[q], kind="stable")[:_NPROBE_F]
+        cand_mask = np.isin(assign, probe)
+        n_probed = int(cand_mask.sum())
+        assert 0 < n_probed < n  # the IVF restriction actually pruned
+        approx = np.round(
+            sum(tabs[m][q][codes[:, m]] for m in range(_M)), 6
+        )
+        cand_ids = ids[cand_mask]
+        order = np.lexsort((cand_ids, approx[cand_mask]))[:_CAND]
+        short = cand_ids[order]
+        exact = np.round(((X[np.isin(ids, short)] - X[q]) ** 2).sum(axis=1), 6)
+        short_sorted = np.sort(short)
+        final = sorted(zip(exact, short_sorted))[:_TOPK]
+        mine = sorted((r["rnk"], r["vec_id"], r["exact_d2"]) for r in got[q])
+        assert len(mine) == _TOPK
+        for (rnk, vid, d2), (ed, eid) in zip(mine, final):
+            assert vid == eid and abs(d2 - ed) < 1e-6, (q, rnk)
+        assert all(r["n_probed"] == n_probed for r in got[q])
+
+
+def test_hits_loop_matches_numpy_and_moves_past_step(spark):
+    """Three HITS rounds recomputed in numpy must agree to ~K·1e-6 (the
+    per-stage 6 dp rounds bound the drift), and the loop's authorities
+    must differ from the one-step (in-degree) vector — the iteration is
+    real."""
+    from odc_product_docker_images_spark.operators.graph import (
+        _HITS_ROUNDS,
+        graph_hits_loop,
+        graph_hits_step,
+    )
+
+    loop = {r["node_id"]: r for r in graph_hits_loop(spark, SF).collect()}
+    step = {r["node_id"]: r for r in graph_hits_step(spark, SF).collect()}
+    edges, _ = _edges_und()
+    srcs = sorted({u for u, _ in edges})
+    dsts = sorted({v for _, v in edges})
+    si = {u: i for i, u in enumerate(srcs)}
+    di = {v: i for i, v in enumerate(dsts)}
+    A = np.zeros((len(srcs), len(dsts)))
+    for u, v in edges:
+        A[si[u], di[v]] = 1.0
+    h = np.ones(len(srcs))
+    for _ in range(_HITS_ROUNDS):
+        a = A.T @ h
+        a = a / np.sqrt((a * a).sum())
+        h = A @ a
+        h = h / np.sqrt((h * h).sum())
+    assert set(loop) == set(srcs) | set(dsts)
+    for v in dsts:
+        assert abs(loop[v]["auth"] - a[di[v]]) < 1e-5
+        assert loop[v]["hub"] == 0.0
+    for u in srcs:
+        assert abs(loop[u]["hub"] - h[si[u]]) < 1e-5
+        assert loop[u]["auth"] == 0.0
+    moved = sum(
+        1 for v in dsts if abs(loop[v]["auth"] - step[v]["auth"]) > 1e-4
+    )
+    assert moved > 0  # authorities genuinely iterated past in-degree
