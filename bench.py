@@ -237,6 +237,8 @@ R8 = [
     "text_lm_trigram",
     "sim_ivf_pq_funnel",
     "graph_hits_loop",
+    "ml_pca_power_loop",
+    "ml_platt_scaling_loop",
 ]
 
 R5 = [

@@ -1004,3 +1004,127 @@ def ml_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least(F.max("n_relevant"), F.lit(_RAK_K))
         ).alias("recall_at_k"),
     ).withColumnRenamed("qid", "vec_id")
+
+
+_PLATT_ITERS = 3  # unrolled Newton steps
+
+
+def _platt_loop_oracle(iters: int) -> str:
+    """Chained-CTE oracle for K unrolled Platt Newton steps — the state
+    is the 1-row (a, b) table, re-derived per round with the step's
+    exact rounding discipline."""
+    parts = [
+        f"""
+        WITH s AS (
+            SELECT embedding[1]::DOUBLE AS x,
+                   CAST(label < 5 AS BIGINT) AS y
+            FROM embeddings
+        ), ab0 AS (
+            SELECT CAST({_PLATT_A0!r} AS DOUBLE) AS a,
+                   CAST({_PLATT_B0!r} AS DOUBLE) AS b
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", p{i} AS (
+            SELECT x, y,
+                   {sql_dround(
+                       "CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)"
+                       " + EXP(-(a * x + b)))"
+                   )} AS pr
+            FROM s CROSS JOIN ab{i - 1}
+        ), t{i} AS (
+            SELECT {sql_dsum("(pr - y) * x", "ga")},
+                   {sql_dsum("pr - y", "gb")},
+                   {sql_dsum("pr * (1.0 - pr) * x * x", "haa")},
+                   {sql_dsum("pr * (1.0 - pr) * x", "hab")},
+                   {sql_dsum("pr * (1.0 - pr)", "hbb")}
+            FROM p{i}
+        ), ab{i} AS (
+            SELECT {sql_dround(
+                "pv.a - (t.ga * t.hbb - t.gb * t.hab)"
+                " / (t.haa * t.hbb - t.hab * t.hab)"
+            )} AS a,
+                   {sql_dround(
+                "pv.b - (t.gb * t.haa - t.ga * t.hab)"
+                " / (t.haa * t.hbb - t.hab * t.hab)"
+            )} AS b,
+                   t.ga, t.gb, t.haa, t.hab, t.hbb
+            FROM t{i} t CROSS JOIN ab{i - 1} pv
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT a AS a_fit, b AS b_fit, ga, gb, haa, hab, hbb
+        FROM ab{iters}"""
+    )
+    return "".join(parts)
+
+
+@register("ml_platt_scaling_loop", oracle=_platt_loop_oracle(_PLATT_ITERS))
+def ml_platt_scaling_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E10+: the FULL Platt-scaling fit — {_PLATT_ITERS} unrolled Newton
+    steps of ``ml_platt_scaling_step``'s verified update (sigmoid
+    log-loss, 2×2 Cramer solve), feeding each round's rounded (a, b)
+    forward as a 1-row broadcast.  This is the whole offline calibration
+    fit production stacks run (Newton on this convex 2-parameter problem
+    is essentially converged in 3-5 steps).  Per round: one corpus pass
+    for the five decimal-path sufficient sums (map-side combinable), one
+    1-row update — nothing else; the state persists per round.  Per-row
+    sigmoids round 6 dp (libm) before the sums and each round's (a, b)
+    round 6 dp, so the trajectory hashes bit-identically against the
+    chained-CTE oracle; the final gradients are also emitted (near-zero
+    at convergence — an auditable convergence witness)."""
+    emb = load(spark, sf_dir, "embeddings")
+    sx = emb.select(
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        (F.col("label") < 5).cast("long").alias("y"),
+    )
+    ab = None  # None → literal (A0, B0) round
+    out = None
+    for _ in range(_PLATT_ITERS):
+        if ab is None:
+            terms_src = sx.withColumn("a", F.lit(_PLATT_A0)).withColumn(
+                "b", F.lit(_PLATT_B0)
+            )
+        else:
+            terms_src = sx.crossJoin(F.broadcast(ab))
+        pr = dround(
+            F.lit(1.0)
+            / (F.lit(1.0) + F.exp(-(F.col("a") * F.col("x") + F.col("b"))))
+        )
+        p = terms_src.select("x", "y", pr.alias("pr"), "a", "b")
+        w = F.col("pr") * (F.lit(1.0) - F.col("pr"))
+        terms = p.groupBy("a", "b").agg(
+            dsum((F.col("pr") - F.col("y")) * F.col("x"), "ga"),
+            dsum(F.col("pr") - F.col("y"), "gb"),
+            dsum(w * F.col("x") * F.col("x"), "haa"),
+            dsum(w * F.col("x"), "hab"),
+            dsum(w, "hbb"),
+        )
+        det = F.col("haa") * F.col("hbb") - F.col("hab") * F.col("hab")
+        out = terms.select(
+            dround(
+                F.col("a")
+                - (F.col("ga") * F.col("hbb") - F.col("gb") * F.col("hab")) / det
+            ).alias("a"),
+            dround(
+                F.col("b")
+                - (F.col("gb") * F.col("haa") - F.col("ga") * F.col("hab")) / det
+            ).alias("b"),
+            "ga",
+            "gb",
+            "haa",
+            "hab",
+            "hbb",
+        ).persist()
+        ab = out.select("a", "b")
+    return out.select(
+        F.col("a").alias("a_fit"),
+        F.col("b").alias("b_fit"),
+        "ga",
+        "gb",
+        "haa",
+        "hab",
+        "hbb",
+    )

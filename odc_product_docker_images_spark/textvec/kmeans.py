@@ -310,3 +310,102 @@ def sim_kmeans_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return upd
+
+
+_PCA_ITERS = 3  # unrolled power iterations
+
+
+def _pca_loop_oracle(iters: int) -> str:
+    """Chained-CTE oracle for K unrolled power iterations: each round
+    rebuilds the unit vector as an ordered LIST from the previous
+    round's per-dimension table (the ``sim_kmeans_loop`` move)."""
+    wsum = sql_dsum("CAST(embedding[dim_idx] AS DOUBLE) * s", "w")
+    norm = sql_exact_double(f"SUM({sql_dec_cast('w * w')}) OVER ()")
+    parts = [
+        f"""
+        WITH varr0 AS (
+            SELECT LIST_TRANSFORM({_PCA_V0!r}, x -> CAST(x AS DOUBLE)) AS va
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", proj{i} AS (
+            SELECT vec_id, embedding,
+                   LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),
+                       j -> CAST(embedding[j] AS DOUBLE) * va[j])) AS s
+            FROM embeddings CROSS JOIN varr{i - 1}
+        ), contrib{i} AS (
+            SELECT UNNEST(GENERATE_SERIES(1, 64)) AS dim_idx,
+                   vec_id, embedding, s
+            FROM proj{i}
+        ), w{i} AS (
+            SELECT CAST(dim_idx AS INTEGER) AS dim_idx, {wsum}
+            FROM contrib{i} GROUP BY dim_idx
+        ), v{i} AS (
+            SELECT dim_idx, w, w / SQRT({norm}) AS v_next
+            FROM w{i}
+        ), varr{i} AS (
+            SELECT LIST(v_next ORDER BY dim_idx) AS va FROM v{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT dim_idx, w, v_next FROM v{iters}"""
+    )
+    return "".join(parts)
+
+
+@register("ml_pca_power_loop", oracle=_pca_loop_oracle(_PCA_ITERS))
+def ml_pca_power_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML3: the FULL power iteration — {_PCA_ITERS} unrolled rounds of
+    ``ml_pca_power_step``'s verified v' = normalize(Σ x·⟨x, v⟩), the
+    top-principal-component trainer with the Gram matrix never
+    materialized.  Each round rebuilds the unit vector as a one-row
+    broadcast array from the previous round's 64-row (dim, v) table
+    (``array_sort(collect_list(struct))`` == ``LIST(... ORDER BY)``),
+    scans the corpus once for the projection+scatter (inherent — power
+    iteration is corpus-bound per round), and shuffles only 64-key
+    partial sums.  Per-round persist of the 64-row state; determinism:
+    per-dim sums ride the decimal path (6 dp), the norm's sqrt is
+    IEEE-correctly-rounded, v entries are one IEEE divide — so all
+    three rounds hash bit-identically against the chained-CTE oracle."""
+    em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    probe = F.array(*[F.lit(x) for x in _PCA_V0])
+    varr = None  # None → literal seed round
+    v = None
+    for _ in range(_PCA_ITERS):
+        if varr is None:
+            base = em.withColumn("va", probe)
+        else:
+            base = em.crossJoin(F.broadcast(varr))
+        s = F.aggregate(
+            F.zip_with(
+                F.col("embedding"), F.col("va"), lambda x, y: x.cast("double") * y
+            ),
+            F.lit(0.0),
+            lambda acc, v_: acc + v_,
+        )
+        contrib = base.select(
+            F.posexplode("embedding").alias("j0", "xj"), s.alias("s")
+        ).select(
+            (F.col("j0") + 1).cast("int").alias("dim_idx"),
+            (F.col("xj").cast("double") * F.col("s")).alias("term"),
+        )
+        w = contrib.groupBy("dim_idx").agg(dsum("term", "w"))
+        norm = F.sqrt(
+            exact_double(
+                F.sum(dec_cast(F.col("w") * F.col("w"))).over(Window.partitionBy()),
+                6,
+            )
+        )
+        v = w.select("dim_idx", "w", (F.col("w") / norm).alias("v_next")).persist()
+        varr = (
+            v.groupBy()
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("dim_idx"), F.col("v_next")))
+                ).alias("pairs")
+            )
+            .select(F.transform("pairs", lambda p: p["v_next"]).alias("va"))
+        )
+    return v

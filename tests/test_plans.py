@@ -2727,3 +2727,21 @@ def test_ivf_pq_funnel_and_hits_loop_shapes(spark):
     assert "InMemoryTableScan" in hplan
     assert "lineitem" not in hplan  # write-once edge artifact only
     C.assert_no_python_row_path(h)
+
+
+def test_ml_loop_shapes(spark):
+    """ML loops: per-round persist, corpus scans bounded at one per
+    round (inherent for power iteration / Newton), no Cartesian beyond
+    the 1-row broadcast crosses, no Python row path."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_platt_scaling_loop,
+    )
+    from odc_product_docker_images_spark.textvec.kmeans import ml_pca_power_loop
+
+    for fn, max_scans in ((ml_pca_power_loop, 3), (ml_platt_scaling_loop, 3)):
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "InMemoryTableScan" in plan, fn.__name__
+        assert C.scan_count(df) <= max_scans, fn.__name__
+        C.assert_no_python_row_path(df)

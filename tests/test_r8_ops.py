@@ -362,3 +362,65 @@ def test_hits_loop_matches_numpy_and_moves_past_step(spark):
         1 for v in dsts if abs(loop[v]["auth"] - step[v]["auth"]) > 1e-4
     )
     assert moved > 0  # authorities genuinely iterated past in-degree
+
+
+def test_pca_power_loop_matches_numpy_and_converges(spark):
+    """Three power iterations recomputed in numpy must agree to ~1e-5,
+    and the 3-round vector must be closer to the dominant eigenvector
+    than the 1-round vector."""
+    from odc_product_docker_images_spark.textvec.kmeans import (
+        _PCA_ITERS,
+        _PCA_V0,
+        ml_pca_power_loop,
+        ml_pca_power_step,
+    )
+
+    rows = {r["dim_idx"]: r for r in ml_pca_power_loop(spark, SF).collect()}
+    em = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    X = np.stack(em["embedding"].to_numpy()).astype(np.float64)
+    v = np.array(_PCA_V0)
+    for _ in range(_PCA_ITERS):
+        w = X.T @ (X @ v)
+        v = w / np.sqrt((w * w).sum())
+    assert len(rows) == 64
+    assert max(abs(rows[j + 1]["v_next"] - v[j]) for j in range(64)) < 1e-5
+    # convergence: 3 rounds beat 1 round toward the dominant eigenvector
+    vstar = v.copy()
+    for _ in range(200):
+        w = X.T @ (X @ vstar)
+        vstar = w / np.sqrt((w * w).sum())
+    v1 = {r["dim_idx"]: r["v_next"] for r in ml_pca_power_step(spark, SF).collect()}
+    e_loop = sum((rows[j + 1]["v_next"] - vstar[j]) ** 2 for j in range(64))
+    e_step = sum((v1[j + 1] - vstar[j]) ** 2 for j in range(64))
+    assert e_loop < e_step
+
+
+def test_platt_loop_matches_numpy_newton_and_converges(spark):
+    """Three Newton steps recomputed in numpy (same per-round 6 dp
+    rounds on (a, b)) must agree, and the final gradients must be far
+    smaller than the first step's — the fit genuinely converges."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        _PLATT_A0,
+        _PLATT_B0,
+        _PLATT_ITERS,
+        ml_platt_scaling_loop,
+        ml_platt_scaling_step,
+    )
+
+    row = ml_platt_scaling_loop(spark, SF).collect()[0]
+    em = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    x = np.stack(em["embedding"].to_numpy()).astype(np.float64)[:, 0]
+    y = (em["label"].to_numpy() < 5).astype(np.float64)
+    a, b = _PLATT_A0, _PLATT_B0
+    for _ in range(_PLATT_ITERS):
+        pr = np.round(1.0 / (1.0 + np.exp(-(a * x + b))), 6)
+        ga = ((pr - y) * x).sum()
+        gb = (pr - y).sum()
+        w = pr * (1 - pr)
+        haa, hab, hbb = (w * x * x).sum(), (w * x).sum(), w.sum()
+        det = haa * hbb - hab * hab
+        a = round(a - (ga * hbb - gb * hab) / det, 6)
+        b = round(b - (gb * haa - ga * hab) / det, 6)
+    assert abs(row["a_fit"] - a) < 1e-4 and abs(row["b_fit"] - b) < 1e-4
+    step = ml_platt_scaling_step(spark, SF).collect()[0]
+    assert abs(row["gb"]) < abs(step["gb"]) / 10  # Newton converged
