@@ -239,6 +239,7 @@ R8 = [
     "graph_hits_loop",
     "ml_pca_power_loop",
     "ml_platt_scaling_loop",
+    "ml_gmm_em_loop",
 ]
 
 R5 = [

@@ -2237,3 +2237,161 @@ def agg_apdex_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             "apdex"
         ),
     )
+
+
+_GMM_ITERS = 3  # unrolled EM iterations (the graph_pagerank_loop convention)
+_GMM_W0, _GMM_VAR0 = 0.5, 10000.0  # equal start weights; shared sigma^2
+
+
+def _gmm_loop_oracle(iters: int) -> str:
+    """Chained-CTE oracle for K unrolled EM rounds.  Unlike the step
+    (whose equal start weights/variances collapse the responsibility to
+    a logistic of the squared-distance gap), the loop carries the FULL
+    two-component form — r1 = 1/(1 + (w2/w1)·sqrt(v1/v2)·exp((x−μ1)²/2v1
+    − (x−μ2)²/2v2)) — because after round 1 the weights and variances
+    genuinely differ.  libm EXP rounds 6 dp; everything else is fixed
+    IEEE chains on bit-identical params."""
+    parts = [
+        f"""
+        WITH ev AS (
+            SELECT value AS x FROM events
+        ), p0 AS (
+            SELECT CAST({_GMM_W0!r} AS DOUBLE) AS w1,
+                   CAST({_GMM_MU[0]!r} AS DOUBLE) AS mu1,
+                   CAST({_GMM_VAR0!r} AS DOUBLE) AS var1,
+                   CAST({_GMM_W0!r} AS DOUBLE) AS w2,
+                   CAST({_GMM_MU[1]!r} AS DOUBLE) AS mu2,
+                   CAST({_GMM_VAR0!r} AS DOUBLE) AS var2
+        )"""
+    ]
+    # clamp the exp argument at ±29: once variances shrink, far-tail
+    # points drive exp(t) past the decimal round path's int64 hop, whose
+    # true domain is |x|·10⁶ < 2⁶³ → |x| < 9.2e12 (observed: exp(33.8) =
+    # 4.9e14 at round 3 overflowed the BIGINT cast).  exp(29) ≈ 3.9e12
+    # stays inside it while r1 saturates to 0/1 as it mathematically
+    # should.  LEAST/GREATEST mirror exactly.
+    t_expr = (
+        "LEAST(GREATEST("
+        "(x - mu1) * (x - mu1) / (CAST(2.0 AS DOUBLE) * var1)"
+        " - (x - mu2) * (x - mu2) / (CAST(2.0 AS DOUBLE) * var2)"
+        ", CAST(-29.0 AS DOUBLE)), CAST(29.0 AS DOUBLE))"
+    )
+    for i in range(1, iters + 1):
+        parts.append(
+            f""", r{i} AS (
+            SELECT x,
+                   CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+                       + (w2 / w1) * SQRT(var1 / var2)
+                         * {sql_dround(f"EXP({t_expr})")}) AS r1
+            FROM ev CROSS JOIN p{i - 1}
+        ), s{i} AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                   {sql_dsum('r1', 'sr1')},
+                   {sql_dsum('r1 * x', 'srx1')},
+                   {sql_dsum('r1 * x * x', 'srxx1')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1)', 'sr2')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1) * x', 'srx2')},
+                   {sql_dsum('(CAST(1.0 AS DOUBLE) - r1) * x * x', 'srxx2')}
+            FROM r{i}
+        ), p{i} AS (
+            SELECT sr1 / n AS w1, srx1 / sr1 AS mu1,
+                   srxx1 / sr1 - (srx1 / sr1) * (srx1 / sr1) AS var1,
+                   sr2 / n AS w2, srx2 / sr2 AS mu2,
+                   srxx2 / sr2 - (srx2 / sr2) * (srx2 / sr2) AS var2
+            FROM s{i}
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT k, weight, mu, var FROM (
+            SELECT 1 AS k, w1 AS weight, mu1 AS mu, var1 AS var FROM p{iters}
+            UNION ALL
+            SELECT 2, w2, mu2, var2 FROM p{iters}
+        ) ORDER BY k"""
+    )
+    return "".join(parts)
+
+
+@register("ml_gmm_em_loop", oracle=_gmm_loop_oracle(_GMM_ITERS))
+def ml_gmm_em_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML: the FULL EM fit — {_GMM_ITERS} unrolled iterations of
+    ``ml_gmm_em_step``'s verified E+M round for the 1-D two-component
+    mixture, carrying the GENERAL responsibility (weights and variances
+    diverge after round 1, so the step's logistic shortcut no longer
+    applies): r1 = 1/(1 + (w2/w1)·√(v1/v2)·exp((x−μ1)²/2v1 −
+    (x−μ2)²/2v2)).  One corpus pass per round (inherent to EM), the
+    seven sufficient statistics map-side combinable, the 1-row parameter
+    state persisted and broadcast back — the ``graph_pagerank_loop``
+    discipline applied to soft clustering.  Determinism: the one libm
+    exp rounds 6 dp per row; sqrt and every divide are IEEE-exact on
+    bit-identical operands; sums ride the decimal path — three rounds
+    hash bit-identically against the chained-CTE oracle."""
+    one = F.lit(1.0)
+    ev = load(spark, sf_dir, "events").select(F.col("value").alias("x"))
+    params = None
+    for _ in range(_GMM_ITERS):
+        if params is None:
+            base = (
+                ev.withColumn("w1", F.lit(_GMM_W0))
+                .withColumn("mu1", F.lit(_GMM_MU[0]))
+                .withColumn("var1", F.lit(_GMM_VAR0))
+                .withColumn("w2", F.lit(_GMM_W0))
+                .withColumn("mu2", F.lit(_GMM_MU[1]))
+                .withColumn("var2", F.lit(_GMM_VAR0))
+            )
+        else:
+            base = ev.crossJoin(F.broadcast(params))
+        x = F.col("x")
+        t_raw = (x - F.col("mu1")) * (x - F.col("mu1")) / (
+            F.lit(2.0) * F.col("var1")
+        ) - (x - F.col("mu2")) * (x - F.col("mu2")) / (F.lit(2.0) * F.col("var2"))
+        t = F.least(F.greatest(t_raw, F.lit(-29.0)), F.lit(29.0))
+        r1 = one / (
+            one
+            + (F.col("w2") / F.col("w1"))
+            * F.sqrt(F.col("var1") / F.col("var2"))
+            * dround(F.exp(t))
+        )
+        r = base.select("x", r1.alias("r1"))
+        s = r.agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            dsum("r1", "sr1"),
+            dsum(F.col("r1") * F.col("x"), "srx1"),
+            dsum(F.col("r1") * F.col("x") * F.col("x"), "srxx1"),
+            dsum(one - F.col("r1"), "sr2"),
+            dsum((one - F.col("r1")) * F.col("x"), "srx2"),
+            dsum((one - F.col("r1")) * F.col("x") * F.col("x"), "srxx2"),
+        )
+        params = s.select(
+            (F.col("sr1") / F.col("n")).alias("w1"),
+            (F.col("srx1") / F.col("sr1")).alias("mu1"),
+            (
+                F.col("srxx1") / F.col("sr1")
+                - (F.col("srx1") / F.col("sr1")) * (F.col("srx1") / F.col("sr1"))
+            ).alias("var1"),
+            (F.col("sr2") / F.col("n")).alias("w2"),
+            (F.col("srx2") / F.col("sr2")).alias("mu2"),
+            (
+                F.col("srxx2") / F.col("sr2")
+                - (F.col("srx2") / F.col("sr2")) * (F.col("srx2") / F.col("sr2"))
+            ).alias("var2"),
+        ).persist()
+    comps = params.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("k"),
+                    F.col("w1").alias("weight"),
+                    F.col("mu1").alias("mu"),
+                    F.col("var1").alias("var"),
+                ),
+                F.struct(
+                    F.lit(2).alias("k"),
+                    F.col("w2").alias("weight"),
+                    F.col("mu2").alias("mu"),
+                    F.col("var2").alias("var"),
+                ),
+            )
+        ).alias("c")
+    )
+    return comps.select("c.k", "c.weight", "c.mu", "c.var").orderBy("k")

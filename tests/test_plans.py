@@ -2745,3 +2745,14 @@ def test_ml_loop_shapes(spark):
         assert "InMemoryTableScan" in plan, fn.__name__
         assert C.scan_count(df) <= max_scans, fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_gmm_loop_shape(spark):
+    from odc_product_docker_images_spark.operators.metrics import ml_gmm_em_loop
+
+    df = ml_gmm_em_loop(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # 1-row param state persisted
+    assert C.scan_count(df) <= 3  # one corpus pass per EM round
+    C.assert_no_python_row_path(df)

@@ -424,3 +424,49 @@ def test_platt_loop_matches_numpy_newton_and_converges(spark):
     assert abs(row["a_fit"] - a) < 1e-4 and abs(row["b_fit"] - b) < 1e-4
     step = ml_platt_scaling_step(spark, SF).collect()[0]
     assert abs(row["gb"]) < abs(step["gb"]) / 10  # Newton converged
+
+
+def test_gmm_em_loop_matches_numpy_and_improves(spark):
+    """Three EM rounds recomputed in numpy (same responsibility form,
+    same exp clamp/round) must agree, weights must stay a partition of
+    1, and total log-likelihood must be non-decreasing across the three
+    fits (EM's defining property)."""
+    from odc_product_docker_images_spark.operators.metrics import (
+        _GMM_ITERS,
+        _GMM_MU,
+        _GMM_VAR0,
+        _GMM_W0,
+        ml_gmm_em_loop,
+    )
+
+    rows = {r["k"]: r for r in ml_gmm_em_loop(spark, SF).collect()}
+    ev = pq.read_table(f"{SF}/events.parquet", columns=["value"]).to_pandas()
+    x = ev["value"].to_numpy().astype(np.float64)
+    w1, mu1, v1 = _GMM_W0, _GMM_MU[0], _GMM_VAR0
+    w2, mu2, v2 = _GMM_W0, _GMM_MU[1], _GMM_VAR0
+
+    def loglik(w1, mu1, v1, w2, mu2, v2):
+        n1 = w1 * np.exp(-((x - mu1) ** 2) / (2 * v1)) / np.sqrt(2 * np.pi * v1)
+        n2 = w2 * np.exp(-((x - mu2) ** 2) / (2 * v2)) / np.sqrt(2 * np.pi * v2)
+        return np.log(n1 + n2).sum()
+
+    lls = [loglik(w1, mu1, v1, w2, mu2, v2)]
+    for _ in range(_GMM_ITERS):
+        t = np.clip(
+            (x - mu1) ** 2 / (2 * v1) - (x - mu2) ** 2 / (2 * v2), -29, 29
+        )
+        r1 = 1.0 / (1.0 + (w2 / w1) * np.sqrt(v1 / v2) * np.round(np.exp(t), 6))
+        n = len(x)
+        w1, mu1 = r1.sum() / n, (r1 * x).sum() / r1.sum()
+        v1 = (r1 * x * x).sum() / r1.sum() - mu1 * mu1
+        r2 = 1.0 - r1
+        w2, mu2 = r2.sum() / n, (r2 * x).sum() / r2.sum()
+        v2 = (r2 * x * x).sum() / r2.sum() - mu2 * mu2
+        lls.append(loglik(w1, mu1, v1, w2, mu2, v2))
+    got1, got2 = rows[1], rows[2]
+    for got, exp_ in ((got1, (w1, mu1, v1)), (got2, (w2, mu2, v2))):
+        assert abs(got["weight"] - exp_[0]) < 1e-6
+        assert abs(got["mu"] - exp_[1]) < 1e-3
+        assert abs(got["var"] - exp_[2]) < 1e-1  # var ~1e3 scale
+    assert abs(got1["weight"] + got2["weight"] - 1.0) < 1e-9
+    assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:]))  # EM monotone
