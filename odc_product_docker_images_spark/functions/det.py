@@ -69,7 +69,11 @@ def exact_double(dec_col: Column, nd: int = 6) -> Column:
     route the cast through the exact integer ``value·10^nd`` as BIGINT.
     int64→double is round-to-nearest-even in both the JVM and C++, and the
     final ``/ 10^nd`` is one IEEE division both sides — bit-identical.
-    Deterministic for |value| < 1e17 (decimal(24,6) / int64 headroom).
+    Domain at nd=6: |value| < 2⁶³/10⁶ ≈ 9.2e12 (the int64 hop holds
+    value·10^nd; exceeding it is a HARD CAST_OVERFLOW under ANSI, not a
+    silent wrap — ``ml_gmm_em_loop``'s exp clamp exists for exactly
+    this).  An earlier revision claimed 1e17 here; that figure was the
+    decimal(24,6) bound alone and overstated the hop's headroom.
     """
     s6 = F.round(dec_col, nd)
     big = (s6.cast("decimal(24,6)") * F.lit(10**nd).cast("decimal(8,0)")).cast("long")
