@@ -470,3 +470,90 @@ def test_gmm_em_loop_matches_numpy_and_improves(spark):
         assert abs(got["var"] - exp_[2]) < 1e-1  # var ~1e3 scale
     assert abs(got1["weight"] + got2["weight"] - 1.0) < 1e-9
     assert all(b >= a - 1e-6 for a, b in zip(lls, lls[1:]))  # EM monotone
+
+
+def _degen_dir(tmp_path_factory=None):
+    """Pathological 1-2-row fixture (single user/day, constant values,
+    one embedding) — the degenerate-grain sweep's input.  Built once
+    under .tmp; every oracled key must run without raising on it (the
+    agg_cohort_decay_fit / agg_gamma_mom / sim_ann_ivf failure class)."""
+    import os
+    import shutil
+
+    import duckdb
+
+    src = "/root/testdata/sf0.001"
+    d = "/root/repo/.tmp/degen_sweep"
+    if os.path.exists(os.path.join(d, "embeddings.parquet")):
+        return d
+    os.makedirs(d, exist_ok=True)
+    con = duckdb.connect()
+    specs = {
+        t: f"SELECT * FROM read_parquet('{src}/{t}.parquet') LIMIT 1"
+        for t in [
+            "region", "nation", "customer", "supplier", "part",
+            "orders", "lineitem", "documents", "embeddings",
+        ]
+    }
+    specs["events"] = (
+        "SELECT event_id, TIMESTAMP '2024-01-01 12:00:00' AS ts,"
+        " 1::BIGINT AS user_id, 'view' AS event_type, 5.0 AS value, props"
+        f" FROM read_parquet('{src}/events.parquet') LIMIT 2"
+    )
+    for t, q in specs.items():
+        con.execute(f"COPY ({q}) TO '{d}/{t}.parquet' (FORMAT PARQUET)")
+    return d
+
+
+def test_ann_keys_survive_one_vector_corpus(spark):
+    """A 1-vector corpus has NO pairs: the IVF path must emit the empty
+    set instead of hard-erroring in the KMeans fit (k > points), and the
+    recall gate must report n_true=0 with vacuously-true floors."""
+    from odc_product_docker_images_spark.textvec.similarity import sim_ann_recall
+    from odc_product_docker_images_spark.textvec.similarity_ivf import sim_ann_ivf
+
+    d = _degen_dir()
+    assert sim_ann_ivf(spark, d).count() == 0
+    rows = {r["method"]: r for r in sim_ann_recall(spark, d).collect()}
+    assert rows["ivf"]["n_true"] == 0 and rows["ivf"]["floor_met"]
+    assert rows["lsh"]["floor_met"]
+
+
+def test_degenerate_guard_class_keys(spark):
+    """The keys that have historically thrown on degenerate grains
+    (ANSI DIVIDE_BY_ZERO, decimal-hop overflow) must all run on the
+    pathological fixture — single user/day, zero purchases, constant
+    values, one embedding."""
+    from odc_product_docker_images_spark import registry
+
+    d = _degen_dir()
+    qs = registry.all_queries()
+    for k in [
+        "agg_gamma_mom",
+        "agg_cohort_decay_fit",
+        "ml_gmm_em_loop",
+        "agg_overdispersion",
+        "window_rolling_slope",
+        "agg_ttest_welch",
+        "forecast_holt",
+        "agg_retention_cohort",
+    ]:
+        qs[k].fn(spark, d).count()  # must not raise
+
+
+def test_dround_int64_hop_domain():
+    """Pin the decimal round path's true domain at nd=6: exact through
+    ~9.19e12, hard CAST_OVERFLOW past 2^63/10^6 — the boundary the GMM
+    exp clamp exists for (and that the old 1e17 docstring overstated)."""
+    import pytest
+
+    from odc_product_docker_images_spark.functions.det import dround
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = SparkSession.getActiveSession()
+    df = spark.range(1)
+    ok = df.select(dround(F.lit(9.1e12)).alias("v")).collect()[0]["v"]
+    assert ok == 9.1e12
+    with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
+        df.select(dround(F.lit(9.3e12)).alias("v")).collect()
