@@ -334,3 +334,97 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pairs_block, schema="vec_a long, vec_b long, cos double")
         .select("vec_a", "vec_b", F.round("cos", 6).alias("cosine"))
     )
+
+
+_MH_RECALL_FLOOR = 90  # percent, at the exact-Jaccard >= 0.7 band
+
+
+@register(
+    "dedup_minhash_recall",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+        ), sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
+                       i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shs
+            FROM toks WHERE LEN(t) >= 3
+        ), ex AS (
+            SELECT doc_id, UNNEST(shs) AS sh FROM sh
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS n FROM ex GROUP BY doc_id
+        ), inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+            FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), t AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM inter
+            JOIN sz sa ON sa.doc_id = doc_a
+            JOIN sz sb ON sb.doc_id = doc_b
+            WHERE i / (sa.n + sb.n - i) >= CAST(0.7 AS DOUBLE)
+        )
+        SELECT 'minhash_lsh' AS method, t.n_true AS n_true,
+               CAST({_MH_RECALL_FLOOR} AS BIGINT) AS floor_pct,
+               TRUE AS floor_met
+        FROM t
+    """,
+)
+def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 quality gate: the ``sim_ann_recall`` pattern applied to the
+    dedup tier — exact 3-gram-Jaccard ≥ 0.7 near-dup pair count
+    (SQL-verified) plus a boolean asserting the banded MinHash LSH
+    recovers ≥ {_MH_RECALL_FLOOR}% of them.  The oracle pins
+    ``floor_met`` TRUE, so a banding regression (fewer tables, broken
+    signature hash, s-curve drift) flips the driver hash row — MinHash
+    was previously ⊘ rows-only and a recall regression was invisible.
+
+    At the 16×4 banding (threshold (1/B)^(1/R) = 0.5), a j = 0.7 pair
+    misses all 16 bands with probability (1−0.7⁴)¹⁶ ≈ 1.2% — pytest
+    pins FULL recall on the fixtures; the {_MH_RECALL_FLOOR}% floor
+    leaves margin for the s-curve's tail at other grains.  The truth
+    threshold compares the RAW integer-ratio jaccard on both engines
+    (bit-identical IEEE on exact counts — never the rounded column).
+    Scale: the truth pair join is the dedup_ngram_jaccard shape
+    (shingle equi-join, no n²); hits are one pair-key semi-join; the
+    1-row count broadcasts."""
+    dc = load(spark, sf_dir, "documents")
+    ex = (
+        dc.repartition(32)
+        .select("doc_id", F.explode(_shingles()).alias("sh"))
+        .repartition(32, "sh")
+    )
+    sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+    truth = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= F.lit(0.7))
+        .select("doc_a", "doc_b")
+        .persist()  # two consumers: the count and the hit semi-join
+    )
+    n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
+        F.count(F.lit(1)).cast("long").alias("hits")
+    )
+    return n_true.crossJoin(F.broadcast(hits)).select(
+        F.lit("minhash_lsh").alias("method"),
+        F.col("n_true"),
+        F.lit(_MH_RECALL_FLOOR).cast("long").alias("floor_pct"),
+        (F.col("hits") * 100 >= F.lit(_MH_RECALL_FLOOR) * F.col("n_true")).alias(
+            "floor_met"
+        ),
+    )

@@ -2756,3 +2756,13 @@ def test_gmm_loop_shape(spark):
     assert "InMemoryTableScan" in plan  # 1-row param state persisted
     assert C.scan_count(df) <= 3  # one corpus pass per EM round
     C.assert_no_python_row_path(df)
+
+
+def test_minhash_recall_gate_shape(spark):
+    from odc_product_docker_images_spark.textvec.dedup import dedup_minhash_recall
+
+    df = dedup_minhash_recall(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted truth, two consumers
+    C.assert_no_python_row_path(df)

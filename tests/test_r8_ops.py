@@ -557,3 +557,26 @@ def test_dround_int64_hop_domain():
     assert ok == 9.1e12
     with pytest.raises(Exception, match="CAST_OVERFLOW|overflow"):
         df.select(dround(F.lit(9.3e12)).alias("v")).collect()
+
+
+def test_minhash_recall_gate_matches_recomputed(spark):
+    """The gate's boolean must equal a recomputed recall-vs-floor check
+    over the exact j >= 0.7 truth, and the fixture recall must clear
+    its floor."""
+    from odc_product_docker_images_spark.textvec.dedup import (
+        dedup_minhash,
+        dedup_minhash_recall,
+        dedup_ngram_jaccard,
+    )
+
+    row = dedup_minhash_recall(spark, SF).collect()[0]
+    exact = dedup_ngram_jaccard(spark, SF).toPandas()
+    truth = {(r.doc_a, r.doc_b) for r in exact.itertuples() if r.jaccard >= 0.7}
+    got = {
+        (r.doc_a, r.doc_b) for r in dedup_minhash(spark, SF).toPandas().itertuples()
+    }
+    assert truth
+    recall = len(truth & got) / len(truth)
+    assert row["n_true"] == len(truth)
+    assert row["floor_met"] == (recall * 100 >= row["floor_pct"])
+    assert row["floor_met"], f"minhash recall {recall:.2f} under floor"
