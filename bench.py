@@ -240,6 +240,7 @@ R8 = [
     "ml_pca_power_loop",
     "ml_platt_scaling_loop",
     "ml_gmm_em_loop",
+    "sketch_error_gates",
     # dedup_minhash_recall is oracled + window-graded but NOT benched: its
     # exact-jaccard truth join inherits dedup_ngram_jaccard's documented
     # hot-shingle pair-count variance (10-19s run to run at sf0.1).

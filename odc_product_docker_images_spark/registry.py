@@ -130,9 +130,9 @@ _MODULES = [
 #
 # Composition (the ROTATION contract — CORRECTNESS_r06/r07 re-confirmed
 # the same 50 keys twice, so r8 swaps every non-flagship slot):
-#   1 flagship + 13 new-r8 keys (new keys ALWAYS enter, per CLAUDE.md)
+#   1 flagship + 14 new-r8 keys (new keys ALWAYS enter, per CLAUDE.md)
 #   + 2 re-grades whose code changed this round
-#   + 34 rotation slots = the OLDEST never-driver-graded full-oracle keys,
+#   + 33 rotation slots = the OLDEST never-driver-graded full-oracle keys,
 #     in R7-defer-list order (the r6c backlog first).
 # When a new r8 key is added, pop the LAST rotation entry back into the
 # R9 DEFER list below.  Derive "never graded" from the CORRECTNESS_r*.json
@@ -145,7 +145,7 @@ GRADING_WINDOW = [
     "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
     "text_lm_trigram", "sim_ivf_pq_funnel", "graph_hits_loop",
     "ml_pca_power_loop", "ml_platt_scaling_loop", "ml_gmm_em_loop",
-    "dedup_minhash_recall",
+    "dedup_minhash_recall", "sketch_error_gates",
     # -- re-grades: code changed r8 (hub cap / divide guards), never
     #    driver-graded before either --
     "join_bipartite_projection", "agg_gamma_mom",
@@ -161,13 +161,14 @@ GRADING_WINDOW = [
     "window_drawdown", "join_scd2_asof", "ml_ridge_closed_form",
     "ml_pca_power_step", "ml_lift_table", "agg_mann_whitney",
     "text_feature_hashing", "geo_dbscan_core", "text_quality_gopher",
-    "join_asof_nearest", "ml_target_encoding", "agg_spc_rules",
+    "join_asof_nearest", "ml_target_encoding",
     # R9 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
-    #   table_wap_publish, agg_fifo_allocation, agg_revenue_bridge,
+    #   agg_spc_rules, table_wap_publish, agg_fifo_allocation,
+    #   agg_revenue_bridge,
     #   agg_skyline_2d, forecast_backtest_metrics, agg_diff_in_diff,
     #   dedup_survivorship, graph_bfs_step, agg_markov_absorption,
-    #   product_phenology (displaced by the 10 late-r8 keys),
+    #   product_phenology (displaced by the 11 late-r8 keys),
     #   agg_logrank_test (last r6c key),
     #   then r6d: agg_ks_test, agg_anova_oneway, agg_acf,
     #     agg_circular_mean, ml_roc_curve, ml_auc_exact,

@@ -103,3 +103,105 @@ def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("token", (F.col("est") - F.col("dec")).alias("est_count"))
         .where(F.col("est_count") > 0)
     )
+
+
+_HLL_REL_ERR_PCT = 5  # HLL gate: every group within 5% of exact (rsd=0.02)
+
+
+@register(
+    "sketch_error_gates",
+    oracle=f"""
+        WITH tok AS (
+            SELECT UNNEST(STRING_SPLIT(text, ' ')) AS token FROM documents
+        ), nn AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        ), tc AS (
+            SELECT token, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY token
+        ), hh AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+            FROM tc CROSS JOIN nn WHERE c * {K + 1} > n
+        ), hl AS (
+            SELECT CAST(SUM(ex) AS BIGINT) AS n_true FROM (
+                SELECT COUNT(DISTINCT l_partkey) AS ex
+                FROM lineitem GROUP BY l_returnflag
+            )
+        )
+        SELECT 'hll_distinct' AS method, n_true, TRUE AS gate_met FROM hl
+        UNION ALL
+        SELECT 'misra_gries' AS method, n_true, TRUE AS gate_met FROM hh
+    """,
+)
+def sketch_error_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 sketch-quality gate — the ``sim_ann_recall`` pattern applied to
+    the two ⊘rows-only sketches, so a sketch regression flips a driver
+    hash row instead of staying invisible:
+
+    - ``misra_gries``: n_true = exact count of TRUE heavy hitters
+      (tokens with count·(K+1) > n, the integer form of count > n/(K+1))
+      — SQL-verified; gate_met asserts the summary's three guarantees
+      against the exact counts: every true heavy hitter present (no
+      false negatives), every estimate ≤ truth, every underestimate
+      ≤ n/(K+1).
+    - ``hll_distinct``: n_true = Σ exact per-group distinct parts —
+      SQL-verified; gate_met asserts every group's
+      ``approx_count_distinct(rsd=0.02)`` lands within
+      {_HLL_REL_ERR_PCT}% of exact.
+
+    The oracle pins both booleans TRUE.  The gate key computes the exact
+    sides the sketches exist to avoid — that is its job as the auditor;
+    at 100 TB it runs on a sampled slice while the sketches run on the
+    corpus."""
+    dc = load(spark, sf_dir, "documents")
+    tok = dc.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    tc = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("c")).persist()
+    nn = tc.agg(F.sum("c").cast("long").alias("n"))
+    truth = (
+        tc.crossJoin(F.broadcast(nn))
+        .where(F.col("c") * (K + 1) > F.col("n"))
+        .select("token")
+    )
+    n_true_hh = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
+    mg = text_heavy_hitters(spark, sf_dir).persist()
+    misses = truth.join(mg, "token", "left_anti").agg(
+        (F.count(F.lit(1)) == 0).alias("no_fn")
+    )
+    checks = (
+        mg.join(tc, "token")
+        .crossJoin(F.broadcast(nn))
+        .agg(
+            (F.max(F.col("est_count") - F.col("c")) <= 0).alias("under_only"),
+            (
+                F.max((F.col("c") - F.col("est_count")) * (K + 1) - F.col("n")) <= 0
+            ).alias("err_bounded"),
+        )
+    )
+    hh_row = (
+        n_true_hh.crossJoin(F.broadcast(misses))
+        .crossJoin(F.broadcast(checks))
+        .select(
+            F.lit("misra_gries").alias("method"),
+            "n_true",
+            (F.col("no_fn") & F.col("under_only") & F.col("err_bounded")).alias(
+                "gate_met"
+            ),
+        )
+    )
+    lf = load(spark, sf_dir, "lineitem")
+    grp = lf.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("ex"),
+        F.approx_count_distinct("l_partkey", 0.02).cast("long").alias("ap"),
+    )
+    hll_row = grp.agg(
+        F.sum("ex").cast("long").alias("n_true"),
+        (
+            F.sum(
+                F.when(
+                    F.abs(F.col("ap") - F.col("ex")) * 100
+                    > F.lit(_HLL_REL_ERR_PCT) * F.col("ex"),
+                    1,
+                ).otherwise(0)
+            )
+            == 0
+        ).alias("gate_met"),
+    ).select(F.lit("hll_distinct").alias("method"), "n_true", "gate_met")
+    return hll_row.unionByName(hh_row)

@@ -87,7 +87,7 @@ def test_grading_window_holds_showcase_surface():
         "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
         "text_lm_trigram", "sim_ivf_pq_funnel", "graph_hits_loop",
         "ml_pca_power_loop", "ml_platt_scaling_loop", "ml_gmm_em_loop",
-        "dedup_minhash_recall",
+        "dedup_minhash_recall", "sketch_error_gates",
         # re-grades: code changed r8
         "join_bipartite_projection", "agg_gamma_mom",
         # rotation: oldest never-driver-graded full-oracle keys
@@ -103,7 +103,7 @@ def test_grading_window_holds_showcase_surface():
         "join_scd2_asof", "ml_ridge_closed_form", "ml_pca_power_step",
         "ml_lift_table", "agg_mann_whitney", "text_feature_hashing",
         "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest",
-        "ml_target_encoding", "agg_spc_rules",
+        "ml_target_encoding",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r8 pin violated: {missing_literal}"

@@ -2766,3 +2766,15 @@ def test_minhash_recall_gate_shape(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted truth, two consumers
     C.assert_no_python_row_path(df)
+
+
+def test_sketch_gates_shape(spark):
+    from odc_product_docker_images_spark.textvec.heavyhitters import (
+        sketch_error_gates,
+    )
+
+    df = sketch_error_gates(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan  # persisted exact-count/summary tables
+    C.assert_no_python_row_path(df)

@@ -580,3 +580,37 @@ def test_minhash_recall_gate_matches_recomputed(spark):
     assert row["n_true"] == len(truth)
     assert row["floor_met"] == (recall * 100 >= row["floor_pct"])
     assert row["floor_met"], f"minhash recall {recall:.2f} under floor"
+
+
+def test_sketch_gates_match_recomputed_properties(spark):
+    """Both gate booleans must equal independently recomputed property
+    checks over exact python counts."""
+    from collections import Counter
+
+    from odc_product_docker_images_spark.textvec.heavyhitters import (
+        K,
+        sketch_error_gates,
+        text_heavy_hitters,
+    )
+
+    rows = {r["method"]: r for r in sketch_error_gates(spark, SF).collect()}
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["text"]).to_pandas()
+    counts = Counter()
+    for t in docs["text"]:
+        counts.update(t.split(" "))
+    n = sum(counts.values())
+    true_hh = {t for t, c in counts.items() if c * (K + 1) > n}
+    mg = {r["token"]: r["est_count"] for r in text_heavy_hitters(spark, SF).collect()}
+    no_fn = true_hh <= set(mg)
+    under = all(est <= counts[t] for t, est in mg.items())
+    err = all((counts[t] - est) * (K + 1) <= n for t, est in mg.items())
+    r = rows["misra_gries"]
+    assert r["n_true"] == len(true_hh)
+    assert r["gate_met"] == (no_fn and under and err)
+    assert r["gate_met"]
+    li = pq.read_table(
+        f"{SF}/lineitem.parquet", columns=["l_returnflag", "l_partkey"]
+    ).to_pandas()
+    ex = li.groupby("l_returnflag")["l_partkey"].nunique()
+    assert rows["hll_distinct"]["n_true"] == int(ex.sum())
+    assert rows["hll_distinct"]["gate_met"]
