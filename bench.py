@@ -246,6 +246,12 @@ R8 = [
     # hot-shingle pair-count variance (10-19s run to run at sf0.1).
 ]
 
+# Round-9 additions (all enter the r9 grading window): the loop tier's
+# traversal corner.
+R9 = [
+    "graph_bfs_loop",
+]
+
 R5 = [
     "sink_geotiff_roundtrip",
     "proj_crs_curvilinear",
@@ -328,6 +334,7 @@ def main() -> None:
         "r6d": _time_keys(spark, qs, sf_dir, "r6d", R6D, 2),
         "r7": _time_keys(spark, qs, sf_dir, "r7", R7, 2),
         "r8": _time_keys(spark, qs, sf_dir, "r8", R8, 2),
+        "r9": _time_keys(spark, qs, sf_dir, "r9", R9, 2),
     }
 
     # Full per-key detail goes to a FILE (BENCH_r06 lesson: the one-line

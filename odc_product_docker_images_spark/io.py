@@ -31,6 +31,39 @@ from . import schemas
 _NANOS_TS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def fixture_tag(sf_dir: str, table: str = "lineitem") -> str:
+    """Cache tag for write-once ``.tmp`` artifacts derived from a fixture
+    table: sanitized ``sf_dir`` + a fingerprint of the table's parquet
+    bytes (total size + newest mtime).  A tag keyed on ``sf_dir`` alone
+    silently serves STALE derived artifacts after the fixture is
+    regenerated in place — with five graded graph keys reading one edge
+    artifact, that's five wrong-answer rows from one refresh.  Folding
+    the fingerprint in makes regeneration invalidate the cache (the old
+    directory is simply never matched again; ``.tmp`` is scratch)."""
+    import hashlib
+    import os
+    import re
+
+    base = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    size = 0
+    mtime = 0
+    try:
+        if os.path.isdir(path):
+            for root, _dirs, files in os.walk(path):
+                for fn in files:
+                    st = os.stat(os.path.join(root, fn))
+                    size += st.st_size
+                    mtime = max(mtime, st.st_mtime_ns)
+        else:
+            st = os.stat(path)
+            size, mtime = st.st_size, st.st_mtime_ns
+    except OSError:
+        pass  # missing fixture: tag degrades to sf_dir-only, load() will fail loudly anyway
+    fp = hashlib.md5(f"{size}:{mtime}".encode()).hexdigest()[:10]
+    return f"{base}_{fp}"
+
+
 def load(spark: SparkSession, sf_dir: str, table: str, validate: bool = False) -> DataFrame:
     """Scan one fixture table. Declared-schema validation optional (cheap,
     footer-only) per the fixed-schema policy (schemas.py)."""

@@ -13,14 +13,13 @@ otherwise re-run the distinct per consumer.
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
-from ..io import load
+from ..io import fixture_tag, load
 from ..registry import register
 
 _MIN_SUPPORT = 3  # absolute basket count (63 surviving rules at sf0.01)
@@ -66,7 +65,7 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the basket grid is bounded by basket size × basket count
     and the pair table by the support threshold — the standard Apriori
     scaling argument."""
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    tag = fixture_tag(sf_dir)
     grid_path = Path(__file__).resolve().parents[2] / ".tmp" / f"basket_grid_{tag}"
     if not (grid_path / "_SUCCESS").exists():
         lf = load(spark, sf_dir, "lineitem")

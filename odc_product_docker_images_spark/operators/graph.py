@@ -9,7 +9,6 @@ PageRank power-iteration step."""
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,7 +22,7 @@ from ..functions.det import (
     sql_dround,
     sql_exact_double,
 )
-from ..io import load
+from ..io import fixture_tag, load
 from ..registry import register
 
 _DAMP = 0.85
@@ -38,12 +37,14 @@ def _pagerank_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumer — without this, the executed step plan re-read lineitem NINE
     times (measured).  A real deployment keeps the edge table as a
     bucketed/sorted artifact; here a scratch parquet under .tmp/ is the
-    same move at fixture scale.  DETERMINISTIC path keyed on sf_dir +
+    same move at fixture scale.  DETERMINISTIC path keyed on sf_dir + a
+    fixture fingerprint (``io.fixture_tag`` — regenerating the fixture in
+    place invalidates the artifact; five graded keys read this table) +
     write-once: a uuid-per-call path re-ran the distinct+write job on
     every invocation (bench, parity, gen_plans) and leaked a directory
     each time (the measure_skew.py build() pattern).  Shared by
     ``graph_pagerank_step`` and ``graph_pagerank_loop``."""
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    tag = fixture_tag(sf_dir)
     edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"pr_edges_{tag}"
     if not (edge_path / "_SUCCESS").exists():
         lf = load(spark, sf_dir, "lineitem")
@@ -263,7 +264,7 @@ def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     its (deg, id)-lesser endpoint.  Shared by the triangle and
     link-prediction keys — the derivation (self-join + two degree joins)
     re-plans per consumer otherwise (first cut: 18 static scans)."""
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    tag = fixture_tag(sf_dir)
     edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"tri_oriented_{tag}"
     if not (edge_path / "_SUCCESS").exists():
         lf = load(spark, sf_dir, "lineitem")
@@ -676,6 +677,92 @@ def graph_bfs_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(d1.select("node", F.lit(1).alias("depth")))
         .unionByName(d2.select("node", F.lit(2).alias("depth")))
     )
+
+
+_BFS_LOOP_DEPTH = 3  # unrolled frontier expansions (fixed K — loop tier)
+
+
+def _bfs_loop_oracle(k: int) -> str:
+    """Chained-CTE oracle for K unrolled BFS frontier expansions — the
+    traversal member of the fixed-K loop tier (``_pagerank_loop_oracle``
+    convention; the visited set grows per step, which a recursive CTE
+    could express, but the chained form keeps the tier's one-CTE-per-
+    iteration shape auditable against the Spark loop)."""
+    parts = [
+        f"""
+        WITH edges AS (
+            SELECT DISTINCT l_suppkey AS src, l_partkey + {_DST_OFF} AS dst
+            FROM lineitem
+        ), und AS (
+            SELECT src, dst FROM edges
+            UNION ALL
+            SELECT dst, src FROM edges
+        ), f0 AS (
+            SELECT DISTINCT src AS node FROM edges
+            WHERE src % {_BFS_SEED_MOD} = 0
+        ), v0 AS (
+            SELECT node, 0 AS depth FROM f0
+        )"""
+    ]
+    for i in range(1, k + 1):
+        parts.append(
+            f""", f{i} AS (
+            SELECT DISTINCT u.dst AS node
+            FROM und u JOIN f{i - 1} ON u.src = f{i - 1}.node
+            WHERE u.dst NOT IN (SELECT node FROM v{i - 1})
+        ), v{i} AS (
+            SELECT node, depth FROM v{i - 1}
+            UNION ALL
+            SELECT node, {i} FROM f{i}
+        )"""
+        )
+    parts.append(f"""
+        SELECT node, depth FROM v{k}""")
+    return "".join(parts)
+
+
+@register("graph_bfs_loop", oracle=_bfs_loop_oracle(_BFS_LOOP_DEPTH))
+def graph_bfs_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X-graph: the FULL BFS traversal loop — K={_BFS_LOOP_DEPTH} frontier
+    expansions of ``graph_bfs_step``'s verified semi/anti-join algebra
+    over the undirected supplier–part graph, unrolled with per-iteration
+    ``persist()`` on the frontier AND the visited ledger (the
+    ``graph_pagerank_loop`` discipline: each iteration's anti-join reads
+    the ledger, so an unpinned chain re-executes O(K²)).  Completes the
+    loop tier's traversal corner (pagerank/kcore/label-prop/hits/kmeans/
+    pca/platt/gmm already loop).
+
+    Spark-first: per depth, one equi-join shuffle (frontier ⋈ und on src)
+    + one distinct + one anti-join against the visited ledger; all exact
+    integer identity, no arithmetic, so the chained-CTE oracle is
+    bit-identical by construction.  At 100 TB each expansion is Pregel's
+    per-superstep cost (|frontier-adjacent edges| shuffled); the visited
+    ledger is node-bounded, and the anti-join stays a shuffle join (a
+    broadcast hint would be wrong — by depth 3 the ledger can approach
+    |V|)."""
+    edges = _pagerank_edges(spark, sf_dir)
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    frontier = (
+        edges.where(F.col("src") % _BFS_SEED_MOD == 0)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .persist()
+    )
+    visited = frontier.select("node", F.lit(0).alias("depth")).persist()
+    for depth in range(1, _BFS_LOOP_DEPTH + 1):
+        frontier = (
+            und.join(frontier, und["src"] == frontier["node"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .persist()
+        )
+        visited = visited.unionByName(
+            frontier.select("node", F.lit(depth).alias("depth"))
+        ).persist()
+    return visited
 
 
 @register(

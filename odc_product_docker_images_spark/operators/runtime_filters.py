@@ -22,14 +22,13 @@ the mechanism is visible and testable:
 
 from __future__ import annotations
 
-import re
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.det import dsum_fast, sql_dsum
-from ..io import load
+from ..io import fixture_tag, load
 from ..registry import register
 
 # Bloom geometry: 1024 words x 64 bits = 65_536 bits, k=2 hash probes.
@@ -147,7 +146,7 @@ def join_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the dim is a literal encoding ``era='modern' ⇔ year ∈
     {1999,2000,2001}``, so the SQL twin is the direct year predicate.
     """
-    tag = re.sub(r"\W+", "_", sf_dir.strip("/"))
+    tag = fixture_tag(sf_dir)
     part_path = Path(__file__).resolve().parents[2] / ".tmp" / f"dpp_lineitem_{tag}"
     if not (part_path / "_SUCCESS").exists():
         li = load(spark, sf_dir, "lineitem")

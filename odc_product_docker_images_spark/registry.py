@@ -124,77 +124,75 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.nb",
 ]
 
-# Round-8 grading window: the driver grades ~the first 50 keys in
+# Round-9 grading window: the driver grades ~the first 50 keys in
 # ``queries()`` dict order.  ``all_queries()`` yields these keys first (in
 # this order), then every other registered key in registration order.
 #
-# Composition (the ROTATION contract — CORRECTNESS_r06/r07 re-confirmed
-# the same 50 keys twice, so r8 swaps every non-flagship slot):
-#   1 flagship + 14 new-r8 keys (new keys ALWAYS enter, per CLAUDE.md)
-#   + 2 re-grades whose code changed this round
-#   + 33 rotation slots = the OLDEST never-driver-graded full-oracle keys,
-#     in R7-defer-list order (the r6c backlog first).
-# When a new r8 key is added, pop the LAST rotation entry back into the
-# R9 DEFER list below.  Derive "never graded" from the CORRECTNESS_r*.json
-# files, never from memory (r5 produced no artifacts at all).
+# Composition (the ROTATION contract — rotate EVERY non-flagship slot each
+# round; forgetting to rotate burns the whole grading budget on
+# re-confirms, which r6/r7 proved):
+#   1 flagship
+#   + new r9 keys (new keys ALWAYS enter, per CLAUDE.md)
+#   + re-grades whose code/oracle changed this round (listed in
+#     WINDOW_REGRADES so the stale-window guard can exempt them)
+#   + the 6 rows-only keys that have NEVER been windowed (first driver
+#     rows-check; verdict r8 "What's missing" #2)
+#   + rotation slots = the OLDEST never-driver-graded full-oracle keys,
+#     in R9-defer order.
+# Derive "never graded" from the CORRECTNESS_r*.json files, never from
+# memory (r5 produced no artifacts at all).
+#
+# WINDOW_ROUND: the round this window was composed FOR.  The stale-window
+# guard (tests/test_driver_contract.py) only treats keys graded in rounds
+# STRICTLY BEFORE this as "already graded" — the r8 guard globbed every
+# CORRECTNESS_r*.json including the round's own deposit, so it turned red
+# the moment the driver graded (VERDICT r8 "What's wrong" #1).
+WINDOW_ROUND = 9
+# Keys intentionally re-windowed although they carry a prior driver row —
+# their code AND oracle changed this round (sampled-slice audit tier).
+WINDOW_REGRADES = {"sim_ann_recall", "dedup_minhash_recall"}
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- new r8 keys --
-    "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
-    "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
-    "text_lm_trigram", "sim_ivf_pq_funnel", "graph_hits_loop",
-    "ml_pca_power_loop", "ml_platt_scaling_loop", "ml_gmm_em_loop",
-    "dedup_minhash_recall", "sketch_error_gates",
-    # -- re-grades: code changed r8 (hub cap / divide guards), never
-    #    driver-graded before either --
-    "join_bipartite_projection", "agg_gamma_mom",
-    # -- rotation: oldest never-driver-graded full-oracle keys --
-    "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
-    "dedup_url_canonical", "window_rolling_median", "agg_cohort_ltv",
-    "text_token_entropy", "agg_cuped", "sim_hybrid_rrf",
-    "forecast_holt_winters", "agg_bootstrap_ci", "agg_sessionize",
-    "graph_modularity", "multimodal_tar_index",
-    "multimodal_safetensors_roundtrip", "text_keyphrase_rake",
-    "join_haversine_radius", "forecast_kalman_1d", "table_delete_vectors",
-    "window_theil_sen", "agg_hhi_concentration", "ml_gmm_em_step",
-    "window_drawdown", "join_scd2_asof", "ml_ridge_closed_form",
-    "ml_pca_power_step", "ml_lift_table", "agg_mann_whitney",
-    "text_feature_hashing", "geo_dbscan_core", "text_quality_gopher",
-    "join_asof_nearest", "ml_target_encoding",
-    # R9 DEFER LIST — never driver-graded oracled keys still waiting
+    # -- new r9 keys --
+    "graph_bfs_loop",
+    # -- re-grades: sampled-slice audit changed code + oracle (r9 task 2) --
+    "sim_ann_recall", "dedup_minhash_recall",
+    # -- first-ever driver rows-check for the 6 never-windowed rows-only
+    #    keys (registry residents since r4b-r6d with zero driver contact) --
+    "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
+    "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
+    # -- rotation: the 40 oldest never-driver-graded full-oracle keys --
+    "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
+    "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
+    "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
+    "agg_markov_absorption", "product_phenology", "agg_logrank_test",
+    "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean",
+    "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
+    "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
+    "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step",
+    "text_readability", "geo_idw_interpolate", "agg_ljung_box",
+    "raster_flow_direction", "raster_hillshade", "table_bloom_skipping",
+    "graph_label_prop_step", "agg_spatial_moran", "text_collocations_pmi",
+    "agg_abc_classification", "agg_bitmap_distinct", "agg_stl_lite",
+    "window_rolling_corr", "agg_hurst_rs", "sim_matryoshka_prefix",
+    # R10 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
-    #   agg_spc_rules, table_wap_publish, agg_fifo_allocation,
-    #   agg_revenue_bridge,
-    #   agg_skyline_2d, forecast_backtest_metrics, agg_diff_in_diff,
-    #   dedup_survivorship, graph_bfs_step, agg_markov_absorption,
-    #   product_phenology (displaced by the 11 late-r8 keys),
-    #   agg_logrank_test (last r6c key),
-    #   then r6d: agg_ks_test, agg_anova_oneway, agg_acf,
-    #     agg_circular_mean, ml_roc_curve, ml_auc_exact,
-    #     ml_calibration_bins, ml_confusion_metrics, raster_slope_aspect,
-    #     agg_medoid_composite, agg_winsorized_mean, sample_bottomk_hash,
-    #     graph_hits_step, text_readability, geo_idw_interpolate,
-    #     agg_ljung_box, raster_flow_direction, raster_hillshade,
-    #     table_bloom_skipping, graph_label_prop_step, agg_spatial_moran,
-    #     text_collocations_pmi, agg_abc_classification,
-    #     agg_bitmap_distinct, agg_stl_lite, window_rolling_corr,
-    #     agg_hurst_rs, sim_matryoshka_prefix, ml_naive_bayes,
-    #     profile_parquet_footers, forecast_croston, agg_price_index,
-    #     agg_ks_by_group_fdr, agg_cmh_test, table_content_checksum,
-    #     agg_kruskal_wallis, agg_spearman_corr, ml_decision_stump,
-    #     agg_cohens_kappa, agg_lorenz_points, agg_wilcoxon_signed_rank,
-    #     agg_cronbach_alpha, ml_platt_scaling_step, graph_kcore_step,
-    #     agg_tost_equivalence, agg_breusch_pagan, agg_runs_test,
-    #     agg_theil_index, agg_hill_tail, text_js_divergence,
-    #     text_burstiness, agg_overdispersion, agg_iptw_ate,
-    #     ml_auc_delong_se, text_mattr, agg_sprt_decision, agg_adf_test,
-    #     graph_assortativity, agg_new_vs_returning, composite_q10_shape,
-    #     agg_entropy_by_group, agg_capture_recapture, ml_ndcg_at_k,
-    #     agg_odds_ratio_mh, agg_cohort_decay_fit, ml_recall_at_k,
-    #     text_winnowing, agg_interevent_burstiness, agg_apdex_daily,
-    #     agg_gumbel_fit, window_record_highs, agg_srm_check,
-    #     window_mix_drift,
+    #   r6d tail: ml_naive_bayes, profile_parquet_footers,
+    #     forecast_croston, agg_price_index, agg_ks_by_group_fdr,
+    #     agg_cmh_test, table_content_checksum, agg_kruskal_wallis,
+    #     agg_spearman_corr, ml_decision_stump, agg_cohens_kappa,
+    #     agg_lorenz_points, agg_wilcoxon_signed_rank, agg_cronbach_alpha,
+    #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
+    #     agg_breusch_pagan, agg_runs_test, agg_theil_index, agg_hill_tail,
+    #     text_js_divergence, text_burstiness, agg_overdispersion,
+    #     agg_iptw_ate, ml_auc_delong_se, text_mattr, agg_sprt_decision,
+    #     agg_adf_test, graph_assortativity, agg_new_vs_returning,
+    #     composite_q10_shape, agg_entropy_by_group, agg_capture_recapture,
+    #     ml_ndcg_at_k, agg_odds_ratio_mh, agg_cohort_decay_fit,
+    #     ml_recall_at_k, text_winnowing, agg_interevent_burstiness,
+    #     agg_apdex_daily, agg_gumbel_fit, window_record_highs,
+    #     agg_srm_check, window_mix_drift,
     #   then the pre-r6c stragglers: sql_frontend, table_clone_shallow,
     #     multimodal_image_resize, join_interval_overlap,
     #     udtf_dynamic_schema, graph_pagerank_step, table_restore,
@@ -208,9 +206,6 @@ GRADING_WINDOW = [
     #     sim_quantize_pq, source_csv_roundtrip,
     #     source_fixed_width_roundtrip, table_schema_evolution,
     #     table_vacuum, udf_arrow_map, window_despike
-    #   rows-only (weaker driver check; pytest oracles cover them):
-    #     agg_geomedian_mads, multimodal_jpeg_decode, text_bpe_tokens,
-    #     text_heavy_hitters, ml_isotonic_pava, text_compression_ratio
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
     #   (+ any keys added after this comment — check COVERAGE.md vs

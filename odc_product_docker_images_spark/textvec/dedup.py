@@ -117,12 +117,23 @@ _MH_B, _MH_R = 16, 4  # bands × rows: s-curve threshold (1/B)^(1/R) = 0.5
 
 
 @register("dedup_minhash")  # ⊘oracle: banded LSH is approximate by construction
-def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_minhash(
+    spark: SparkSession, sf_dir: str, audit_pct: int | None = None
+) -> DataFrame:
     """X2: MinHash+LSH near-dup pairs, the scale-ready banded design:
     explode shingles → K=64 seeded xxhash64 per shingle ROW → minhash =
     64 MIN aggregates per doc (one hash-agg) → 16 band signatures of 4
     rows → explode bands → bucket equi-join for candidates → verify with
     EXACT set Jaccard (array_intersect) → filter.
+
+    ``audit_pct`` (gate-only knob, not part of the registered key):
+    restrict the corpus to the deterministic Knuth-hash doc slice before
+    shingling.  Candidacy is PAIR-LOCAL — (a, b) collide iff they share
+    a band signature, and signatures depend only on each doc's own
+    shingles — so the slice run produces EXACTLY the production
+    candidate set restricted to slice×slice pairs: the recall gate's
+    semi-join against slice truth returns identical hits at a fraction
+    of the cost (``dedup_minhash_recall``).
 
     Two deliberate shapes:
     - Row-wise hashing then MIN-aggregate, NOT array_min over 64 nested
@@ -135,6 +146,10 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       high-base-similarity corpus (dedup_minhash_ml, kept for contrast).
     At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
     dc = load(spark, sf_dir, "documents")
+    if audit_pct is not None:
+        from .pipeline import _bucket
+
+        dc = dc.where(_bucket("doc_id") < audit_pct)
     # Two deliberate repartitions around the shingle builder:
     # - BEFORE: the fixture is one parquet file = one partition, and the
     #   builder (concat_ws × positions + array_distinct + explode) is the
@@ -149,6 +164,15 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(_shingles()).alias("sh"))
         .repartition(32, "doc_id")
     )
+    return _minhash_pairs_from_ex(ex)
+
+
+def _minhash_pairs_from_ex(ex: DataFrame) -> DataFrame:
+    """Banded-MinHash candidate generation + exact-Jaccard verify over a
+    prebuilt exploded ``(doc_id, sh)`` table (hash(doc_id)-partitioned or
+    cached).  Split out so ``dedup_minhash_recall`` can feed ONE shared
+    sliced shingle build to both its truth kernel and this candidate
+    path instead of scanning + shingling the corpus twice."""
     # hash the shingle STRING once; the K hash functions are int mixes of
     # that base hash — ~64x less string hashing for identical LSH quality.
     # ROW form (explode the K mixes, ONE narrow min-agg) rather than K
@@ -280,7 +304,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) >= 0.4
     """,
 )
-def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding(
+    spark: SparkSession, sf_dir: str, audit_pct: int | None = None
+) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos >= 0.4), exact, as a
     block-partitioned matrix product (the ``sim_topk_cosine`` cogroup
     shape with a threshold filter instead of top-k): index split into B
@@ -288,6 +314,14 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     BLAS matmul on executors.  The ``a.vec_id < b.vec_id`` filter runs
     inside the cell, and each unordered pair lands in exactly one cell —
     no distinct needed.
+
+    ``audit_pct`` (gate-only knob, not part of the registered key):
+    restrict BOTH sides to the deterministic Knuth-hash slice
+    ``(vec_id * K) % 100 < audit_pct`` before the cogroup — the
+    ``sim_ann_recall`` sampled-slice audit.  The kernel is all-pairs
+    BLAS (O(n²·d) FLOPs regardless of output), so a p% slice cuts the
+    audit's dominant stage to p²/10⁴ while recall — a ratio — estimates
+    cleanly on the slice.
 
     The r1 form (broadcast + per-pair ``aggregate`` fold) evaluated the
     64-step lambda once per pair: measured 104 s at 20k vectors vs ~2 s
@@ -299,6 +333,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B, P = 4, 8
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if audit_pct is not None:
+        from .pipeline import _bucket
+
+        em = em.where(_bucket("vec_id") < audit_pct)
     # SEPARATE load for the index side: when both cogroup children share one
     # base plan, DeduplicateRelations re-ids the right side's columns but the
     # cogroup function keeps the left-side exprIds, and the mismatched
@@ -306,6 +344,10 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # its grouping keys (KeyError in the kernel).  A fresh scan gives the
     # right side its own attribute ids.
     em_i = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if audit_pct is not None:
+        from .pipeline import _bucket
+
+        em_i = em_i.where(_bucket("vec_id") < audit_pct)
     q = em.withColumn("qpart", F.pmod("vec_id", F.lit(P)).cast("int")).withColumn(
         "block", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     )
@@ -337,6 +379,15 @@ def dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MH_RECALL_FLOOR = 90  # percent, at the exact-Jaccard >= 0.7 band
+# Sampled-slice audit: the exact-Jaccard truth side runs on the
+# deterministic Knuth-hash doc slice (doc_id * K) % 100 < _AUDIT_PCT, not
+# the full corpus.  Truth is pair-output-bound (measured 2.7x at the 10x
+# replica unsampled), so a p% doc slice cuts the pair join to p²/10⁴
+# while recall — a ratio over truth pairs — estimates cleanly on the
+# slice; the production candidate side stays FULL.  Applied literally
+# identically in the oracle, so n_true pins the slice itself.
+_AUDIT_PCT = 50
+_AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
 
 
 @register(
@@ -344,6 +395,7 @@ _MH_RECALL_FLOOR = 90  # percent, at the exact-Jaccard >= 0.7 band
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
+            WHERE (doc_id * {_AUDIT_KNUTH}) % 100 < {_AUDIT_PCT}
         ), sh AS (
             SELECT doc_id,
                    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
@@ -379,21 +431,40 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature hash, s-curve drift) flips the driver hash row — MinHash
     was previously ⊘ rows-only and a recall regression was invisible.
 
+    SAMPLED-SLICE AUDIT (r9): the truth side runs on the deterministic
+    {_AUDIT_PCT}% Knuth-hash doc slice (``_AUDIT_PCT`` note above) —
+    the r8 gate ran exact truth over the FULL corpus and measured 2.7×
+    at the 10× replica (pair-output-bound, the one superlinear axis in
+    the tree); the slice bounds the audit at any corpus density while
+    the PRODUCTION candidate side stays full.  The oracle applies the
+    identical arithmetic gate, so the slice membership itself is
+    hash-pinned via n_true.  MinHash signatures are deterministic hash
+    functions — slice recall is reproducible run to run, and the floor
+    was re-verified against the sampled truth at both fixture grains.
+
     At the 16×4 banding (threshold (1/B)^(1/R) = 0.5), a j = 0.7 pair
     misses all 16 bands with probability (1−0.7⁴)¹⁶ ≈ 1.2% — pytest
     pins FULL recall on the fixtures; the {_MH_RECALL_FLOOR}% floor
     leaves margin for the s-curve's tail at other grains.  The truth
     threshold compares the RAW integer-ratio jaccard on both engines
     (bit-identical IEEE on exact counts — never the rounded column).
-    Scale: the truth pair join is the dedup_ngram_jaccard shape
-    (shingle equi-join, no n²); hits are one pair-key semi-join; the
-    1-row count broadcasts."""
-    dc = load(spark, sf_dir, "documents")
-    ex = (
+    Scale: ONE sliced shingle build (persisted) feeds both the truth
+    pair join (the dedup_ngram_jaccard shape — shingle equi-join, no
+    n²) and the banded candidate run; hits are one pair-key semi-join;
+    the 1-row count broadcasts."""
+    from .pipeline import _bucket
+
+    dc = load(spark, sf_dir, "documents").where(_bucket("doc_id") < _AUDIT_PCT)
+    # Shared sliced shingle build — the single most expensive projection
+    # in either half; persist it round-robin-partitioned and let each
+    # consumer add its own Exchange (sh for the truth join, doc_id for
+    # the signature aggs) on top of the cache.
+    ex_base = (
         dc.repartition(32)
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .persist()
     )
+    ex = ex_base.repartition(32, "sh")
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -416,7 +487,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # two consumers: the count and the hit semi-join
     )
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
-    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Candidates from the SAME sliced build: banded candidacy is
+    # pair-local (see dedup_minhash's audit_pct note), so this returns
+    # EXACTLY the production candidate set restricted to slice×slice
+    # pairs — the semi-join below can never use an out-of-slice
+    # candidate anyway.
+    cand = _minhash_pairs_from_ex(ex_base.repartition(32, "doc_id")).select(
+        "doc_a", "doc_b"
+    )
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(
         F.count(F.lit(1)).cast("long").alias("hits")
     )

@@ -424,6 +424,15 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ANN_RECALL_FLOORS = {"ivf": 65, "lsh": 85}  # percent, at the cos≈0.4 hard band
+# Sampled-slice audit (the dedup_minhash_recall twin): exact truth runs on
+# the deterministic Knuth-hash vec slice (vec_id * K) % 100 < _AUDIT_PCT.
+# The truth kernel is all-pairs blocked BLAS — O(n²·d) FLOPs regardless of
+# output (measured 2.2x at the 10x replica unsampled) — so a p% slice cuts
+# the audit's dominant stage to p²/10⁴; recall is a ratio and estimates
+# cleanly.  The production ANN candidate sides stay FULL.  Applied
+# literally identically in the oracle, so n_true pins the slice.
+_AUDIT_PCT = 50
+_AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
 
 
 @register(
@@ -435,6 +444,7 @@ _ANN_RECALL_FLOORS = {"ivf": 65, "lsh": 85}  # percent, at the cos≈0.4 hard ba
                    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
             FROM embeddings
+            WHERE (vec_id * {_AUDIT_KNUTH}) % 100 < {_AUDIT_PCT}
         ), t AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_true
             FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -459,18 +469,34 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     red — closing the "⊘ rows-only check cannot catch a recall
     regression" gap for ``sim_ann_lsh``/``sim_ann_ivf``.
 
+    SAMPLED-SLICE AUDIT (r9): truth runs on the deterministic
+    {_AUDIT_PCT}% Knuth-hash vec slice (``_AUDIT_PCT`` note above) —
+    the r8 gate ran the all-pairs BLAS truth over the FULL corpus and
+    measured 2.2× at the 10× replica; the slice bounds the audit at any
+    corpus scale while the production ANN sides stay full.  The oracle
+    applies the identical gate, so the slice membership is hash-pinned
+    via n_true.  Both ANN paths are deterministic (seeded hashes /
+    learned centroids from a fixed init), so slice recall is
+    reproducible; floors re-verified against sampled truth at both
+    fixture grains.
+
     Floors ({_ANN_RECALL_FLOORS!r}) sit under the measured fixture
     recalls at the adversarial cos≈0.4 band (LSH ≈0.9+ with H=14 tables,
     IVF ≈0.82 with symmetric 3-probe; a true near-dup band cos ≥ 0.9
     recalls ≈1 for both).  Both candidate sets are exact-verified, so
     precision is 1 by construction and the intersection is a semi-join
-    on the pair key.  Scale: truth is the blocked BLAS pair kernel, the
-    ANN sides are the production candidates — everything rides the same
-    bounded pair tables; the two 1-row hit counts broadcast."""
+    on the pair key.  Scale: truth is the blocked BLAS pair kernel over
+    the slice, the ANN sides are the production candidates — everything
+    rides the same bounded pair tables; the two 1-row hit counts
+    broadcast."""
     from .dedup import dedup_embedding
     from .similarity_ivf import sim_ann_ivf
 
-    truth = dedup_embedding(spark, sf_dir).select("vec_a", "vec_b").persist()
+    truth = (
+        dedup_embedding(spark, sf_dir, audit_pct=_AUDIT_PCT)
+        .select("vec_a", "vec_b")
+        .persist()
+    )
     n_true = truth.agg(F.count(F.lit(1)).cast("long").alias("n_true"))
 
     def gate(method: str, cand: DataFrame) -> DataFrame:

@@ -64,9 +64,6 @@ def test_grading_window_holds_showcase_surface():
         [sys.executable, "-c", code], capture_output=True, text=True, check=True
     )
     window = json.loads(out.stdout.strip().splitlines()[-1])
-    # Round-8 rotation: CORRECTNESS_r06/r07 graded the same 50 keys twice,
-    # so every non-flagship slot rotated to the never-driver-graded
-    # backlog (oldest first) plus this round's new/changed keys.
     # GRADING_WINDOW in registry.py is the source of truth; this pins that
     # its registered members actually surface in the first 50 of a FRESH
     # process.
@@ -78,44 +75,55 @@ def test_grading_window_holds_showcase_surface():
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
     # LITERAL composition pin (not derived from GRADING_WINDOW, which would
-    # be tautological): the full r8 window, so a registry edit can't
+    # be tautological): the full r9 window, so a registry edit can't
     # silently drop a slot or re-submit an already-graded key.
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # new r8 keys — all of them
-        "graph_pagerank_loop", "sim_ann_recall", "source_tile_scan_tiff",
-        "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop",
-        "text_lm_trigram", "sim_ivf_pq_funnel", "graph_hits_loop",
-        "ml_pca_power_loop", "ml_platt_scaling_loop", "ml_gmm_em_loop",
-        "dedup_minhash_recall", "sketch_error_gates",
-        # re-grades: code changed r8
-        "join_bipartite_projection", "agg_gamma_mom",
-        # rotation: oldest never-driver-graded full-oracle keys
-        "stream_ohlc_bars", "stream_session_timeout", "source_stream_feed",
-        "dedup_url_canonical", "window_rolling_median", "agg_cohort_ltv",
-        "text_token_entropy", "agg_cuped", "sim_hybrid_rrf",
-        "forecast_holt_winters", "agg_bootstrap_ci", "agg_sessionize",
-        "graph_modularity", "multimodal_tar_index",
-        "multimodal_safetensors_roundtrip", "text_keyphrase_rake",
-        "join_haversine_radius", "forecast_kalman_1d",
-        "table_delete_vectors", "window_theil_sen",
-        "agg_hhi_concentration", "ml_gmm_em_step", "window_drawdown",
-        "join_scd2_asof", "ml_ridge_closed_form", "ml_pca_power_step",
-        "ml_lift_table", "agg_mann_whitney", "text_feature_hashing",
-        "geo_dbscan_core", "text_quality_gopher", "join_asof_nearest",
-        "ml_target_encoding",
+        # new r9 keys
+        "graph_bfs_loop",
+        # re-grades: sampled-slice audit changed code + oracle r9
+        "sim_ann_recall", "dedup_minhash_recall",
+        # first driver rows-check for the never-windowed rows-only keys
+        "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
+        "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
+        # rotation: the 40 oldest never-driver-graded full-oracle keys
+        "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
+        "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
+        "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
+        "agg_markov_absorption", "product_phenology", "agg_logrank_test",
+        "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean",
+        "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
+        "ml_confusion_metrics", "raster_slope_aspect",
+        "agg_medoid_composite", "agg_winsorized_mean",
+        "sample_bottomk_hash", "graph_hits_step", "text_readability",
+        "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
+        "raster_hillshade", "table_bloom_skipping",
+        "graph_label_prop_step", "agg_spatial_moran",
+        "text_collocations_pmi", "agg_abc_classification",
+        "agg_bitmap_distinct", "agg_stl_lite", "window_rolling_corr",
+        "agg_hurst_rs", "sim_matryoshka_prefix",
     }
     missing_literal = literal_pin - set(window)
-    assert not missing_literal, f"r8 pin violated: {missing_literal}"
-    # no already-graded key (other than the flagship) occupies a slot —
-    # the r7 failure mode was burning the grading budget on re-confirms
+    assert not missing_literal, f"r9 pin violated: {missing_literal}"
+    # No already-graded key (other than the flagship and this round's
+    # declared re-grades) occupies a slot — the r7 failure mode was
+    # burning the grading budget on re-confirms.  "Already graded" means
+    # graded in a round STRICTLY BEFORE the round this window was composed
+    # for: the r8 version of this guard globbed every CORRECTNESS_r*.json
+    # including the current round's own deposit, so it went red the moment
+    # the driver graded the window it was validating (VERDICT r8 #1).
     import glob
+    import re
 
     graded: set[str] = set()
     root = Path(__file__).resolve().parent.parent
     for f in glob.glob(str(root / "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f)
+        if m and int(m.group(1)) >= reg.WINDOW_ROUND:
+            continue  # the window's own grade (or later) is not "stale"
         graded |= set(json.load(open(f)))
-    stale = (set(window) & graded) - {"agg_multi_stat"}
+    allowed = {"agg_multi_stat"} | set(reg.WINDOW_REGRADES)
+    stale = (set(window) & graded) - allowed
     assert not stale, f"window wastes slots on already-graded keys: {stale}"
 
 

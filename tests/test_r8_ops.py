@@ -96,12 +96,21 @@ def test_ann_recall_gate_matches_recomputed_recall(spark):
     )
     from odc_product_docker_images_spark.textvec.similarity_ivf import sim_ann_ivf
 
+    from odc_product_docker_images_spark.textvec.similarity import (
+        _AUDIT_KNUTH,
+        _AUDIT_PCT,
+    )
+
     rows = {r["method"]: r for r in sim_ann_recall(spark, SF).collect()}
     assert set(rows) == {"lsh", "ivf"}
-    exact = {
+    # r9: truth is the sampled-slice audit — recompute the slice
+    # independently from the FULL exact pair set
+    exact_full = {
         (r.vec_a, r.vec_b) for r in dedup_embedding(spark, SF).toPandas().itertuples()
     }
-    assert exact
+    in_slice = lambda v: (v * _AUDIT_KNUTH) % 100 < _AUDIT_PCT  # noqa: E731
+    exact = {(a, b) for a, b in exact_full if in_slice(a) and in_slice(b)}
+    assert exact and exact < exact_full  # slice is non-trivial both ways
     for method, fn in [("lsh", sim_ann_lsh), ("ivf", sim_ann_ivf)]:
         got = {(r.vec_a, r.vec_b) for r in fn(spark, SF).toPandas().itertuples()}
         recall = len(exact & got) / len(exact)
@@ -569,13 +578,22 @@ def test_minhash_recall_gate_matches_recomputed(spark):
         dedup_ngram_jaccard,
     )
 
+    from odc_product_docker_images_spark.textvec.dedup import (
+        _AUDIT_KNUTH,
+        _AUDIT_PCT,
+    )
+
     row = dedup_minhash_recall(spark, SF).collect()[0]
     exact = dedup_ngram_jaccard(spark, SF).toPandas()
-    truth = {(r.doc_a, r.doc_b) for r in exact.itertuples() if r.jaccard >= 0.7}
+    # r9: truth is the sampled-slice audit — recompute the slice
+    # independently from the FULL exact j >= 0.7 set
+    in_slice = lambda d: (d * _AUDIT_KNUTH) % 100 < _AUDIT_PCT  # noqa: E731
+    truth_full = {(r.doc_a, r.doc_b) for r in exact.itertuples() if r.jaccard >= 0.7}
+    truth = {(a, b) for a, b in truth_full if in_slice(a) and in_slice(b)}
     got = {
         (r.doc_a, r.doc_b) for r in dedup_minhash(spark, SF).toPandas().itertuples()
     }
-    assert truth
+    assert truth and truth < truth_full  # slice is non-trivial both ways
     recall = len(truth & got) / len(truth)
     assert row["n_true"] == len(truth)
     assert row["floor_met"] == (recall * 100 >= row["floor_pct"])
