@@ -919,12 +919,20 @@ def graph_hits_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     authority sum — two linear shuffles per round, norms as 1-row
     broadcast aggregates of node-bounded tables, every float riding the
     decimal-path/6 dp discipline so the chain hashes bit-identically.
-    Per-stage ``persist()`` of the raw-score tables (each feeds its norm
-    AND its normalize — the step's 2^stages re-plan lesson, compounded
-    by unrolling).  The oracle unrolls the same rounds as chained CTEs.
-    On the bipartite graph the fixed point is the principal singular
-    vector pair of the biadjacency matrix; 3 rounds from uniform get
-    visibly past the in-degree first step (pinned in pytest)."""
+    Per-stage pinning of the raw-score tables (each feeds its norm AND
+    its normalize — the step's 2^stages re-plan lesson, compounded by
+    unrolling): ``ar`` persists; the round-final ``hr`` takes a LAZY
+    ``localCheckpoint`` instead, which truncates the lineage once per
+    round — r8's all-persist form nested InMemoryRelations 6 deep and
+    the printed plan inflated to 140k lines / 22k Exchange mentions
+    (unauditable, though the EXECUTED work was fine); the hybrid prints
+    ~400 lines / 34 mentions at identical wall time (A/B'd at sf0.1:
+    4.2 s both).  Values are materialized identically, so the driver
+    hash is unchanged.  The oracle unrolls the same rounds as chained
+    CTEs.  On the bipartite graph the fixed point is the principal
+    singular vector pair of the biadjacency matrix; 3 rounds from
+    uniform get visibly past the in-degree first step (pinned in
+    pytest)."""
     edges = _pagerank_edges(spark, sf_dir)
     hub = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "hub", F.lit(1.0)
@@ -949,7 +957,7 @@ def graph_hits_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(auth, edges.dst == auth.id)
             .groupBy(F.col("src").alias("hid"))
             .agg(exact_double(F.sum(dec_cast("auth"))).alias("hraw"))
-            .persist()
+            .localCheckpoint(eager=False)  # truncate lineage per round
         )
         nh = hr.agg(
             dround(

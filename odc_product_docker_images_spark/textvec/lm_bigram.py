@@ -116,6 +116,12 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PRUNE = 2  # keep a trigram/bigram type only if seen >= _PRUNE times
+# Broadcast the pruned model in the scoring join only while the SOURCE
+# corpus is below this size (the pipeline._EVAL_BROADCAST_MAX_BYTES
+# move: corpus bytes estimate the derived table, no extra job).  The 10x
+# replica (6 MB corpus) holds a 272k-row model — comfortably broadcast;
+# a corpus big enough to blow this gate gets the shuffle join back.
+_LM_BROADCAST_MAX_BYTES = 32 << 20
 _BACKOFF = 0.4  # stupid-backoff discount (Brants et al. 2007 convention)
 _BACKOFF2 = _BACKOFF * _BACKOFF  # exact double product, repr'd into BOTH sides
 
@@ -199,7 +205,18 @@ def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself driver-verified), and the mean lnp (6 dp round per TYPE, then
     the exact decimal mean, the text_lm_bigram policy).  The
     {_BACKOFF}² factor is computed once in Python and repr'd into both
-    engines (0.4·0.4 ≠ 0.16 in IEEE — a literal 0.16 would diverge)."""
+    engines (0.4·0.4 ≠ 0.16 in IEEE — a literal 0.16 would diverge).
+
+    r9 scale attribution (SCALING.md): at the 10× replica the tokenize
+    and model-build stages are flat (0.94 s / 1.43 s); the SCORING JOIN
+    was the whole growth axis — shuffling every corpus trigram instance
+    on a three-string key.  The model table is type-bounded (272k rows
+    at 10×), so it BROADCASTS below the same corpus-size gate the
+    decontamination join uses (the `_EVAL_BROADCAST_MAX_BYTES` pattern):
+    the corpus-side shuffle disappears entirely (measured 8.4 → 6.5 s at
+    10× same-session).  Above the gate — a corpus whose pruned type
+    table outgrows a broadcast — the shuffle join is the correct plan
+    and the gate falls back to it."""
     dc = load(spark, sf_dir, "documents")
     toks = dc.repartition(32).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
@@ -254,6 +271,14 @@ def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "w1", "w2", "w3", tier.alias("tier"), F.round(F.log(s), 6).alias("lnp")
         )
     )
+    # Size-gated broadcast of the type-bounded model (docstring: the
+    # scoring join was the measured 10x growth axis; broadcasting it
+    # removes the corpus-side shuffle).  Same estimator/pattern as the
+    # decontamination join's broadcast gate.
+    from .pipeline import _corpus_bytes
+
+    if _corpus_bytes(sf_dir) < _LM_BROADCAST_MAX_BYTES:
+        model = F.broadcast(model)
     return (
         tg.join(model, ["w1", "w2", "w3"])
         .groupBy("doc_id")

@@ -2716,6 +2716,10 @@ def test_lm_trigram_two_touch_contract(spark):
     assert C.scan_count(df) <= 2
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted type tables
+    # r9: under the corpus-size gate the type-bounded model BROADCASTS in
+    # the scoring join — the corpus-side trigram shuffle (the measured
+    # 10x growth axis) must be gone
+    assert "BroadcastHashJoin" in plan
     C.assert_no_python_row_path(df)
 
 
@@ -2747,8 +2751,14 @@ def test_ivf_pq_funnel_and_hits_loop_shapes(spark):
     h = graph_hits_loop(spark, SF)
     hplan = C.formatted_plan(h)
     assert "CartesianProduct" not in hplan
-    assert "InMemoryTableScan" in hplan
+    assert "InMemoryTableScan" in hplan  # ar persists inside each round
     assert "lineitem" not in hplan  # write-once edge artifact only
+    # r9: the round-final hr takes a lazy localCheckpoint, truncating the
+    # lineage once per round — the r8 all-persist form nested
+    # InMemoryRelations until the print hit 140k lines / 22k Exchange
+    # mentions and defeated the PLANS.md audit.  Pin auditability.
+    assert "ExistingRDD" in hplan  # the checkpoint boundary is visible
+    assert len(hplan.splitlines()) < 1000, "hits-loop plan print re-inflated"
     C.assert_no_python_row_path(h)
 
 
