@@ -327,16 +327,29 @@ def dedup_embedding(
     64-step lambda once per pair: measured 104 s at 20k vectors vs ~2 s
     for this form — Catalyst higher-order functions are the wrong tool
     for O(n²·d) arithmetic.  At 100 TB the LSH/IVF bucket joins generate
-    candidates and this exact kernel verifies them."""
+    candidates and this exact kernel verifies them.
+
+    ADAPTIVE BLOCK GRID (r9): B and P scale with the vector count so
+    each cell's dense (n/P)×(n/B) float64 product stays ~64 MB.  The r8
+    fixed 4×8 grid was tuned for 20k vectors; at the 100× fixture's
+    100k-vector audit slice a cell materialized a 12.5k×25k ≈ 2.5 GB
+    matrix per task and the kernel thrashed.  Any (B, P) yields the
+    identical pair set — vec a meets vec b in exactly cell
+    (a%P, b%B) — so the grid is a pure memory/parallelism knob; the
+    count() that sizes it is a parquet-metadata-only job."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    B, P = 4, 8
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if audit_pct is not None:
         from .pipeline import _bucket
 
         em = em.where(_bucket("vec_id") < audit_pct)
+    n = em.count()  # metadata-count (plus the slice filter when auditing)
+    P = max(8, math.ceil(n / 2048))
+    B = max(4, math.ceil(n / 4096))
     # SEPARATE load for the index side: when both cogroup children share one
     # base plan, DeduplicateRelations re-ids the right side's columns but the
     # cogroup function keeps the left-side exprIds, and the mismatched

@@ -79,12 +79,22 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternative.  Ties at the top-5 boundary are broken (cos desc,
     nbr_id asc) by a FULL lexsort per block and again by the merge
     window, so equal-cosine candidates can't be dropped arbitrarily, and
-    corpora with <6 vectors emit however many neighbors exist."""
+    corpora with <6 vectors emit however many neighbors exist.
+
+    ADAPTIVE BLOCK GRID (r9, the dedup_embedding fix): B and P scale
+    with the vector count so a cell's dense product stays ~64 MB — the
+    fixed 4×8 grid materialized multi-GB per-cell matrices at the 100×
+    fixture.  Any grid yields the same exact result (per-block top-5 ∪
+    merge window); the sizing count() is metadata-only."""
+    import math
+
     import numpy as np
     import pandas as pd
 
-    B, P = 4, 8
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = em.count()
+    P = max(8, math.ceil(n / 2048))
+    B = max(4, math.ceil(n / 4096))
     # separate scan for the index side — cogroup children sharing one base
     # plan can lose the right side's data columns to attribute dedup
     # (see dedup_embedding for the full mechanics)
@@ -249,9 +259,27 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["uv"].to_numpy())
-        C = M @ M.T
-        i, j = np.nonzero(np.triu(C >= 0.4, k=1))  # ids sorted → vec_a < vec_b
-        return pd.DataFrame({"vec_a": ids[i], "vec_b": ids[j], "cos": C[i, j]})
+        # CHUNKED verify (r9): a hot bucket on a big corpus made the full
+        # n×n product multi-GB per task and the worker OOM'd at the 100×
+        # fixture (kernel-killed, 10.7 GB RSS).  Chunk the query rows so
+        # the dense block stays ~64 MB; each output cell is an
+        # independent dot product, so results are bit-identical.
+        step = max(1, (8 << 20) // max(1, len(ids)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), step):
+            C = M[s : s + step] @ M.T
+            i, j = np.nonzero(C >= 0.4)
+            keep = j > (i + s)  # ids sorted → global row < col ⇔ vec_a < vec_b
+            out_a.append(ids[i[keep] + s])
+            out_b.append(ids[j[keep]])
+            out_c.append(C[i[keep], j[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cos": np.concatenate(out_c) if out_c else [],
+            }
+        )
 
     cand = sig.groupBy("table", "bucket").applyInPandas(
         bucket_pairs, schema="vec_a long, vec_b long, cos double"

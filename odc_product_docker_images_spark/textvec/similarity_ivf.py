@@ -121,9 +121,25 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         pdf = pdf.sort_values("vec_id")
         ids = pdf["vec_id"].to_numpy()
         M = np.stack(pdf["uv"].to_numpy())
-        C = M @ M.T
-        i, j = np.nonzero(np.triu(C >= 0.4, k=1))  # ids sorted → vec_a < vec_b
-        return pd.DataFrame({"vec_a": ids[i], "vec_b": ids[j], "cos": C[i, j]})
+        # CHUNKED verify (r9, the sim_ann_lsh fix): bound the dense block
+        # at ~64 MB so a hot bucket on a big corpus can't OOM the worker;
+        # chunked rows are independent dot products — bit-identical.
+        step = max(1, (8 << 20) // max(1, len(ids)))
+        out_a, out_b, out_c = [], [], []
+        for s in range(0, len(ids), step):
+            C = M[s : s + step] @ M.T
+            i, j = np.nonzero(C >= 0.4)
+            keep = j > (i + s)  # ids sorted → global row < col ⇔ vec_a < vec_b
+            out_a.append(ids[i[keep] + s])
+            out_b.append(ids[j[keep]])
+            out_c.append(C[i[keep], j[keep]])
+        return pd.DataFrame(
+            {
+                "vec_a": np.concatenate(out_a) if out_a else [],
+                "vec_b": np.concatenate(out_b) if out_b else [],
+                "cos": np.concatenate(out_c) if out_c else [],
+            }
+        )
 
     cand = both.groupBy("bucket").applyInPandas(
         bucket_pairs, schema="vec_a long, vec_b long, cos double"

@@ -1,10 +1,12 @@
-"""Time registered keys at sf0.1 vs the 10x replica (SCALING.md feed).
+"""Time registered keys at sf0.1 vs a scale-up replica (SCALING.md feed).
 
 Usage: python tools/measure_scaleup.py key1,key2[,...] [--runs 3]
+           [--dir .tmp/sf1x100]
 
-Each key runs against /root/testdata/sf0.1 and .tmp/sf1x10 on the same
-warm local[32] session; per-dir timing is min-of-N (default 3) of a full
-materialization into a noop sink (no driver collect).
+Each key runs against /root/testdata/sf0.1 and the replica dir (default
+.tmp/sf1x10; pass --dir for the 100x tier built by make_scaleup_n.py) on
+the same warm local[32] session; per-dir timing is min-of-N (default 3)
+of a full materialization into a noop sink (no driver collect).
 """
 
 from __future__ import annotations
@@ -26,6 +28,9 @@ def main() -> None:
 
     keys = sys.argv[1].split(",")
     runs = int(sys.argv[sys.argv.index("--runs") + 1]) if "--runs" in sys.argv else 3
+    global SF10
+    if "--dir" in sys.argv:
+        SF10 = sys.argv[sys.argv.index("--dir") + 1]
 
     spark = get_spark("measure-scaleup", shuffle_partitions=32)
     qs = registry.all_queries()
@@ -38,7 +43,7 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print(f"| key | sf0.1 | 10x data | ratio |")
+    print(f"| key | sf0.1 | {SF10.rsplit('sf1x', 1)[-1]}x data | ratio |")
     for key in keys:
         a = bench(key, SF01)
         b = bench(key, SF10)
