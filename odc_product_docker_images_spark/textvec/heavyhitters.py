@@ -39,6 +39,14 @@ from ..registry import register
 
 K = 32  # summary capacity; error <= n_tokens / (K+1)
 _P = 8  # ingest partitions (partition by doc — the data-parallel layout)
+_CAP = 4096  # in-flight summary cap: compress when the working dict
+# exceeds this, so per-task memory is bounded by the cap — NOT by the
+# partition's distinct-token universe (r9 kernel-memory discipline: the
+# exact-Counter form grew with the corpus vocabulary and is exactly the
+# fixture-tuned-allocation class the 100x tier flags).  Every compress
+# round that decrements by `dec` removes >= (k+1)*dec total mass, so the
+# summed decrement across all intermediate rounds plus the final
+# compress-to-K stays <= n/(K+1) — the guarantees tests pin are intact.
 
 
 def _mg_compress(counts: dict[str, int], k: int) -> dict[str, int]:
@@ -60,6 +68,12 @@ def _partition_summaries(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in it:
         for text in pdf["text"]:
             counts.update(text.split(" "))
+            if len(counts) > _CAP:
+                # online Misra-Gries step: compress to _CAP // 2 (not K)
+                # so intermediate rounds subtract the much-smaller
+                # (_CAP//2 + 1)-th largest — tighter running estimates,
+                # same worst-case bound, bounded memory either way.
+                counts = Counter(_mg_compress(counts, _CAP // 2))
     if not counts:
         return
     summ = _mg_compress(counts, K)

@@ -22,7 +22,9 @@ Spark-first shape:
 At 100 TB: K grows with the corpus so cluster sizes stay bounded (the
 paper's setting) — assignment stays map-side (centroids always broadcast),
 the only corpus-sized shuffle is the cluster repartition, and each cluster
-gram matrix is an executor-local BLAS call.  The output carries no float
+gram matrix is an executor-local BLAS call.  The prune kernel additionally
+bounds its own allocation (~64 MB witness-row blocks, r9), so an
+under-provisioned K degrades to slower tasks, never to a worker OOM.  The output carries no float
 columns: all parity-sensitive arithmetic is either the dround'd exact
 decimal path (assignment) or an ulp-improbable threshold compare (the
 ``dedup_embedding`` precedent).
@@ -68,18 +70,35 @@ def _assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _prune(pdf: pd.DataFrame) -> pd.DataFrame:
     """Per-cluster SemDeDup prune: gram matrix over the normalized members,
-    drop j iff max_{i<j} cos(i, j) > τ; dup_of = min witnessing i."""
+    drop j iff max_{i<j} cos(i, j) > τ; dup_of = min witnessing i.
+
+    CHUNKED gram (r9, the kernel-memory discipline): witness rows stream
+    through in ~64 MB blocks so a corpus-sized cluster can't materialize
+    an n×n product in one task — at a 200k-vector corpus a full gram was
+    ~5 GB/cluster.  Chunks scan witness index i ASCENDING, so the first
+    chunk that hits column j holds j's minimal witness — identical output
+    to the full-matrix argmax; chunked rows are independent dot products,
+    so the thresholded compares are bit-identical."""
     import numpy as np
 
     pdf = pdf.sort_values("vec_id").reset_index(drop=True)
     ids = pdf["vec_id"].to_numpy(np.int64)
     M = np.stack(pdf["e"].to_numpy()).astype(np.float64)
     M /= np.linalg.norm(M, axis=1, keepdims=True)
-    C = M @ M.T
     n = len(ids)
-    hit = (C > _TAU) & np.tri(n, k=-1, dtype=bool).T  # hit[i, j]: i < j above τ
-    dropped = hit.any(axis=0)
-    first = hit.argmax(axis=0)  # index of the smallest witnessing i (rows sorted)
+    dropped = np.zeros(n, dtype=bool)
+    first = np.zeros(n, dtype=np.int64)
+    step = max(1, (8 << 20) // max(1, n))
+    cols = np.arange(n)
+    for s in range(0, n, step):
+        e = min(s + step, n)
+        C = M[s:e] @ M.T  # (e-s, n) block of the gram matrix
+        hit = (C > _TAU) & (np.arange(s, e)[:, None] < cols[None, :])
+        any_hit = hit.any(axis=0)
+        new = any_hit & ~dropped
+        if new.any():
+            first[new] = s + hit[:, new].argmax(axis=0)
+        dropped |= any_hit
     return pd.DataFrame(
         {
             "vec_id": ids,
