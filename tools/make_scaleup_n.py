@@ -42,14 +42,19 @@ def main() -> None:
         dst = out / f"{table}.parquet"
         if (dst / "_SUCCESS").exists():
             return
-        base = load(spark, SRC, table)
+        # repartition the 1x BASE before the fan-out (the repo's own
+        # single-file-input rule): shuffling 1x rows costs MBs and gives
+        # `parts` parallel generate+write tasks; repartitioning AFTER the
+        # crossJoin shuffled the full Nx output (17 GB at 1000x) through
+        # 3 map tasks and serialized the build on 3 cores.
+        base = load(spark, SRC, table).repartition(parts)
         rep = base.crossJoin(F.broadcast(reps)).select(
             *[
                 (F.col(c) + F.col("_k") * _OFF).alias(c) if c in keycols else c
                 for c in base.columns
             ]
         )
-        rep.repartition(parts).write.mode("overwrite").parquet(str(dst))
+        rep.write.mode("overwrite").parquet(str(dst))
 
     replicate("lineitem", ["l_orderkey"], 64)
     replicate("orders", ["o_orderkey"], 32)
@@ -71,7 +76,8 @@ def main() -> None:
             "text", r"(\S+)", F.concat(F.lit("$1x"), F.col("_k").cast("string"))
         )
         (
-            dc.crossJoin(F.broadcast(reps))
+            dc.repartition(32)  # pre-fan-out: 32 parallel generate tasks
+            .crossJoin(F.broadcast(reps))
             .select(
                 (F.col("doc_id") + F.col("_k") * n_docs).alias("doc_id"),
                 suffixed.alias("text"),
@@ -79,7 +85,6 @@ def main() -> None:
                 "source",
                 F.length(suffixed).alias("n_chars"),
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(str(ddst))
         )
@@ -98,13 +103,13 @@ def main() -> None:
             * F.when(F.xxhash64(F.col("_k"), i) % 2 == 0, 1.0).otherwise(-1.0),
         )
         (
-            em.crossJoin(F.broadcast(reps))
+            em.repartition(32)  # pre-fan-out: 32 parallel generate tasks
+            .crossJoin(F.broadcast(reps))
             .select(
                 (F.col("vec_id") + F.col("_k") * n_vecs).alias("vec_id"),
                 flip.alias("embedding"),
                 "label",
             )
-            .repartition(32)
             .write.mode("overwrite")
             .parquet(str(edst))
         )
