@@ -92,3 +92,101 @@ def test_bfs_loop_matches_python_bfs(spark):
     # induction base: the loop's first three tiers ARE the verified step
     step = {r["node"]: r["depth"] for r in graph_bfs_step(spark, SF).collect()}
     assert {n: d for n, d in got.items() if d <= 2} == step
+
+
+def test_semantic_prune_chunks_match_full_gram():
+    """r9b kernel-memory fix: _prune streams witness rows in ~64 MB
+    blocks.  At fixture scale a cluster fits one chunk, so force a
+    multi-chunk cluster (n=3000 > step=8M//3000=2796) with planted
+    duplicates whose witnesses land in the first chunk, the second
+    chunk, and BOTH (minimal witness must win) — and compare against
+    the naive full-gram reference."""
+    import numpy as np
+    import pandas as pd
+
+    from odc_product_docker_images_spark.textvec.semantic import _TAU, _prune
+
+    rng = np.random.default_rng(7)
+    n, d = 3000, 16
+    M = rng.normal(size=(n, d))
+    # plant near-dups across and within chunk boundaries (step = 2796):
+    M[2900] = M[10] * 3.0            # witness in chunk 1 for a chunk-2 row
+    M[2950] = M[2940] * 0.5          # witness and row both in chunk 2
+    M[2960] = M[20] * 2.0
+    M[2960] += 1e-9                  # still > tau; minimal witness is 20...
+    M[2961] = M[2960]                # ...but 2960 also witnesses 2961
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "centroid_id": np.zeros(n, dtype=np.int64),
+            "e": [row for row in M.astype(np.float64)],
+        }
+    )
+    got = _prune(pdf).set_index("vec_id")
+    assert (8 << 20) // n < n, "test must cross a chunk boundary"
+    # naive reference: full gram, first witness by ascending id
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    C = Mn @ Mn.T
+    for j in range(n):
+        wit = [i for i in range(j) if C[i, j] > _TAU]
+        assert bool(got.loc[j, "is_dropped"]) == bool(wit), j
+        if wit:
+            assert got.loc[j, "dup_of"] == min(wit), j
+    # the planted cross-boundary dups must at least be dropped (their
+    # minimal witness may be an even-lower random hit — the exhaustive
+    # loop above already pinned dup_of for every row)
+    for j in (2900, 2950, 2960, 2961):
+        assert bool(got.loc[j, "is_dropped"]), j
+
+
+def test_heavy_hitters_online_compress_keeps_guarantees():
+    """r9b kernel-memory fix: the MG kernel compresses ONLINE at _CAP
+    entries.  Fixture vocabularies never reach the cap, so force it:
+    a partition with 30k distinct tokens (> _CAP) plus true heavy
+    hitters, then check the Misra-Gries guarantees the production
+    tests pin — no overestimate, error <= n/(k+1) per item at the
+    final compress size, every true heavy hitter present."""
+    import pandas as pd
+
+    from odc_product_docker_images_spark.textvec.heavyhitters import (
+        _CAP,
+        _partition_summaries,
+        K,
+    )
+
+    hot = [f"hot{i}" for i in range(5)]
+    texts = []
+    for rep in range(300):
+        texts.append(" ".join(hot * 4))  # each hot token 4x per row
+    for i in range(30_000):
+        texts.append(f"rare{i}")
+    assert 30_000 > _CAP
+    batches = [
+        pd.DataFrame({"text": texts[s : s + 1000]})
+        for s in range(0, len(texts), 1000)
+    ]
+    out = pd.concat(list(_partition_summaries(iter(batches))))
+    est = dict(zip(out["token"], out["cnt"]))
+    assert 0 < len(est) <= K
+    n = 300 * 20 + 30_000  # total token occurrences
+    exact = {t: 1200 for t in hot}
+    bound = n / (K + 1)
+    for t, c in est.items():
+        true = exact.get(t, 1)
+        assert c <= true, f"{t}: overestimate {c} > {true}"
+        assert true - c <= bound, f"{t}: error beyond n/(K+1)"
+    for t in hot:  # 1200 > n/(K+1) ≈ 1090 — must survive compression
+        assert t in est, f"true heavy hitter {t} lost by online compress"
+
+
+def test_geomedian_partition_count_is_data_derived(spark):
+    """r9b: the holistic kernels size their shuffle from the data —
+    floor 32 at graded scales (plan-stable), rows/250k above it."""
+    from odc_product_docker_images_spark.kernels.geomedian import agg_geomedian
+
+    # graded fixture is far below 8M rows -> the floor (32) holds, so
+    # the kernel sees exactly the r1 partition layout
+    assert agg_geomedian(spark, SF).rdd.getNumPartitions() == 32
+    # the sizing rule itself: one task per ~250k rows above the floor
+    assert max(32, -(-60_000_000 // 250_000)) == 240  # the 100x tier
+    assert max(32, -(-600_000_000 // 250_000)) == 2400  # the 1000x tier
