@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from .pipeline import _AUDIT_N0_DOC, _AUDIT_N0_VEC, audit_gate, sql_audit_gate
 from .shingle import _shingles
 
 
@@ -114,6 +115,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MH_K = 64  # minhash functions
 _MH_B, _MH_R = 16, 4  # bands × rows: s-curve threshold (1/B)^(1/R) = 0.5
+# audit-gate n0 thresholds live in pipeline.py beside audit_gate (r9b)
 
 
 @register("dedup_minhash")  # ⊘oracle: banded LSH is approximate by construction
@@ -147,9 +149,7 @@ def dedup_minhash(
     At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
     dc = load(spark, sf_dir, "documents")
     if audit_pct is not None:
-        from .pipeline import _bucket
-
-        dc = dc.where(_bucket("doc_id") < audit_pct)
+        dc = dc.where(audit_gate("doc_id", dc.count(), audit_pct, _AUDIT_N0_DOC))
     # Two deliberate repartitions around the shingle builder:
     # - BEFORE: the fixture is one parquet file = one partition, and the
     #   builder (concat_ws × positions + array_distinct + explode) is the
@@ -316,12 +316,13 @@ def dedup_embedding(
     no distinct needed.
 
     ``audit_pct`` (gate-only knob, not part of the registered key):
-    restrict BOTH sides to the deterministic Knuth-hash slice
-    ``(vec_id * K) % 100 < audit_pct`` before the cogroup — the
+    restrict BOTH sides to the deterministic count-BOUNDED Knuth slice
+    (``pipeline.audit_gate``: pct rule at graded scales, an absolute
+    ~pct%-of-n0 cap above them) before the cogroup — the
     ``sim_ann_recall`` sampled-slice audit.  The kernel is all-pairs
-    BLAS (O(n²·d) FLOPs regardless of output), so a p% slice cuts the
-    audit's dominant stage to p²/10⁴ while recall — a ratio — estimates
-    cleanly on the slice.
+    BLAS (O(n²·d) FLOPs in its slice), so only an ABSOLUTE cap keeps
+    the audit constant-cost as the corpus grows; recall — a ratio —
+    estimates cleanly on the slice.
 
     The r1 form (broadcast + per-pair ``aggregate`` fold) evaluated the
     64-step lambda once per pair: measured 104 s at 20k vectors vs ~2 s
@@ -343,10 +344,13 @@ def dedup_embedding(
     import pandas as pd
 
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_full = None
     if audit_pct is not None:
-        from .pipeline import _bucket
-
-        em = em.where(_bucket("vec_id") < audit_pct)
+        # count-BOUNDED slice (r9b): pct rule at graded scales, absolute
+        # ~pct%-of-_AUDIT_N0_VEC cap above them — a fixed-pct slice made
+        # this quadratic truth kernel quadratic again at the 1000x tier
+        n_full = em.count()
+        em = em.where(audit_gate("vec_id", n_full, audit_pct, _AUDIT_N0_VEC))
     n = em.count()  # metadata-count (plus the slice filter when auditing)
     P = max(8, math.ceil(n / 2048))
     B = max(4, math.ceil(n / 4096))
@@ -358,9 +362,7 @@ def dedup_embedding(
     # right side its own attribute ids.
     em_i = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if audit_pct is not None:
-        from .pipeline import _bucket
-
-        em_i = em_i.where(_bucket("vec_id") < audit_pct)
+        em_i = em_i.where(audit_gate("vec_id", n_full, audit_pct, _AUDIT_N0_VEC))
     q = em.withColumn("qpart", F.pmod("vec_id", F.lit(P)).cast("int")).withColumn(
         "block", F.explode(F.sequence(F.lit(0), F.lit(B - 1)))
     )
@@ -393,12 +395,12 @@ def dedup_embedding(
 
 _MH_RECALL_FLOOR = 90  # percent, at the exact-Jaccard >= 0.7 band
 # Sampled-slice audit: the exact-Jaccard truth side runs on the
-# deterministic Knuth-hash doc slice (doc_id * K) % 100 < _AUDIT_PCT, not
-# the full corpus.  Truth is pair-output-bound (measured 2.7x at the 10x
-# replica unsampled), so a p% doc slice cuts the pair join to p²/10⁴
-# while recall — a ratio over truth pairs — estimates cleanly on the
-# slice; the production candidate side stays FULL.  Applied literally
-# identically in the oracle, so n_true pins the slice itself.
+# deterministic count-BOUNDED Knuth slice (pipeline.audit_gate): the pct
+# rule at graded scales, an absolute ~_AUDIT_PCT%-of-_AUDIT_N0_DOC cap
+# above them (r9b — a fixed-pct slice grows with the corpus and the pair
+# join over it is quadratic again; the 1000x tier proved it).  Recall —
+# a ratio over truth pairs — estimates cleanly on the slice; the oracle
+# applies the identical integer gate, so n_true pins the slice itself.
 _AUDIT_PCT = 50
 _AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
 
@@ -408,7 +410,7 @@ _AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
     oracle=f"""
         WITH toks AS (
             SELECT doc_id, STRING_SPLIT(text, ' ') AS t FROM documents
-            WHERE (doc_id * {_AUDIT_KNUTH}) % 100 < {_AUDIT_PCT}
+            WHERE {sql_audit_gate("doc_id", "documents", _AUDIT_PCT, _AUDIT_N0_DOC)}
         ), sh AS (
             SELECT doc_id,
                    LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(t) - 1),
@@ -444,12 +446,14 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature hash, s-curve drift) flips the driver hash row — MinHash
     was previously ⊘ rows-only and a recall regression was invisible.
 
-    SAMPLED-SLICE AUDIT (r9): the truth side runs on the deterministic
-    {_AUDIT_PCT}% Knuth-hash doc slice (``_AUDIT_PCT`` note above) —
-    the r8 gate ran exact truth over the FULL corpus and measured 2.7×
-    at the 10× replica (pair-output-bound, the one superlinear axis in
-    the tree); the slice bounds the audit at any corpus density while
-    the PRODUCTION candidate side stays full.  The oracle applies the
+    SAMPLED-SLICE AUDIT (r9, count-BOUNDED r9b): the truth side runs on
+    the deterministic Knuth-hash doc slice via ``pipeline.audit_gate``
+    — {_AUDIT_PCT}% at graded scales (byte-identical to the r9 rule),
+    an absolute ~{_AUDIT_PCT}%-of-{_AUDIT_N0_DOC} cap above them (a
+    fixed-pct slice is a FRACTION: its pair join grows quadratically
+    again on big corpora — the 1000× tier proved it on the embedding
+    twin).  The candidate side here rides the SAME sliced shingle
+    build, so the whole gate is slice-bounded.  The oracle applies the
     identical arithmetic gate, so the slice membership itself is
     hash-pinned via n_true.  MinHash signatures are deterministic hash
     functions — slice recall is reproducible run to run, and the floor
@@ -465,9 +469,10 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair join (the dedup_ngram_jaccard shape — shingle equi-join, no
     n²) and the banded candidate run; hits are one pair-key semi-join;
     the 1-row count broadcasts."""
-    from .pipeline import _bucket
-
-    dc = load(spark, sf_dir, "documents").where(_bucket("doc_id") < _AUDIT_PCT)
+    dc_full = load(spark, sf_dir, "documents")
+    dc = dc_full.where(
+        audit_gate("doc_id", dc_full.count(), _AUDIT_PCT, _AUDIT_N0_DOC)
+    )
     # Shared sliced shingle build — the single most expensive projection
     # in either half; persist it round-robin-partitioned and let each
     # consumer add its own Exchange (sh for the truth join, doc_id for

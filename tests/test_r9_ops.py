@@ -190,3 +190,57 @@ def test_geomedian_partition_count_is_data_derived(spark):
     # the sizing rule itself: one task per ~250k rows above the floor
     assert max(32, -(-60_000_000 // 250_000)) == 240  # the 100x tier
     assert max(32, -(-600_000_000 // 250_000)) == 2400  # the 1000x tier
+
+
+def test_audit_gate_bounded_and_engine_consistent(spark):
+    """r9b: the audit slice is count-BOUNDED — pct rule at graded scales
+    (byte-identical membership to the r9 form), an absolute cap above
+    them — and the DuckDB twin selects the exact same ids."""
+    import duckdb
+
+    from odc_product_docker_images_spark.textvec.pipeline import (
+        _AUDIT_FINE_MOD,
+        _KNUTH,
+        audit_gate,
+        sql_audit_gate,
+    )
+
+    def py_members(n, pct, n0):
+        if n <= n0:
+            return {v for v in range(n) if (v * _KNUTH) % 100 < pct}
+        thr = max(1, (_AUDIT_FINE_MOD * n0 * pct // 100 + n - 1) // n)
+        return {v for v in range(n) if (v * _KNUTH) % _AUDIT_FINE_MOD < thr}
+
+    # graded scales: identical to the original pct rule
+    for n in (500, 2000):
+        assert py_members(n, 50, 2000) == {
+            v for v in range(n) if (v * _KNUTH) % 100 < 50
+        }
+    # above n0: slice size stays near pct% of n0 at ANY corpus size
+    for n in (20_000, 200_000, 2_000_000):
+        size = len(py_members(n, 50, 2000))
+        assert size <= 2.0 * 1000, f"n={n}: slice {size} not bounded"
+        assert size >= 300, f"n={n}: slice {size} too small to audit"
+    # DuckDB twin selects the same ids in both branches
+    con = duckdb.connect()
+    for n in (500, 20_000):
+        con.execute(
+            f"CREATE OR REPLACE TABLE embeddings AS "
+            f"SELECT UNNEST(RANGE({n})) AS vec_id"
+        )
+        got = {
+            r[0]
+            for r in con.execute(
+                "SELECT vec_id FROM embeddings WHERE "
+                + sql_audit_gate("vec_id", "embeddings", 50, 2000)
+            ).fetchall()
+        }
+        assert got == py_members(n, 50, 2000), f"engine mismatch at n={n}"
+    # the Spark Column form selects the same ids in both branches
+    for n in (500, 20_000):
+        df = spark.range(n).withColumnRenamed("id", "vec_id")
+        got = {
+            r["vec_id"]
+            for r in df.where(audit_gate("vec_id", n, 50, 2000)).collect()
+        }
+        assert got == py_members(n, 50, 2000), f"spark mismatch at n={n}"
