@@ -43,7 +43,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return best
 
-    print(f"| key | sf0.1 | {SF10.rsplit('sf1x', 1)[-1]}x data | ratio |")
+    tier = SF10.rsplit("sf1x", 1)[-1] + "x" if "sf1x" in SF10 else Path(SF10).name
+    print(f"| key | sf0.1 | {tier} data | ratio |")
     for key in keys:
         a = bench(key, SF01)
         b = bench(key, SF10)
