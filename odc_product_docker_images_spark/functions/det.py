@@ -76,16 +76,37 @@ def exact_double(dec_col: Column, nd: int = 6) -> Column:
     decimal(24,6) bound alone and overstated the hop's headroom.
     """
     s6 = F.round(dec_col, nd)
-    big = (s6.cast("decimal(24,6)") * F.lit(10**nd).cast("decimal(8,0)")).cast("long")
+    if nd <= 6:
+        big = (
+            s6.cast("decimal(24,6)") * F.lit(10**nd).cast("decimal(8,0)")
+        ).cast("long")
+    else:
+        # nd up to 10 (the dec scale): a scale-matched narrow decimal so
+        # the multiply stays inside precision 38 WITHOUT precision-loss
+        # rescaling in either engine.  decimal(9+nd, nd) holds exactly the
+        # int64 hop's domain (|value| < 2^63/10^nd, e.g. 9.2e8 at nd=10);
+        # past it the cast is the same hard ANSI CAST_OVERFLOW as nd=6.
+        big = (
+            s6.cast(f"decimal({9 + nd},{nd})")
+            * F.lit(10**nd).cast(f"decimal({nd + 1},0)")
+        ).cast("long")
     return big.cast("double") / F.lit(float(10**nd))
 
 
 def sql_exact_double(dec_expr: str, nd: int = 6) -> str:
     """DuckDB twin of :func:`exact_double` — takes a DECIMAL-typed SQL expr."""
+    if nd <= 6:
+        return (
+            f"CAST(CAST(CAST(ROUND(({dec_expr}), {nd})"
+            f" AS DECIMAL(24,6))"
+            f" * CAST({10**nd} AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE)"
+            f" / {float(10**nd)!r}"
+        )
     return (
         f"CAST(CAST(CAST(ROUND(({dec_expr}), {nd})"
-        f" AS DECIMAL(24,6))"
-        f" * CAST({10**nd} AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / {float(10**nd)!r}"
+        f" AS DECIMAL({9 + nd},{nd}))"
+        f" * CAST({10**nd} AS DECIMAL({nd + 1},0)) AS BIGINT) AS DOUBLE)"
+        f" / {float(10**nd)!r}"
     )
 
 

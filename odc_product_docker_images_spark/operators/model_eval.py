@@ -1128,3 +1128,242 @@ def ml_platt_scaling_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hab",
         "hbb",
     )
+
+
+@register(
+    "ml_pr_auc",
+    oracle=_SQL_GROUPS
+    + f"""
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_thresholds,
+               CAST(MAX(p) AS BIGINT) AS n_pos,
+               CAST(MAX(n) AS BIGINT) AS n_neg,
+               {sql_dsum(
+                   "CASE WHEN p > 0 THEN (cp / CAST(p AS DOUBLE))"
+                   " * ((p - gp + cp)"
+                   " / CAST((p - gp + cp) + (n - gn + cn) AS DOUBLE)) END",
+                   "avg_precision",
+               )},
+               {sql_dround(
+                   "MAX(CASE WHEN p > 0 THEN 2 * (p - gp + cp)"
+                   " / CAST((p - gp + cp) + (n - gn + cn) + p AS DOUBLE) END)"
+               )} AS best_f1
+        FROM cum
+    """,
+)
+def ml_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E14: average precision (step-interpolated PR-AUC) + best-F1 —
+    the class-imbalance-honest companion to `ml_auc_exact`: ROC-AUC is
+    blind to precision collapse at low prevalence, which is exactly the
+    regime of a pretraining quality filter (few "bad" docs in a clean
+    corpus).  AP = Σ_thresholds ΔR·P over distinct scores descending =
+    Σ (cp/P)·(TP/(TP+FP)); TP/FP at every threshold come from the SAME
+    inclusive-prefix scaffold as the ROC/AUC/KS keys (`_scored_groups`:
+    bucket-partitioned distributed cumsums, no global single-task
+    window), so the whole key is one reused exchange + a 1-row final
+    aggregate.  Integer prefix counts make every per-threshold ratio
+    exact IEEE; the AP sum routes through the decimal path.  A
+    zero-positive corpus (degenerate grain) emits NULL via the p > 0
+    guard instead of ANSI DIVIDE_BY_ZERO."""
+    g = _scored_groups(spark, sf_dir)
+    tp = F.col("p") - F.col("gp") + F.col("cp")
+    fp = F.col("n") - F.col("gn") + F.col("cn")
+    ap_add = F.when(
+        F.col("p") > 0,
+        (F.col("cp") / F.col("p").cast("double"))
+        * (tp / (tp + fp).cast("double")),
+    )
+    f1 = F.when(
+        F.col("p") > 0,
+        F.lit(2) * tp / (tp + fp + F.col("p")).cast("double"),
+    )
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_thresholds"),
+        F.max("p").cast("long").alias("n_pos"),
+        F.max("n").cast("long").alias("n_neg"),
+        dsum(ap_add, "avg_precision"),
+        dround(F.max(f1)).alias("best_f1"),
+    )
+
+
+@register(
+    "ml_brier_decomposition",
+    oracle=f"""
+        WITH s AS (
+            SELECT LEAST(GREATEST(CAST(0.5 AS DOUBLE) + embedding[1]::DOUBLE,
+                                  CAST(0.0 AS DOUBLE)), CAST(1.0 AS DOUBLE))
+                       AS prob,
+                   CAST(label < 5 AS BIGINT) AS y
+            FROM embeddings
+        ), b AS (
+            SELECT CAST(FLOOR(LEAST(prob * CAST(10.0 AS DOUBLE),
+                                    CAST(9.0 AS DOUBLE))) AS BIGINT) AS bin,
+                   prob, y
+            FROM s
+        ), per AS (
+            SELECT bin, CAST(COUNT(*) AS BIGINT) AS nb,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   {sql_dsum("prob", "sp")},
+                   {sql_dsum("(prob - y) * (prob - y)", "se")}
+            FROM b GROUP BY bin
+        ), g AS (
+            SELECT CAST(SUM(nb) AS BIGINT) AS n,
+                   CAST(SUM(sy) AS BIGINT) AS ty,
+                   CAST(COUNT(*) AS BIGINT) AS n_bins,
+                   {sql_dsum("se", "tse")},
+                   {sql_dsum("(sp - sy) * (sp - sy) / nb", "rel")},
+                   {sql_dsum("CAST(sy AS DOUBLE) * sy / nb", "res_raw")}
+            FROM per
+        )
+        SELECT n, n_bins,
+               {sql_dround("tse / n")} AS brier,
+               {sql_dround("rel / n")} AS reliability,
+               {sql_dround("(res_raw - CAST(ty AS DOUBLE) * ty / n) / n")}
+                   AS resolution,
+               {sql_dround(
+                   "(ty / CAST(n AS DOUBLE))"
+                   " * (1 - ty / CAST(n AS DOUBLE))"
+               )} AS uncertainty
+        FROM g
+    """,
+)
+def ml_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15: Brier score + Murphy decomposition (reliability − resolution
+    + uncertainty) over decile probability bins — the calibration
+    companion to `ml_calibration_bins` that reduces the whole curve to
+    three comparable scalars: is the model's error miscalibration
+    (reliability, lower better) or just irreducible class noise
+    (uncertainty)?  Predictions are prob = clamp(0.5 + score, 0, 1) on
+    the standard weak-scorer fixture.  Everything expands in per-bin
+    sufficient statistics (nb, Σy, Σp, Σ(p−y)²): reliability =
+    Σ(Σp−Σy)²/nb / N and resolution = (ΣΣy²/nb − (Σy)²/N)/N are
+    decimal-exact sums of per-row IEEE terms — a one-shuffle (10-bin)
+    aggregate at any corpus size."""
+    em = load(spark, sf_dir, "embeddings")
+    prob = F.least(
+        F.greatest(
+            F.lit(0.5) + F.element_at("embedding", 1).cast("double"),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    s = em.select(
+        prob.alias("prob"), (F.col("label") < 5).cast("long").alias("y")
+    )
+    b = s.select(
+        F.floor(F.least(F.col("prob") * F.lit(10.0), F.lit(9.0)))
+        .cast("long")
+        .alias("bin"),
+        "prob",
+        "y",
+    )
+    pr, y = F.col("prob"), F.col("y")
+    per = b.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("y").cast("long").alias("sy"),
+        dsum(pr, "sp"),
+        dsum((pr - y) * (pr - y), "se"),
+    )
+    nb, sy, sp = F.col("nb"), F.col("sy"), F.col("sp")
+    g = per.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.sum("sy").cast("long").alias("ty"),
+        F.count(F.lit(1)).cast("long").alias("n_bins"),
+        dsum("se", "tse"),
+        dsum((sp - sy) * (sp - sy) / nb, "rel"),
+        dsum(sy.cast("double") * sy / nb, "res_raw"),
+    )
+    n, ty = F.col("n"), F.col("ty")
+    ybar = ty / n.cast("double")
+    return g.select(
+        "n",
+        "n_bins",
+        dround(F.col("tse") / n).alias("brier"),
+        dround(F.col("rel") / n).alias("reliability"),
+        dround((F.col("res_raw") - ty.cast("double") * ty / n) / n).alias(
+            "resolution"
+        ),
+        dround(ybar * (F.lit(1) - ybar)).alias("uncertainty"),
+    )
+
+
+@register(
+    "ml_mcnemar_test",
+    oracle=f"""
+        WITH s AS (
+            SELECT ((embedding[1]::DOUBLE > CAST(0.0 AS DOUBLE))
+                        = (label < 5)) AS a_ok,
+                   ((embedding[2]::DOUBLE > CAST(0.0 AS DOUBLE))
+                        = (label < 5)) AS b_ok
+            FROM embeddings
+        ), c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN a_ok AND b_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS both_right,
+                   CAST(SUM(CASE WHEN a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_a,
+                   CAST(SUM(CASE WHEN NOT a_ok AND b_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS only_b,
+                   CAST(SUM(CASE WHEN NOT a_ok AND NOT b_ok THEN 1 ELSE 0 END)
+                        AS BIGINT) AS both_wrong
+            FROM s
+        )
+        SELECT n, both_right, only_a, only_b, both_wrong,
+               CASE WHEN only_a + only_b > 0
+                    THEN {sql_dround(
+                        "CAST((only_a - only_b) * (only_a - only_b)"
+                        " AS DOUBLE) / (only_a + only_b)")} END AS chi2,
+               CASE WHEN only_a + only_b > 0
+                    THEN {sql_dround(
+                        "(ABS(CAST(only_a - only_b AS DOUBLE)) - 1)"
+                        " * (ABS(CAST(only_a - only_b AS DOUBLE)) - 1)"
+                        " / (only_a + only_b)")} END AS chi2_cc,
+               CASE WHEN only_a + only_b > 0
+                    THEN CAST({sql_dround(
+                        "CAST((only_a - only_b) * (only_a - only_b)"
+                        " AS DOUBLE) / (only_a + only_b)")}
+                        > CAST(3.841 AS DOUBLE) AS INT) END AS differ
+        FROM c
+    """,
+)
+def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E16: McNemar paired-classifier test — do two models (dim-1-sign
+    vs dim-2-sign scorers on the standard fixture) disagree in a
+    DIRECTION, not just in magnitude?  The test every "new quality
+    filter beats the old one" claim needs: accuracy deltas on the same
+    examples are paired, so only the discordant cells (only_a, only_b)
+    carry information; χ² = (b−c)²/(b+c) (plus the Edwards
+    continuity-corrected variant) against χ²₁ 5% (3.841).  One
+    map-side-combinable conditional-count pass, exact integer cells,
+    and the statistics are single IEEE divisions — b+c = 0 (degenerate
+    grain) emits NULL on both engines."""
+    em = load(spark, sf_dir, "embeddings")
+    truth = F.col("label") < 5
+    a_ok = (F.element_at("embedding", 1).cast("double") > F.lit(0.0)) == truth
+    b_ok = (F.element_at("embedding", 2).cast("double") > F.lit(0.0)) == truth
+    s = em.select(a_ok.alias("a_ok"), b_ok.alias("b_ok"))
+    a, bb = F.col("a_ok"), F.col("b_ok")
+    c = s.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(a & bb, 1).otherwise(0)).cast("long").alias("both_right"),
+        F.sum(F.when(a & ~bb, 1).otherwise(0)).cast("long").alias("only_a"),
+        F.sum(F.when(~a & bb, 1).otherwise(0)).cast("long").alias("only_b"),
+        F.sum(F.when(~a & ~bb, 1).otherwise(0)).cast("long").alias("both_wrong"),
+    )
+    oa, ob = F.col("only_a"), F.col("only_b")
+    disc = oa + ob
+    chi2 = dround(((oa - ob) * (oa - ob)).cast("double") / disc)
+    chi2_cc = dround(
+        (F.abs((oa - ob).cast("double")) - F.lit(1))
+        * (F.abs((oa - ob).cast("double")) - F.lit(1))
+        / disc
+    )
+    return c.select(
+        "n",
+        "both_right",
+        "only_a",
+        "only_b",
+        "both_wrong",
+        F.when(disc > 0, chi2).alias("chi2"),
+        F.when(disc > 0, chi2_cc).alias("chi2_cc"),
+        F.when(disc > 0, (chi2 > F.lit(3.841)).cast("int")).alias("differ"),
+    )

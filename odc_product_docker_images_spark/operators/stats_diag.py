@@ -1,0 +1,868 @@
+"""Regression & series diagnostics (SURVEY.md §2.4 extension — the
+model-quality tier past the r6d test battery: normality of residual-like
+distributions, serial correlation of fitted series, variance homogeneity
+across groups, lagged co-movement, spectral periodicity, and per-point
+regression influence).
+
+Reference analog: the QA notebooks around any per-pixel trend product
+(§2.4 A9 `agg_linear_trend`) — before trusting a fitted slope you check
+the residuals (Durbin-Watson), the distribution (Jarque-Bera), the
+variance structure (Levene/Brown-Forsythe), the seasonality the trend
+ignores (periodogram), and which observations dominate the fit (Cook's
+distance).  The CCF key is the lead/lag companion every event pipeline
+grows (does today's traffic predict tomorrow's revenue?).
+
+Determinism discipline (functions/det.py): every cross-engine float
+reduction goes through the decimal path; OLS coefficients come from
+exact integer index sums (Σi, Σi² in closed form) plus decimal-exact
+data sums, so both engines run identical IEEE arithmetic on identical
+inputs; sqrt is correctly-rounded IEEE (no libm risk); sin/cos round
+6 dp per-row before the decimal sums (the `agg_circular_mean`
+convention).  Degenerate grains (n < 3, zero variance) emit NULL
+statistics through CASE guards on BOTH sides rather than tripping ANSI
+DIVIDE_BY_ZERO / decimal-overflow (the agg_gamma_mom failure class).
+
+Scale notes (100 TB): the Jarque-Bera and Levene keys are single
+map-side-combinable aggregates over the corpus (one shuffle on the
+group key, arithmetic on a #groups-row table).  The day-series keys
+(DW, CCF, periodogram, Cook's) aggregate to O(span) rows first — the
+only windows over a single partition run AFTER that collapse, so the
+window input is bounded by the calendar, not the corpus.  Measure
+values are pre-scaled by exact powers of two into the decimal hop's
+int64 domain (scale-invariant statistics — the docstrings pin each
+key's row-count domain).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.det import (
+    dec_cast,
+    dround,
+    dsum,
+    exact_double,
+    sql_dec_cast,
+    sql_dround,
+    sql_dsum,
+    sql_exact_double,
+)
+from ..io import load
+from ..registry import register
+
+# Exact power-of-two pre-scales (x/2^k is one IEEE mantissa shift — bit
+# identical in both engines, and skewness/kurtosis/correlation/DW/Cook's
+# are all invariant under positive linear scaling).  They exist to keep
+# decimal addends inside exact_double's int64 hop (|sum| < 9.2e12 at
+# nd=6) at ANY corpus size: with value < 512 the 4th-power addends stay
+# < 1, so the moment sums stay < n — safe to ~9e12 rows.
+_JB_SCALE = 512.0
+
+
+@register(
+    "agg_jarque_bera",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, value / CAST({_JB_SCALE!r} AS DOUBLE) AS x
+            FROM events
+        ), sums AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   {sql_dsum("x", "s1")},
+                   {sql_dsum("x * x", "s2")},
+                   {sql_dsum("x * x * x", "s3")},
+                   {sql_dsum("x * x * x * x", "s4")}
+            FROM s GROUP BY event_type
+        ), mom AS (
+            SELECT event_type, n, s1 / n AS mu,
+                   s2 / n AS r2, s3 / n AS r3, s4 / n AS r4
+            FROM sums
+        ), cm AS (
+            SELECT event_type, n,
+                   r2 - mu * mu AS m2,
+                   r3 - 3 * mu * r2 + 2 * mu * mu * mu AS m3,
+                   r4 - 4 * mu * r3 + 6 * mu * mu * r2
+                      - 3 * mu * mu * mu * mu AS m4
+            FROM mom
+        ), g AS (
+            SELECT event_type, n,
+                   CASE WHEN m2 > CAST(0.0 AS DOUBLE)
+                        THEN m3 / (m2 * SQRT(m2)) END AS g1,
+                   CASE WHEN m2 > CAST(0.0 AS DOUBLE)
+                        THEN m4 / (m2 * m2) - 3 END AS g2
+            FROM cm
+        )
+        SELECT event_type, n,
+               {sql_dround("g1")} AS skewness,
+               {sql_dround("g2")} AS kurtosis_excess,
+               {sql_dround("n / CAST(6.0 AS DOUBLE) * (g1 * g1 + g2 * g2 / 4)")}
+                   AS jb_stat,
+               CAST({sql_dround(
+                   "n / CAST(6.0 AS DOUBLE) * (g1 * g1 + g2 * g2 / 4)"
+               )} > CAST(5.991 AS DOUBLE) AS INT) AS nonnormal
+        FROM g
+    """,
+)
+def agg_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality screen per event type — skewness g1 =
+    m3/m2^1.5, excess kurtosis g2 = m4/m2²−3, JB = n/6·(g1² + g2²/4)
+    against the χ²₂ 5% critical value (5.991).  Central moments expand
+    in RAW POWER SUMS (Σx..Σx⁴, one map-side-combinable pass — no
+    mean-first second pass), each decimal-exact; m2^1.5 is written
+    m2·sqrt(m2) so the whole statistic is sqrt-only IEEE (no libm pow
+    risk).  Values pre-scale by 1/512 (exact; moments of 4th order stay
+    sub-1 per row so the sums fit the decimal hop to ~9e12 rows).
+    Zero-variance groups (degenerate grain) emit NULL via the m2 > 0
+    guard on both engines."""
+    ev = load(spark, sf_dir, "events")
+    x = F.col("x")
+    s = ev.select("event_type", (F.col("value") / F.lit(_JB_SCALE)).alias("x"))
+    sums = s.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(x, "s1"),
+        dsum(x * x, "s2"),
+        dsum(x * x * x, "s3"),
+        dsum(x * x * x * x, "s4"),
+    )
+    mom = sums.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mu"),
+        (F.col("s2") / F.col("n")).alias("r2"),
+        (F.col("s3") / F.col("n")).alias("r3"),
+        (F.col("s4") / F.col("n")).alias("r4"),
+    )
+    mu, r2, r3, r4 = (F.col(c) for c in ("mu", "r2", "r3", "r4"))
+    cm = mom.select(
+        "event_type",
+        "n",
+        (r2 - mu * mu).alias("m2"),
+        (r3 - F.lit(3) * mu * r2 + F.lit(2) * mu * mu * mu).alias("m3"),
+        (
+            r4
+            - F.lit(4) * mu * r3
+            + F.lit(6) * mu * mu * r2
+            - F.lit(3) * mu * mu * mu * mu
+        ).alias("m4"),
+    )
+    m2 = F.col("m2")
+    g = cm.select(
+        "event_type",
+        "n",
+        F.when(m2 > F.lit(0.0), F.col("m3") / (m2 * F.sqrt(m2))).alias("g1"),
+        F.when(m2 > F.lit(0.0), F.col("m4") / (m2 * m2) - F.lit(3)).alias("g2"),
+    )
+    g1, g2 = F.col("g1"), F.col("g2")
+    jb = dround(F.col("n") / F.lit(6.0) * (g1 * g1 + g2 * g2 / F.lit(4)))
+    return g.select(
+        "event_type",
+        "n",
+        dround(g1).alias("skewness"),
+        dround(g2).alias("kurtosis_excess"),
+        jb.alias("jb_stat"),
+        (jb > F.lit(5.991)).cast("int").alias("nonnormal"),
+    )
+
+
+@register(
+    "agg_durbin_watson",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ), idx AS (
+            SELECT event_type, d, y,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d)
+                        - 1 AS BIGINT) AS i,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                   CAST(SUM(y) OVER (PARTITION BY event_type) AS BIGINT) AS sy
+            FROM daily
+        ), xy AS (
+            SELECT *, CAST(SUM(i * y) OVER (PARTITION BY event_type) AS BIGINT)
+                          AS siy
+            FROM idx
+        ), ols AS (
+            SELECT event_type, d, y, i, n, sy, siy,
+                   CAST(n AS DOUBLE) AS nn,
+                   CAST(n * (n - 1) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS si,
+                   CAST(n * (n - 1) * (2 * n - 1) AS DOUBLE)
+                       / CAST(6.0 AS DOUBLE) AS si2
+            FROM xy
+        ), slope AS (
+            SELECT event_type, d, y, i, n, sy, nn, si,
+                   CASE WHEN n >= 3
+                             AND nn * si2 - si * si > CAST(0.0 AS DOUBLE)
+                        THEN (nn * siy - si * sy) / (nn * si2 - si * si)
+                   END AS b
+            FROM ols
+        ), resid AS (
+            SELECT event_type, d, n,
+                   CAST(y AS DOUBLE) - ((sy - b * si) / nn + b * i) AS e
+            FROM slope
+        ), lagd AS (
+            SELECT event_type, n, e,
+                   LAG(e) OVER (PARTITION BY event_type ORDER BY d) AS ep
+            FROM resid
+        ), agg AS (
+            SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_days,
+    """
+    + f"""
+                   {sql_dsum(
+                       "CASE WHEN ep IS NULL THEN NULL"
+                       " ELSE (e - ep) * (e - ep) END", "num")},
+                   {sql_dsum("e * e", "den")}
+            FROM lagd GROUP BY event_type
+        )
+        SELECT event_type, n_days,
+               CASE WHEN den > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround("num / den")} END AS dw,
+               CASE WHEN den > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "CAST(1.0 AS DOUBLE) - num / den / CAST(2.0 AS DOUBLE)"
+                    )} END AS rho_lag1
+        FROM agg
+    """,
+)
+def agg_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson serial-correlation test of each event type's daily
+    count series around its OLS trend — DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² (≈2 ⇒
+    independent residuals; →0 ⇒ positive autocorrelation the trend's
+    t-stats would overstate), plus the implied ρ̂ = 1−DW/2.  The day
+    index i is a per-type ROW_NUMBER so Σi and Σi² are CLOSED FORMS
+    (n(n−1)/2, n(n−1)(2n−1)/6 — exact integer-valued doubles); counts
+    are exact BIGINT window sums, so the slope/intercept are identical
+    IEEE on both engines and the residuals are per-row exact.  One
+    corpus shuffle to (type, day), then every window shares the
+    event_type partitioning (the final groupBy reuses the same
+    exchange).  n < 3 or a degenerate index variance emits NULL."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("d")
+    w_all = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        "d",
+        "y",
+        (F.row_number().over(w_ord) - 1).cast("long").alias("i"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        F.sum("y").over(w_all).cast("long").alias("sy"),
+    )
+    xy = idx.withColumn(
+        "siy", F.sum(F.col("i") * F.col("y")).over(w_all).cast("long")
+    )
+    n = F.col("n")
+    ols = xy.select(
+        "event_type",
+        "d",
+        "y",
+        "i",
+        "n",
+        "sy",
+        "siy",
+        n.cast("double").alias("nn"),
+        ((n * (n - 1)).cast("double") / F.lit(2.0)).alias("si"),
+        ((n * (n - 1) * (2 * n - 1)).cast("double") / F.lit(6.0)).alias("si2"),
+    )
+    nn, si, si2 = F.col("nn"), F.col("si"), F.col("si2")
+    slope = ols.select(
+        "event_type",
+        "d",
+        "y",
+        "i",
+        "n",
+        "sy",
+        "nn",
+        "si",
+        F.when(
+            (n >= 3) & (nn * si2 - si * si > F.lit(0.0)),
+            (nn * F.col("siy") - si * F.col("sy")) / (nn * si2 - si * si),
+        ).alias("b"),
+    )
+    b = F.col("b")
+    resid = slope.select(
+        "event_type",
+        "d",
+        "n",
+        (
+            F.col("y").cast("double")
+            - ((F.col("sy") - b * si) / nn + b * F.col("i"))
+        ).alias("e"),
+    )
+    lagd = resid.select(
+        "event_type", "n", "e", F.lag("e").over(w_ord).alias("ep")
+    )
+    e, ep = F.col("e"), F.col("ep")
+    agg = lagd.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n_days"),
+        dsum(F.when(ep.isNull(), None).otherwise((e - ep) * (e - ep)), "num"),
+        dsum(e * e, "den"),
+    )
+    den_ok = F.col("den") > F.lit(0.0)
+    ratio = F.col("num") / F.col("den")
+    return agg.select(
+        "event_type",
+        "n_days",
+        F.when(den_ok, dround(ratio)).alias("dw"),
+        F.when(den_ok, dround(F.lit(1.0) - ratio / F.lit(2.0))).alias(
+            "rho_lag1"
+        ),
+    )
+
+
+@register(
+    "agg_levene_bf",
+    oracle=f"""
+        WITH r AS (
+            SELECT event_type, value AS x,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY value, event_id) AS rn,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+            FROM events
+        ), med AS (
+            SELECT event_type, x,
+                   MAX(CASE WHEN rn = CAST(FLOOR((n + 1) / CAST(2.0 AS DOUBLE))
+                                           AS BIGINT) THEN x END)
+                       OVER (PARTITION BY event_type) AS v_lo,
+                   MAX(CASE WHEN rn = CAST(FLOOR(n / CAST(2.0 AS DOUBLE))
+                                           AS BIGINT) + 1 THEN x END)
+                       OVER (PARTITION BY event_type) AS v_hi
+            FROM r
+        ), z AS (
+            SELECT event_type,
+                   ABS(x - (v_lo + v_hi) / CAST(2.0 AS DOUBLE)) AS zv
+            FROM med
+        ), grp AS (
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS ng,
+                   {sql_dsum("zv", "sz")},
+                   {sql_dsum("zv * zv", "sz2")}
+            FROM z GROUP BY event_type
+        ), overall AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS k,
+                   CAST(SUM(ng) AS BIGINT) AS ntot,
+                   {sql_dsum("sz", "tz")},
+                   {sql_dsum("sz * sz / ng", "tzb")},
+                   {sql_dsum("sz2 - sz * sz / ng", "ssw")}
+            FROM grp
+        )
+        SELECT k, ntot,
+               {sql_dround("tzb - tz * tz / ntot")} AS ssb,
+               {sql_dround("ssw")} AS ssw,
+               CASE WHEN k >= 2 AND ntot > k AND ssw > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "((tzb - tz * tz / ntot) / (k - 1))"
+                        " / (ssw / (ntot - k))")} END AS f_stat,
+               CASE WHEN k >= 2 AND ntot > k AND ssw > CAST(0.0 AS DOUBLE)
+                    THEN CAST({sql_dround(
+                        "((tzb - tz * tz / ntot) / (k - 1))"
+                        " / (ssw / (ntot - k))")} > CAST(2.372 AS DOUBLE)
+                        AS INT) END AS reject_equal_var
+        FROM overall
+    """,
+)
+def agg_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test across event types — one-way ANOVA on zᵢⱼ = |xᵢⱼ − med(group)|.
+    The robust companion `agg_anova_oneway` assumes away: unequal
+    variances invalidate the pooled F, so this gate runs FIRST.  The
+    per-group median is an EXPLICIT rank construction (row_number with a
+    unique event_id tie-break; lo/hi middle positions via FLOOR under
+    the integer cast on both sides, even-n average) — no reliance on
+    either engine's median() interpolation.  The F statistic expands in
+    per-group Σz, Σz² (decimal-exact) so SSB/SSW are identical IEEE.
+    One sort-window per group + two map-side aggregates; the flag uses
+    the α=.05, df1=4 (fixture's 5 groups), df2=∞ critical value 2.372.
+    Degenerate grains (k<2 or zero within-group spread) emit NULL."""
+    ev = load(spark, sf_dir, "events")
+    w_rank = Window.partitionBy("event_type").orderBy("x", "event_id")
+    w_all = Window.partitionBy("event_type")
+    r = ev.select(
+        "event_type", F.col("value").alias("x"), "event_id"
+    ).select(
+        "event_type",
+        "x",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    n = F.col("n")
+    lo = F.floor((n + 1) / F.lit(2.0)).cast("long")
+    hi = F.floor(n / F.lit(2.0)).cast("long") + 1
+    med = r.select(
+        "event_type",
+        "x",
+        F.max(F.when(F.col("rn") == lo, F.col("x"))).over(w_all).alias("v_lo"),
+        F.max(F.when(F.col("rn") == hi, F.col("x"))).over(w_all).alias("v_hi"),
+    )
+    z = med.select(
+        "event_type",
+        F.abs(
+            F.col("x") - (F.col("v_lo") + F.col("v_hi")) / F.lit(2.0)
+        ).alias("zv"),
+    )
+    zv = F.col("zv")
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        dsum(zv, "sz"),
+        dsum(zv * zv, "sz2"),
+    )
+    sz, ng = F.col("sz"), F.col("ng")
+    glob = grp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("ntot"),
+        dsum(sz, "tz"),
+        dsum(sz * sz / ng, "tzb"),
+        dsum(F.col("sz2") - sz * sz / ng, "ssw"),
+    )
+    k, ntot, tz, tzb, ssw = (
+        F.col(c) for c in ("k", "ntot", "tz", "tzb", "ssw")
+    )
+    ok = (k >= 2) & (ntot > k) & (ssw > F.lit(0.0))
+    fstat = dround(
+        ((tzb - tz * tz / ntot) / (k - 1)) / (ssw / (ntot - k))
+    )
+    return glob.select(
+        "k",
+        "ntot",
+        dround(tzb - tz * tz / ntot).alias("ssb"),
+        dround(ssw).alias("ssw"),
+        F.when(ok, fstat).alias("f_stat"),
+        F.when(ok, (fstat > F.lit(2.372)).cast("int")).alias(
+            "reject_equal_var"
+        ),
+    )
+
+
+_CCF_MAX_LAG = 7
+
+_SQL_CCF_STACK = "\n            UNION ALL ".join(
+    f"SELECT CAST({k} AS BIGINT) AS lag, x, y{k} AS yk FROM leads"
+    for k in range(_CCF_MAX_LAG + 1)
+)
+
+
+@register(
+    "agg_ccf_lags",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS xc,
+                   {sql_dsum("value", "rev")}
+            FROM events GROUP BY 1
+        ), s AS (
+            SELECT d, CAST(xc AS DOUBLE) AS x, rev AS y
+            FROM daily
+        ), leads AS (
+            SELECT d, x,
+                   y AS y0,
+                   LEAD(y, 1) OVER (ORDER BY d) AS y1,
+                   LEAD(y, 2) OVER (ORDER BY d) AS y2,
+                   LEAD(y, 3) OVER (ORDER BY d) AS y3,
+                   LEAD(y, 4) OVER (ORDER BY d) AS y4,
+                   LEAD(y, 5) OVER (ORDER BY d) AS y5,
+                   LEAD(y, 6) OVER (ORDER BY d) AS y6,
+                   LEAD(y, 7) OVER (ORDER BY d) AS y7
+            FROM s
+        ), stacked AS (
+            {_SQL_CCF_STACK}
+        ), pairs AS (
+            SELECT lag, x, yk FROM stacked WHERE yk IS NOT NULL
+        ), wstats AS (
+            SELECT lag, x, yk,
+                   CAST(COUNT(*) OVER (PARTITION BY lag) AS BIGINT) AS n,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('x')}) OVER (PARTITION BY lag)"
+                   )} AS ex,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('yk')}) OVER (PARTITION BY lag)"
+                   )} AS ey
+            FROM pairs
+        ), centered AS (
+            SELECT lag, n,
+                   CASE WHEN ex > CAST(0.0 AS DOUBLE)
+                        THEN x / (ex / n) - 1 END AS cx,
+                   CASE WHEN ey <> CAST(0.0 AS DOUBLE)
+                        THEN yk / (ey / n) - 1 END AS cy
+            FROM wstats
+        ), agg AS (
+            SELECT lag, CAST(MAX(n) AS BIGINT) AS n,
+                   {sql_dsum("cx * cy", "sxy", 10)},
+                   {sql_dsum("cx * cx", "sxx", 10)},
+                   {sql_dsum("cy * cy", "syy", 10)}
+            FROM centered GROUP BY lag
+        )
+        SELECT lag, n AS n_pairs,
+               CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+                         AND syy > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround("sxy / (SQRT(sxx) * SQRT(syy))")}
+               END AS ccf
+        FROM agg
+    """,
+)
+def agg_ccf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between the daily event-count series
+    and the daily revenue series at lags 0..7 — does today's traffic
+    co-move with (or lead) revenue k days out?  The lead/lag companion
+    to `agg_acf`: ccf(k) = corr(x_t, y_{{t+k}}) over the complete pairs.
+    ONE ordered pass builds all 8 lead columns in a single window frame
+    (no 8-way self-join), a stack/UNION reshapes to (lag, x, y_k) rows,
+    and per-lag Pearson runs on MEAN-NORMALIZED deviations x/x̄−1 (the
+    per-lag means are decimal-exact window sums divided per-row, so the
+    normalization is identical IEEE on both engines).  Normalizing
+    first is the determinism trick that survives any fixture magnitude:
+    the raw-power-sum form n·Σxy−ΣxΣy cancels catastrophically against
+    6 dp-rounded sums (0.3% error on this fixture — caught by the numpy
+    replica test, not by parity, since the oracle mirrored the defect),
+    while centered deviations are O(cv)≈0.05 so their nd=10 decimal
+    sums keep ~8 significant digits at ANY corpus scale and the sums
+    stay microscopically inside the int64 hop.  Pearson is invariant
+    under the linear rescale, and the residual mean-rounding offset
+    cancels to second order.  Windows run on the O(span) day table,
+    never the corpus.  Zero-variance sides (degenerate grain) emit
+    NULL ccf."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("xc"),
+        dsum("value", "rev"),
+    )
+    s = daily.select(
+        "d", F.col("xc").cast("double").alias("x"), F.col("rev").alias("y")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    leads = s.select(
+        "d",
+        "x",
+        F.col("y").alias("y0"),
+        *[
+            F.lead("y", k).over(w_ord).alias(f"y{k}")
+            for k in range(1, _CCF_MAX_LAG + 1)
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({k} AS BIGINT), y{k}" for k in range(_CCF_MAX_LAG + 1)
+    )
+    stacked = leads.select(
+        F.expr(
+            f"stack({_CCF_MAX_LAG + 1}, {stack_args}) AS (lag, yk)"
+        ),
+        "x",
+    ).select("lag", "x", "yk")
+    pairs = stacked.filter(F.col("yk").isNotNull())
+    w_lag = Window.partitionBy("lag")
+    wstats = pairs.select(
+        "lag",
+        "x",
+        "yk",
+        F.count(F.lit(1)).over(w_lag).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("x")).over(w_lag)).alias("ex"),
+        exact_double(F.sum(dec_cast("yk")).over(w_lag)).alias("ey"),
+    )
+    n = F.col("n")
+    centered = wstats.select(
+        "lag",
+        "n",
+        F.when(
+            F.col("ex") > F.lit(0.0),
+            F.col("x") / (F.col("ex") / n) - F.lit(1),
+        ).alias("cx"),
+        F.when(
+            F.col("ey") != F.lit(0.0),
+            F.col("yk") / (F.col("ey") / n) - F.lit(1),
+        ).alias("cy"),
+    )
+    cx, cy = F.col("cx"), F.col("cy")
+    agg = centered.groupBy("lag").agg(
+        F.max("n").cast("long").alias("n"),
+        dsum(cx * cy, "sxy", 10),
+        dsum(cx * cx, "sxx", 10),
+        dsum(cy * cy, "syy", 10),
+    )
+    ok = (F.col("sxx") > F.lit(0.0)) & (F.col("syy") > F.lit(0.0))
+    return agg.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when(
+            ok,
+            dround(
+                F.col("sxy") / (F.sqrt(F.col("sxx")) * F.sqrt(F.col("syy")))
+            ),
+        ).alias("ccf"),
+    )
+
+
+_PGRAM_K = 10
+_TWO_PI = 6.283185307179586
+
+
+@register(
+    "agg_periodogram",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS xc
+            FROM events GROUP BY 1
+        ), idx AS (
+            SELECT xc,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n
+            FROM daily
+        ), terms AS (
+            SELECT k, n,
+                   {sql_dround(
+                       f"COS(CAST({_TWO_PI!r} AS DOUBLE) * k * t / n)"
+                   )} * xc AS ci,
+                   {sql_dround(
+                       f"SIN(CAST({_TWO_PI!r} AS DOUBLE) * k * t / n)"
+                   )} * xc AS si
+            FROM idx, RANGE(1, {_PGRAM_K + 1}) ks(k)
+        ), agg AS (
+            SELECT k, CAST(MAX(n) AS BIGINT) AS n_days,
+                   {sql_dsum("ci", "c")},
+                   {sql_dsum("si", "s")}
+            FROM terms GROUP BY k
+        )
+        SELECT k, n_days,
+               {sql_dround("(c * c + s * s) / n_days")} AS power,
+               {sql_dround("CAST(n_days AS DOUBLE) / k")} AS period_days
+        FROM agg
+    """,
+)
+def agg_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schuster periodogram of the daily event-count series at the first
+    {_PGRAM_K} Fourier frequencies — P(k) = (C_k² + S_k²)/N with C_k =
+    Σ x_t·cos(2πkt/N) — the seasonality detector a pure trend fit
+    (`agg_linear_trend`, `agg_durbin_watson`) is blind to: a weekly
+    cycle in a ~30-day window peaks near k = N/7 (period_days ≈ 7).
+    One day-grain aggregate, one O(span) rank window, then a k-fan-out
+    (constant ×{_PGRAM_K}) and a decimal-sum per k.  Per-row cos/sin
+    round 6 dp before the sums (the `agg_circular_mean` libm
+    convention); 2π and the angle chain are identical double literals
+    and left-associated products on both engines.  Count addends keep
+    |c_i| ≤ x_t, so the sums stay in the decimal hop's domain to ~1e9
+    events/day × ~3.6e3 days."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("xc")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    w_all = Window.partitionBy(F.lit(0))
+    idx = daily.select(
+        "xc",
+        (F.row_number().over(w_ord) - 1).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+    )
+    terms = idx.withColumn(
+        "k", F.explode(F.sequence(F.lit(1), F.lit(_PGRAM_K)))
+    ).withColumn("k", F.col("k").cast("long"))
+    ang = F.lit(_TWO_PI) * F.col("k") * F.col("t") / F.col("n")
+    terms = terms.select(
+        "k",
+        "n",
+        (dround(F.cos(ang)) * F.col("xc")).alias("ci"),
+        (dround(F.sin(ang)) * F.col("xc")).alias("si"),
+    )
+    agg = terms.groupBy("k").agg(
+        F.max("n").cast("long").alias("n_days"),
+        dsum("ci", "c"),
+        dsum("si", "s"),
+    )
+    c, s_, nd = F.col("c"), F.col("s"), F.col("n_days")
+    return agg.select(
+        "k",
+        "n_days",
+        dround((c * c + s_ * s_) / nd).alias("power"),
+        dround(nd.cast("double") / F.col("k")).alias("period_days"),
+    )
+
+
+@register(
+    "agg_cooks_distance",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d, {sql_dsum("value", "rev")}
+            FROM events GROUP BY 1
+        ), idx0 AS (
+            SELECT d, rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) - 1 AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   {sql_exact_double(f"SUM({sql_dec_cast('rev')}) OVER ()")}
+                       AS mrev
+            FROM daily
+        ), s AS (
+            SELECT d, t, n,
+                   CASE WHEN mrev > CAST(0.0 AS DOUBLE)
+                        THEN rev / (mrev / n) END AS y
+            FROM idx0
+        ), idx AS (
+            SELECT *, {sql_exact_double(
+                           f"SUM({sql_dec_cast('y')}) OVER ()", 10)} AS sy
+            FROM s
+        ), xy AS (
+            SELECT *, {sql_exact_double(
+                           f"SUM({sql_dec_cast('t * y')}) OVER ()", 10)}
+                          AS sty
+            FROM idx
+        ), ols AS (
+            SELECT d, y, t, n, sy, sty,
+                   CAST(n AS DOUBLE) AS nn,
+                   CAST(n * (n - 1) AS DOUBLE) / CAST(2.0 AS DOUBLE) AS st,
+                   CAST(n * (n - 1) * (2 * n - 1) AS DOUBLE)
+                       / CAST(6.0 AS DOUBLE) AS st2
+            FROM xy
+        ), fit AS (
+            SELECT d, y, t, n, nn, st, st2, sy,
+                   CASE WHEN n >= 3
+                             AND nn * st2 - st * st > CAST(0.0 AS DOUBLE)
+                        THEN (nn * sty - st * sy) / (nn * st2 - st * st)
+                   END AS b
+            FROM ols
+        ), resid AS (
+            SELECT d, t, n, nn,
+                   st2 - st * st / nn AS stt,
+                   t - st / nn AS tc,
+                   y - ((sy - b * st) / nn + b * t) AS e
+            FROM fit
+        ), sse_t AS (
+            SELECT *, {sql_exact_double(
+                          f"SUM({sql_dec_cast('e * e')}) OVER ()", 10)} AS sse
+            FROM resid
+        ), lev AS (
+            SELECT d, t, n, nn, e, sse,
+                   CASE WHEN stt > CAST(0.0 AS DOUBLE)
+                        THEN 1 / nn + tc * tc / stt END AS h
+            FROM sse_t
+        )
+        SELECT d, t,
+               {sql_dround("h")} AS leverage,
+               CASE WHEN n >= 4 AND sse > CAST(0.0 AS DOUBLE)
+                         AND h IS NOT NULL AND h < CAST(1.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "e * e * h / (2 * (sse / (nn - 2))"
+                        " * (1 - h) * (1 - h))")} END AS cooks_d,
+               CASE WHEN n >= 4 AND sse > CAST(0.0 AS DOUBLE)
+                         AND h IS NOT NULL AND h < CAST(1.0 AS DOUBLE)
+                    THEN CAST({sql_dround(
+                        "e * e * h / (2 * (sse / (nn - 2))"
+                        " * (1 - h) * (1 - h))")}
+                        > CAST(4.0 AS DOUBLE) / nn AS INT) END AS influential
+        FROM lev
+    """,
+)
+def agg_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cook's distance of every day in the daily-revenue-vs-time OLS fit
+    — D_t = e_t²·h_t / (p·s²·(1−h_t)²) with p = 2 and leverage h_t =
+    1/n + (t−t̄)²/S_tt: which single days dominate the fitted trend
+    (flag D > 4/n, the standard screen).  The influence diagnostic that
+    belongs next to every `agg_linear_trend`-style product.  Same
+    exact-OLS scaffold as `agg_durbin_watson` (closed-form index sums,
+    window-shared over ONE O(span) single-partition series — the corpus
+    collapses to day grain first).  The revenue series MEAN-NORMALIZES
+    first (y = rev/mean, mean = decimal-exact window sum ÷ n, identical
+    IEEE both sides): Cook's D is invariant under the rescale, residual
+    magnitudes become O(cv) at any fixture size, and the nd=10 decimal
+    sums of y/t·y/e² keep ~8 significant digits where a fixed-constant
+    pre-scale quantized SSE to 1-2 digits on small fixtures (the
+    agg_ccf_lags cancellation lesson — caught by the numpy replica, not
+    parity).  n < 4, zero SSE, or h = 1 (a two-point fit's endpoints)
+    emit NULL via identical guards."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum("value", "rev")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    w_all = Window.partitionBy(F.lit(0))
+    idx0 = daily.select(
+        "d",
+        "rev",
+        (F.row_number().over(w_ord) - 1).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("rev")).over(w_all)).alias("mrev"),
+    )
+    n = F.col("n")
+    s = idx0.select(
+        "d",
+        "t",
+        "n",
+        F.when(
+            F.col("mrev") > F.lit(0.0),
+            F.col("rev") / (F.col("mrev") / n),
+        ).alias("y"),
+    )
+    idx = s.withColumn(
+        "sy", exact_double(F.sum(dec_cast("y")).over(w_all), 10)
+    )
+    xy = idx.withColumn(
+        "sty",
+        exact_double(F.sum(dec_cast(F.col("t") * F.col("y"))).over(w_all), 10),
+    )
+    ols = xy.select(
+        "d",
+        "y",
+        "t",
+        "n",
+        "sy",
+        "sty",
+        n.cast("double").alias("nn"),
+        ((n * (n - 1)).cast("double") / F.lit(2.0)).alias("st"),
+        ((n * (n - 1) * (2 * n - 1)).cast("double") / F.lit(6.0)).alias("st2"),
+    )
+    nn, st, st2 = F.col("nn"), F.col("st"), F.col("st2")
+    fit = ols.select(
+        "d",
+        "y",
+        "t",
+        "n",
+        "nn",
+        "st",
+        "st2",
+        "sy",
+        F.when(
+            (n >= 3) & (nn * st2 - st * st > F.lit(0.0)),
+            (nn * F.col("sty") - st * F.col("sy")) / (nn * st2 - st * st),
+        ).alias("b"),
+    )
+    b = F.col("b")
+    resid = fit.select(
+        "d",
+        "t",
+        "n",
+        "nn",
+        (st2 - st * st / nn).alias("stt"),
+        (F.col("t") - st / nn).alias("tc"),
+        (F.col("y") - ((F.col("sy") - b * st) / nn + b * F.col("t"))).alias(
+            "e"
+        ),
+    )
+    sse_t = resid.withColumn(
+        "sse",
+        exact_double(F.sum(dec_cast(F.col("e") * F.col("e"))).over(w_all), 10),
+    )
+    lev = sse_t.select(
+        "d",
+        "t",
+        "n",
+        "nn",
+        "e",
+        "sse",
+        F.when(
+            F.col("stt") > F.lit(0.0),
+            F.lit(1) / F.col("nn") + F.col("tc") * F.col("tc") / F.col("stt"),
+        ).alias("h"),
+    )
+    e, h, sse = F.col("e"), F.col("h"), F.col("sse")
+    ok = (
+        (n >= 4)
+        & (sse > F.lit(0.0))
+        & h.isNotNull()
+        & (h < F.lit(1.0))
+    )
+    dcol = dround(
+        e * e * h / (F.lit(2) * (sse / (nn - F.lit(2))) * (F.lit(1) - h) * (F.lit(1) - h))
+    )
+    return lev.select(
+        "d",
+        "t",
+        dround(h).alias("leverage"),
+        F.when(ok, dcol).alias("cooks_d"),
+        F.when(ok, (dcol > F.lit(4.0) / nn).cast("int")).alias("influential"),
+    )

@@ -119,6 +119,7 @@ _MODULES = [
     "odc_product_docker_images_spark.multimodal.tar_shards",
     "odc_product_docker_images_spark.multimodal.safetensors",
     "odc_product_docker_images_spark.operators.stats_tests",
+    "odc_product_docker_images_spark.operators.stats_diag",
     "odc_product_docker_images_spark.operators.model_eval",
     "odc_product_docker_images_spark.sources.bloom",
     "odc_product_docker_images_spark.textvec.nb",
@@ -154,15 +155,20 @@ WINDOW_REGRADES = {"sim_ann_recall", "dedup_minhash_recall"}
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- new r9 keys --
+    # -- new r9 keys (the r9c diagnostics/vector tier displaces the 10
+    #    newest rotation slots; displaced keys head the R10 defer list) --
     "graph_bfs_loop",
+    "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf",
+    "agg_ccf_lags", "agg_periodogram", "agg_cooks_distance",
+    "ml_pr_auc", "ml_brier_decomposition", "ml_mcnemar_test",
+    "sim_binary_quantize",
     # -- re-grades: sampled-slice audit changed code + oracle (r9 task 2) --
     "sim_ann_recall", "dedup_minhash_recall",
     # -- first-ever driver rows-check for the 6 never-windowed rows-only
     #    keys (registry residents since r4b-r6d with zero driver contact) --
     "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
     "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-    # -- rotation: the 40 oldest never-driver-graded full-oracle keys --
+    # -- rotation: the 30 oldest never-driver-graded full-oracle keys --
     "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
     "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
     "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
@@ -172,12 +178,14 @@ GRADING_WINDOW = [
     "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
     "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step",
     "text_readability", "geo_idw_interpolate", "agg_ljung_box",
-    "raster_flow_direction", "raster_hillshade", "table_bloom_skipping",
-    "graph_label_prop_step", "agg_spatial_moran", "text_collocations_pmi",
-    "agg_abc_classification", "agg_bitmap_distinct", "agg_stl_lite",
-    "window_rolling_corr", "agg_hurst_rs", "sim_matryoshka_prefix",
+    "raster_flow_direction", "raster_hillshade",
     # R10 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
+    #   displaced by the r9c new-key tier (were r9 rotation slots):
+    #     table_bloom_skipping, graph_label_prop_step, agg_spatial_moran,
+    #     text_collocations_pmi, agg_abc_classification,
+    #     agg_bitmap_distinct, agg_stl_lite, window_rolling_corr,
+    #     agg_hurst_rs, sim_matryoshka_prefix,
     #   r6d tail: ml_naive_bayes, profile_parquet_footers,
     #     forecast_croston, agg_price_index, agg_ks_by_group_fdr,
     #     agg_cmh_test, table_content_checksum, agg_kruskal_wallis,

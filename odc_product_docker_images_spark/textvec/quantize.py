@@ -93,3 +93,138 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(_fsum(sq_err) / 64.0, 12).alias("mse"),
         F.round(dot(F.col("e"), F.col("recon")) / (nrm_e * nrm_r), 6).alias("recon_cos"),
     )
+
+
+from pyspark.sql import Window
+
+from ..functions.det import dround, sql_dround
+
+_BQ_QUERIES = 10  # query vectors: vec_id < 10
+_BQ_K = 5  # neighbors kept per query
+_PI = 3.141592653589793
+
+
+@register(
+    "sim_binary_quantize",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), packed AS (
+            SELECT vec_id, e,
+                   CAST(LIST_SUM(LIST_TRANSFORM(e[1:32],
+                        (x, i) -> CASE WHEN x > CAST(0.0 AS DOUBLE)
+                                  THEN POWER(2, i - 1)
+                                  ELSE CAST(0.0 AS DOUBLE) END)) AS BIGINT)
+                       AS w0,
+                   CAST(LIST_SUM(LIST_TRANSFORM(e[33:64],
+                        (x, i) -> CASE WHEN x > CAST(0.0 AS DOUBLE)
+                                  THEN POWER(2, i - 1)
+                                  ELSE CAST(0.0 AS DOUBLE) END)) AS BIGINT)
+                       AS w1
+            FROM v
+        ), pairs AS (
+            SELECT q.vec_id AS vec_id, c.vec_id AS nbr_id,
+                   CAST(bit_count(xor(q.w0, c.w0))
+                        + bit_count(xor(q.w1, c.w1)) AS BIGINT) AS hamming
+            FROM packed q JOIN packed c ON c.vec_id != q.vec_id
+            WHERE q.vec_id < {_BQ_QUERIES}
+        ), topk AS (
+            SELECT vec_id, nbr_id, hamming,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY hamming, nbr_id) AS rn
+            FROM pairs
+        )
+        SELECT t.vec_id, t.nbr_id, t.hamming,
+               {sql_dround(
+                   f"COS(CAST({_PI!r} AS DOUBLE) * t.hamming / 64)"
+               )} AS est_cos,
+               {sql_dround(
+                   "LIST_SUM(LIST_TRANSFORM(RANGE(1, 65),"
+                   " i -> a.e[i] * b.e[i]))"
+                   " / (SQRT(LIST_SUM(LIST_TRANSFORM(a.e, x -> x * x)))"
+                   " * SQRT(LIST_SUM(LIST_TRANSFORM(b.e, x -> x * x))))"
+               )} AS true_cos
+        FROM topk t
+        JOIN v a ON a.vec_id = t.vec_id
+        JOIN v b ON b.vec_id = t.nbr_id
+        WHERE t.rn <= {_BQ_K}
+    """,
+)
+def sim_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 storage path, 1-bit tier: sign binarization + Hamming search +
+    exact rerank — the 256× compression rung below `sim_quantize_int8`
+    (64 float dims → two 32-bit words = 8 B/vector) that modern vector
+    stores run as the FIRST funnel stage.  Codes pack per-dimension sign
+    bits into int64 words with exact powers of two (every value ≤ 2³²−1
+    is an exact double, so LIST_SUM/fold packing is bit-identical in
+    both engines); Hamming = popcount(xor) per word pair — pure integer
+    codegen.  The angular estimate cos(π·h/64) is the sign-random-
+    projection identity (Charikar ⟨pub⟩ SimHash/SRP: P[sign match] =
+    1 − θ/π, here with the identity projection since the fixture's
+    coordinates are i.i.d.); the exact cosine of each surviving pair is
+    recomputed for the rerank column, restricted to Q·K rows.
+
+    Scale shape (100 TB of vectors): the query side (vec_id < {_BQ_QUERIES})
+    broadcasts — 8 B codes mean even a million-query batch is ~8 MB; the
+    corpus side streams through the xor/popcount in whole-stage codegen
+    with NO shuffle until the per-query top-{_BQ_K} window on Q·{_BQ_K}-bounded
+    candidates; the float embeddings are only touched again by the final
+    rerank join (Q·{_BQ_K} rows), never by the scan."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform("embedding", lambda x: x.cast("double"))
+    base = em.select("vec_id", e.alias("e"))
+
+    def word(lo: int) -> Column:
+        return (
+            _fsum(
+                F.transform(
+                    F.slice(F.col("e"), lo, 32),
+                    lambda x, i: F.when(
+                        x > F.lit(0.0),
+                        F.pow(F.lit(2.0), i.cast("double")),
+                    ).otherwise(F.lit(0.0)),
+                )
+            )
+            .cast("long")
+        )
+
+    packed = base.select("vec_id", word(1).alias("w0"), word(33).alias("w1"))
+    q = packed.filter(F.col("vec_id") < _BQ_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    pairs = packed.join(
+        F.broadcast(q), F.col("vec_id") != F.col("qid")
+    ).select(
+        F.col("qid").alias("q_id"),
+        F.col("vec_id").alias("nbr_id"),
+        (
+            F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+            + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+        )
+        .cast("long")
+        .alias("hamming"),
+    )
+    w = Window.partitionBy("q_id").orderBy("hamming", "nbr_id")
+    sel = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _BQ_K)
+        .select("q_id", "nbr_id", "hamming")
+    )
+    qa = base.select(F.col("vec_id").alias("q_id"), F.col("e").alias("ea"))
+    qb = base.select(F.col("vec_id").alias("nbr_id"), F.col("e").alias("eb"))
+    joined = sel.join(F.broadcast(qa), "q_id").join(F.broadcast(qb), "nbr_id")
+    ea, eb = F.col("ea"), F.col("eb")
+    true_cos = dot(ea, eb) / (F.sqrt(dot(ea, ea)) * F.sqrt(dot(eb, eb)))
+    return joined.select(
+        F.col("q_id").alias("vec_id"),
+        "nbr_id",
+        "hamming",
+        dround(F.cos(F.lit(_PI) * F.col("hamming") / F.lit(64))).alias(
+            "est_cos"
+        ),
+        dround(true_cos).alias("true_cos"),
+    )

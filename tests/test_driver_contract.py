@@ -79,14 +79,20 @@ def test_grading_window_holds_showcase_surface():
     # silently drop a slot or re-submit an already-graded key.
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # new r9 keys
+        # new r9 keys (incl. the r9c diagnostics/vector tier)
         "graph_bfs_loop",
+        "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf",
+        "agg_ccf_lags", "agg_periodogram", "agg_cooks_distance",
+        "ml_pr_auc", "ml_brier_decomposition", "ml_mcnemar_test",
+        "sim_binary_quantize",
         # re-grades: sampled-slice audit changed code + oracle r9
         "sim_ann_recall", "dedup_minhash_recall",
         # first driver rows-check for the never-windowed rows-only keys
         "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
         "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-        # rotation: the 40 oldest never-driver-graded full-oracle keys
+        # rotation: the 30 oldest never-driver-graded full-oracle keys
+        # (the r9c tier displaced the 10 newest rotation slots to the
+        # R10 defer list in registry.py)
         "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
         "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
         "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
@@ -97,11 +103,7 @@ def test_grading_window_holds_showcase_surface():
         "agg_medoid_composite", "agg_winsorized_mean",
         "sample_bottomk_hash", "graph_hits_step", "text_readability",
         "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
-        "raster_hillshade", "table_bloom_skipping",
-        "graph_label_prop_step", "agg_spatial_moran",
-        "text_collocations_pmi", "agg_abc_classification",
-        "agg_bitmap_distinct", "agg_stl_lite", "window_rolling_corr",
-        "agg_hurst_rs", "sim_matryoshka_prefix",
+        "raster_hillshade",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r9 pin violated: {missing_literal}"

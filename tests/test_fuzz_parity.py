@@ -137,6 +137,46 @@ def test_windowed_exact_sum_matches_duckdb(spark_global, rows):
     assert canon_rows(got) == canon_rows(want)
 
 
+nd10_domain = st.floats(
+    allow_nan=False,
+    allow_infinity=False,
+    min_value=-1e7,
+    max_value=1e7,
+    allow_subnormal=False,
+)
+nd10_rows_strategy = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), nd10_domain),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(rows=nd10_rows_strategy)
+def test_dsum_nd10_matches_duckdb(spark_global, rows):
+    """The nd=10 exact-cast path (r9c: decimal(19,10) hop — the old
+    decimal(24,6) hop silently re-rounded nd>6 requests to 6 dp) must
+    hash-match DuckDB bit-for-bit inside its domain (|sum| < 9.2e8).
+    60 values ≤ 1e7 keep the sum well inside."""
+    spark = spark_global
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    from pyspark.sql import functions as F
+
+    got = (
+        sdf.groupBy("k")
+        .agg(dsum("v", "s", 10), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT k, {sql_dsum('v', 's', 10)}, COUNT(*) AS n FROM t GROUP BY k"
+    ).df()
+    con.close()
+    assert canon_rows(got) == canon_rows(want)
+
+
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark

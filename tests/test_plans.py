@@ -2814,3 +2814,83 @@ def test_sketch_gates_shape(spark):
     assert "CartesianProduct" not in plan
     assert "InMemoryTableScan" in plan  # persisted exact-count/summary tables
     C.assert_no_python_row_path(df)
+
+
+def test_stats_diag_keys_single_scan_no_branch_duplication(spark):
+    """The r9c diagnostics tier expresses every per-group/global statistic
+    as WINDOWS over one aggregated series (the CLAUDE.md branch-duplication
+    rule): each key must read events exactly once, with the bounded
+    exchange budget of its agg→window chain and zero join machinery."""
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_ccf_lags,
+        agg_cooks_distance,
+        agg_durbin_watson,
+        agg_jarque_bera,
+        agg_levene_bf,
+        agg_periodogram,
+    )
+
+    for fn, max_exch in [
+        (agg_jarque_bera, 1),
+        (agg_durbin_watson, 2),
+        (agg_levene_bf, 2),
+        (agg_ccf_lags, 2),
+        (agg_periodogram, 2),
+        (agg_cooks_distance, 2),
+    ]:
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert C.exchange_count(df) <= max_exch, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        C.assert_no_python_row_path(df)
+
+
+def test_pr_auc_reuses_roc_scaffold_shape(spark):
+    """ml_pr_auc rides the _scored_groups distributed-prefix scaffold:
+    the offsets table must come back as a BROADCAST join (never a shuffle
+    join on the bucket key) over the two-scan shared subtree."""
+    from odc_product_docker_images_spark.operators.model_eval import ml_pr_auc
+
+    df = ml_pr_auc(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2
+    assert plan.count("BroadcastHashJoin ") == 1
+    assert "SortMergeJoin" not in plan
+    C.assert_no_python_row_path(df)
+
+
+def test_brier_mcnemar_single_pass_shapes(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_brier_decomposition,
+        ml_mcnemar_test,
+    )
+
+    for fn in (ml_brier_decomposition, ml_mcnemar_test):
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        C.assert_no_python_row_path(df)
+
+
+def test_binary_quantize_funnel_shape(spark):
+    """The 1-bit funnel: the query side must BROADCAST into the Hamming
+    scan (a BroadcastNestedLoopJoin on the != predicate — never a
+    CartesianProduct), the rerank joins must be broadcast hash joins on
+    the Q·K-bounded survivors, and the whole key stays in codegen (no
+    Python path, no sort-merge machinery)."""
+    from odc_product_docker_images_spark.textvec.quantize import (
+        sim_binary_quantize,
+    )
+
+    df = sim_binary_quantize(spark, SF)
+    plan = C.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") >= 1
+    assert plan.count("BroadcastHashJoin ") >= 2
+    assert "SortMergeJoin" not in plan
+    assert C.scan_count(df) <= 4
+    # the packing is pure codegen: xor/bit_count never leave the JVM
+    C.assert_no_python_row_path(df)
