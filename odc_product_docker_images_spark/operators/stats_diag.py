@@ -866,3 +866,714 @@ def agg_cooks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, dcol).alias("cooks_d"),
         F.when(ok, (dcol > F.lit(4.0) / nn).cast("int")).alias("influential"),
     )
+
+
+@register(
+    "agg_seasonal_mann_kendall",
+    oracle="""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(ISODOW(DATE_TRUNC('day', ts)) AS BIGINT) AS season,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ), p AS (
+            SELECT a.season AS season,
+                   CASE WHEN b.x > a.x THEN 1
+                        WHEN b.x < a.x THEN -1 ELSE 0 END AS sgn
+            FROM daily a JOIN daily b
+              ON a.season = b.season AND a.d < b.d
+        ), per AS (
+            SELECT season, CAST(SUM(sgn) AS BIGINT) AS s_season,
+                   CAST(COUNT(*) AS BIGINT) AS n_pairs
+            FROM p GROUP BY season
+        ), nobs AS (
+            SELECT season, CAST(COUNT(*) AS BIGINT) AS n_days
+            FROM daily GROUP BY season
+        ), j AS (
+            SELECT n.season, n.n_days,
+                   COALESCE(per.s_season, 0) AS s_season,
+                   COALESCE(per.n_pairs, 0) AS n_pairs,
+                   n.n_days * (n.n_days - 1)
+                       * (2 * n.n_days + 5) / CAST(18.0 AS DOUBLE) AS var_s
+            FROM nobs n LEFT JOIN per ON per.season = n.season
+        ), tot AS (
+            SELECT season, n_days, s_season, n_pairs, var_s,
+                   CAST(SUM(s_season) OVER () AS BIGINT) AS s_total,
+                   SUM(var_s) OVER () AS var_total
+            FROM j
+        )
+        SELECT season, n_days, s_season, n_pairs, s_total,
+    """
+    + f"""
+               CASE WHEN var_total > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "(CASE WHEN s_total > 0 THEN s_total - 1"
+                        " WHEN s_total < 0 THEN s_total + 1 ELSE 0 END)"
+                        " / SQRT(var_total)")} END AS z_total
+        FROM tot
+    """,
+)
+def agg_seasonal_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal Mann-Kendall trend test of the daily count series with
+    day-of-week seasons (Hirsch-Slack): the MK S statistic runs WITHIN
+    each weekday's sub-series (Mondays vs Mondays), so a weekly cycle
+    can't masquerade as (or mask) a monotone trend — the robust-trend
+    companion to `agg_mann_kendall` for strongly seasonal telemetry.
+    S_total = ΣS_season, Var = Σn(n−1)(2n+5)/18 (no-tie form; count
+    ties contribute 0 to S), Z with the ±1 continuity correction —
+    exact integers until the final division.  The corpus collapses to
+    the O(span) day table which is PERSISTED before the within-season
+    pairwise self-join (pairs ≈ span²/14: both join inputs read the one
+    cached aggregate, not the corpus twice), and each output row carries
+    the overall Z via a window over the 7-row season table."""
+    ev = load(spark, sf_dir, "events")
+    d = F.date_trunc("day", "ts")
+    daily = (
+        ev.groupBy(
+            d.alias("d"),
+            F.dayofweek(d).cast("long").alias("dow_raw"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("x"))
+        # Spark dayofweek: 1=Sunday..7=Saturday; ISODOW: 1=Monday..7=Sunday
+        .select(
+            "d",
+            "x",
+            F.when(F.col("dow_raw") == 1, F.lit(7))
+            .otherwise(F.col("dow_raw") - 1)
+            .cast("long")
+            .alias("season"),
+        )
+        .persist()
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.season") == F.col("b.season")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.season").alias("season"),
+        F.when(F.col("b.x") > F.col("a.x"), 1)
+        .when(F.col("b.x") < F.col("a.x"), -1)
+        .otherwise(0)
+        .alias("sgn"),
+    )
+    per = p.groupBy("season").agg(
+        F.sum("sgn").cast("long").alias("s_season"),
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+    )
+    nobs = daily.groupBy("season").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days")
+    )
+    nd = F.col("n_days")
+    j = nobs.join(per, "season", "left").select(
+        "season",
+        "n_days",
+        F.coalesce(F.col("s_season"), F.lit(0)).alias("s_season"),
+        F.coalesce(F.col("n_pairs"), F.lit(0)).alias("n_pairs"),
+        (nd * (nd - 1) * (2 * nd + 5) / F.lit(18.0)).alias("var_s"),
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    tot = j.select(
+        "season",
+        "n_days",
+        "s_season",
+        "n_pairs",
+        F.sum("s_season").over(w_all).cast("long").alias("s_total"),
+        F.sum("var_s").over(w_all).alias("var_total"),
+    )
+    st = F.col("s_total")
+    cc = (
+        F.when(st > 0, st - 1).when(st < 0, st + 1).otherwise(0)
+    )
+    return tot.select(
+        "season",
+        "n_days",
+        "s_season",
+        "n_pairs",
+        "s_total",
+        F.when(
+            F.col("var_total") > F.lit(0.0),
+            dround(cc / F.sqrt(F.col("var_total"))),
+        ).alias("z_total"),
+    )
+
+
+_PACF_SQL_RHO = """
+        WITH series AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), stats AS (
+            SELECT d, x,
+                   CAST(SUM(x) OVER () AS DOUBLE)
+                       / CAST(COUNT(*) OVER () AS DOUBLE) AS mu,
+                   LEAD(x, 1) OVER w AS x1, LEAD(x, 2) OVER w AS x2,
+                   LEAD(x, 3) OVER w AS x3
+            FROM series
+            WINDOW w AS (ORDER BY d)
+        ), dev AS (
+            SELECT d, mu, x - mu AS dv,
+                   {den} AS den,
+                   x1, x2, x3
+            FROM stats
+        ), rho AS (
+            SELECT
+                {r1} AS r1,
+                {r2} AS r2,
+                {r3} AS r3
+            FROM dev
+        )
+"""
+
+
+def _pacf_sql() -> str:
+    den = sql_exact_double(
+        "SUM(" + sql_dec_cast("(x - mu) * (x - mu)") + ") OVER ()"
+    )
+    def rk(col: str) -> str:
+        return (
+            "CASE WHEN MAX(den) > CAST(0.0 AS DOUBLE) THEN "
+            + sql_dround(
+                sql_exact_double(
+                    "SUM(" + sql_dec_cast(f"dv * ({col} - mu)") + ")"
+                )
+                + " / MAX(den)"
+            )
+            + " END"
+        )
+    body = _PACF_SQL_RHO.format(den=den, r1=rk("x1"), r2=rk("x2"), r3=rk("x3"))
+    return (
+        body
+        + """
+        , dl AS (
+            SELECT r1, r2, r3,
+                   CASE WHEN 1 - r1 * r1 <> CAST(0.0 AS DOUBLE)
+                        THEN (r2 - r1 * r1) / (1 - r1 * r1) END AS p22
+            FROM rho
+        ), dl2 AS (
+            SELECT r1, r2, r3, p22,
+                   r1 * (1 - p22) AS p21
+            FROM dl
+        ), dl3 AS (
+            SELECT r1, p22,
+                   CASE WHEN 1 - p21 * r1 - p22 * r2 <> CAST(0.0 AS DOUBLE)
+                        THEN (r3 - p21 * r2 - p22 * r1)
+                            / (1 - p21 * r1 - p22 * r2) END AS p33
+            FROM dl2
+        )
+        SELECT CAST(1 AS BIGINT) AS lag, {a1} AS pacf FROM dl3
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), {a2} FROM dl3
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), {a3} FROM dl3
+    """.format(
+            a1=sql_dround("r1"), a2=sql_dround("p22"), a3=sql_dround("p33")
+        )
+    )
+
+
+@register("agg_pacf", oracle=_pacf_sql())
+def agg_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily count series at lags 1-3 via
+    the closed-form Durbin-Levinson recursion — the AR-order picker that
+    `agg_acf` can't be (ACF of an AR(1) decays across ALL lags; PACF
+    cuts off after the true order): φ₁₁=ρ₁, φ₂₂=(ρ₂−ρ₁²)/(1−ρ₁²),
+    φ₃₃ from the level-2 coefficients.  The ρ_k are computed exactly as
+    `agg_acf` does (exact int/int mean, IEEE deviation products, decimal
+    sums, 6 dp) and the recursion is pure double algebra on those
+    identical rounded inputs — no new determinism surface.  One corpus
+    day-count aggregate, constant-offset LEADs over the O(span) series,
+    a 1-row algebra chain, and a 3-row unpivot."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    w_all = Window.partitionBy(F.lit(0))
+    stats = daily.select(
+        "d",
+        "x",
+        (
+            F.sum("x").over(w_all).cast("double")
+            / F.count(F.lit(1)).over(w_all).cast("double")
+        ).alias("mu"),
+        F.lead("x", 1).over(w_ord).alias("x1"),
+        F.lead("x", 2).over(w_ord).alias("x2"),
+        F.lead("x", 3).over(w_ord).alias("x3"),
+    )
+    mu = F.col("mu")
+    dev = stats.select(
+        "mu",
+        (F.col("x") - mu).alias("dv"),
+        exact_double(
+            F.sum(dec_cast((F.col("x") - mu) * (F.col("x") - mu))).over(w_all)
+        ).alias("den"),
+        "x1",
+        "x2",
+        "x3",
+    )
+
+    def rk(col: str):
+        return F.when(
+            F.max("den") > F.lit(0.0),
+            dround(
+                exact_double(F.sum(dec_cast(F.col("dv") * (F.col(col) - mu))))
+                / F.max("den")
+            ),
+        )
+
+    rho = dev.agg(rk("x1").alias("r1"), rk("x2").alias("r2"), rk("x3").alias("r3"))
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    dl = rho.select(
+        "r1", "r2", "r3",
+        F.when(
+            F.lit(1) - r1 * r1 != F.lit(0.0),
+            (r2 - r1 * r1) / (F.lit(1) - r1 * r1),
+        ).alias("p22"),
+    )
+    p22 = F.col("p22")
+    dl2 = dl.select("r1", "r2", "r3", "p22", (r1 * (F.lit(1) - p22)).alias("p21"))
+    p21 = F.col("p21")
+    dl3 = dl2.select(
+        "r1",
+        "p22",
+        F.when(
+            F.lit(1) - p21 * r1 - p22 * r2 != F.lit(0.0),
+            (r3 - p21 * r2 - p22 * r1)
+            / (F.lit(1) - p21 * r1 - p22 * r2),
+        ).alias("p33"),
+    )
+    out = dl3.select(
+        F.expr(
+            "stack(3, CAST(1 AS BIGINT), r1,"
+            " CAST(2 AS BIGINT), p22,"
+            " CAST(3 AS BIGINT), p33) AS (lag, raw)"
+        )
+    )
+    return out.select("lag", dround(F.col("raw")).alias("pacf"))
+
+
+@register(
+    "agg_grubbs_outlier",
+    oracle=f"""
+        WITH s AS (
+            SELECT event_type, value,
+                   value / CAST(512.0 AS DOUBLE) AS x
+            FROM events
+        ), w AS (
+            SELECT event_type, value, x,
+                   CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('x')})"
+                       " OVER (PARTITION BY event_type)")} AS s1,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('x * x')})"
+                       " OVER (PARTITION BY event_type)")} AS s2
+            FROM s
+        ), devd AS (
+            SELECT event_type, value, n, s1, s2,
+                   ABS(x - s1 / n) AS adev
+            FROM w
+        ), mx AS (
+            SELECT event_type, value, n, s1, s2, adev,
+                   MAX(adev) OVER (PARTITION BY event_type) AS maxdev
+            FROM devd
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               {sql_dround(
+                   "MAX(CASE WHEN n >= 3"
+                   " AND (s2 - s1 * s1 / n) / (n - 1) > CAST(0.0 AS DOUBLE)"
+                   " THEN maxdev / SQRT((s2 - s1 * s1 / n) / (n - 1)) END)"
+               )} AS g_stat,
+               MAX(CASE WHEN adev = maxdev THEN value END) AS outlier_value,
+               CAST({sql_dround(
+                   "MAX(CASE WHEN n >= 3"
+                   " AND (s2 - s1 * s1 / n) / (n - 1) > CAST(0.0 AS DOUBLE)"
+                   " THEN maxdev / SQRT((s2 - s1 * s1 / n) / (n - 1)) END)"
+               )} > CAST(4.0 AS DOUBLE) AS INT) AS flagged
+        FROM mx GROUP BY event_type
+    """,
+)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style maximum-studentized-deviation screen per event type
+    — G = max|x−x̄|/s and the value achieving it: the single-outlier
+    detector run before any mean-based statistic (a fat-fingered 1e9
+    reading moves `agg_mean` arbitrarily; G names the culprit).  The
+    flag uses a fixed G > 4 screen (the exact Grubbs critical value
+    needs a t-quantile — out of SQL scope; at the fixture's n≈2000 the
+    α=.05 critical is ≈3.9, so 4 is the conservative round number,
+    documented rather than approximated).  Values pre-scale by 1/512
+    (G is scale-invariant; the `agg_jarque_bera` decimal-domain trick),
+    mean/variance come from decimal-exact window power sums, the argmax
+    value resolves through an adev = maxdev equality on identical IEEE
+    doubles with MAX as the tie-break.  One corpus window pass + one
+    aggregate, both on the event_type partitioning."""
+    ev = load(spark, sf_dir, "events")
+    s = ev.select(
+        "event_type", "value", (F.col("value") / F.lit(512.0)).alias("x")
+    )
+    w_all = Window.partitionBy("event_type")
+    x = F.col("x")
+    w = s.select(
+        "event_type",
+        "value",
+        "x",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("x")).over(w_all)).alias("s1"),
+        exact_double(F.sum(dec_cast(x * x)).over(w_all)).alias("s2"),
+    )
+    devd = w.select(
+        "event_type",
+        "value",
+        "n",
+        "s1",
+        "s2",
+        F.abs(x - F.col("s1") / F.col("n")).alias("adev"),
+    )
+    mx = devd.select(
+        "*", F.max("adev").over(w_all).alias("maxdev")
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    g = dround(
+        F.max(
+            F.when(
+                (n >= 3) & (var > F.lit(0.0)),
+                F.col("maxdev") / F.sqrt(var),
+            )
+        )
+    )
+    return mx.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        g.alias("g_stat"),
+        F.max(
+            F.when(F.col("adev") == F.col("maxdev"), F.col("value"))
+        ).alias("outlier_value"),
+        (g > F.lit(4.0)).cast("int").alias("flagged"),
+    )
+
+
+@register(
+    "agg_friedman_test",
+    oracle=f"""
+        WITH cells AS (
+            SELECT DATE_TRUNC('day', ts) AS d, event_type,
+                   CAST(COUNT(*) AS BIGINT) AS cnt,
+                   {sql_exact_double(f"SUM({sql_dec_cast('value')})")} AS sv
+            FROM events GROUP BY 1, 2
+        ), cm AS (
+            SELECT d, event_type, sv / cnt AS m
+            FROM cells
+        ), dr AS (
+            SELECT d, event_type, m,
+                   DENSE_RANK() OVER (ORDER BY event_type) AS tr,
+                   CAST(COUNT(*) OVER (PARTITION BY d) AS BIGINT) AS kd
+            FROM cm
+        ), kk AS (
+            SELECT d, event_type, m, kd,
+                   MAX(tr) OVER () AS k
+            FROM dr
+        ), complete AS (
+            SELECT d, event_type, m, CAST(k AS BIGINT) AS k
+            FROM kk WHERE kd = k
+        ), ranked AS (
+            SELECT d, event_type, k,
+                   RANK() OVER (PARTITION BY d ORDER BY m)
+                       + (CAST(COUNT(*) OVER (PARTITION BY d, m) AS BIGINT) - 1)
+                           / CAST(2.0 AS DOUBLE) AS r
+            FROM complete
+        ), per AS (
+            SELECT event_type, CAST(MAX(k) AS BIGINT) AS k,
+                   CAST(COUNT(*) AS BIGINT) AS nb,
+                   SUM(r) AS rj
+            FROM ranked GROUP BY event_type
+        ), tot AS (
+            SELECT CAST(MAX(k) AS BIGINT) AS k,
+                   CAST(MAX(nb) AS BIGINT) AS n_blocks,
+                   SUM(rj * rj) AS srj2
+            FROM per
+        )
+        SELECT k, n_blocks,
+               CASE WHEN k >= 2 AND n_blocks >= 2
+                    THEN {sql_dround(
+                        "12 / (n_blocks * k * (k + CAST(1.0 AS DOUBLE)))"
+                        " * srj2 - 3 * n_blocks * (k + 1)")} END AS chi2_f,
+               CASE WHEN k >= 2 AND n_blocks >= 2
+                    THEN CAST({sql_dround(
+                        "12 / (n_blocks * k * (k + CAST(1.0 AS DOUBLE)))"
+                        " * srj2 - 3 * n_blocks * (k + 1)")}
+                        > CAST(9.488 AS DOUBLE) AS INT) END AS reject
+        FROM tot
+    """,
+)
+def agg_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test — do the event types differ in mean value once
+    DAY effects are blocked out?  The nonparametric repeated-measures
+    ANOVA: within each complete day-block the k type means are ranked
+    (average ranks on ties), and χ²F = 12/(nk(k+1))·ΣR_j² − 3n(k+1)
+    against χ²₄ 5% (9.488 at the fixture's k=5).  Complements
+    `agg_kruskal_wallis` (which ignores blocks) exactly as a paired
+    t-test complements the two-sample one.  One corpus (day, type)
+    aggregate; k discovers itself via a dense-rank window (no second
+    corpus branch), incomplete blocks drop, tie-averaged ranks use the
+    RANK()+(ties−1)/2 identity, and every rank sum is an exact multiple
+    of 0.5 (order-insensitive double addition — no decimal path needed).
+    The cell means are decimal-exact sums over exact counts, so rank
+    ORDER is identical across engines."""
+    ev = load(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        exact_double(F.sum(dec_cast("value"))).alias("sv"),
+    )
+    cm = cells.select(
+        "d", "event_type", (F.col("sv") / F.col("cnt")).alias("m")
+    )
+    w_type = Window.partitionBy(F.lit(0)).orderBy("event_type")
+    w_all = Window.partitionBy(F.lit(0))
+    w_d = Window.partitionBy("d")
+    dr = cm.select(
+        "d",
+        "event_type",
+        "m",
+        F.dense_rank().over(w_type).alias("tr"),
+        F.count(F.lit(1)).over(w_d).cast("long").alias("kd"),
+    )
+    kk = dr.select(
+        "d", "event_type", "m", "kd", F.max("tr").over(w_all).alias("k")
+    )
+    complete = kk.filter(F.col("kd") == F.col("k")).select(
+        "d", "event_type", "m", F.col("k").cast("long").alias("k")
+    )
+    w_rank = Window.partitionBy("d").orderBy("m")
+    w_tie = Window.partitionBy("d", "m")
+    ranked = complete.select(
+        "d",
+        "event_type",
+        "k",
+        (
+            F.rank().over(w_rank)
+            + (F.count(F.lit(1)).over(w_tie).cast("long") - 1) / F.lit(2.0)
+        ).alias("r"),
+    )
+    per = ranked.groupBy("event_type").agg(
+        F.max("k").cast("long").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.sum("r").alias("rj"),
+    )
+    tot = per.agg(
+        F.max("k").cast("long").alias("k"),
+        F.max("nb").cast("long").alias("n_blocks"),
+        F.sum(F.col("rj") * F.col("rj")).alias("srj2"),
+    )
+    k, nb = F.col("k"), F.col("n_blocks")
+    ok = (k >= 2) & (nb >= 2)
+    chi2 = dround(
+        F.lit(12) / (nb * k * (k + F.lit(1.0))) * F.col("srj2")
+        - F.lit(3) * nb * (k + F.lit(1))
+    )
+    return tot.select(
+        "k",
+        "n_blocks",
+        F.when(ok, chi2).alias("chi2_f"),
+        F.when(ok, (chi2 > F.lit(9.488)).cast("int")).alias("reject"),
+    )
+
+
+_BOLL_W = 7  # rolling window, days
+
+
+@register(
+    "window_bollinger",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), framed AS (
+            SELECT d, x,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS nf,
+                   {sql_exact_double(f"SUM({sql_dec_cast('CAST(x AS DOUBLE)')}) OVER w")}
+                       AS fs1,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('CAST(x AS DOUBLE) * CAST(x AS DOUBLE)')}) OVER w"
+                   )} AS fs2
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN {_BOLL_W - 1} PRECEDING
+                         AND CURRENT ROW)
+        ), bands AS (
+            SELECT d, x, nf,
+                   fs1 / nf AS mid,
+                   CASE WHEN nf >= 2 THEN
+                       SQRT(GREATEST(CAST(0.0 AS DOUBLE),
+                            (fs2 - fs1 * fs1 / nf) / (nf - 1))) END AS sd
+            FROM framed
+        )
+        SELECT d, x, nf,
+               {sql_dround("mid")} AS mid,
+               {sql_dround("mid + 2 * sd")} AS upper_band,
+               {sql_dround("mid - 2 * sd")} AS lower_band,
+               CASE WHEN sd IS NULL THEN NULL
+                    WHEN x > {sql_dround("mid + 2 * sd")} THEN 1
+                    WHEN x < {sql_dround("mid - 2 * sd")} THEN -1
+                    ELSE 0 END AS breakout
+        FROM bands
+    """,
+)
+def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands over the daily count series — {_BOLL_W}-day rolling
+    mean ± 2 rolling standard deviations, with a breakout flag (+1 above,
+    −1 below): the volatility-adaptive anomaly envelope that a fixed
+    z-score (`window_seasonal_zscore`) can't be when local variance
+    drifts.  The frame statistics are DECIMAL-EXACT framed window sums
+    (Σx, Σx² over the row frame — the det.py framed-window contract is
+    hypothesis-fuzzed), so mid/sd are identical IEEE on both engines;
+    the flag compares the integer count to the 6 dp-rounded bands.
+    Corpus collapses to the O(span) day table before the single ordered
+    window; negative variance from the rounded-sum difference clamps to
+    zero via GREATEST on both sides.  Count-squared addends bound the
+    decimal hop at ~1e6 events/day (3e6/day at the 1000× replica tier
+    is the first fixture that would need the `agg_ccf_lags`
+    mean-normalize form instead)."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("d")
+        .rowsBetween(-(_BOLL_W - 1), Window.currentRow)
+    )
+    xd = F.col("x").cast("double")
+    framed = daily.select(
+        "d",
+        "x",
+        F.count(F.lit(1)).over(w).cast("long").alias("nf"),
+        exact_double(F.sum(dec_cast(xd)).over(w)).alias("fs1"),
+        exact_double(F.sum(dec_cast(xd * xd)).over(w)).alias("fs2"),
+    )
+    nf, fs1, fs2 = F.col("nf"), F.col("fs1"), F.col("fs2")
+    bands = framed.select(
+        "d",
+        "x",
+        "nf",
+        (fs1 / nf).alias("mid"),
+        F.when(
+            nf >= 2,
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0), (fs2 - fs1 * fs1 / nf) / (nf - 1)
+                )
+            ),
+        ).alias("sd"),
+    )
+    mid, sd = F.col("mid"), F.col("sd")
+    upper = dround(mid + F.lit(2) * sd)
+    lower = dround(mid - F.lit(2) * sd)
+    return bands.select(
+        "d",
+        "x",
+        "nf",
+        dround(mid).alias("mid"),
+        upper.alias("upper_band"),
+        lower.alias("lower_band"),
+        F.when(sd.isNull(), F.lit(None).cast("int"))
+        .when(F.col("x") > upper, 1)
+        .when(F.col("x") < lower, -1)
+        .otherwise(0)
+        .alias("breakout"),
+    )
+
+
+@register(
+    "agg_two_proportion_ztest",
+    oracle=f"""
+        WITH c AS (
+            SELECT CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n1,
+                   CAST(SUM(CASE WHEN user_id % 2 = 1
+                                 AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n0,
+                   CAST(SUM(CASE WHEN user_id % 2 = 0
+                                 AND event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x0
+            FROM events
+        ), p AS (
+            SELECT n1, x1, n0, x0,
+                   x1 / CAST(n1 AS DOUBLE) AS p1,
+                   x0 / CAST(n0 AS DOUBLE) AS p0,
+                   (x1 + x0) / CAST(n1 + n0 AS DOUBLE) AS pp
+            FROM c
+        )
+        SELECT n1, x1, n0, x0,
+               {sql_dround("p1")} AS rate_treat,
+               {sql_dround("p0")} AS rate_control,
+               CASE WHEN n1 > 0 AND n0 > 0
+                         AND pp > CAST(0.0 AS DOUBLE)
+                         AND pp < CAST(1.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "(p1 - p0) / SQRT(pp * (1 - pp)"
+                        " * (1 / CAST(n1 AS DOUBLE)"
+                        " + 1 / CAST(n0 AS DOUBLE)))")} END AS z_stat,
+               CASE WHEN n1 > 0 AND n0 > 0
+                         AND pp > CAST(0.0 AS DOUBLE)
+                         AND pp < CAST(1.0 AS DOUBLE)
+                    THEN CAST(ABS({sql_dround(
+                        "(p1 - p0) / SQRT(pp * (1 - pp)"
+                        " * (1 / CAST(n1 AS DOUBLE)"
+                        " + 1 / CAST(n0 AS DOUBLE)))")})
+                        > CAST(1.96 AS DOUBLE) AS INT) END AS significant
+        FROM p
+    """,
+)
+def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pooled two-proportion z-test of purchase conversion between the
+    user_id-parity arms — the workhorse binary-outcome experiment test
+    that `agg_ttest_welch` (continuous outcomes) and `agg_srm_check`
+    (allocation sanity) bracket: z = (p̂₁−p̂₀)/√(p̂(1−p̂)(1/n₁+1/n₀))
+    against ±1.96.  One map-side-combinable conditional-count pass;
+    exact integer cells make every ratio a single IEEE division, and a
+    degenerate arm (empty, or all/no conversions pooled) emits NULL via
+    identical guards on both engines."""
+    ev = load(spark, sf_dir, "events")
+    t1 = (F.col("user_id") % 2 == 1).cast("int")
+    t0 = (F.col("user_id") % 2 == 0).cast("int")
+    conv = (F.col("event_type") == "purchase").cast("int")
+    c = ev.agg(
+        F.sum(t1).cast("long").alias("n1"),
+        F.sum(t1 * conv).cast("long").alias("x1"),
+        F.sum(t0).cast("long").alias("n0"),
+        F.sum(t0 * conv).cast("long").alias("x0"),
+    )
+    n1, x1, n0, x0 = (F.col(c_) for c_ in ("n1", "x1", "n0", "x0"))
+    p = c.select(
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        (x1 / n1.cast("double")).alias("p1"),
+        (x0 / n0.cast("double")).alias("p0"),
+        ((x1 + x0) / (n1 + n0).cast("double")).alias("pp"),
+    )
+    p1, p0, pp = F.col("p1"), F.col("p0"), F.col("pp")
+    ok = (n1 > 0) & (n0 > 0) & (pp > F.lit(0.0)) & (pp < F.lit(1.0))
+    z = dround(
+        (p1 - p0)
+        / F.sqrt(
+            pp
+            * (F.lit(1) - pp)
+            * (F.lit(1) / n1.cast("double") + F.lit(1) / n0.cast("double"))
+        )
+    )
+    return p.select(
+        "n1",
+        "x1",
+        "n0",
+        "x0",
+        dround(p1).alias("rate_treat"),
+        dround(p0).alias("rate_control"),
+        F.when(ok, z).alias("z_stat"),
+        F.when(ok, (F.abs(z) > F.lit(1.96)).cast("int")).alias("significant"),
+    )

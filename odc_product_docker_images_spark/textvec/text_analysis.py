@@ -1167,3 +1167,73 @@ def text_mattr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.aggregate("rs", F.lit(0.0), lambda a, v: a + v) / F.col("n_windows")
         ).alias("mattr"),
     )
+
+
+@register(
+    "text_fertility_stats",
+    oracle=f"""
+        WITH d AS (
+            SELECT lang, source,
+                   CAST(LEN(STRING_SPLIT(text, ' ')) AS BIGINT) AS toks,
+                   CAST(LENGTH(text) AS BIGINT) AS chars,
+                   CAST(OCTET_LENGTH(CAST(text AS BLOB)) AS BIGINT) AS bytes
+            FROM documents
+        )
+        SELECT lang, source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               CAST(SUM(chars) AS BIGINT) AS total_chars,
+               CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+               CASE WHEN SUM(toks) > 0 THEN {sql_dround(
+                   "SUM(chars) / CAST(SUM(toks) AS DOUBLE)")} END
+                   AS chars_per_token,
+               CASE WHEN SUM(toks) > 0 THEN {sql_dround(
+                   "SUM(bytes) / CAST(SUM(toks) AS DOUBLE)")} END
+                   AS bytes_per_token,
+               {sql_dround("SUM(toks) / CAST(COUNT(*) AS DOUBLE)")}
+                   AS tokens_per_doc
+        FROM d GROUP BY lang, source
+    """,
+)
+def text_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: tokenizer-fertility profile per (lang, source) — chars/token,
+    bytes/token, tokens/doc from the whitespace segmentation
+    (`text_token_count`'s convention): the table a pretraining budget is
+    planned from, and the per-language fairness diagnostic (a tokenizer
+    with 2× the fertility on one language halves its effective context
+    and doubles its training cost — why multilingual corpora audit this
+    before mixing).  UTF-8 byte counts come from the blob length so
+    multi-byte scripts actually differ from their char counts.  One
+    map-side-combinable pass; exact integer sums, single IEEE ratio
+    divisions (empty-token groups emit NULL via identical guards)."""
+    dc = load(spark, sf_dir, "documents")
+    d = dc.select(
+        "lang",
+        "source",
+        F.size(_toks()).cast("long").alias("toks"),
+        F.length("text").cast("long").alias("chars"),
+        F.octet_length("text").cast("long").alias("bytes"),
+    )
+    toks, chars, bts = F.col("toks"), F.col("chars"), F.col("bytes")
+    agg = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(toks).cast("long").alias("total_tokens"),
+        F.sum(chars).cast("long").alias("total_chars"),
+        F.sum(bts).cast("long").alias("total_bytes"),
+    )
+    tt = F.col("total_tokens")
+    return agg.select(
+        "lang",
+        "source",
+        "n_docs",
+        "total_tokens",
+        "total_chars",
+        "total_bytes",
+        F.when(
+            tt > 0, dround(F.col("total_chars") / tt.cast("double"))
+        ).alias("chars_per_token"),
+        F.when(
+            tt > 0, dround(F.col("total_bytes") / tt.cast("double"))
+        ).alias("bytes_per_token"),
+        dround(tt / F.col("n_docs").cast("double")).alias("tokens_per_doc"),
+    )

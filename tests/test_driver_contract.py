@@ -85,13 +85,16 @@ def test_grading_window_holds_showcase_surface():
         "agg_ccf_lags", "agg_periodogram", "agg_cooks_distance",
         "ml_pr_auc", "ml_brier_decomposition", "ml_mcnemar_test",
         "sim_binary_quantize",
+        "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
+        "agg_friedman_test", "window_bollinger",
+        "agg_two_proportion_ztest", "text_fertility_stats",
         # re-grades: sampled-slice audit changed code + oracle r9
         "sim_ann_recall", "dedup_minhash_recall",
         # first driver rows-check for the never-windowed rows-only keys
         "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
         "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-        # rotation: the 30 oldest never-driver-graded full-oracle keys
-        # (the r9c tier displaced the 10 newest rotation slots to the
+        # rotation: the 23 oldest never-driver-graded full-oracle keys
+        # (the r9c tiers displaced the 17 newest rotation slots to the
         # R10 defer list in registry.py)
         "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
         "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
@@ -101,9 +104,6 @@ def test_grading_window_holds_showcase_surface():
         "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
         "ml_confusion_metrics", "raster_slope_aspect",
         "agg_medoid_composite", "agg_winsorized_mean",
-        "sample_bottomk_hash", "graph_hits_step", "text_readability",
-        "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
-        "raster_hillshade",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r9 pin violated: {missing_literal}"

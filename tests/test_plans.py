@@ -2894,3 +2894,42 @@ def test_binary_quantize_funnel_shape(spark):
     assert C.scan_count(df) <= 4
     # the packing is pure codegen: xor/bit_count never leave the JVM
     C.assert_no_python_row_path(df)
+
+
+def test_r9c_tier2_single_scan_shapes(spark):
+    """Tier-2 diagnostics: every key reads its corpus table exactly once.
+    The seasonal-MK pairwise self-join must ride the PERSISTED day table
+    (InMemoryTableScan — one corpus scan feeding both join sides), and
+    nothing in the tier needs join machinery beyond it."""
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_friedman_test,
+        agg_grubbs_outlier,
+        agg_pacf,
+        agg_seasonal_mann_kendall,
+        agg_two_proportion_ztest,
+        window_bollinger,
+    )
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_fertility_stats,
+    )
+
+    df = agg_seasonal_mann_kendall(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "InMemoryTableScan" in plan  # persisted day table, both sides
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+    for fn, max_exch in [
+        (agg_pacf, 2),
+        (agg_grubbs_outlier, 1),
+        (agg_friedman_test, 2),
+        (window_bollinger, 2),
+        (agg_two_proportion_ztest, 1),
+        (text_fertility_stats, 1),
+    ]:
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert C.exchange_count(df) <= max_exch, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        C.assert_no_python_row_path(df)

@@ -329,3 +329,177 @@ def test_r9c_keys_survive_degenerate_grain(spark):
         "sim_binary_quantize",
     ]:
         qs[k].fn(spark, d).count()  # must not raise
+
+
+def test_seasonal_mann_kendall_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_seasonal_mann_kendall,
+    )
+
+    rows = {r["season"]: r for r in agg_seasonal_mann_kendall(spark, SF).collect()}
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby("d").size().sort_index()
+    s_total = 0
+    var_total = 0.0
+    for dow in range(1, 8):
+        sub = daily[[d.isoweekday() == dow for d in daily.index]]
+        x = sub.to_numpy()
+        n = len(x)
+        s = sum(
+            np.sign(x[j] - x[i]) for i in range(n) for j in range(i + 1, n)
+        )
+        assert rows[dow]["n_days"] == n
+        assert rows[dow]["s_season"] == s
+        assert rows[dow]["n_pairs"] == n * (n - 1) // 2
+        s_total += s
+        var_total += n * (n - 1) * (2 * n + 5) / 18.0
+    z = (s_total - np.sign(s_total)) / np.sqrt(var_total)
+    any_row = rows[1]
+    assert any_row["s_total"] == s_total
+    assert abs(any_row["z_total"] - z) < 1e-5
+
+
+def test_pacf_matches_statsmodels_style_durbin_levinson(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import agg_pacf
+
+    got = {r["lag"]: r["pacf"] for r in agg_pacf(spark, SF).collect()}
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    x = ev.groupby("d").size().sort_index().to_numpy().astype(float)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    rho = [((x[: len(x) - k] - mu) * (x[k:] - mu)).sum() / den for k in (1, 2, 3)]
+    r1, r2, r3 = rho
+    p22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    p21 = r1 * (1 - p22)
+    p33 = (r3 - p21 * r2 - p22 * r1) / (1 - p21 * r1 - p22 * r2)
+    assert abs(got[1] - r1) < 1e-4
+    assert abs(got[2] - p22) < 1e-4
+    assert abs(got[3] - p33) < 1e-4
+
+
+def test_grubbs_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_grubbs_outlier,
+    )
+
+    got = {r["event_type"]: r for r in agg_grubbs_outlier(spark, SF).collect()}
+    ev = _events()
+    for et, grp in ev.groupby("event_type"):
+        x = grp["value"].to_numpy()
+        g = np.abs(x - x.mean()).max() / x.std(ddof=1)
+        r = got[et]
+        assert r["n"] == len(x)
+        assert abs(r["g_stat"] - g) < 1e-4
+        # the achiever: for a right-skewed positive series it is the max
+        assert abs(r["outlier_value"] - x[np.abs(x - x.mean()).argmax()]) < 1e-9
+        assert r["flagged"] == int(g > 4.0)
+
+
+def test_friedman_matches_numpy_ranks(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_friedman_test,
+    )
+
+    row = agg_friedman_test(spark, SF).collect()[0]
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    cells = ev.groupby(["d", "event_type"])["value"].mean().unstack()
+    cells = cells.dropna()  # complete blocks only
+    n, k = cells.shape
+    ranks = cells.rank(axis=1)  # average ranks on ties
+    rj = ranks.sum(axis=0).to_numpy()
+    chi2 = 12.0 / (n * k * (k + 1)) * (rj**2).sum() - 3 * n * (k + 1)
+    assert (row["k"], row["n_blocks"]) == (k, n)
+    assert abs(row["chi2_f"] - chi2) < 1e-4
+    assert row["reject"] == int(chi2 > 9.488)
+
+
+def test_bollinger_matches_pandas_rolling(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        window_bollinger,
+    )
+
+    rows = sorted(window_bollinger(spark, SF).collect(), key=lambda r: r["d"])
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    s = ev.groupby("d").size().sort_index()
+    mid = s.rolling(7, min_periods=1).mean()
+    sd = s.rolling(7, min_periods=2).std(ddof=1)
+    for i, r in enumerate(rows):
+        assert r["x"] == s.iloc[i]
+        assert abs(r["mid"] - mid.iloc[i]) < 1e-5
+        if i == 0:
+            assert r["breakout"] is None
+            continue
+        assert abs(r["upper_band"] - (mid.iloc[i] + 2 * sd.iloc[i])) < 1e-5
+        assert abs(r["lower_band"] - (mid.iloc[i] - 2 * sd.iloc[i])) < 1e-5
+        expect_flag = (
+            1
+            if s.iloc[i] > round(mid.iloc[i] + 2 * sd.iloc[i], 6)
+            else (-1 if s.iloc[i] < round(mid.iloc[i] - 2 * sd.iloc[i], 6) else 0)
+        )
+        assert r["breakout"] == expect_flag
+
+
+def test_two_proportion_ztest_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_two_proportion_ztest,
+    )
+
+    row = agg_two_proportion_ztest(spark, SF).collect()[0]
+    ev = _events()
+    ev2 = pq.read_table(f"{SF}/events.parquet", columns=["user_id"]).to_pandas()
+    treat = (ev2["user_id"] % 2 == 1).to_numpy()
+    conv = (ev["event_type"] == "purchase").to_numpy()
+    n1, x1 = int(treat.sum()), int((treat & conv).sum())
+    n0, x0 = int((~treat).sum()), int((~treat & conv).sum())
+    p1, p0 = x1 / n1, x0 / n0
+    pp = (x1 + x0) / (n1 + n0)
+    z = (p1 - p0) / np.sqrt(pp * (1 - pp) * (1 / n1 + 1 / n0))
+    assert (row["n1"], row["x1"], row["n0"], row["x0"]) == (n1, x1, n0, x0)
+    assert abs(row["z_stat"] - z) < 1e-5
+    assert row["significant"] == int(abs(z) > 1.96)
+
+
+def test_fertility_stats_matches_python(spark):
+    from odc_product_docker_images_spark.textvec.text_analysis import (
+        text_fertility_stats,
+    )
+
+    got = {
+        (r["lang"], r["source"]): r
+        for r in text_fertility_stats(spark, SF).collect()
+    }
+    t = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    for (lang, source), grp in t.groupby(["lang", "source"]):
+        toks = sum(len(s.split(" ")) for s in grp["text"])
+        chars = int(grp["text"].str.len().sum())
+        bts = int(sum(len(s.encode("utf-8")) for s in grp["text"]))
+        r = got[(lang, source)]
+        assert r["n_docs"] == len(grp)
+        assert r["total_tokens"] == toks
+        assert r["total_chars"] == chars
+        assert r["total_bytes"] == bts
+        assert abs(r["chars_per_token"] - chars / toks) < 1e-5
+        assert abs(r["tokens_per_doc"] - toks / len(grp)) < 1e-5
+
+
+def test_r9c_tier2_survives_degenerate_grain(spark):
+    from test_r8_ops import _degen_dir
+
+    from odc_product_docker_images_spark import registry
+
+    d = _degen_dir()
+    qs = registry.all_queries()
+    for k in [
+        "agg_seasonal_mann_kendall",
+        "agg_pacf",
+        "agg_grubbs_outlier",
+        "agg_friedman_test",
+        "window_bollinger",
+        "agg_two_proportion_ztest",
+        "text_fertility_stats",
+    ]:
+        qs[k].fn(spark, d).count()  # must not raise

@@ -34,6 +34,9 @@ AUDIT = [
     "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf", "agg_ccf_lags",
     "agg_periodogram", "agg_cooks_distance", "ml_pr_auc",
     "ml_brier_decomposition", "ml_mcnemar_test", "sim_binary_quantize",
+    "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
+    "agg_friedman_test", "window_bollinger", "agg_two_proportion_ztest",
+    "text_fertility_stats",
     "raster_focal_mean", "raster_morph_close", "dedup_boilerplate",
     "sample_stratified", "join_nearest_neighbor", "composite_q18_shape",
     "agg_percentile_composite", "text_heavy_hitters", "sim_quantize_pq",
