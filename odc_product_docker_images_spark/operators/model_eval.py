@@ -1367,3 +1367,76 @@ def ml_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(disc > 0, chi2_cc).alias("chi2_cc"),
         F.when(disc > 0, (chi2 > F.lit(3.841)).cast("int")).alias("differ"),
     )
+
+
+@register(
+    "ml_ks_statistic",
+    oracle=_SQL_GROUPS
+    + f"""
+        , diffs AS (
+            SELECT score,
+                   CASE WHEN p > 0 AND n > 0
+                        THEN ABS(gp / CAST(p AS DOUBLE)
+                                 - gn / CAST(n AS DOUBLE)) END AS diff,
+                   p, n
+            FROM cum
+        ), mx AS (
+            SELECT score, diff, p, n,
+                   MAX(diff) OVER () AS maxdiff
+            FROM diffs
+        )
+        SELECT CAST(MAX(p) AS BIGINT) AS n_pos,
+               CAST(MAX(n) AS BIGINT) AS n_neg,
+               {sql_dround("MAX(maxdiff)")} AS ks_stat,
+               MIN(CASE WHEN diff = maxdiff THEN score END) AS ks_threshold,
+               CASE WHEN MAX(p) > 0 AND MAX(n) > 0
+                    THEN CAST({sql_dround("MAX(maxdiff)")}
+                        > {sql_dround(
+                            "CAST(1.36 AS DOUBLE) * SQRT((MAX(p) + MAX(n))"
+                            " / (CAST(MAX(p) AS DOUBLE) * MAX(n)))")}
+                        AS INT) END AS separable
+        FROM mx
+    """,
+)
+def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E17: Kolmogorov-Smirnov separation of the score distributions —
+    KS = max|F₊(s) − F₋(s)|, the credit-scoring industry's default
+    discrimination metric, plus the threshold achieving it (the natural
+    cutoff candidate) and the 5% two-sample significance screen
+    (1.36·√((p+n)/(p·n))).  Rides the same `_scored_groups`
+    distributed-prefix scaffold as ROC/AUC/PR (one reused exchange):
+    per-threshold CDFs are exact integer-ratio IEEE divisions, the max
+    is order-insensitive, and the argmax threshold resolves by MIN over
+    the diff = maxdiff equality on identical doubles.  A single-class
+    corpus (degenerate grain) emits NULL via the p/n guards."""
+    g = _scored_groups(spark, sf_dir)
+    diff = F.when(
+        (F.col("p") > 0) & (F.col("n") > 0),
+        F.abs(
+            F.col("gp") / F.col("p").cast("double")
+            - F.col("gn") / F.col("n").cast("double")
+        ),
+    )
+    diffs = g.select("score", diff.alias("diff"), "p", "n")
+    w_all = Window.partitionBy(F.lit(0))
+    mx = diffs.select(
+        "score", "diff", "p", "n", F.max("diff").over(w_all).alias("maxdiff")
+    )
+    p, n = F.max("p").cast("long"), F.max("n").cast("long")
+    ks = dround(F.max("maxdiff"))
+    crit = dround(
+        F.lit(1.36)
+        * F.sqrt((F.max("p") + F.max("n")) / (F.max("p").cast("double") * F.max("n")))
+    )
+    return mx.agg(
+        p.alias("n_pos"),
+        n.alias("n_neg"),
+        ks.alias("ks_stat"),
+        F.min(
+            F.when(F.col("diff") == F.col("maxdiff"), F.col("score"))
+        ).alias("ks_threshold"),
+        F.when(
+            (F.max("p") > 0) & (F.max("n") > 0),
+            (ks > crit).cast("int"),
+        ).alias("separable"),
+    )

@@ -1577,3 +1577,374 @@ def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, z).alias("z_stat"),
         F.when(ok, (F.abs(z) > F.lit(1.96)).cast("int")).alias("significant"),
     )
+
+
+@register(
+    "agg_partial_corr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d,
+                   CAST(COUNT(*) AS BIGINT) AS xc,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS zc,
+                   {sql_dsum("value", "rev")}
+            FROM events GROUP BY 1
+        ), s AS (
+            SELECT d, CAST(xc AS DOUBLE) AS x, rev AS y,
+                   CAST(zc AS DOUBLE) AS z
+            FROM daily
+        ), w AS (
+            SELECT x, y, z,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   {sql_exact_double(f"SUM({sql_dec_cast('x')}) OVER ()")} AS ex,
+                   {sql_exact_double(f"SUM({sql_dec_cast('y')}) OVER ()")} AS ey,
+                   {sql_exact_double(f"SUM({sql_dec_cast('z')}) OVER ()")} AS ez
+            FROM s
+        ), c AS (
+            SELECT n,
+                   CASE WHEN ex > CAST(0.0 AS DOUBLE)
+                        THEN x / (ex / n) - 1 END AS cx,
+                   CASE WHEN ey <> CAST(0.0 AS DOUBLE)
+                        THEN y / (ey / n) - 1 END AS cy,
+                   CASE WHEN ez > CAST(0.0 AS DOUBLE)
+                        THEN z / (ez / n) - 1 END AS cz
+            FROM w
+        ), sums AS (
+            SELECT CAST(MAX(n) AS BIGINT) AS n,
+                   {sql_dsum("cx * cy", "sxy", 10)},
+                   {sql_dsum("cx * cz", "sxz", 10)},
+                   {sql_dsum("cy * cz", "syz", 10)},
+                   {sql_dsum("cx * cx", "sxx", 10)},
+                   {sql_dsum("cy * cy", "syy", 10)},
+                   {sql_dsum("cz * cz", "szz", 10)}
+            FROM c
+        ), r AS (
+            SELECT n,
+                   CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+                             AND syy > CAST(0.0 AS DOUBLE)
+                        THEN sxy / (SQRT(sxx) * SQRT(syy)) END AS rxy,
+                   CASE WHEN sxx > CAST(0.0 AS DOUBLE)
+                             AND szz > CAST(0.0 AS DOUBLE)
+                        THEN sxz / (SQRT(sxx) * SQRT(szz)) END AS rxz,
+                   CASE WHEN syy > CAST(0.0 AS DOUBLE)
+                             AND szz > CAST(0.0 AS DOUBLE)
+                        THEN syz / (SQRT(syy) * SQRT(szz)) END AS ryz
+            FROM sums
+        )
+        SELECT n,
+               {sql_dround("rxy")} AS r_xy,
+               {sql_dround("rxz")} AS r_xz,
+               {sql_dround("ryz")} AS r_yz,
+               CASE WHEN (1 - rxz * rxz) * (1 - ryz * ryz)
+                         > CAST(0.0 AS DOUBLE)
+                    THEN {sql_dround(
+                        "(rxy - rxz * ryz)"
+                        " / SQRT((1 - rxz * rxz) * (1 - ryz * ryz))")}
+               END AS r_xy_given_z
+        FROM r
+    """,
+)
+def agg_partial_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order partial correlation r(x,y|z) of daily event count (x)
+    and daily revenue (y) controlling for daily active users (z) — does
+    traffic predict revenue BEYOND the user base both ride on?
+    r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)): the
+    confounder-aware correlation every "metric A drives metric B" claim
+    needs before `agg_diff_in_diff`-grade causal designs.  All three
+    pairwise Pearsons use the `agg_ccf_lags` mean-normalized centered
+    form (scale-free O(cv) deviations, nd=10 decimal sums — the
+    raw-power-sum cancellation lesson), so the partial formula is pure
+    double algebra on identically-rounded inputs.  One corpus day
+    aggregate; windows on the O(span) series; |r| = 1 or zero-variance
+    sides (degenerate grain) emit NULL."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("xc"),
+        F.countDistinct("user_id").cast("long").alias("zc"),
+        dsum("value", "rev"),
+    )
+    s = daily.select(
+        "d",
+        F.col("xc").cast("double").alias("x"),
+        F.col("rev").alias("y"),
+        F.col("zc").cast("double").alias("z"),
+    )
+    w_all = Window.partitionBy(F.lit(0))
+    w = s.select(
+        "x",
+        "y",
+        "z",
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("x")).over(w_all)).alias("ex"),
+        exact_double(F.sum(dec_cast("y")).over(w_all)).alias("ey"),
+        exact_double(F.sum(dec_cast("z")).over(w_all)).alias("ez"),
+    )
+    n = F.col("n")
+    c = w.select(
+        "n",
+        F.when(F.col("ex") > F.lit(0.0), F.col("x") / (F.col("ex") / n) - F.lit(1)).alias("cx"),
+        F.when(F.col("ey") != F.lit(0.0), F.col("y") / (F.col("ey") / n) - F.lit(1)).alias("cy"),
+        F.when(F.col("ez") > F.lit(0.0), F.col("z") / (F.col("ez") / n) - F.lit(1)).alias("cz"),
+    )
+    cx, cy, cz = F.col("cx"), F.col("cy"), F.col("cz")
+    sums = c.agg(
+        F.max("n").cast("long").alias("n"),
+        dsum(cx * cy, "sxy", 10),
+        dsum(cx * cz, "sxz", 10),
+        dsum(cy * cz, "syz", 10),
+        dsum(cx * cx, "sxx", 10),
+        dsum(cy * cy, "syy", 10),
+        dsum(cz * cz, "szz", 10),
+    )
+    sxx, syy, szz = F.col("sxx"), F.col("syy"), F.col("szz")
+
+    def pear(num, d1, d2):
+        return F.when(
+            (d1 > F.lit(0.0)) & (d2 > F.lit(0.0)),
+            num / (F.sqrt(d1) * F.sqrt(d2)),
+        )
+
+    r = sums.select(
+        "n",
+        pear(F.col("sxy"), sxx, syy).alias("rxy"),
+        pear(F.col("sxz"), sxx, szz).alias("rxz"),
+        pear(F.col("syz"), syy, szz).alias("ryz"),
+    )
+    rxy, rxz, ryz = F.col("rxy"), F.col("rxz"), F.col("ryz")
+    den = (F.lit(1) - rxz * rxz) * (F.lit(1) - ryz * ryz)
+    return r.select(
+        "n",
+        dround(rxy).alias("r_xy"),
+        dround(rxz).alias("r_xz"),
+        dround(ryz).alias("r_yz"),
+        F.when(
+            den > F.lit(0.0),
+            dround((rxy - rxz * ryz) / F.sqrt(den)),
+        ).alias("r_xy_given_z"),
+    )
+
+
+_RSI_W = 7  # Cutler RSI window, days
+
+
+@register(
+    "window_rsi",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d, CAST(COUNT(*) AS BIGINT) AS x
+            FROM events GROUP BY 1
+        ), delta AS (
+            SELECT d, x,
+                   x - LAG(x) OVER (ORDER BY d) AS chg
+            FROM daily
+        ), gl AS (
+            SELECT d, x,
+                   CASE WHEN chg > 0 THEN chg ELSE 0 END AS gain,
+                   CASE WHEN chg < 0 THEN -chg ELSE 0 END AS loss,
+                   CASE WHEN chg IS NULL THEN NULL ELSE 1 END AS hasret
+            FROM delta
+        ), framed AS (
+            SELECT d, x,
+                   CAST(SUM(gain) OVER w AS BIGINT) AS g{_RSI_W},
+                   CAST(SUM(loss) OVER w AS BIGINT) AS l{_RSI_W},
+                   CAST(COUNT(hasret) OVER w AS BIGINT) AS nret
+            FROM gl
+            WINDOW w AS (ORDER BY d ROWS BETWEEN {_RSI_W - 1} PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT d, x, nret,
+               CASE WHEN nret >= {_RSI_W} THEN
+                   CASE WHEN g{_RSI_W} + l{_RSI_W} > 0
+                        THEN {sql_dround(
+                            f"100 * g{_RSI_W}"
+                            f" / CAST(g{_RSI_W} + l{_RSI_W} AS DOUBLE)")}
+                        ELSE CAST(50.0 AS DOUBLE) END
+               END AS rsi
+        FROM framed
+    """,
+)
+def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI (simple-average relative strength index) of the
+    daily count series over a {_RSI_W}-day window — RSI =
+    100·Σgain/(Σgain+Σloss): the banded momentum gauge that joins
+    `window_drawdown` and `window_bollinger` in the volatility family
+    (overbought ≈ >70, oversold ≈ <30).  The SMA variant is chosen over
+    Wilder's recursive smoothing deliberately: day-over-day count
+    deltas are INTEGERS, so the framed gain/loss sums are exact BIGINT
+    window arithmetic — zero float surface until the single final
+    division.  RSI emits only once the frame holds {_RSI_W} true returns
+    (warm-up rows NULL); an all-flat frame reads 50."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    delta = daily.select(
+        "d", "x", (F.col("x") - F.lag("x").over(w_ord)).alias("chg")
+    )
+    chg = F.col("chg")
+    gl = delta.select(
+        "d",
+        "x",
+        F.when(chg > 0, chg).otherwise(F.lit(0)).alias("gain"),
+        F.when(chg < 0, -chg).otherwise(F.lit(0)).alias("loss"),
+        F.when(chg.isNull(), F.lit(None)).otherwise(F.lit(1)).alias("hasret"),
+    )
+    w_f = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("d")
+        .rowsBetween(-(_RSI_W - 1), Window.currentRow)
+    )
+    framed = gl.select(
+        "d",
+        "x",
+        F.sum("gain").over(w_f).cast("long").alias("g7"),
+        F.sum("loss").over(w_f).cast("long").alias("l7"),
+        F.count("hasret").over(w_f).cast("long").alias("nret"),
+    )
+    g, l_ = F.col("g7"), F.col("l7")
+    return framed.select(
+        "d",
+        "x",
+        "nret",
+        F.when(
+            F.col("nret") >= _RSI_W,
+            F.when(
+                g + l_ > 0,
+                dround(F.lit(100) * g / (g + l_).cast("double")),
+            ).otherwise(F.lit(50.0)),
+        ).alias("rsi"),
+    )
+
+
+@register(
+    "agg_changepoint_binseg",
+    oracle=f"""
+        WITH daily AS (
+            SELECT DATE_TRUNC('day', ts) AS d, {sql_dsum("value", "rev")}
+            FROM events GROUP BY 1
+        ), idx0 AS (
+            SELECT d, rev,
+                   CAST(ROW_NUMBER() OVER (ORDER BY d) AS BIGINT) AS t,
+                   CAST(COUNT(*) OVER () AS BIGINT) AS n,
+                   {sql_exact_double(f"SUM({sql_dec_cast('rev')}) OVER ()")}
+                       AS mrev
+            FROM daily
+        ), s AS (
+            SELECT d, t, n,
+                   CASE WHEN mrev > CAST(0.0 AS DOUBLE)
+                        THEN rev / (mrev / n) END AS y
+            FROM idx0
+        ), pref AS (
+            SELECT d, t, n, y,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('y')}) OVER wo", 10)} AS py,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('y * y')}) OVER wo", 10)} AS py2,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('y')}) OVER ()", 10)} AS ty,
+                   {sql_exact_double(
+                       f"SUM({sql_dec_cast('y * y')}) OVER ()", 10)} AS ty2
+            FROM s
+            WINDOW wo AS (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW)
+        ), gains AS (
+            SELECT d, t, n, py, ty,
+                   CASE WHEN t < n AND n >= 4 THEN
+                       (ty2 - ty * ty / n)
+                       - ((py2 - py * py / t)
+                          + ((ty2 - py2) - (ty - py) * (ty - py) / (n - t)))
+                   END AS gain
+            FROM pref
+        ), mx AS (
+            SELECT d, t, n, py, ty, gain,
+                   MAX(gain) OVER () AS maxgain
+            FROM gains
+        )
+        SELECT CAST(MAX(n) AS BIGINT) AS n_days,
+               MIN(CASE WHEN gain = maxgain THEN d END) AS change_day,
+               CAST(MIN(CASE WHEN gain = maxgain THEN t END) AS BIGINT)
+                   AS split_after,
+               {sql_dround("MAX(maxgain)")} AS sse_gain,
+               {sql_dround(
+                   "MIN(CASE WHEN gain = maxgain THEN py / t END)")}
+                   AS mean_left,
+               {sql_dround(
+                   "MIN(CASE WHEN gain = maxgain"
+                   " THEN (ty - py) / (n - t) END)")} AS mean_right
+        FROM mx
+    """,
+)
+def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single binary-segmentation changepoint on the daily revenue
+    series — the split t maximizing the SSE reduction
+    SS_total − (SS_left + SS_right), with the two segment means: the
+    level-shift detector that complements `window_cusum_change` (CUSUM
+    flags WHEN drift accumulates; binseg names the single best
+    breakpoint, and is the recursion step of the full PELT/binseg
+    family).  Segment SSEs expand in PREFIX sums (running Σy, Σy² via
+    the fuzz-pinned framed decimal windows) so every candidate split is
+    O(1) per-row arithmetic — the whole search is one window pass over
+    the O(span) day table, no per-split re-aggregation.  The series
+    mean-normalizes first (the `agg_ccf_lags` lesson; gains are
+    scale-free, nd=10 sums keep ~8 digits at any magnitude); argmax
+    tie-breaks to the earliest day via MIN over the gain = maxgain
+    equality; n < 4 emits NULL."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
+        dsum("value", "rev")
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("d")
+    w_all = Window.partitionBy(F.lit(0))
+    w_pref = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idx0 = daily.select(
+        "d",
+        "rev",
+        F.row_number().over(w_ord).cast("long").alias("t"),
+        F.count(F.lit(1)).over(w_all).cast("long").alias("n"),
+        exact_double(F.sum(dec_cast("rev")).over(w_all)).alias("mrev"),
+    )
+    n = F.col("n")
+    s = idx0.select(
+        "d",
+        "t",
+        "n",
+        F.when(
+            F.col("mrev") > F.lit(0.0), F.col("rev") / (F.col("mrev") / n)
+        ).alias("y"),
+    )
+    y = F.col("y")
+    pref = s.select(
+        "d",
+        "t",
+        "n",
+        exact_double(F.sum(dec_cast(y)).over(w_pref), 10).alias("py"),
+        exact_double(F.sum(dec_cast(y * y)).over(w_pref), 10).alias("py2"),
+        exact_double(F.sum(dec_cast(y)).over(w_all), 10).alias("ty"),
+        exact_double(F.sum(dec_cast(y * y)).over(w_all), 10).alias("ty2"),
+    )
+    t, py, py2, ty, ty2 = (
+        F.col(c) for c in ("t", "py", "py2", "ty", "ty2")
+    )
+    gain = F.when(
+        (t < n) & (n >= 4),
+        (ty2 - ty * ty / n)
+        - (
+            (py2 - py * py / t)
+            + ((ty2 - py2) - (ty - py) * (ty - py) / (n - t))
+        ),
+    )
+    gains = pref.select("d", "t", "n", "py", "ty", gain.alias("gain"))
+    mx = gains.select(
+        "*", F.max("gain").over(w_all).alias("maxgain")
+    )
+    at_max = F.col("gain") == F.col("maxgain")
+    return mx.agg(
+        F.max("n").cast("long").alias("n_days"),
+        F.min(F.when(at_max, F.col("d"))).alias("change_day"),
+        F.min(F.when(at_max, F.col("t"))).cast("long").alias("split_after"),
+        dround(F.max("maxgain")).alias("sse_gain"),
+        dround(F.min(F.when(at_max, py / t))).alias("mean_left"),
+        dround(
+            F.min(F.when(at_max, (ty - py) / (n - t)))
+        ).alias("mean_right"),
+    )

@@ -165,24 +165,26 @@ GRADING_WINDOW = [
     "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
     "agg_friedman_test", "window_bollinger", "agg_two_proportion_ztest",
     "text_fertility_stats",
+    "ml_ks_statistic", "agg_partial_corr", "window_rsi",
+    "agg_changepoint_binseg",
     # -- re-grades: sampled-slice audit changed code + oracle (r9 task 2) --
     "sim_ann_recall", "dedup_minhash_recall",
     # -- first-ever driver rows-check for the 6 never-windowed rows-only
     #    keys (registry residents since r4b-r6d with zero driver contact) --
     "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
     "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-    # -- rotation: the 23 oldest never-driver-graded full-oracle keys --
+    # -- rotation: the 19 oldest never-driver-graded full-oracle keys --
     "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
     "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
     "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
     "agg_markov_absorption", "product_phenology", "agg_logrank_test",
     "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean",
     "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
-    "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
-    "agg_winsorized_mean",
     # R10 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
     #   displaced by the r9c new-key tiers (were r9 rotation slots):
+    #     ml_confusion_metrics, raster_slope_aspect,
+    #     agg_medoid_composite, agg_winsorized_mean,
     #     sample_bottomk_hash, graph_hits_step, text_readability,
     #     geo_idw_interpolate, agg_ljung_box, raster_flow_direction,
     #     raster_hillshade, table_bloom_skipping, graph_label_prop_step,

@@ -2933,3 +2933,32 @@ def test_r9c_tier2_single_scan_shapes(spark):
         assert C.exchange_count(df) <= max_exch, fn.__name__
         assert "Join" not in plan, fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_r9c_tier3_shapes(spark):
+    """Batch-3: ml_ks_statistic rides the _scored_groups scaffold (one
+    broadcast join, ≤2 scans); the three stats keys are single-scan
+    window chains with no join machinery beyond countDistinct's
+    partials."""
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_ks_statistic,
+    )
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_changepoint_binseg,
+        agg_partial_corr,
+        window_rsi,
+    )
+
+    df = ml_ks_statistic(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2
+    assert plan.count("BroadcastHashJoin ") == 1
+    assert "SortMergeJoin" not in plan
+    C.assert_no_python_row_path(df)
+    for fn in (agg_partial_corr, window_rsi, agg_changepoint_binseg):
+        df = fn(spark, SF)
+        plan = C.formatted_plan(df)
+        assert C.scan_count(df) == 1, fn.__name__
+        assert "Join" not in plan, fn.__name__
+        assert "CartesianProduct" not in plan, fn.__name__
+        C.assert_no_python_row_path(df)

@@ -503,3 +503,127 @@ def test_r9c_tier2_survives_degenerate_grain(spark):
         "text_fertility_stats",
     ]:
         qs[k].fn(spark, d).count()  # must not raise
+
+
+def test_ks_statistic_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.model_eval import (
+        ml_ks_statistic,
+    )
+
+    row = ml_ks_statistic(spark, SF).collect()[0]
+    _, mat, label = _embeddings()
+    score = mat[:, 0]
+    pos = score[label < 5]
+    neg = score[label >= 5]
+    p, n = len(pos), len(neg)
+    grid = np.unique(score)
+    diffs = np.array(
+        [abs((pos <= s).mean() - (neg <= s).mean()) for s in grid]
+    )
+    ks = diffs.max()
+    thr = grid[diffs.argmax()]
+    crit = 1.36 * np.sqrt((p + n) / (p * n))
+    assert (row["n_pos"], row["n_neg"]) == (p, n)
+    assert abs(row["ks_stat"] - ks) < 1e-6
+    assert abs(row["ks_threshold"] - thr) < 1e-9
+    assert row["separable"] == int(round(ks, 6) > round(crit, 6))
+
+
+def test_partial_corr_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_partial_corr,
+    )
+
+    row = agg_partial_corr(spark, SF).collect()[0]
+    ev = _events()
+    ev2 = pq.read_table(
+        f"{SF}/events.parquet", columns=["ts", "user_id"]
+    ).to_pandas()
+    ev["user_id"] = ev2["user_id"]
+    ev["d"] = ev["ts"].dt.floor("D")
+    daily = ev.groupby("d").agg(
+        x=("event_id", "size"), y=("value", "sum"), z=("user_id", "nunique")
+    )
+    x, y, z = (daily[c].to_numpy().astype(float) for c in ("x", "y", "z"))
+    rxy = np.corrcoef(x, y)[0, 1]
+    rxz = np.corrcoef(x, z)[0, 1]
+    ryz = np.corrcoef(y, z)[0, 1]
+    pc = (rxy - rxz * ryz) / np.sqrt((1 - rxz**2) * (1 - ryz**2))
+    assert row["n"] == len(daily)
+    assert abs(row["r_xy"] - rxy) < 1e-4
+    assert abs(row["r_xz"] - rxz) < 1e-4
+    assert abs(row["r_yz"] - ryz) < 1e-4
+    assert abs(row["r_xy_given_z"] - pc) < 1e-3
+
+
+def test_rsi_matches_pandas(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import window_rsi
+
+    rows = sorted(window_rsi(spark, SF).collect(), key=lambda r: r["d"])
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    s = ev.groupby("d").size().sort_index()
+    chg = s.diff()
+    gain = chg.clip(lower=0)
+    loss = (-chg).clip(lower=0)
+    g7 = gain.rolling(7, min_periods=1).sum()
+    l7 = loss.rolling(7, min_periods=1).sum()
+    nret = chg.notna().rolling(7, min_periods=1).sum()
+    for i, r in enumerate(rows):
+        assert r["x"] == s.iloc[i]
+        assert r["nret"] == int(nret.iloc[i])
+        if nret.iloc[i] < 7:
+            assert r["rsi"] is None
+        else:
+            expect = (
+                100 * g7.iloc[i] / (g7.iloc[i] + l7.iloc[i])
+                if g7.iloc[i] + l7.iloc[i] > 0
+                else 50.0
+            )
+            assert abs(r["rsi"] - expect) < 1e-5
+    # with 30 days and a 7-day warm-up there are exactly 23 live readings
+    assert sum(r["rsi"] is not None for r in rows) == len(rows) - 7
+
+
+def test_changepoint_binseg_matches_numpy(spark):
+    from odc_product_docker_images_spark.operators.stats_diag import (
+        agg_changepoint_binseg,
+    )
+
+    row = agg_changepoint_binseg(spark, SF).collect()[0]
+    ev = _events()
+    ev["d"] = ev["ts"].dt.floor("D")
+    y = ev.groupby("d")["value"].sum().sort_index()
+    yv = y.to_numpy() / y.to_numpy().mean()
+    n = len(yv)
+
+    def ss(a):
+        return ((a - a.mean()) ** 2).sum()
+
+    total = ss(yv)
+    gains = [
+        (total - (ss(yv[:t]) + ss(yv[t:])), t) for t in range(1, n)
+    ]
+    best_gain, best_t = max(gains)
+    assert row["n_days"] == n
+    assert row["split_after"] == best_t
+    assert row["change_day"] == y.index[best_t - 1]
+    assert abs(row["sse_gain"] - best_gain) < 1e-4
+    assert abs(row["mean_left"] - yv[:best_t].mean()) < 1e-5
+    assert abs(row["mean_right"] - yv[best_t:].mean()) < 1e-5
+
+
+def test_r9c_tier3_survives_degenerate_grain(spark):
+    from test_r8_ops import _degen_dir
+
+    from odc_product_docker_images_spark import registry
+
+    d = _degen_dir()
+    qs = registry.all_queries()
+    for k in [
+        "ml_ks_statistic",
+        "agg_partial_corr",
+        "window_rsi",
+        "agg_changepoint_binseg",
+    ]:
+        qs[k].fn(spark, d).count()  # must not raise

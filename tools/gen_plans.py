@@ -36,7 +36,8 @@ AUDIT = [
     "ml_brier_decomposition", "ml_mcnemar_test", "sim_binary_quantize",
     "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
     "agg_friedman_test", "window_bollinger", "agg_two_proportion_ztest",
-    "text_fertility_stats",
+    "text_fertility_stats", "ml_ks_statistic", "agg_partial_corr",
+    "window_rsi", "agg_changepoint_binseg",
     "raster_focal_mean", "raster_morph_close", "dedup_boilerplate",
     "sample_stratified", "join_nearest_neighbor", "composite_q18_shape",
     "agg_percentile_composite", "text_heavy_hitters", "sim_quantize_pq",
