@@ -282,9 +282,12 @@ def _abs_cells_sql() -> str:
             SELECT {_abs_cells_sql()} FROM p
         )
         SELECT ({_c3(_ABS_E, None)}) AS det,
-               ({_c3(_ABS_E, 1)}) / ({_c3(_ABS_E, None)}) AS b_click,
-               ({_c3(_ABS_E, 2)}) / ({_c3(_ABS_E, None)}) AS b_signup,
-               ({_c3(_ABS_E, 3)}) / ({_c3(_ABS_E, None)}) AS b_view
+               ({_c3(_ABS_E, 1)})
+                   / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE)) AS b_click,
+               ({_c3(_ABS_E, 2)})
+                   / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE)) AS b_signup,
+               ({_c3(_ABS_E, 3)})
+                   / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE)) AS b_view
         FROM wide
     """,
 )
@@ -322,7 +325,13 @@ def agg_markov_absorption(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = p.agg(*[F.expr(x) for x in _abs_cells_sql().split(", ")])
     return wide.select(
         F.expr(f"({_c3(_ABS_E, None)})").alias("det"),
-        F.expr(f"({_c3(_ABS_E, 1)}) / ({_c3(_ABS_E, None)})").alias("b_click"),
-        F.expr(f"({_c3(_ABS_E, 2)}) / ({_c3(_ABS_E, None)})").alias("b_signup"),
-        F.expr(f"({_c3(_ABS_E, 3)}) / ({_c3(_ABS_E, None)})").alias("b_view"),
+        F.expr(
+            f"({_c3(_ABS_E, 1)}) / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE))"
+        ).alias("b_click"),
+        F.expr(
+            f"({_c3(_ABS_E, 2)}) / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE))"
+        ).alias("b_signup"),
+        F.expr(
+            f"({_c3(_ABS_E, 3)}) / NULLIF(({_c3(_ABS_E, None)}), CAST(0.0 AS DOUBLE))"
+        ).alias("b_view"),
     )

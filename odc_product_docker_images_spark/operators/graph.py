@@ -1380,8 +1380,10 @@ def graph_kcore_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n / 2 AS BIGINT) AS n_edges,
                {sql_dround(
                    "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
-                   " / SQRT((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
-                   " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy))"
+                   " / NULLIF(SQRT("
+                   "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+                   " * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)),"
+                   " CAST(0.0 AS DOUBLE))"
                )} AS assortativity
         FROM m
     """,
@@ -1426,9 +1428,12 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
     )
     n = F.col("n").cast("double")
-    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.sqrt(
-        (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
-        * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+    r = (n * F.col("sxy") - F.col("sx").cast("double") * F.col("sy")) / F.nullif(
+        F.sqrt(
+            (n * F.col("sxx") - F.col("sx").cast("double") * F.col("sx"))
+            * (n * F.col("syy") - F.col("sy").cast("double") * F.col("sy"))
+        ),
+        F.lit(0.0),
     )
     return m.select(
         (F.col("n") / 2).cast("long").alias("n_edges"),

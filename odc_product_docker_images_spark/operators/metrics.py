@@ -379,19 +379,19 @@ _CUPED_SPLIT = 2819  # epoch week splitting pre-period from experiment period
         ), t AS (
             SELECT arm, n, sx, sy, sxx, syy, sxy,
                    gsx / gn AS gmx,
-                   (gsxy - gsx * gsy / gn) / (gsxx - gsx * gsx / gn) AS theta
+                   (gsxy - gsx * gsy / gn) / NULLIF(gsxx - gsx * gsx / gn, CAST(0.0 AS DOUBLE)) AS theta
             FROM g
         )
         SELECT CAST(arm AS BIGINT) AS arm,
                CAST(n AS BIGINT) AS n_users,
                sy / n AS mean_post,
                sy / n - theta * (sx / n - gmx) AS mean_adj,
-               (syy - sy * sy / n) / (n - CAST(1.0 AS DOUBLE)) AS var_post,
-               (syy - sy * sy / n) / (n - CAST(1.0 AS DOUBLE))
+               (syy - sy * sy / n) / NULLIF(n - CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS var_post,
+               (syy - sy * sy / n) / NULLIF(n - CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))
                  - CAST(2.0 AS DOUBLE) * theta
-                   * ((sxy - sx * sy / n) / (n - CAST(1.0 AS DOUBLE)))
+                   * ((sxy - sx * sy / n) / NULLIF(n - CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
                  + theta * theta
-                   * ((sxx - sx * sx / n) / (n - CAST(1.0 AS DOUBLE)))
+                   * ((sxx - sx * sx / n) / NULLIF(n - CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)))
                  AS var_adj,
                theta
         FROM t
@@ -458,21 +458,23 @@ def agg_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     theta = (
         F.col("gsxy") - F.col("gsx") * F.col("gsy") / F.col("gn")
-    ) / (F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("gn"))
+    ) / F.nullif(
+        F.col("gsxx") - F.col("gsx") * F.col("gsx") / F.col("gn"), F.lit(0.0)
+    )
     t = g.select(
         "arm", "n", "sx", "sy", "sxx", "syy", "sxy",
         (F.col("gsx") / F.col("gn")).alias("gmx"),
         theta.alias("theta"),
     )
     one = F.lit(1.0)
-    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / (
-        F.col("n") - one
+    var_y = (F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")) / F.nullif(
+        F.col("n") - one, F.lit(0.0)
     )
-    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("n") - one
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.nullif(
+        F.col("n") - one, F.lit(0.0)
     )
-    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (
-        F.col("n") - one
+    var_x = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.nullif(
+        F.col("n") - one, F.lit(0.0)
     )
     return t.select(
         F.col("arm").cast("bigint").alias("arm"),
@@ -614,8 +616,8 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("event_type").agg(
         F.max(F.when(F.col("r") == -1, F.col("n_eff"))).alias("n_obs"),
         F.max(F.when(F.col("r") == -1, F.col("mean_r"))).alias("mean_full"),
-        F.element_at(boot, 3).alias("ci_lo"),
-        F.element_at(boot, 98).alias("ci_hi"),
+        F.try_element_at(boot, F.lit(3)).alias("ci_lo"),
+        F.try_element_at(boot, F.lit(98)).alias("ci_hi"),
     )
 
 
@@ -801,7 +803,8 @@ def ml_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT decile, n_rows, n_conv,
                CAST(n_conv AS DOUBLE) / CAST(n_rows AS DOUBLE) AS conv_rate,
                (CAST(n_conv AS DOUBLE) / CAST(n_rows AS DOUBLE))
-                 / (CAST(total_conv AS DOUBLE) / CAST(total_rows AS DOUBLE))
+                 / NULLIF(CAST(total_conv AS DOUBLE)
+                          / CAST(total_rows AS DOUBLE), CAST(0.0 AS DOUBLE))
                  AS lift
         FROM t
     """,
@@ -860,7 +863,7 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = F.col("total_conv").cast("double") / F.col("total_rows").cast("double")
     return t.select(
         "decile", "n_rows", "n_conv", rate.alias("conv_rate"),
-        (rate / base).alias("lift"),
+        (rate / F.nullif(base, F.lit(0.0))).alias("lift"),
     )
 
 
@@ -1789,28 +1792,28 @@ _IPTW_CLIP_LO, _IPTW_CLIP_HI = 0.05, 0.95
         SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
                {sql_dround(
                    "(" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("t * y / e") + ")"
-                   ) + ") / (" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("t / e") + ")"
-                   ) + ")"
+                       "SUM(" + sql_dec_cast("t * y / NULLIF(e, CAST(0.0 AS DOUBLE))") + ")"
+                   ) + ") / NULLIF((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t / NULLIF(e, CAST(0.0 AS DOUBLE))") + ")"
+                   ) + "), CAST(0.0 AS DOUBLE))"
                )} AS mu_treated,
                {sql_dround(
                    "(" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(1 - t) * y / (1.0 - e)") + ")"
-                   ) + ") / (" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(1 - t) / (1.0 - e)") + ")"
-                   ) + ")"
+                       "SUM(" + sql_dec_cast("(1 - t) * y / NULLIF((1.0 - e), CAST(0.0 AS DOUBLE))") + ")"
+                   ) + ") / NULLIF((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) / NULLIF((1.0 - e), CAST(0.0 AS DOUBLE))") + ")"
+                   ) + "), CAST(0.0 AS DOUBLE))"
                )} AS mu_control,
                {sql_dround(
                    "(" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("t * y / e") + ")"
-                   ) + ") / (" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("t / e") + ")"
-                   ) + ") - ((" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(1 - t) * y / (1.0 - e)") + ")"
-                   ) + ") / (" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(1 - t) / (1.0 - e)") + ")"
-                   ) + "))"
+                       "SUM(" + sql_dec_cast("t * y / NULLIF(e, CAST(0.0 AS DOUBLE))") + ")"
+                   ) + ") / NULLIF((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("t / NULLIF(e, CAST(0.0 AS DOUBLE))") + ")"
+                   ) + "), CAST(0.0 AS DOUBLE)) - ((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) * y / NULLIF((1.0 - e), CAST(0.0 AS DOUBLE))") + ")"
+                   ) + ") / NULLIF((" + sql_exact_double(
+                       "SUM(" + sql_dec_cast("(1 - t) / NULLIF((1.0 - e), CAST(0.0 AS DOUBLE))") + ")"
+                   ) + "), CAST(0.0 AS DOUBLE)))"
                )} AS ate_iptw
         FROM prop
     """,
@@ -1859,19 +1862,39 @@ def agg_iptw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
     prop = users.crossJoin(F.broadcast(med)).select(
         "t", "y", e.alias("e")
     )
-    st = exact_double(F.sum(dec_cast(F.col("t") * F.col("y") / F.col("e"))))
-    wt = exact_double(F.sum(dec_cast(F.col("t") / F.col("e"))))
+    st = exact_double(
+        F.sum(
+            dec_cast(
+                F.col("t") * F.col("y") / F.nullif(F.col("e"), F.lit(0.0))
+            )
+        )
+    )
+    wt = exact_double(
+        F.sum(dec_cast(F.col("t") / F.nullif(F.col("e"), F.lit(0.0))))
+    )
     sc_ = exact_double(
-        F.sum(dec_cast((1 - F.col("t")) * F.col("y") / (F.lit(1.0) - F.col("e"))))
+        F.sum(
+            dec_cast(
+                (1 - F.col("t")) * F.col("y")
+                / F.nullif(F.lit(1.0) - F.col("e"), F.lit(0.0))
+            )
+        )
     )
     wc = exact_double(
-        F.sum(dec_cast((1 - F.col("t")) / (F.lit(1.0) - F.col("e"))))
+        F.sum(
+            dec_cast(
+                (1 - F.col("t"))
+                / F.nullif(F.lit(1.0) - F.col("e"), F.lit(0.0))
+            )
+        )
     )
     return prop.agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        dround(st / wt).alias("mu_treated"),
-        dround(sc_ / wc).alias("mu_control"),
-        dround(st / wt - sc_ / wc).alias("ate_iptw"),
+        dround(st / F.nullif(wt, F.lit(0.0))).alias("mu_treated"),
+        dround(sc_ / F.nullif(wc, F.lit(0.0))).alias("mu_control"),
+        dround(
+            st / F.nullif(wt, F.lit(0.0)) - sc_ / F.nullif(wc, F.lit(0.0))
+        ).alias("ate_iptw"),
     )
 
 
@@ -2272,8 +2295,10 @@ def _gmm_loop_oracle(iters: int) -> str:
     # should.  LEAST/GREATEST mirror exactly.
     t_expr = (
         "LEAST(GREATEST("
-        "(x - mu1) * (x - mu1) / (CAST(2.0 AS DOUBLE) * var1)"
-        " - (x - mu2) * (x - mu2) / (CAST(2.0 AS DOUBLE) * var2)"
+        "(x - mu1) * (x - mu1)"
+        " / NULLIF(CAST(2.0 AS DOUBLE) * var1, CAST(0.0 AS DOUBLE))"
+        " - (x - mu2) * (x - mu2)"
+        " / NULLIF(CAST(2.0 AS DOUBLE) * var2, CAST(0.0 AS DOUBLE))"
         ", CAST(-29.0 AS DOUBLE)), CAST(29.0 AS DOUBLE))"
     )
     for i in range(1, iters + 1):
@@ -2281,7 +2306,8 @@ def _gmm_loop_oracle(iters: int) -> str:
             f""", r{i} AS (
             SELECT x,
                    CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
-                       + (w2 / w1) * SQRT(var1 / var2)
+                       + (w2 / NULLIF(w1, CAST(0.0 AS DOUBLE)))
+                         * SQRT(GREATEST(var1 / NULLIF(var2, CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)))
                          * {sql_dround(f"EXP({t_expr})")}) AS r1
             FROM ev CROSS JOIN p{i - 1}
         ), s{i} AS (
@@ -2294,10 +2320,16 @@ def _gmm_loop_oracle(iters: int) -> str:
                    {sql_dsum('(CAST(1.0 AS DOUBLE) - r1) * x * x', 'srxx2')}
             FROM r{i}
         ), p{i} AS (
-            SELECT sr1 / n AS w1, srx1 / sr1 AS mu1,
-                   srxx1 / sr1 - (srx1 / sr1) * (srx1 / sr1) AS var1,
-                   sr2 / n AS w2, srx2 / sr2 AS mu2,
-                   srxx2 / sr2 - (srx2 / sr2) * (srx2 / sr2) AS var2
+            SELECT sr1 / n AS w1,
+                   srx1 / NULLIF(sr1, CAST(0.0 AS DOUBLE)) AS mu1,
+                   srxx1 / NULLIF(sr1, CAST(0.0 AS DOUBLE))
+                     - (srx1 / NULLIF(sr1, CAST(0.0 AS DOUBLE)))
+                       * (srx1 / NULLIF(sr1, CAST(0.0 AS DOUBLE))) AS var1,
+                   sr2 / n AS w2,
+                   srx2 / NULLIF(sr2, CAST(0.0 AS DOUBLE)) AS mu2,
+                   srxx2 / NULLIF(sr2, CAST(0.0 AS DOUBLE))
+                     - (srx2 / NULLIF(sr2, CAST(0.0 AS DOUBLE)))
+                       * (srx2 / NULLIF(sr2, CAST(0.0 AS DOUBLE))) AS var2
             FROM s{i}
         )"""
         )
@@ -2342,14 +2374,21 @@ def ml_gmm_em_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             base = ev.crossJoin(F.broadcast(params))
         x = F.col("x")
-        t_raw = (x - F.col("mu1")) * (x - F.col("mu1")) / (
-            F.lit(2.0) * F.col("var1")
-        ) - (x - F.col("mu2")) * (x - F.col("mu2")) / (F.lit(2.0) * F.col("var2"))
+        t_raw = (x - F.col("mu1")) * (x - F.col("mu1")) / F.nullif(
+            F.lit(2.0) * F.col("var1"), F.lit(0.0)
+        ) - (x - F.col("mu2")) * (x - F.col("mu2")) / F.nullif(
+            F.lit(2.0) * F.col("var2"), F.lit(0.0)
+        )
         t = F.least(F.greatest(t_raw, F.lit(-29.0)), F.lit(29.0))
         r1 = one / (
             one
-            + (F.col("w2") / F.col("w1"))
-            * F.sqrt(F.col("var1") / F.col("var2"))
+            + (F.col("w2") / F.nullif(F.col("w1"), F.lit(0.0)))
+            * F.sqrt(
+                F.greatest(
+                    F.col("var1") / F.nullif(F.col("var2"), F.lit(0.0)),
+                    F.lit(0.0),
+                )
+            )
             * dround(F.exp(t))
         )
         r = base.select("x", r1.alias("r1"))
@@ -2364,16 +2403,18 @@ def ml_gmm_em_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         params = s.select(
             (F.col("sr1") / F.col("n")).alias("w1"),
-            (F.col("srx1") / F.col("sr1")).alias("mu1"),
+            (F.col("srx1") / F.nullif(F.col("sr1"), F.lit(0.0))).alias("mu1"),
             (
-                F.col("srxx1") / F.col("sr1")
-                - (F.col("srx1") / F.col("sr1")) * (F.col("srx1") / F.col("sr1"))
+                F.col("srxx1") / F.nullif(F.col("sr1"), F.lit(0.0))
+                - (F.col("srx1") / F.nullif(F.col("sr1"), F.lit(0.0)))
+                * (F.col("srx1") / F.nullif(F.col("sr1"), F.lit(0.0)))
             ).alias("var1"),
             (F.col("sr2") / F.col("n")).alias("w2"),
-            (F.col("srx2") / F.col("sr2")).alias("mu2"),
+            (F.col("srx2") / F.nullif(F.col("sr2"), F.lit(0.0))).alias("mu2"),
             (
-                F.col("srxx2") / F.col("sr2")
-                - (F.col("srx2") / F.col("sr2")) * (F.col("srx2") / F.col("sr2"))
+                F.col("srxx2") / F.nullif(F.col("sr2"), F.lit(0.0))
+                - (F.col("srx2") / F.nullif(F.col("sr2"), F.lit(0.0)))
+                * (F.col("srx2") / F.nullif(F.col("sr2"), F.lit(0.0)))
             ).alias("var2"),
         ).persist()
     comps = params.select(

@@ -121,8 +121,10 @@ _SQL_GROUPS = """
         SELECT score AS threshold,
                CAST(p - (gp - cp) AS BIGINT) AS tp,
                CAST(n - (gn - cn) AS BIGINT) AS fp,
-               CAST(p - (gp - cp) AS DOUBLE) / CAST(p AS DOUBLE) AS tpr,
-               CAST(n - (gn - cn) AS DOUBLE) / CAST(n AS DOUBLE) AS fpr
+               CAST(p - (gp - cp) AS DOUBLE)
+                   / NULLIF(CAST(p AS DOUBLE), CAST(0.0 AS DOUBLE)) AS tpr,
+               CAST(n - (gn - cn) AS DOUBLE)
+                   / NULLIF(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)) AS fpr
         FROM cum
     """,
 )
@@ -140,8 +142,12 @@ def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("score").alias("threshold"),
         tp.cast("long").alias("tp"),
         fp.cast("long").alias("fp"),
-        (tp.cast("double") / F.col("p").cast("double")).alias("tpr"),
-        (fp.cast("double") / F.col("n").cast("double")).alias("fpr"),
+        (
+            tp.cast("double") / F.nullif(F.col("p").cast("double"), F.lit(0.0))
+        ).alias("tpr"),
+        (
+            fp.cast("double") / F.nullif(F.col("n").cast("double"), F.lit(0.0))
+        ).alias("fpr"),
     )
 
 
@@ -155,7 +161,7 @@ def ml_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(MAX(n) AS BIGINT) AS n_neg,
                CAST(SUM(cp * (2 * (gp + gn - cp - cn) + (cp + cn) + 1))
                     - MAX(p) * (MAX(p) + 1) AS DOUBLE)
-                   / (CAST(2 AS DOUBLE) * MAX(p) * MAX(n)) AS auc
+                   / NULLIF(CAST(2 AS DOUBLE) * MAX(p) * MAX(n), CAST(0.0 AS DOUBLE)) AS auc
         FROM cum
     """,
 )
@@ -179,7 +185,10 @@ def ml_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_neg"),
         (
             num.cast("double")
-            / (F.lit(2.0) * F.max("p").cast("double") * F.max("n").cast("double"))
+            / F.nullif(
+                F.lit(2.0) * F.max("p").cast("double") * F.max("n").cast("double"),
+                F.lit(0.0),
+            )
         ).alias("auc"),
     )
 
@@ -482,10 +491,10 @@ def ml_decision_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - (CAST(tp + fn AS DOUBLE) * (tp + fp)
                    + CAST(fp + tn AS DOUBLE) * (fn + tn))
                   / (CAST(n AS DOUBLE) * n))
-               / (CAST(1.0 AS DOUBLE)
+               / NULLIF(CAST(1.0 AS DOUBLE)
                   - (CAST(tp + fn AS DOUBLE) * (tp + fp)
                      + CAST(fp + tn AS DOUBLE) * (fn + tn))
-                    / (CAST(n AS DOUBLE) * n)) AS kappa
+                    / (CAST(n AS DOUBLE) * n), CAST(0.0 AS DOUBLE)) AS kappa
         FROM cells
     """,
 )
@@ -525,7 +534,7 @@ def agg_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tn",
         po.alias("po"),
         pe.alias("pe"),
-        ((po - pe) / (F.lit(1.0) - pe)).alias("kappa"),
+        ((po - pe) / F.nullif(F.lit(1.0) - pe, F.lit(0.0))).alias("kappa"),
     )
 
 
@@ -564,7 +573,8 @@ _CA_ITEMS = 4  # first four embedding components as the "scale items"
                {sql_dround("sum_item_var")} AS sum_item_var, total_var,
                {sql_dround(
                    f"(CAST({_CA_ITEMS} AS DOUBLE) / ({_CA_ITEMS} - 1))"
-                   " * (CAST(1.0 AS DOUBLE) - sum_item_var / total_var)"
+                   " * (CAST(1.0 AS DOUBLE)"
+                   " - sum_item_var / NULLIF(total_var, CAST(0.0 AS DOUBLE)))"
                )} AS alpha
         FROM vars_
     """,
@@ -605,7 +615,7 @@ def agg_cronbach_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
         tot_v.alias("total_var"),
         dround(
             (F.lit(float(_CA_ITEMS)) / (_CA_ITEMS - 1))
-            * (F.lit(1.0) - sum_iv / tot_v)
+            * (F.lit(1.0) - sum_iv / F.nullif(tot_v, F.lit(0.0)))
         ).alias("alpha"),
     )
     return out
@@ -709,8 +719,10 @@ def ml_platt_scaling_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
         , place AS (
             SELECT cp, cn,
-                   ((gn - cn) + cn / 2.0) / n AS v10,
-                   ((p - gp) + cp / 2.0) / p AS v01,
+                   ((gn - cn) + cn / 2.0)
+                       / NULLIF(CAST(n AS DOUBLE), CAST(0.0 AS DOUBLE)) AS v10,
+                   ((p - gp) + cp / 2.0)
+                       / NULLIF(CAST(p AS DOUBLE), CAST(0.0 AS DOUBLE)) AS v01,
                    p, n
             FROM cum
         ), moments AS (
@@ -728,12 +740,18 @@ def ml_platt_scaling_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM place
         )
         SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
-               {sql_dround("s10 / n1")} AS auc,
-               {sql_dround("(q10 - s10 * s10 / n1) / (n1 - 1)")} AS var_v10,
-               {sql_dround("(q01 - s01 * s01 / n0) / (n0 - 1)")} AS var_v01,
+               {sql_dround("s10 / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS auc,
+               {sql_dround("(q10 - s10 * s10 / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE))) / NULLIF(CAST(n1 - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS var_v10,
+               {sql_dround("(q01 - s01 * s01 / NULLIF(CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE))) / NULLIF(CAST(n0 - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))")} AS var_v01,
                {sql_dround(
-                   "SQRT((q10 - s10 * s10 / n1) / (n1 - 1) / n1"
-                   " + (q01 - s01 * s01 / n0) / (n0 - 1) / n0)"
+                   "SQRT((q10 - s10 * s10 / NULLIF(CAST(n1 AS DOUBLE),"
+                   " CAST(0.0 AS DOUBLE)))"
+                   " / NULLIF(CAST(n1 - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                   " / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                   " + (q01 - s01 * s01 / NULLIF(CAST(n0 AS DOUBLE),"
+                   " CAST(0.0 AS DOUBLE)))"
+                   " / NULLIF(CAST(n0 - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                   " / NULLIF(CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
                )} AS delong_se
         FROM moments
     """,
@@ -749,8 +767,12 @@ def ml_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduce the exact AUC (pinned in tests).  Placement moments ride
     the decimal path; variances and SE round 6 dp."""
     cum = _scored_groups(spark, sf_dir)
-    v10 = ((F.col("gn") - F.col("cn")) + F.col("cn") / 2.0) / F.col("n")
-    v01 = ((F.col("p") - F.col("gp")) + F.col("cp") / 2.0) / F.col("p")
+    v10 = ((F.col("gn") - F.col("cn")) + F.col("cn") / 2.0) / F.nullif(
+        F.col("n").cast("double"), F.lit(0.0)
+    )
+    v01 = ((F.col("p") - F.col("gp")) + F.col("cp") / 2.0) / F.nullif(
+        F.col("p").cast("double"), F.lit(0.0)
+    )
     place = cum.select(
         "cp", "cn", "p", "n", v10.alias("v10"), v01.alias("v01")
     )
@@ -770,19 +792,28 @@ def ml_auc_delong_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         s01.alias("s01"),
         q01.alias("q01"),
     )
-    var10 = (F.col("q10") - F.col("s10") * F.col("s10") / F.col("n1")) / (
-        F.col("n1") - 1
-    )
-    var01 = (F.col("q01") - F.col("s01") * F.col("s01") / F.col("n0")) / (
-        F.col("n0") - 1
-    )
+    var10 = (
+        F.col("q10")
+        - F.col("s10") * F.col("s10") / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+    ) / F.nullif((F.col("n1") - 1).cast("double"), F.lit(0.0))
+    var01 = (
+        F.col("q01")
+        - F.col("s01") * F.col("s01") / F.nullif(F.col("n0").cast("double"), F.lit(0.0))
+    ) / F.nullif((F.col("n0") - 1).cast("double"), F.lit(0.0))
     return moments.select(
         F.col("n1").cast("long").alias("n_pos"),
         F.col("n0").cast("long").alias("n_neg"),
-        dround(F.col("s10") / F.col("n1")).alias("auc"),
+        dround(
+            F.col("s10") / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+        ).alias("auc"),
         dround(var10).alias("var_v10"),
         dround(var01).alias("var_v01"),
-        dround(F.sqrt(var10 / F.col("n1") + var01 / F.col("n0"))).alias(
+        dround(
+            F.sqrt(
+                var10 / F.nullif(F.col("n1").cast("double"), F.lit(0.0))
+                + var01 / F.nullif(F.col("n0").cast("double"), F.lit(0.0))
+            )
+        ).alias(
             "delong_se"
         ),
     )

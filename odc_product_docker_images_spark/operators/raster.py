@@ -732,14 +732,16 @@ def raster_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
                     AS BIGINT) AS w_pairs,
                {sql_dround(
                    "(CAST(MAX(n) AS DOUBLE)"
-                   " / SUM(CASE WHEN real_cell = 1 THEN n_nbrs ELSE 0 END))"
+                   " / NULLIF(CAST(SUM(CASE WHEN real_cell = 1"
+                   " THEN n_nbrs ELSE 0 END) AS DOUBLE),"
+                   " CAST(0.0 AS DOUBLE)))"
                    " * ("
                    + sql_exact_double(
                        "SUM(CASE WHEN real_cell = 1 THEN "
                        + sql_dec_cast("z_t * COALESCE(nsum, 0.0)")
                        + " END)"
                    )
-                   + ") / MAX(den)"
+                   + ") / NULLIF(MAX(den), CAST(0.0 AS DOUBLE))"
                )} AS moran_i
         FROM gathered
     """,
@@ -818,6 +820,8 @@ def agg_spatial_moran(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_cells"),
         w_pairs.cast("long").alias("w_pairs"),
         dround(
-            (F.max("n").cast("double") / w_pairs) * num / F.max("den")
+            (F.max("n").cast("double") / F.nullif(w_pairs.cast("double"), F.lit(0.0)))
+            * num
+            / F.nullif(F.max("den"), F.lit(0.0))
         ).alias("moran_i"),
     )

@@ -1502,28 +1502,32 @@ def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ), p AS (
             SELECT n1, x1, n0, x0,
-                   x1 / CAST(n1 AS DOUBLE) AS p1,
-                   x0 / CAST(n0 AS DOUBLE) AS p0,
-                   (x1 + x0) / CAST(n1 + n0 AS DOUBLE) AS pp
+                   x1 / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p1,
+                   x0 / NULLIF(CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p0,
+                   (x1 + x0) / NULLIF(CAST(n1 + n0 AS DOUBLE),
+                                      CAST(0.0 AS DOUBLE)) AS pp
             FROM c
         )
         SELECT n1, x1, n0, x0,
-               {sql_dround("p1")} AS rate_treat,
-               {sql_dround("p0")} AS rate_control,
+               CASE WHEN n1 > 0 THEN {sql_dround("p1")} END AS rate_treat,
+               CASE WHEN n0 > 0 THEN {sql_dround("p0")} END AS rate_control,
                CASE WHEN n1 > 0 AND n0 > 0
                          AND pp > CAST(0.0 AS DOUBLE)
                          AND pp < CAST(1.0 AS DOUBLE)
                     THEN {sql_dround(
-                        "(p1 - p0) / SQRT(pp * (1 - pp)"
-                        " * (1 / CAST(n1 AS DOUBLE)"
-                        " + 1 / CAST(n0 AS DOUBLE)))")} END AS z_stat,
+                        "(p1 - p0) / NULLIF(SQRT(pp * (1 - pp)"
+                        " * (1 / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                        " + 1 / NULLIF(CAST(n0 AS DOUBLE),"
+                        " CAST(0.0 AS DOUBLE)))), CAST(0.0 AS DOUBLE))")}
+                    END AS z_stat,
                CASE WHEN n1 > 0 AND n0 > 0
                          AND pp > CAST(0.0 AS DOUBLE)
                          AND pp < CAST(1.0 AS DOUBLE)
                     THEN CAST(ABS({sql_dround(
-                        "(p1 - p0) / SQRT(pp * (1 - pp)"
-                        " * (1 / CAST(n1 AS DOUBLE)"
-                        " + 1 / CAST(n0 AS DOUBLE)))")})
+                        "(p1 - p0) / NULLIF(SQRT(pp * (1 - pp)"
+                        " * (1 / NULLIF(CAST(n1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                        " + 1 / NULLIF(CAST(n0 AS DOUBLE),"
+                        " CAST(0.0 AS DOUBLE)))), CAST(0.0 AS DOUBLE))")})
                         > CAST(1.96 AS DOUBLE) AS INT) END AS significant
         FROM p
     """,
@@ -1553,18 +1557,26 @@ def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n0",
         "x0",
-        (x1 / n1.cast("double")).alias("p1"),
-        (x0 / n0.cast("double")).alias("p0"),
-        ((x1 + x0) / (n1 + n0).cast("double")).alias("pp"),
+        (x1 / F.nullif(n1.cast("double"), F.lit(0.0))).alias("p1"),
+        (x0 / F.nullif(n0.cast("double"), F.lit(0.0))).alias("p0"),
+        (
+            (x1 + x0) / F.nullif((n1 + n0).cast("double"), F.lit(0.0))
+        ).alias("pp"),
     )
     p1, p0, pp = F.col("p1"), F.col("p0"), F.col("pp")
     ok = (n1 > 0) & (n0 > 0) & (pp > F.lit(0.0)) & (pp < F.lit(1.0))
     z = dround(
         (p1 - p0)
-        / F.sqrt(
-            pp
-            * (F.lit(1) - pp)
-            * (F.lit(1) / n1.cast("double") + F.lit(1) / n0.cast("double"))
+        / F.nullif(
+            F.sqrt(
+                pp
+                * (F.lit(1) - pp)
+                * (
+                    F.lit(1) / F.nullif(n1.cast("double"), F.lit(0.0))
+                    + F.lit(1) / F.nullif(n0.cast("double"), F.lit(0.0))
+                )
+            ),
+            F.lit(0.0),
         )
     )
     return p.select(
@@ -1572,8 +1584,8 @@ def agg_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x1",
         "n0",
         "x0",
-        dround(p1).alias("rate_treat"),
-        dround(p0).alias("rate_control"),
+        F.when(n1 > 0, dround(p1)).alias("rate_treat"),
+        F.when(n0 > 0, dround(p0)).alias("rate_control"),
         F.when(ok, z).alias("z_stat"),
         F.when(ok, (F.abs(z) > F.lit(1.96)).cast("int")).alias("significant"),
     )

@@ -69,7 +69,7 @@ _KS_BUCKET_W = 16.0
                CAST(ABS(cc1 * n0 - cc0 * n1) AS BIGINT) AS d_num,
                n1, n0,
                CAST(ABS(cc1 * n0 - cc0 * n1) AS DOUBLE)
-                   / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS ks_d
+                   / NULLIF(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS ks_d
         FROM cum CROSS JOIN tot
         ORDER BY d_num DESC, at_value ASC
         LIMIT 1
@@ -154,7 +154,7 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n0",
             (
                 F.col("d_num").cast("double")
-                / (F.col("n1").cast("double") * F.col("n0").cast("double"))
+                / (F.nullif(F.col("n1").cast("double") * F.col("n0").cast("double"), F.lit(0.0)))
             ).alias("ks_d"),
         )
     )
@@ -193,8 +193,11 @@ _SSW_SUM = sql_exact_double("SUM(" + sql_dec_cast("ssw_g") + ")")
                {sql_dsum("ssb_g", "ssb")},
                {sql_dsum("ssw_g", "ssw")},
                {sql_dround(
-                   f"({_SSB_SUM} / (MAX(k) - 1))"
-                   f" / ({_SSW_SUM} / (MAX(n_tot) - MAX(k)))"
+                   f"({_SSB_SUM} / NULLIF(CAST(MAX(k) - 1 AS DOUBLE),"
+                   f" CAST(0.0 AS DOUBLE)))"
+                   f" / NULLIF({_SSW_SUM} / NULLIF("
+                   f"CAST(MAX(n_tot) - MAX(k) AS DOUBLE),"
+                   f" CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))"
                )} AS f_stat
         FROM terms
     """,
@@ -245,7 +248,14 @@ def agg_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("ssb_g", "ssb"),
         dsum("ssw_g", "ssw"),
         dround(
-            (ssb_exact / (F.max("k") - 1)) / (ssw_exact / (F.max("n_tot") - F.max("k")))
+            (ssb_exact / F.nullif((F.max("k") - 1).cast("double"), F.lit(0.0)))
+            / F.nullif(
+                ssw_exact
+                / F.nullif(
+                    (F.max("n_tot") - F.max("k")).cast("double"), F.lit(0.0)
+                ),
+                F.lit(0.0),
+            )
         ).alias("f_stat"),
     )
 
@@ -593,11 +603,11 @@ def agg_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + sql_exact_double(
                        "SUM(" + sql_dec_cast("(r - mean_r) * (r - mean_r)") + ")"
                    )
-                   + ") / ("
+                   + ") / NULLIF(("
                    + sql_exact_double(
                        "SUM(" + sql_dec_cast("(dt - mean_dt) * (dt - mean_dt)") + ")"
                    )
-                   + "))"
+                   + "), CAST(0.0 AS DOUBLE)))"
                )} AS seasonal_strength
         FROM resid
     """,
@@ -665,7 +675,12 @@ def agg_stl_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").cast("long").alias("n_days"),
         dsum(dd, "ss_detrended"),
         dsum(rr, "ss_resid"),
-        dround(F.greatest(F.lit(0.0), F.lit(1.0) - ss_r / ss_d)).alias(
+        dround(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0) - ss_r / F.nullif(ss_d, F.lit(0.0)),
+            )
+        ).alias(
             "seasonal_strength"
         ),
     )
@@ -945,10 +960,10 @@ def _sql_ks_p(lam: str) -> str:
         ), scored AS (
             SELECT event_type, n1, n0, d_num,
                    CAST(d_num AS DOUBLE)
-                       / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS ks_d,
+                       / NULLIF(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS ks_d,
                    {sql_dround(
                        "(CAST(d_num AS DOUBLE)"
-                       " / (CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)))"
+                       " / NULLIF(CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
                        " * SQRT(CAST(n1 AS DOUBLE) * n0 / (n1 + n0))"
                    )} AS lam
             FROM dmax
@@ -1016,7 +1031,7 @@ def agg_ks_by_group_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_num")
     )
     ks_d = F.col("d_num").cast("double") / (
-        F.col("n1").cast("double") * F.col("n0").cast("double")
+        F.nullif(F.col("n1").cast("double") * F.col("n0").cast("double"), F.lit(0.0))
     )
     lam = dround(
         ks_d
@@ -1098,8 +1113,9 @@ _CMH_SUCCESS = 250.0  # 2x2 outcome: value above this is a "success"
                    )} AS e,
                    {sql_dround(
                        "CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)"
-                       " / (CAST((a + b + c + d) AS DOUBLE)"
-                       "    * (a + b + c + d) * (a + b + c + d - 1))"
+                       " / NULLIF(CAST((a + b + c + d) AS DOUBLE)"
+                       "    * (a + b + c + d) * (a + b + c + d - 1),"
+                       " CAST(0.0 AS DOUBLE))"
                    )} AS v
             FROM cells
         )
@@ -1110,9 +1126,9 @@ _CMH_SUCCESS = 250.0  # 2x2 outcome: value above this is a "success"
                {sql_dround(
                    "POW(CAST(SUM(a) AS DOUBLE) - ("
                    + sql_exact_double("SUM(" + sql_dec_cast("e") + ")")
-                   + "), 2) / ("
+                   + "), 2) / NULLIF(("
                    + sql_exact_double("SUM(" + sql_dec_cast("v") + ")")
-                   + ")"
+                   + "), CAST(0.0 AS DOUBLE))"
                )} AS cmh_q
         FROM terms
     """,
@@ -1147,7 +1163,7 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("c") + F.col("d"))
         * (F.col("a") + F.col("c"))
         * (F.col("b") + F.col("d"))
-        / (n.cast("double") * n * (n - 1))
+        / F.nullif(n.cast("double") * n * (n - 1), F.lit(0.0))
     )
     terms = cells.select("a", e.alias("e"), v.alias("v"))
     se = exact_double(F.sum(dec_cast("e")))
@@ -1158,7 +1174,8 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("e", "expected"),
         dsum("v", "variance"),
         dround(
-            F.pow(F.sum("a").cast("double") - se, F.lit(2.0)) / sv
+            F.pow(F.sum("a").cast("double") - se, F.lit(2.0))
+            / F.nullif(sv, F.lit(0.0))
         ).alias("cmh_q"),
     )
 
@@ -1187,7 +1204,7 @@ def agg_cmh_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 SELECT CAST(COUNT(*) AS BIGINT) AS k_groups,
                CAST(MAX(t.n) AS BIGINT) AS n_total,
-               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n))))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / (CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n)))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_stat
+               CAST(CAST(CAST(ROUND((CAST(CAST((CASE WHEN ABS(((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / NULLIF(CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / NULLIF(CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n), CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE)))) < 5e-11 THEN CAST(0.0 AS DOUBLE) ELSE ((CAST(12.0 AS DOUBLE) / (CAST(MAX(t.n) AS DOUBLE) * (MAX(t.n) + 1)) * LIST_SUM(LIST(CAST(r2_j AS DOUBLE) * r2_j / (4.0 * n_j) ORDER BY event_type)) - 3.0 * (MAX(t.n) + 1)) / NULLIF(CAST(1.0 AS DOUBLE) - CAST(MAX(t.tsum) AS DOUBLE) / NULLIF(CAST(MAX(t.n) AS DOUBLE) * MAX(t.n) * MAX(t.n) - MAX(t.n), CAST(0.0 AS DOUBLE)), CAST(0.0 AS DOUBLE))) END) AS VARCHAR) AS DECIMAL(30,10))), 6) AS DECIMAL(24,6)) * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT) AS DOUBLE) / 1000000.0 AS h_stat
         FROM contrib CROSS JOIN ties t
     """,
 )
@@ -1283,13 +1300,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(12.0) / (n * (F.max("n") + 1)) * term_sum
         - F.lit(3.0) * (F.max("n") + 1)
     )
-    corr = F.lit(1.0) - F.max("tsum").cast("double") / (
-        n * F.max("n") * F.max("n") - F.max("n")
+    corr = F.lit(1.0) - F.max("tsum").cast("double") / F.nullif(
+        n * F.max("n") * F.max("n") - F.max("n"), F.lit(0.0)
     )
     return joined.agg(
         F.count(F.lit(1)).cast("long").alias("k_groups"),
         F.max("n").cast("long").alias("n_total"),
-        dround(h_raw / corr).alias("h_stat"),
+        dround(h_raw / F.nullif(corr, F.lit(0.0))).alias("h_stat"),
     )
 
 
@@ -1322,13 +1339,13 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                    "(" + sql_exact_double(
                        "SUM(" + sql_dec_cast("(rx - mx) * (ry - my)") + ")"
                    )
-                   + ") / SQRT((" + sql_exact_double(
+                   + ") / NULLIF(SQRT((" + sql_exact_double(
                        "SUM(" + sql_dec_cast("(rx - mx) * (rx - mx)") + ")"
                    )
                    + ") * (" + sql_exact_double(
                        "SUM(" + sql_dec_cast("(ry - my) * (ry - my)") + ")"
                    )
-                   + "))"
+                   + ")), CAST(0.0 AS DOUBLE))"
                )} AS spearman_rho
         FROM stats
     """,
@@ -1389,7 +1406,9 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return stats.agg(
         F.max("n").cast("long").alias("n_users"),
-        dround(sxy / F.sqrt(sxx * syy)).alias("spearman_rho"),
+        dround(
+            sxy / F.nullif(F.sqrt(sxx * syy), F.lit(0.0))
+        ).alias("spearman_rho"),
     )
 
 
@@ -1631,10 +1650,10 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), fit AS (
             SELECT n,
                    {sql_dround(
-                       "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+                       "(n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, CAST(0.0 AS DOUBLE))"
                    )} AS b,
                    {sql_dround(
-                       "(sy * sxx - sx * sxy) / (n * sxx - sx * sx)"
+                       "(sy * sxx - sx * sxy) / NULLIF(n * sxx - sx * sx, CAST(0.0 AS DOUBLE))"
                    )} AS a
             FROM m
         ), resid AS (
@@ -1662,7 +1681,8 @@ def agg_tost_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT CAST(n AS BIGINT) AS n_obs, a AS intercept, b AS slope,
                {sql_dround(
                    "n * POW(n * axe - ax * ae, 2)"
-                   " / ((n * axx - ax * ax) * (n * aee - ae * ae))"
+                   " / NULLIF((n * axx - ax * ax)"
+                   " * (n * aee - ae * ae), CAST(0.0 AS DOUBLE))"
                )} AS lm_stat
         FROM aux
     """,
@@ -1694,7 +1714,9 @@ def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = dround(
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        / F.nullif(
+            F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0)
+        )
     )
     # intercept by its own closed form (NOT sy/n - b_rounded*sx/n: the
     # rounded slope's 5e-7 grid error multiplies by sx ~ 1e8)
@@ -1703,7 +1725,10 @@ def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.alias("b"),
         dround(
             (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy"))
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+            / F.nullif(
+                F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"),
+                F.lit(0.0),
+            )
         ).alias("a"),
     )
     resid = pts.crossJoin(F.broadcast(fit)).select(
@@ -1732,9 +1757,10 @@ def agg_breusch_pagan(spark: SparkSession, sf_dir: str) -> DataFrame:
     lm = dround(
         F.col("n")
         * F.pow(F.col("n") * F.col("axe") - F.col("ax") * F.col("ae"), F.lit(2.0))
-        / (
+        / F.nullif(
             (F.col("n") * F.col("axx") - F.col("ax") * F.col("ax"))
-            * (F.col("n") * F.col("aee") - F.col("ae") * F.col("ae"))
+            * (F.col("n") * F.col("aee") - F.col("ae") * F.col("ae")),
+            F.lit(0.0),
         )
     )
     return aux.select(
@@ -1857,18 +1883,21 @@ def agg_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dround("CAST(s AS DOUBLE) / n")} AS mean_count,
                {sql_dround(
                    "(CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
-                   " / (n - 1)"
+                   " / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
                )} AS var_count,
                {sql_dround(
                    "((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
-                   " / (n - 1)) / (CAST(s AS DOUBLE) / n)"
+                   " / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
+                   " / (CAST(s AS DOUBLE) / n)"
                )} AS dispersion_index,
                CASE WHEN (CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)
-                         / (n - 1) > CAST(s AS DOUBLE) / n
+                         / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))
+                         > CAST(s AS DOUBLE) / n
                     THEN {sql_dround(
                         "(CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)"
                         " / ((CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * s / n)"
-                        " / (n - 1) - CAST(s AS DOUBLE) / n)"
+                        " / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE))"
+                        " - CAST(s AS DOUBLE) / n)"
                     )} END AS nb_r
         FROM m
     """,
@@ -1892,9 +1921,10 @@ def agg_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c") * F.col("c")).cast("long").alias("q"),
     )
     mean = F.col("s").cast("double") / F.col("n")
-    var = (F.col("q").cast("double") - F.col("s").cast("double") * F.col("s") / F.col("n")) / (
-        F.col("n") - 1
-    )
+    var = (
+        F.col("q").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
     return m.select(
         "n",
         dround(mean).alias("mean_count"),
@@ -2138,8 +2168,8 @@ def agg_adf_test(spark: SparkSession, sf_dir: str) -> DataFrame:
                {sql_dsum("sn_", "sum_bc_n")},
                {sql_dround(
                    "(" + sql_exact_double("SUM(" + sql_dec_cast("rn_") + ")")
-                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("sn_") + ")")
-                   + ")"
+                   + ") / NULLIF((" + sql_exact_double("SUM(" + sql_dec_cast("sn_") + ")")
+                   + "), CAST(0.0 AS DOUBLE))"
                )} AS or_mh
         FROM terms
     """,
@@ -2172,7 +2202,7 @@ def agg_odds_ratio_mh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_strata"),
         dsum("rn_", "sum_ad_n"),
         dsum("sn_", "sum_bc_n"),
-        dround(sr / ss).alias("or_mh"),
+        dround(sr / F.nullif(ss, F.lit(0.0))).alias("or_mh"),
     )
 
 
@@ -2266,15 +2296,15 @@ _SQRT6_OVER_PI = 0.7796968012336763  # sqrt(6)/pi
         SELECT n,
                {sql_dround("s / n")} AS mean_max,
                {sql_dround(
-                   "SQRT((q - s * s / n) / (n - 1))"
+                   "SQRT((q - s * s / n) / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
                )} AS sd_max,
                {sql_dround(
-                   f"SQRT((q - s * s / n) / (n - 1))"
+                   f"SQRT((q - s * s / n) / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
                    f" * CAST({_SQRT6_OVER_PI!r} AS DOUBLE)"
                )} AS gumbel_beta,
                {sql_dround(
                    f"s / n - CAST({_EULER_GAMMA!r} AS DOUBLE)"
-                   f" * (SQRT((q - s * s / n) / (n - 1))"
+                   f" * (SQRT((q - s * s / n) / NULLIF(CAST(n - 1 AS DOUBLE), CAST(0.0 AS DOUBLE)))"
                    f" * CAST({_SQRT6_OVER_PI!r} AS DOUBLE))"
                )} AS gumbel_mu
         FROM m
@@ -2301,7 +2331,10 @@ def agg_gumbel_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("block_max") * F.col("block_max"), "q"),
     )
     mean = F.col("s") / F.col("n")
-    sd = F.sqrt((F.col("q") - F.col("s") * F.col("s") / F.col("n")) / (F.col("n") - 1))
+    sd = F.sqrt(
+        (F.col("q") - F.col("s") * F.col("s") / F.col("n"))
+        / F.nullif((F.col("n") - 1).cast("double"), F.lit(0.0))
+    )
     beta = sd * F.lit(_SQRT6_OVER_PI)
     return m.select(
         "n",

@@ -624,7 +624,7 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM e
         ), z AS (
             SELECT user_id, event_id, sec,
-                   ROUND((value - mu) / sd, 6) AS zr
+                   ROUND((value - mu) / NULLIF(sd, CAST(0.0 AS DOUBLE)), 6) AS zr
             FROM lim
         ), flags AS (
             SELECT user_id, event_id,
@@ -674,7 +674,7 @@ def agg_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sec",
         F.round(
             (F.col("value") - F.avg("value").over(wp))
-            / F.stddev_samp("value").over(wp),
+            / F.nullif(F.stddev_samp("value").over(wp), F.lit(0.0)),
             6,
         ).alias("zr"),
     )

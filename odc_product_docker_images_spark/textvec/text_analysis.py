@@ -952,8 +952,10 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT CAST(SUM(cp) AS BIGINT) AS np, CAST(SUM(cq) AS BIGINT) AS nq
             FROM counts
         ), probs AS (
-            SELECT CAST(cp AS DOUBLE) / np AS p,
-                   CAST(cq AS DOUBLE) / nq AS q
+            SELECT CAST(cp AS DOUBLE)
+                       / NULLIF(CAST(np AS DOUBLE), CAST(0.0 AS DOUBLE)) AS p,
+                   CAST(cq AS DOUBLE)
+                       / NULLIF(CAST(nq AS DOUBLE), CAST(0.0 AS DOUBLE)) AS q
             FROM counts CROSS JOIN tot
         ), terms AS (
             SELECT CASE WHEN p > 0.0 THEN {sql_dround(
@@ -998,8 +1000,14 @@ def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     probs = counts.select(
-        (F.col("cp").cast("double") / F.sum("cp").over(wall)).alias("p"),
-        (F.col("cq").cast("double") / F.sum("cq").over(wall)).alias("q"),
+        (
+            F.col("cp").cast("double")
+            / F.nullif(F.sum("cp").over(wall).cast("double"), F.lit(0.0))
+        ).alias("p"),
+        (
+            F.col("cq").cast("double")
+            / F.nullif(F.sum("cq").over(wall).cast("double"), F.lit(0.0))
+        ).alias("q"),
     )
     m = (F.col("p") + F.col("q")) / 2.0
     kp = F.when(

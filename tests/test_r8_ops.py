@@ -505,8 +505,14 @@ def _degen_dir(tmp_path_factory=None):
         ]
     }
     specs["events"] = (
+        # value must be DOUBLE like the real fixture — a bare 5.0 literal
+        # is DECIMAL(2,1) in DuckDB, and a decimal-typed value column
+        # round-trips through the versioned-table/stream writers with the
+        # wrong physical type (found by the r9c full-evaluation degen
+        # parity sweep: unscaled-decimal misreads showed up as 10x sums)
         "SELECT event_id, TIMESTAMP '2024-01-01 12:00:00' AS ts,"
-        " 1::BIGINT AS user_id, 'view' AS event_type, 5.0 AS value, props"
+        " 1::BIGINT AS user_id, 'view' AS event_type,"
+        " 5.0::DOUBLE AS value, props"
         f" FROM read_parquet('{src}/events.parquet') LIMIT 2"
     )
     for t, q in specs.items():
@@ -547,7 +553,11 @@ def test_degenerate_guard_class_keys(spark):
         "forecast_holt",
         "agg_retention_cohort",
     ]:
-        qs[k].fn(spark, d).count()  # must not raise
+        # collect(), NOT count(): count() lets Catalyst prune the very
+        # projections that divide by zero, so it under-tests (the r9c
+        # full-evaluation sweep found 32 keys green under count() that
+        # raised under collect())
+        qs[k].fn(spark, d).collect()  # must not raise
 
 
 def test_dround_int64_hop_domain():

@@ -328,7 +328,7 @@ def test_r9c_keys_survive_degenerate_grain(spark):
         "ml_mcnemar_test",
         "sim_binary_quantize",
     ]:
-        qs[k].fn(spark, d).count()  # must not raise
+        qs[k].fn(spark, d).collect()  # must not raise
 
 
 def test_seasonal_mann_kendall_matches_numpy(spark):
@@ -502,7 +502,7 @@ def test_r9c_tier2_survives_degenerate_grain(spark):
         "agg_two_proportion_ztest",
         "text_fertility_stats",
     ]:
-        qs[k].fn(spark, d).count()  # must not raise
+        qs[k].fn(spark, d).collect()  # must not raise
 
 
 def test_ks_statistic_matches_numpy(spark):
@@ -626,4 +626,33 @@ def test_r9c_tier3_survives_degenerate_grain(spark):
         "window_rsi",
         "agg_changepoint_binseg",
     ]:
-        qs[k].fn(spark, d).count()  # must not raise
+        qs[k].fn(spark, d).collect()  # must not raise
+
+
+def test_degen_guard_fixes_survive_full_evaluation(spark):
+    """The r9c full-evaluation degenerate sweep found 27 keys whose
+    guards only held under count()-pruned plans: ANSI DIVIDE_BY_ZERO in
+    eagerly-evaluated projections (Spark ANSI raises even for double/0),
+    an out-of-bounds element_at, and a negative-variance sqrt in the GMM
+    oracle.  All were fixed with SYMMETRIC NULLIF/try_element_at/clamp
+    guards (both engines emit NULL); this pins the full-evaluation path
+    (collect, not count — count() lets Catalyst prune the raising
+    expressions)."""
+    from test_r8_ops import _degen_dir
+
+    from odc_product_docker_images_spark import registry
+
+    d = _degen_dir()
+    qs = registry.all_queries()
+    for k in [
+        "agg_anova_oneway", "agg_bootstrap_ci", "agg_breusch_pagan",
+        "agg_cmh_test", "agg_cohens_kappa", "agg_cronbach_alpha",
+        "agg_cuped", "agg_gumbel_fit", "agg_iptw_ate",
+        "agg_kruskal_wallis", "agg_ks_by_group_fdr", "agg_ks_test",
+        "agg_markov_absorption", "agg_odds_ratio_mh", "agg_overdispersion",
+        "agg_spatial_moran", "agg_spc_rules", "agg_spearman_corr",
+        "agg_stl_lite", "agg_two_proportion_ztest", "graph_assortativity",
+        "ml_auc_delong_se", "ml_auc_exact", "ml_gmm_em_loop",
+        "ml_lift_table", "ml_roc_curve", "text_js_divergence",
+    ]:
+        qs[k].fn(spark, d).collect()  # must not raise
