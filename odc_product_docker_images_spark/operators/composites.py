@@ -20,7 +20,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dec_cast, dsum, sql_dsum
+from ..functions.det import dec_cast, dsum, exact_double, sql_dsum
 from ..io import load
 from ..registry import register
 
@@ -58,7 +58,11 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return phase1.groupBy("l_returnflag").agg(
-        F.round(F.sum("rev_part").cast("double"), 6).alias("revenue"),
+        # exact_double, NOT round(cast(double)): past ~9e9 the revenue's
+        # 6 dp no longer fits a double, so the bare cast diverged from the
+        # oracle's decimal hop at the 10x replica (r9c 10x parity sweep);
+        # the int64 hop stays exact to |sum| < 9.2e12 (~100x this grain)
+        exact_double(F.sum("rev_part")).alias("revenue"),
         F.sum("n_part").alias("n"),
     )
 

@@ -143,21 +143,22 @@ def agg_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("d_num"),
         F.col("n1").cast("long").alias("n1"),
         F.col("n0").cast("long").alias("n0"),
+    ).select(
+        # ks_d computed BEFORE the sort+limit: a per-row division keeps
+        # the top-1 selection a fused TakeOrderedAndProject (the nullif
+        # guard in a post-limit projection broke the fusion — plan pin)
+        "*",
+        (
+            F.col("d_num").cast("double")
+            / F.nullif(
+                F.col("n1").cast("double") * F.col("n0").cast("double"),
+                F.lit(0.0),
+            )
+        ).alias("ks_d"),
     )
-    return (
-        scored.orderBy(F.col("d_num").desc(), F.col("at_value").asc())
-        .limit(1)
-        .select(
-            "at_value",
-            "d_num",
-            "n1",
-            "n0",
-            (
-                F.col("d_num").cast("double")
-                / (F.nullif(F.col("n1").cast("double") * F.col("n0").cast("double"), F.lit(0.0)))
-            ).alias("ks_d"),
-        )
-    )
+    return scored.orderBy(
+        F.col("d_num").desc(), F.col("at_value").asc()
+    ).limit(1)
 
 
 _SSB_SUM = sql_exact_double("SUM(" + sql_dec_cast("ssb_g") + ")")

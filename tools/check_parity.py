@@ -30,7 +30,12 @@ TABLES = [
 def duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written fixtures (the .tmp scale replicas) are DIRECTORIES
+        # of part files; DuckDB needs the glob form there
+        if Path(path).is_dir():
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
