@@ -93,7 +93,17 @@ def join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe.  Points key to their cell; stations carry theirs; the equi-join
     on (point cell + offset) = station cell yields ≤ 25 cells of
     candidates per point; one min-of-struct aggregate picks the argmin
-    (d2 first, station id as the unique tie-break).  Distance stays
+    (d2 first, station id as the unique tie-break).
+
+    COVERAGE PRECONDITION: blocked NN is exact only while every point has
+    some station within ±2 grid cells — on real deployments you size _C
+    to the station density.  A fixture that stretches the point domain
+    while pinning the station table (the 10x replica: user_id coordinates
+    grow 10x, dims stay 1x) starves the probe and uncovered points DROP
+    from the output (inner join) — the r9c 10x parity sweep measured
+    1306/100000 answered there; the exhaustive oracle answers all.
+    Expanding-ring fallback is the scale-correct extension if uncovered
+    points must be answered rather than flagged.  Distance stays
     unrounded: the identical ``(px−sx)²+(py−sy)²`` expression tree is
     bit-deterministic IEEE arithmetic in both engines (per-row, no
     summation-order dependence)."""

@@ -213,20 +213,27 @@ _TX, _TY = 40.0, 24.0
     "regrid_conservative",
     oracle=f"""
         WITH raster AS ({_SQL_RASTER}),
-        frags AS (
-            SELECT r.v,
-                   tx.t AS tcell_x, ty.t AS tcell_y,
-                   (LEAST((r.cell_x + 1) * {_CX!r}, (tx.t + 1) * {_TX!r})
-                    - GREATEST(r.cell_x * {_CX!r}, tx.t * {_TX!r}))
-                 * (LEAST((r.cell_y + 1) * {_CY!r}, (ty.t + 1) * {_TY!r})
-                    - GREATEST(r.cell_y * {_CY!r}, ty.t * {_TY!r})) AS w
-            FROM raster r
-            CROSS JOIN RANGE(0, 13) tx(t)
-            CROSS JOIN RANGE(0, 7) ty(t)
-            WHERE tx.t * {_TX!r} < (r.cell_x + 1) * {_CX!r}
-              AND (tx.t + 1) * {_TX!r} > r.cell_x * {_CX!r}
-              AND ty.t * {_TY!r} < (r.cell_y + 1) * {_CY!r}
-              AND (ty.t + 1) * {_TY!r} > r.cell_y * {_CY!r}
+        fx AS (
+            SELECT v, cell_x, cell_y,
+                   UNNEST(RANGE(
+                       CAST(FLOOR(cell_x * {_CX!r} / {_TX!r}) AS BIGINT),
+                       CAST(FLOOR(((cell_x + 1) * {_CX!r} - 1e-9) / {_TX!r})
+                            AS BIGINT) + 1)) AS tcell_x
+            FROM raster
+        ), fy AS (
+            SELECT v, cell_x, cell_y, tcell_x,
+                   UNNEST(RANGE(
+                       CAST(FLOOR(cell_y * {_CY!r} / {_TY!r}) AS BIGINT),
+                       CAST(FLOOR(((cell_y + 1) * {_CY!r} - 1e-9) / {_TY!r})
+                            AS BIGINT) + 1)) AS tcell_y
+            FROM fx
+        ), frags AS (
+            SELECT v, tcell_x, tcell_y,
+                   (LEAST((cell_x + 1) * {_CX!r}, (tcell_x + 1) * {_TX!r})
+                    - GREATEST(cell_x * {_CX!r}, tcell_x * {_TX!r}))
+                 * (LEAST((cell_y + 1) * {_CY!r}, (tcell_y + 1) * {_TY!r})
+                    - GREATEST(cell_y * {_CY!r}, tcell_y * {_TY!r})) AS w
+            FROM fy
         )
         SELECT tcell_x, tcell_y,
                {sql_dsum("v * w", "wsum")},
