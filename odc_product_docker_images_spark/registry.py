@@ -125,7 +125,7 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.nb",
 ]
 
-# Round-9 grading window: the driver grades ~the first 50 keys in
+# Round-10 grading window: the driver grades ~the first 50 keys in
 # ``queries()`` dict order.  ``all_queries()`` yields these keys first (in
 # this order), then every other registered key in registration order.
 #
@@ -148,47 +148,41 @@ _MODULES = [
 # STRICTLY BEFORE this as "already graded" — the r8 guard globbed every
 # CORRECTNESS_r*.json including the round's own deposit, so it turned red
 # the moment the driver graded (VERDICT r8 "What's wrong" #1).
-WINDOW_ROUND = 9
+WINDOW_ROUND = 10
 # Keys intentionally re-windowed although they carry a prior driver row —
-# their code AND oracle changed this round (sampled-slice audit tier).
-WINDOW_REGRADES = {"sim_ann_recall", "dedup_minhash_recall"}
+# their code AND oracle changed this round.  r10 is PURE backlog drain
+# (VERDICT r9 task #1): no re-grades, no new-key slots.
+WINDOW_REGRADES: set[str] = set()
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- new r9 keys (the r9c diagnostics/vector tier displaces the 10
-    #    newest rotation slots; displaced keys head the R10 defer list) --
-    "graph_bfs_loop",
-    "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf",
-    "agg_ccf_lags", "agg_periodogram", "agg_cooks_distance",
-    "ml_pr_auc", "ml_brier_decomposition", "ml_mcnemar_test",
-    "sim_binary_quantize",
-    "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
-    "agg_friedman_test", "window_bollinger", "agg_two_proportion_ztest",
-    "text_fertility_stats",
-    "ml_ks_statistic", "agg_partial_corr", "window_rsi",
-    "agg_changepoint_binseg",
-    # -- re-grades: sampled-slice audit changed code + oracle (r9 task 2) --
-    "sim_ann_recall", "dedup_minhash_recall",
-    # -- first-ever driver rows-check for the 6 never-windowed rows-only
-    #    keys (registry residents since r4b-r6d with zero driver contact) --
-    "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
-    "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-    # -- rotation: the 19 oldest never-driver-graded full-oracle keys --
-    "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
-    "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
-    "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
-    "agg_markov_absorption", "product_phenology", "agg_logrank_test",
-    "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean",
-    "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
-    # R10 DEFER LIST — never driver-graded oracled keys still waiting
+    # -- rotation: the 49 OLDEST never-driver-graded full-oracle keys
+    #    (derived fresh from CORRECTNESS_r1..r9 vs the 386-key registry:
+    #    101 never-graded, all full-oracle; backlog after this round = 52).
+    # pre-r6c stragglers (r2-r5 cohorts, the oldest debt — 35 keys):
+    "source_csv_roundtrip", "source_jsonl_roundtrip",
+    "source_fixed_width_roundtrip", "scalar_variant",
+    "table_schema_evolution", "table_vacuum", "table_restore",
+    "table_clone_shallow", "table_constraint_check", "profile_table",
+    "proj_unpivot_bands", "proj_crs_roundtrip", "regrid_pyramid",
+    "window_ewma", "window_streak", "window_despike",
+    "window_seasonal_zscore", "udf_arrow_map", "udtf_dynamic_schema",
+    "sql_frontend", "join_interval_overlap",
+    "join_nearest_neighbor", "composite_q18_shape",
+    "agg_percentile_composite", "agg_mad_1d", "raster_morph_close",
+    "sim_kmeans_step", "sim_quantize_pq", "sim_ann_pq_adc",
+    "sim_rerank_adc_exact", "multimodal_png_decode",
+    "multimodal_image_resize", "sample_stratified", "dedup_boilerplate",
+    "graph_pagerank_step",
+    # displaced r9 rotation slots (r6d cohort, next-oldest — first 14):
+    "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
+    "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step",
+    "text_readability", "geo_idw_interpolate", "agg_ljung_box",
+    "raster_flow_direction", "raster_hillshade", "table_bloom_skipping",
+    "graph_label_prop_step", "agg_spatial_moran",
+    # R11 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
-    #   displaced by the r9c new-key tiers (were r9 rotation slots):
-    #     ml_confusion_metrics, raster_slope_aspect,
-    #     agg_medoid_composite, agg_winsorized_mean,
-    #     sample_bottomk_hash, graph_hits_step, text_readability,
-    #     geo_idw_interpolate, agg_ljung_box, raster_flow_direction,
-    #     raster_hillshade, table_bloom_skipping, graph_label_prop_step,
-    #     agg_spatial_moran, text_collocations_pmi,
+    #   rest of the displaced-r9 cohort: text_collocations_pmi,
     #     agg_abc_classification, agg_bitmap_distinct, agg_stl_lite,
     #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix,
     #   r6d tail: ml_naive_bayes, profile_parquet_footers,
@@ -205,20 +199,7 @@ GRADING_WINDOW = [
     #     ml_ndcg_at_k, agg_odds_ratio_mh, agg_cohort_decay_fit,
     #     ml_recall_at_k, text_winnowing, agg_interevent_burstiness,
     #     agg_apdex_daily, agg_gumbel_fit, window_record_highs,
-    #     agg_srm_check, window_mix_drift,
-    #   then the pre-r6c stragglers: sql_frontend, table_clone_shallow,
-    #     multimodal_image_resize, join_interval_overlap,
-    #     udtf_dynamic_schema, graph_pagerank_step, table_restore,
-    #     multimodal_png_decode, sample_stratified, dedup_boilerplate,
-    #     window_seasonal_zscore, proj_crs_roundtrip,
-    #     table_constraint_check, sim_kmeans_step, source_jsonl_roundtrip,
-    #     window_ewma, window_streak, scalar_variant, sim_ann_pq_adc,
-    #     sim_rerank_adc_exact, agg_percentile_composite, agg_mad_1d,
-    #     composite_q18_shape, join_nearest_neighbor, profile_table,
-    #     proj_unpivot_bands, raster_morph_close, regrid_pyramid,
-    #     sim_quantize_pq, source_csv_roundtrip,
-    #     source_fixed_width_roundtrip, table_schema_evolution,
-    #     table_vacuum, udf_arrow_map, window_despike
+    #     agg_srm_check, window_mix_drift
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
     #   (+ any keys added after this comment — check COVERAGE.md vs

@@ -141,17 +141,50 @@ class VersionedTable:
         """Write df's rows as fresh parquet files; return repo-relative names."""
         out = self.data_dir / uuid.uuid4().hex[:12]
         if n_files:
-            # repartition, not coalesce: the contract is EXACTLY n_files
-            # (coalesce can only merge, so a single-split source would yield
-            # one file regardless).  Production compaction of huge tables
-            # would prefer coalesce to skip the shuffle when only merging.
-            df = df.repartition(n_files)
+            # repartition, not coalesce: the contract is n_files WHEN the
+            # data fills them (coalesce can only merge, so a single-split
+            # source would yield one file regardless).  Range-partition on
+            # a synthetic distinct id rather than round-robin: round-robin
+            # seeds each input split's start offset independently, so a
+            # k-row input spread over several splits can collide k <= n
+            # rows into fewer than k output partitions (the degen-fixture
+            # failure r9c documented).  Range boundaries over distinct ids
+            # give exactly min(k, n) non-empty partitions, balanced for
+            # large k; the sampling pass evaluates only the synthetic id,
+            # reading no real columns.  Production compaction of huge
+            # tables would prefer coalesce to skip the shuffle entirely
+            # when only merging.
+            df = df.repartitionByRange(n_files, F.monotonically_increasing_id())
         df.write.mode("overwrite").parquet(str(out))
-        return [
+        names = [
             str(p.relative_to(self.path))
             for p in out.glob("*.parquet")
             if p.is_file()
         ]
+        # Zero-row data files never enter a manifest (Delta's behavior):
+        # Spark emits a file for partition 0 even when that partition is
+        # empty, so a k-row write into n > k round-robin partitions lands
+        # min(k, n) data files PLUS one stray empty — committing it would
+        # make file counts depend on which partition went empty instead of
+        # on the data.  With empties dropped, every write's file count is
+        # GREATEST(1, LEAST(n_files, rows)) — derivable by an oracle from
+        # row counts alone (round-robin spreads k rows over min(k, n)
+        # partitions when any input split carries >= n rows or k <= n;
+        # both fixture grains satisfy that).  An entirely-empty write
+        # keeps ONE empty file as the schema carrier so read() of that
+        # snapshot still has a schema source.  Footer row counts are
+        # metadata-only reads (same pyarrow pass _file_stats already does).
+        import pyarrow.parquet as pq
+
+        nonempty = [
+            f for f in names
+            if pq.ParquetFile(str(self.path / f)).metadata.num_rows > 0
+        ]
+        keep = nonempty or names[:1]
+        for f in names:
+            if f not in keep:
+                (self.path / f).unlink()
+        return keep
 
     def write(self, df: DataFrame, mode: str = "append", n_files: int | None = None) -> int:
         new_files = self._write_data(df, n_files)
@@ -443,15 +476,24 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "table_compaction",
     oracle=f"""
-        SELECT CAST(0 AS INTEGER) AS version, CAST(8 AS INTEGER) AS n_files,
+        WITH fc AS (
+            SELECT GREATEST(1, LEAST(8, COUNT(*) FILTER (WHERE event_id % 2 = 0))) AS f_even,
+                   GREATEST(1, LEAST(8, COUNT(*) FILTER (WHERE event_id % 2 = 1))) AS f_odd,
+                   GREATEST(1, LEAST(2, COUNT(*))) AS f_compact
+            FROM events
+        )
+        SELECT CAST(0 AS INTEGER) AS version,
+               CAST((SELECT f_even FROM fc) AS INTEGER) AS n_files,
                COUNT(*) AS n_rows, {sql_dsum("value", "sum_value")}
         FROM events WHERE event_id % 2 = 0
         UNION ALL
-        SELECT CAST(1 AS INTEGER), CAST(16 AS INTEGER),
+        SELECT CAST(1 AS INTEGER),
+               CAST((SELECT f_even + f_odd FROM fc) AS INTEGER),
                COUNT(*), {sql_dsum("value", "sum_value")}
         FROM events
         UNION ALL
-        SELECT CAST(2 AS INTEGER), CAST(2 AS INTEGER),
+        SELECT CAST(2 AS INTEGER),
+               CAST((SELECT f_compact FROM fc) AS INTEGER),
                COUNT(*), {sql_dsum("value", "sum_value")}
         FROM events
     """,
@@ -459,9 +501,12 @@ def table_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
 def table_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage layer: two 8-file appends then ``compact(2)`` — content
     (counts+sums) is invariant across the rewrite while the file count
-    drops 16 → 2.  File counts are storage facts fixed by construction
-    (coalesce), so the oracle pins them as literals; row content comes
-    from the distributed read-back of each snapshot."""
+    drops 16 → 2 at standard grain.  File counts are storage facts, but
+    the writer commits only non-empty files, so the oracle DERIVES each
+    pin from the data — GREATEST(1, LEAST(n_files, rows)) per write — and
+    stays green on degenerate 1-row fixtures where most of the 8
+    round-robin partitions are empty (r10 fix; the old literal 8/16/2 pins
+    were the last two documented degen-sweep exceptions)."""
     ev = load(spark, sf_dir, "events").select("event_id", "value")
     t = _fresh_table("cmp")
     t.write(ev.where(F.col("event_id") % 2 == 0), mode="overwrite", n_files=8)
@@ -697,9 +742,11 @@ def table_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT COUNT(*) AS n_rows,
                {sql_dsum("value", "sum_value")},
-               CAST(16 AS BIGINT) AS n_files_deleted,
+               CAST(GREATEST(1, LEAST(8, COUNT(*) FILTER (WHERE event_id % 2 = 0)))
+                    + GREATEST(1, LEAST(8, COUNT(*) FILTER (WHERE event_id % 2 = 1)))
+                    AS BIGINT) AS n_files_deleted,
                CAST(2 AS BIGINT) AS n_versions_dropped,
-               CAST(2 AS BIGINT) AS n_files_left
+               CAST(GREATEST(1, LEAST(2, COUNT(*))) AS BIGINT) AS n_files_left
         FROM events
     """,
 )
@@ -711,7 +758,10 @@ def table_vacuum(spark: SparkSession, sf_dir: str) -> DataFrame:
     files (referenced only by v0/v1), drop those two manifests, and leave
     the 2-file compacted snapshot reading byte-identical data — the oracle
     pins the surviving data AND the deletion arithmetic (16 deleted, 2
-    versions dropped, 2 files left).  Time travel past the horizon is gone
+    versions dropped, 2 files left at standard grain; all three derived
+    from row counts via GREATEST(1, LEAST(n, cnt)) since the r10
+    non-empty-files-only writer change, so degenerate fixtures stay
+    green).  Time travel past the horizon is gone
     by design; within it, untouched (tests pin the raise on v0 and the
     on-disk file count).  Scale: pure manifest set-difference + deletes,
     no directory listing."""

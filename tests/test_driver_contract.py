@@ -75,38 +75,37 @@ def test_grading_window_holds_showcase_surface():
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
     # LITERAL composition pin (not derived from GRADING_WINDOW, which would
-    # be tautological): the full r9 window, so a registry edit can't
-    # silently drop a slot or re-submit an already-graded key.
+    # be tautological): the full r10 window, so a registry edit can't
+    # silently drop a slot or re-submit an already-graded key.  r10 is
+    # PURE backlog drain: flagship + the 49 oldest never-driver-graded
+    # full-oracle keys (VERDICT r9 task #1).
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # new r9 keys (incl. the r9c diagnostics/vector tier)
-        "graph_bfs_loop",
-        "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf",
-        "agg_ccf_lags", "agg_periodogram", "agg_cooks_distance",
-        "ml_pr_auc", "ml_brier_decomposition", "ml_mcnemar_test",
-        "sim_binary_quantize",
-        "agg_seasonal_mann_kendall", "agg_pacf", "agg_grubbs_outlier",
-        "agg_friedman_test", "window_bollinger",
-        "agg_two_proportion_ztest", "text_fertility_stats",
-        "ml_ks_statistic", "agg_partial_corr", "window_rsi",
-        "agg_changepoint_binseg",
-        # re-grades: sampled-slice audit changed code + oracle r9
-        "sim_ann_recall", "dedup_minhash_recall",
-        # first driver rows-check for the never-windowed rows-only keys
-        "agg_geomedian_mads", "multimodal_jpeg_decode", "text_bpe_tokens",
-        "text_heavy_hitters", "ml_isotonic_pava", "text_compression_ratio",
-        # rotation: the 19 oldest never-driver-graded full-oracle keys
-        # (the r9c tiers displaced the 21 newest rotation slots to the
-        # R10 defer list in registry.py)
-        "agg_spc_rules", "table_wap_publish", "agg_fifo_allocation",
-        "agg_revenue_bridge", "agg_skyline_2d", "forecast_backtest_metrics",
-        "agg_diff_in_diff", "dedup_survivorship", "graph_bfs_step",
-        "agg_markov_absorption", "product_phenology", "agg_logrank_test",
-        "agg_ks_test", "agg_anova_oneway", "agg_acf", "agg_circular_mean",
-        "ml_roc_curve", "ml_auc_exact", "ml_calibration_bins",
+        # pre-r6c stragglers (r2-r5 cohorts, oldest debt — 35 keys)
+        "source_csv_roundtrip", "source_jsonl_roundtrip",
+        "source_fixed_width_roundtrip", "scalar_variant",
+        "table_schema_evolution", "table_vacuum", "table_restore",
+        "table_clone_shallow", "table_constraint_check", "profile_table",
+        "proj_unpivot_bands", "proj_crs_roundtrip", "regrid_pyramid",
+        "window_ewma", "window_streak", "window_despike",
+        "window_seasonal_zscore", "udf_arrow_map", "udtf_dynamic_schema",
+        "sql_frontend", "join_interval_overlap",
+        "join_nearest_neighbor", "composite_q18_shape",
+        "agg_percentile_composite", "agg_mad_1d", "raster_morph_close",
+        "sim_kmeans_step", "sim_quantize_pq", "sim_ann_pq_adc",
+        "sim_rerank_adc_exact", "multimodal_png_decode",
+        "multimodal_image_resize", "sample_stratified",
+        "dedup_boilerplate", "graph_pagerank_step",
+        # displaced r9 rotation slots (r6d cohort — first 14)
+        "ml_confusion_metrics", "raster_slope_aspect",
+        "agg_medoid_composite", "agg_winsorized_mean",
+        "sample_bottomk_hash", "graph_hits_step", "text_readability",
+        "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
+        "raster_hillshade", "table_bloom_skipping",
+        "graph_label_prop_step", "agg_spatial_moran",
     }
     missing_literal = literal_pin - set(window)
-    assert not missing_literal, f"r9 pin violated: {missing_literal}"
+    assert not missing_literal, f"r10 pin violated: {missing_literal}"
     # No already-graded key (other than the flagship and this round's
     # declared re-grades) occupies a slot — the r7 failure mode was
     # burning the grading budget on re-confirms.  "Already graded" means
