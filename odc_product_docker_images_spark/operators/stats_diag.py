@@ -629,12 +629,12 @@ _TWO_PI = 6.283185307179586
 )
 def agg_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schuster periodogram of the daily event-count series at the first
-    {_PGRAM_K} Fourier frequencies — P(k) = (C_k² + S_k²)/N with C_k =
+    10 (_PGRAM_K) Fourier frequencies — P(k) = (C_k² + S_k²)/N with C_k =
     Σ x_t·cos(2πkt/N) — the seasonality detector a pure trend fit
     (`agg_linear_trend`, `agg_durbin_watson`) is blind to: a weekly
     cycle in a ~30-day window peaks near k = N/7 (period_days ≈ 7).
     One day-grain aggregate, one O(span) rank window, then a k-fan-out
-    (constant ×{_PGRAM_K}) and a decimal-sum per k.  Per-row cos/sin
+    (constant ×10, _PGRAM_K) and a decimal-sum per k.  Per-row cos/sin
     round 6 dp before the sums (the `agg_circular_mean` libm
     convention); 2π and the angle chain are identical double literals
     and left-associated products on both engines.  Count addends keep
@@ -1421,7 +1421,7 @@ _BOLL_W = 7  # rolling window, days
     """,
 )
 def window_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bollinger bands over the daily count series — {_BOLL_W}-day rolling
+    """Bollinger bands over the daily count series — 7-day (_BOLL_W) rolling
     mean ± 2 rolling standard deviations, with a breakout flag (+1 above,
     −1 below): the volatility-adaptive anomaly envelope that a fixed
     z-score (`window_seasonal_zscore`) can't be when local variance
@@ -1776,14 +1776,14 @@ _RSI_W = 7  # Cutler RSI window, days
 )
 def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cutler's RSI (simple-average relative strength index) of the
-    daily count series over a {_RSI_W}-day window — RSI =
+    daily count series over a 7-day (_RSI_W) window — RSI =
     100·Σgain/(Σgain+Σloss): the banded momentum gauge that joins
     `window_drawdown` and `window_bollinger` in the volatility family
     (overbought ≈ >70, oversold ≈ <30).  The SMA variant is chosen over
     Wilder's recursive smoothing deliberately: day-over-day count
     deltas are INTEGERS, so the framed gain/loss sums are exact BIGINT
     window arithmetic — zero float surface until the single final
-    division.  RSI emits only once the frame holds {_RSI_W} true returns
+    division.  RSI emits only once the frame holds 7 (_RSI_W) true returns
     (warm-up rows NULL); an all-flat frame reads 50."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
@@ -1871,19 +1871,22 @@ def window_rsi(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT d, t, n, py, ty, gain,
                    MAX(gain) OVER () AS maxgain
             FROM gains
+        ), win AS (
+            SELECT *, MIN(CASE WHEN gain = maxgain THEN t END) OVER ()
+                          AS tmin
+            FROM mx
         )
         SELECT CAST(MAX(n) AS BIGINT) AS n_days,
-               MIN(CASE WHEN gain = maxgain THEN d END) AS change_day,
-               CAST(MIN(CASE WHEN gain = maxgain THEN t END) AS BIGINT)
-                   AS split_after,
-               {sql_dround("MAX(maxgain)")} AS sse_gain,
-               {sql_dround(
-                   "MIN(CASE WHEN gain = maxgain THEN py / t END)")}
+               MIN(CASE WHEN t = tmin THEN d END) AS change_day,
+               CAST(MAX(tmin) AS BIGINT) AS split_after,
+               {sql_dround("MAX(CASE WHEN t = tmin THEN gain END)")}
+                   AS sse_gain,
+               {sql_dround("MIN(CASE WHEN t = tmin THEN py / t END)")}
                    AS mean_left,
                {sql_dround(
-                   "MIN(CASE WHEN gain = maxgain"
+                   "MIN(CASE WHEN t = tmin"
                    " THEN (ty - py) / (n - t) END)")} AS mean_right
-        FROM mx
+        FROM win
     """,
 )
 def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1898,9 +1901,10 @@ def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(1) per-row arithmetic — the whole search is one window pass over
     the O(span) day table, no per-split re-aggregation.  The series
     mean-normalizes first (the `agg_ccf_lags` lesson; gains are
-    scale-free, nd=10 sums keep ~8 digits at any magnitude); argmax
-    tie-breaks to the earliest day via MIN over the gain = maxgain
-    equality; n < 4 emits NULL."""
+    scale-free, nd=10 sums keep ~8 digits at any magnitude); a tied
+    argmax resolves to the single earliest-t row (tmin window) and ALL
+    output columns derive from that one row, so the answer can never mix
+    segments from different tied splits; n < 4 emits NULL."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(F.date_trunc("day", "ts").alias("d")).agg(
         dsum("value", "rev")
@@ -1950,13 +1954,20 @@ def agg_changepoint_binseg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*", F.max("gain").over(w_all).alias("maxgain")
     )
     at_max = F.col("gain") == F.col("maxgain")
-    return mx.agg(
+    # Resolve a tied max-gain to ONE winning row (earliest t) and derive
+    # every output column from it — independent MINs over the tied set
+    # could mix segments from different splits (r9 ADVICE item).
+    win = mx.select(
+        "*", F.min(F.when(at_max, F.col("t"))).over(w_all).alias("tmin")
+    )
+    at_win = F.col("t") == F.col("tmin")
+    return win.agg(
         F.max("n").cast("long").alias("n_days"),
-        F.min(F.when(at_max, F.col("d"))).alias("change_day"),
-        F.min(F.when(at_max, F.col("t"))).cast("long").alias("split_after"),
-        dround(F.max("maxgain")).alias("sse_gain"),
-        dround(F.min(F.when(at_max, py / t))).alias("mean_left"),
+        F.min(F.when(at_win, F.col("d"))).alias("change_day"),
+        F.max("tmin").cast("long").alias("split_after"),
+        dround(F.max(F.when(at_win, F.col("gain")))).alias("sse_gain"),
+        dround(F.min(F.when(at_win, py / t))).alias("mean_left"),
         dround(
-            F.min(F.when(at_max, (ty - py) / (n - t)))
+            F.min(F.when(at_win, (ty - py) / (n - t)))
         ).alias("mean_right"),
     )

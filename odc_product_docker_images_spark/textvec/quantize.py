@@ -166,12 +166,12 @@ def sim_binary_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     coordinates are i.i.d.); the exact cosine of each surviving pair is
     recomputed for the rerank column, restricted to Q·K rows.
 
-    Scale shape (100 TB of vectors): the query side (vec_id < {_BQ_QUERIES})
+    Scale shape (100 TB of vectors): the query side (vec_id < 10, _BQ_QUERIES)
     broadcasts — 8 B codes mean even a million-query batch is ~8 MB; the
     corpus side streams through the xor/popcount in whole-stage codegen
-    with NO shuffle until the per-query top-{_BQ_K} window on Q·{_BQ_K}-bounded
+    with NO shuffle until the per-query top-5 (_BQ_K) window on Q·K-bounded
     candidates; the float embeddings are only touched again by the final
-    rerank join (Q·{_BQ_K} rows), never by the scan."""
+    rerank join (Q·K rows), never by the scan."""
     em = load(spark, sf_dir, "embeddings")
     e = F.transform("embedding", lambda x: x.cast("double"))
     base = em.select("vec_id", e.alias("e"))
