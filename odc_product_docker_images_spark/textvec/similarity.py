@@ -481,6 +481,16 @@ _AUDIT_PCT = 50
 _AUDIT_KNUTH = 2654435761  # textvec.pipeline._KNUTH (oracles inline it)
 
 
+def _ann_audit_pct(n_full: int) -> int | None:
+    """Above the graded-scale threshold the recall gate's ANN candidate
+    sides ride the count-bounded audit slice (r9b); at or below it they
+    stay FULL — byte-identical to the rows the driver hashed.  Factored
+    out so tests/test_r9_ops.py can pin the flip point: losing this
+    routing silently re-grows the quadratic 100x axis the r9b bound
+    fixed (123 s → 8.6 s at the 100x replica)."""
+    return _AUDIT_PCT if n_full > _AUDIT_N0_VEC else None
+
+
 @register(
     "sim_ann_recall",
     oracle=f"""
@@ -548,7 +558,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # knob note).  At graded scales both sides stay FULL — byte-identical
     # to the r8/r9 behavior the driver hashed.
     n_full = load(spark, sf_dir, "embeddings").count()
-    ann_audit = _AUDIT_PCT if n_full > _AUDIT_N0_VEC else None
+    ann_audit = _ann_audit_pct(n_full)
     truth = (
         dedup_embedding(spark, sf_dir, audit_pct=_AUDIT_PCT)
         .select("vec_a", "vec_b")

