@@ -1471,3 +1471,59 @@ def ml_ks_statistic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ks > crit).cast("int"),
         ).alias("separable"),
     )
+
+
+@register(
+    "isotonic_fit_gate",
+    oracle="""
+        SELECT CAST(vec_id % 4 AS BIGINT) AS fold,
+               COUNT(*) AS n,
+               CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pos,
+               TRUE AS monotone, TRUE AS mass_preserved, TRUE AS bounded
+        FROM embeddings GROUP BY 1
+    """,
+)
+def isotonic_fit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 quality gate — the ``sketch_error_gates`` pattern applied to the
+    ⊘rows-only PAVA fit, so a pooling regression flips a driver hash row:
+    per fold, verify the three properties that CHARACTERIZE the isotonic
+    L2 projection of a 0/1 target —
+
+    - ``monotone``: fitted values nondecreasing along the fit's own
+      (score, vec_id) order (one lag window per fold);
+    - ``mass_preserved``: Σ fitted = Σ y (pool means conserve block
+      mass; y is 0/1 so the truth side is an exact integer the oracle
+      also pins via ``n_pos``; the float comparison carries an n-scaled
+      1e-8 slack for IEEE block-mean division error);
+    - ``bounded``: every fitted value in [0, 1].
+
+    The oracle pins all three booleans TRUE plus exact n and n_pos per
+    fold.  Shape: one pass over the fit output — a lag window and a
+    hash-agg on the same fold partitioning, no joins; the gate's cost is
+    the fit's cost."""
+    fit = ml_isotonic_pava(spark, sf_dir)
+    w = Window.partitionBy("fold").orderBy("score", "vec_id")
+    seq = fit.select(
+        "fold",
+        "y",
+        "fitted",
+        F.lag("fitted").over(w).alias("prev"),
+    )
+    n = F.count(F.lit(1))
+    viol = F.sum(
+        F.when(
+            F.col("prev").isNotNull() & (F.col("fitted") < F.col("prev")), 1
+        ).otherwise(0)
+    )
+    mass_gap = F.abs(F.sum("fitted") - F.sum("y"))
+    oob = F.sum(
+        F.when((F.col("fitted") < 0.0) | (F.col("fitted") > 1.0), 1).otherwise(0)
+    )
+    return seq.groupBy("fold").agg(
+        n.cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (viol == 0).alias("monotone"),
+        (mass_gap <= F.lit(1e-8) * n).alias("mass_preserved"),
+        (oob == 0).alias("bounded"),
+    ).withColumn("fold", F.col("fold").cast("long"))

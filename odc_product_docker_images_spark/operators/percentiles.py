@@ -131,3 +131,72 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_double(F.sum(dec_cast(clamped))).cast("double") / F.max("n")
         ).alias("wmean"),
     )
+
+
+_SQG_ACC = 10000  # percentile_approx accuracy: rank error <= n/accuracy
+_SQG_PQ = [2500, 5000, 7500, 9500]  # p*accuracy as EXACT integers
+
+
+@register(
+    "sketch_quantile_gate",
+    oracle="""
+        SELECT l_returnflag, COUNT(*) AS n, TRUE AS gate_met
+        FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def sketch_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 sketch-quality gate — the ``sketch_error_gates`` pattern applied
+    to the ⊘rows-only ``agg_approx_percentile`` sketch, closing the
+    "quantile-sketch regression stays invisible" blind spot: per group,
+    ``percentile_approx``'s DOCUMENTED rank guarantee (returned value's
+    rank within target ± n/accuracy) is verified against EXACT ranks,
+    and the oracle pins the boolean TRUE plus the exact group count.
+
+    Check, all-integer (no float rank arithmetic): for each p with
+    pq = p·accuracy ∈ {2500, 5000, 7500, 9500}, the approx value's rank
+    interval [r_lo, r_hi] (strictly-below / at-or-below counts — ties
+    give the value a rank RANGE) must intersect
+    [pq·n − n − acc, pq·n + n + acc] in accuracy-scaled units, the ±1
+    slack absorbing the floor/ceil convention at interval ends.  Products
+    stay < 2^63 up to n ≈ 9e14 rows per group.
+
+    Shape: one sketch pass (mergeable partial agg), then ONE broadcast of
+    the 12-row (group × quantile) panel back over the base scan and a
+    map-side-combined conditional-count agg — the exact-rank audit is
+    linear, no per-group sort (the sort-free audit is the point: the
+    sketch exists to avoid the holistic sort, and so does its auditor).
+    At 100 TB the audit can ride a sampled slice while the sketch runs
+    on the corpus (the ``sim_ann_recall`` precedent)."""
+    lf = load(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    probs = [x / _SQG_ACC for x in _SQG_PQ]
+    approx = lf.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", probs, _SQG_ACC).alias("avs")
+    )
+    aq = approx.select(
+        "l_returnflag", F.posexplode("avs").alias("qi", "av")
+    )
+    ranks = (
+        lf.join(F.broadcast(aq), "l_returnflag")
+        .groupBy("l_returnflag", "qi", "av")
+        .agg(
+            F.sum(
+                F.when(F.col("l_quantity") < F.col("av"), 1).otherwise(0)
+            ).cast("long").alias("r_lo"),
+            F.sum(
+                F.when(F.col("l_quantity") <= F.col("av"), 1).otherwise(0)
+            ).cast("long").alias("r_hi"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+    )
+    pq = F.element_at(
+        F.array(*[F.lit(x) for x in _SQG_PQ]), F.col("qi") + 1
+    ).cast("long")
+    acc = F.lit(_SQG_ACC).cast("long")
+    n = F.col("n")
+    ok = (F.col("r_hi") * acc >= pq * n - n - acc) & (
+        F.col("r_lo") * acc <= pq * n + n + acc
+    )
+    return ranks.groupBy("l_returnflag").agg(
+        F.max("n").cast("long").alias("n"),
+        (F.sum(F.when(ok, 0).otherwise(1)) == 0).alias("gate_met"),
+    )

@@ -174,15 +174,20 @@ GRADING_WINDOW = [
     "sim_rerank_adc_exact", "multimodal_png_decode",
     "multimodal_image_resize", "sample_stratified", "dedup_boilerplate",
     "graph_pagerank_step",
-    # displaced r9 rotation slots (r6d cohort, next-oldest — first 14):
+    # displaced r9 rotation slots (r6d cohort, next-oldest — first 11):
     "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
     "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step",
     "text_readability", "geo_idw_interpolate", "agg_ljung_box",
-    "raster_flow_direction", "raster_hillshade", "table_bloom_skipping",
-    "graph_label_prop_step", "agg_spatial_moran",
+    "raster_flow_direction", "raster_hillshade",
+    # new r10 keys (CLAUDE.md: new keys ALWAYS enter in their creation
+    # round) — the three oracle-pinned quality gates that close the
+    # remaining ⊘rows-only blind spots (approx-percentile rank bound,
+    # Weiszfeld objective optimality, PAVA fit properties):
+    "sketch_quantile_gate", "geomedian_objective_gate", "isotonic_fit_gate",
     # R11 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
-    #   rest of the displaced-r9 cohort: text_collocations_pmi,
+    #   rest of the displaced-r9 cohort: table_bloom_skipping,
+    #     graph_label_prop_step, agg_spatial_moran, text_collocations_pmi,
     #     agg_abc_classification, agg_bitmap_distinct, agg_stl_lite,
     #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix,
     #   r6d tail: ml_naive_bayes, profile_parquet_footers,

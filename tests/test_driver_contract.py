@@ -96,13 +96,15 @@ def test_grading_window_holds_showcase_surface():
         "sim_rerank_adc_exact", "multimodal_png_decode",
         "multimodal_image_resize", "sample_stratified",
         "dedup_boilerplate", "graph_pagerank_step",
-        # displaced r9 rotation slots (r6d cohort — first 14)
+        # displaced r9 rotation slots (r6d cohort — first 11)
         "ml_confusion_metrics", "raster_slope_aspect",
         "agg_medoid_composite", "agg_winsorized_mean",
         "sample_bottomk_hash", "graph_hits_step", "text_readability",
         "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
-        "raster_hillshade", "table_bloom_skipping",
-        "graph_label_prop_step", "agg_spatial_moran",
+        "raster_hillshade",
+        # new r10 oracle-pinned quality gates (new keys always enter)
+        "sketch_quantile_gate", "geomedian_objective_gate",
+        "isotonic_fit_gate",
     }
     missing_literal = literal_pin - set(window)
     assert not missing_literal, f"r10 pin violated: {missing_literal}"

@@ -2962,3 +2962,45 @@ def test_r9c_tier3_shapes(spark):
         assert "Join" not in plan, fn.__name__
         assert "CartesianProduct" not in plan, fn.__name__
         C.assert_no_python_row_path(df)
+
+
+def test_r10_quality_gate_shapes(spark):
+    """r10 gate keys: each audits a rows-only kernel with a bounded
+    broadcast panel and linear passes — no sort-merge join, no cartesian,
+    no row-path Python.  sketch_quantile_gate: the 12-row quantile panel
+    broadcasts back over the base scan (<=2 scans, exactly 1 BHJ);
+    geomedian_objective_gate: windowed stats on ONE l_suppkey
+    partitioning + the G-row geomedian panel broadcast (no stats-join
+    branch); isotonic_fit_gate: one pass over the fit output — no join
+    at all."""
+    from odc_product_docker_images_spark.kernels.geomedian import (
+        geomedian_objective_gate,
+    )
+    from odc_product_docker_images_spark.operators.model_eval import (
+        isotonic_fit_gate,
+    )
+    from odc_product_docker_images_spark.operators.percentiles import (
+        sketch_quantile_gate,
+    )
+
+    df = sketch_quantile_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2
+    assert plan.count("BroadcastHashJoin ") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+    df = geomedian_objective_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) <= 2
+    assert plan.count("BroadcastHashJoin ") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+    df = isotonic_fit_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
