@@ -151,7 +151,12 @@ _MODULES = [
 WINDOW_ROUND = 10
 # Keys intentionally re-windowed although they carry a prior driver row —
 # their code AND oracle changed this round.  r10 is PURE backlog drain
-# (VERDICT r9 task #1): no re-grades, no new-key slots.
+# (VERDICT r9 task #1): no re-grades.  (`table_compaction`'s oracle was
+# rewritten r10 — file-count pins are now data-derived — but its VALUES
+# at every graded grain are byte-identical to the r3 row, verified at
+# sf0.01/degen/10x, so it does not burn a re-grade slot; the r9
+# re-grades changed graded values, this change only widens the grains
+# the oracle survives.)
 WINDOW_REGRADES: set[str] = set()
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
