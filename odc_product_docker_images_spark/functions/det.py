@@ -110,6 +110,75 @@ def sql_exact_double(dec_expr: str, nd: int = 6) -> str:
     )
 
 
+# Magnitude guard for the adaptive hop below: strictly inside the nd=6
+# int64 domain (2^63/10^6 ≈ 9.22e12) with margin, and an EXACT integer
+# literal so the decimal comparison has no boundary ambiguity.
+_WIDE_LIM = 9 * 10**12
+
+
+def exact_double_wide(dec_col: Column) -> Column:
+    """``exact_double`` with a magnitude-adaptive hop: bit-identical to
+    the nd=6 form for |value| < 9e12 (every graded fixture — standard
+    hashes cannot move), and an nd=0 integer hop beyond it, extending
+    the hard CAST_OVERFLOW ceiling from 9.2e12 to 2^63 ≈ 9.2e18.
+
+    Past 9e12 a double has under 1e-13 relative resolution anyway, so
+    rounding such a sum at 0 dp instead of 6 loses NOTHING the final
+    double could have represented — the two branches differ only in
+    which exact integer feeds the one int64→double rounding.
+
+    ANSI-hoisting safety (the CLAUDE.md CASE/WHEN trap): each branch's
+    cast input is CLAMPED to its domain (the untaken branch sees 0), so
+    whole-stage codegen may evaluate both casts without overflow.
+
+    Found by the r10 100x value-parity slice: ``agg_weighted_mean``'s
+    2.6e13 weighted-revenue sum at 60M rows was a hard CAST_OVERFLOW one
+    decade past the 10x grain."""
+    s6 = F.round(dec_col, 6)
+    in6 = F.abs(s6) < F.lit(_WIDE_LIM).cast("decimal(14,0)")
+    safe6 = F.when(in6, s6).otherwise(F.lit(0).cast(DEC))
+    big6 = (
+        safe6.cast("decimal(24,6)") * F.lit(10**6).cast("decimal(8,0)")
+    ).cast("long")
+    s0 = F.round(dec_col, 0)
+    safe0 = F.when(in6, F.lit(0).cast(DEC)).otherwise(s0)
+    big0 = safe0.cast("decimal(30,0)").cast("long")
+    return F.when(in6, big6.cast("double") / F.lit(1e6)).otherwise(
+        big0.cast("double")
+    )
+
+
+def sql_exact_double_wide(dec_expr: str) -> str:
+    """DuckDB twin of :func:`exact_double_wide` — same clamped two-branch
+    hop, same exact-integer guard literal."""
+    s6 = f"ROUND(({dec_expr}), 6)"
+    s0 = f"ROUND(({dec_expr}), 0)"
+    in6 = f"ABS({s6}) < CAST({_WIDE_LIM} AS DECIMAL(14,0))"
+    safe6 = f"CASE WHEN {in6} THEN {s6} ELSE CAST(0 AS {SQL_DEC}) END"
+    safe0 = f"CASE WHEN {in6} THEN CAST(0 AS {SQL_DEC}) ELSE {s0} END"
+    big6 = (
+        f"CAST(CAST(({safe6}) AS DECIMAL(24,6))"
+        f" * CAST(1000000 AS DECIMAL(8,0)) AS BIGINT)"
+    )
+    big0 = f"CAST(CAST(({safe0}) AS DECIMAL(30,0)) AS BIGINT)"
+    return (
+        f"CASE WHEN {in6} THEN CAST({big6} AS DOUBLE) / 1000000.0"
+        f" ELSE CAST({big0} AS DOUBLE) END"
+    )
+
+
+def dsum_wide(col: Column | str, alias: str) -> Column:
+    """Order-insensitive exact sum whose magnitude may exceed the nd=6
+    hop domain (9.2e12) — fact-table revenue-scale sums at the 100x+
+    tier.  Bit-identical to :func:`dsum` inside the domain."""
+    return exact_double_wide(F.sum(dec_cast(col))).alias(alias)
+
+
+def sql_dsum_wide(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`dsum_wide`."""
+    return f"{sql_exact_double_wide(f'SUM({sql_dec_cast(expr)})')} AS {alias}"
+
+
 def sql_dec_cast(expr: str) -> str:
     """double expr → DECIMAL(30,10) the way the JVM does it.
 

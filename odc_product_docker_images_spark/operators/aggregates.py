@@ -26,10 +26,12 @@ from ..functions.det import (
     davg_fast,
     dsum,
     dsum_fast,
+    dsum_wide,
     sql_davg,
     sql_dec_cast,
     sql_dsum,
     sql_exact_double,
+    sql_exact_double_wide,
 )
 from ..io import load
 from ..registry import register
@@ -121,8 +123,8 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_weighted_mean",
     oracle=f"""
         SELECT l_returnflag,
-               ({sql_exact_double(f"SUM({sql_dec_cast(f'({_DISC_PRICE}) * l_quantity')})")})
-                 / ({sql_exact_double(f"SUM({sql_dec_cast('l_quantity')})")})
+               ({sql_exact_double_wide(f"SUM({sql_dec_cast(f'({_DISC_PRICE}) * l_quantity')})")})
+                 / ({sql_exact_double_wide(f"SUM({sql_dec_cast('l_quantity')})")})
                  AS wmean_price,
                COUNT(*) AS n_obs
         FROM lineitem
@@ -132,12 +134,16 @@ def agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_weighted_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1+: weighted mean — the quality-weighted mosaic (pixels weighted
     by clear-obs fraction / inverse cloud score).  Both the weighted sum
-    and the weight total go through the exact decimal path; the final
-    divide is one IEEE op on bit-identical doubles.  Same single-pass
-    hash-agg shape as ``agg_mean``."""
+    and the weight total go through the exact decimal path — the WIDE
+    hop since r10: the 100x value-parity slice found the 2.6e13
+    weighted-revenue sum a hard CAST_OVERFLOW past the nd=6 int64
+    domain; the magnitude-adaptive hop is bit-identical at graded
+    grains and holds to 2^63 — and the final divide is one IEEE op on
+    bit-identical doubles.  Same single-pass hash-agg shape as
+    ``agg_mean``."""
     lf = load(spark, sf_dir, "lineitem")
-    num = dsum(_disc_price() * F.col("l_quantity"), "wsum")
-    den = dsum("l_quantity", "wtot")
+    num = dsum_wide(_disc_price() * F.col("l_quantity"), "wsum")
+    den = dsum_wide("l_quantity", "wtot")
     return (
         lf.groupBy("l_returnflag")
         .agg(num, den, F.count(F.lit(1)).alias("n_obs"))

@@ -180,3 +180,50 @@ def test_dsum_nd10_matches_duckdb(spark_global, rows):
 @pytest.fixture(scope="module")
 def spark_global(spark):
     return spark
+
+
+# wide-hop domain: values whose SUM can cross the 9e12 guard in either
+# direction — mix huge addends (to 8e17) with ordinary ones so examples
+# land on both branches and near the boundary.
+wide_vals = st.one_of(
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-1e9, max_value=1e9, allow_subnormal=False),
+    st.floats(allow_nan=False, allow_infinity=False,
+              min_value=-8e17, max_value=8e17, allow_subnormal=False),
+    st.sampled_from([9e12, -9e12, 8.999999e12, 9.000001e12, 2.6e13]),
+)
+wide_rows = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=3), wide_vals),
+    min_size=1, max_size=30,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(rows=wide_rows)
+def test_dsum_wide_matches_duckdb(spark_global, rows):
+    """r10: the magnitude-adaptive hop (exact_double_wide) must
+    hash-match its DuckDB twin on BOTH branches and at the 9e12 guard
+    boundary — including sums that overflow the nd=6 hop the fixed form
+    would hard-fail on (the agg_weighted_mean 100x find)."""
+    from pyspark.sql import functions as F
+
+    from odc_product_docker_images_spark.functions.det import (
+        dsum_wide,
+        sql_dsum_wide,
+    )
+
+    spark = spark_global
+    pdf = pd.DataFrame(rows, columns=["k", "v"])
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        sdf.groupBy("k")
+        .agg(dsum_wide("v", "s"), F.count(F.lit(1)).alias("n"))
+        .toPandas()
+    )
+    con = duckdb.connect()
+    con.register("t", pdf)
+    want = con.execute(
+        f"SELECT k, {sql_dsum_wide('v', 's')}, COUNT(*) AS n FROM t GROUP BY k"
+    ).df()
+    con.close()
+    assert canon_rows(got) == canon_rows(want)
