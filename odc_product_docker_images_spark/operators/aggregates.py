@@ -30,6 +30,7 @@ from ..functions.det import (
     sql_davg,
     sql_dec_cast,
     sql_dsum,
+    sql_dsum_wide,
     sql_exact_double,
     sql_exact_double_wide,
 )
@@ -69,7 +70,7 @@ def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
                COUNT(*) AS n,
-               {sql_dsum(_DISC_PRICE, "revenue")}
+               {sql_dsum_wide(_DISC_PRICE, "revenue")}
         FROM lineitem
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                 (l_linestatus), ())
@@ -87,7 +88,7 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lf.groupingSets([[rf, ls], [ls], []], rf, ls).agg(
         F.grouping_id().cast("bigint").alias("gid"),
         F.count(F.lit(1)).alias("n"),
-        dsum(_disc_price(), "revenue"),
+        dsum_wide(_disc_price(), "revenue"),
     )
 
 
@@ -423,7 +424,7 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         SELECT l_returnflag, l_linestatus,
                COUNT(*) AS n,
-               {sql_dsum(_DISC_PRICE, "revenue")}
+               {sql_dsum_wide(_DISC_PRICE, "revenue")}
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -435,7 +436,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lf = load(spark, sf_dir, "lineitem")
     return lf.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        dsum(_disc_price(), "revenue"),
+        dsum_wide(_disc_price(), "revenue"),
     )
 
 

@@ -20,7 +20,14 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dec_cast, dsum, exact_double, sql_dsum
+from ..functions.det import (
+    dec_cast,
+    dsum,
+    dsum_wide,
+    exact_double_wide,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from ..io import load
 from ..registry import register
 
@@ -35,7 +42,7 @@ def _disc_price() -> F.Column:
     "agg_salted_twophase",
     oracle=f"""
         SELECT l_returnflag,
-               {sql_dsum(_DISC_PRICE, "revenue")},
+               {sql_dsum_wide(_DISC_PRICE, "revenue")},
                COUNT(*) AS n
         FROM lineitem
         GROUP BY l_returnflag
@@ -58,11 +65,12 @@ def agg_salted_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return phase1.groupBy("l_returnflag").agg(
-        # exact_double, NOT round(cast(double)): past ~9e9 the revenue's
-        # 6 dp no longer fits a double, so the bare cast diverged from the
-        # oracle's decimal hop at the 10x replica (r9c 10x parity sweep);
-        # the int64 hop stays exact to |sum| < 9.2e12 (~100x this grain)
-        exact_double(F.sum("rev_part")).alias("revenue"),
+        # exact_double_wide, NOT round(cast(double)): past ~9e9 the
+        # revenue's 6 dp no longer fits a double, so the bare cast
+        # diverged from the oracle's decimal hop at the 10x replica
+        # (r9c); since r10 the WIDE hop extends the exact finish past
+        # the nd=6 int64 domain (9.2e12, ~100x this grain) to 2^63
+        exact_double_wide(F.sum("rev_part")).alias("revenue"),
         F.sum("n_part").alias("n"),
     )
 
@@ -108,7 +116,7 @@ def composite_q3_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "composite_q5_shape",
     oracle=f"""
-        SELECT n_name, {sql_dsum(_DISC_PRICE, "revenue")}
+        SELECT n_name, {sql_dsum_wide(_DISC_PRICE, "revenue")}
         FROM customer
         JOIN orders   ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -141,7 +149,7 @@ def composite_q5_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(na, cu.c_nationkey == na.n_nationkey)
         .join(re, na.n_regionkey == re.r_regionkey)
         .groupBy("n_name")
-        .agg(dsum(_disc_price(), "revenue"))
+        .agg(dsum_wide(_disc_price(), "revenue"))
     )
 
 

@@ -24,7 +24,15 @@ import datetime as _dt
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.det import davg, dsum, dsum_fast, sql_davg, sql_dsum
+from ..functions.det import (
+    davg,
+    dsum,
+    dsum_fast,
+    dsum_wide,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from ..io import load
 from ..registry import register
 
@@ -39,7 +47,7 @@ def _disc_price() -> F.Column:
     "join_inner",
     oracle=f"""
         SELECT o_orderpriority,
-               {sql_dsum(_DISC_PRICE, "revenue")},
+               {sql_dsum_wide(_DISC_PRICE, "revenue")},
                COUNT(*) AS n_items,
                COUNT(DISTINCT o_orderkey) AS n_orders
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
@@ -55,7 +63,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         lf.join(od, lf.l_orderkey == od.o_orderkey, "inner")
         .groupBy("o_orderpriority")
         .agg(
-            dsum(_disc_price(), "revenue"),
+            dsum_wide(_disc_price(), "revenue"),
             F.count(F.lit(1)).alias("n_items"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
