@@ -48,6 +48,16 @@ def dec_cast(col: Column | str) -> Column:
     helper (never a bare ``.cast(DEC)``) so the sub-tick clamp convention
     stays in one place on both sides.  NULL passes through (``abs(NULL)``
     is NULL → the WHEN branch is not taken → otherwise(NULL)).
+
+    PER-ADDEND domain: |x| < 2^53 (≈9.0e15).  Above it the two engines
+    cast a double to decimal DIFFERENTLY — Spark expands the exact
+    binary value while DuckDB's VARCHAR hop parses the shortest repr —
+    and they diverge in the last integer digits (hypothesis falsifier
+    at 3.017e16, r10 wide-hop fuzz).  Below 2^53 every double is an
+    exactly-representable value whose shortest repr IS its exact value,
+    so the two casts agree bit-for-bit.  Fixture addends (prices,
+    quantities, products of the two) top out around 5e6; the SUM domain
+    is what the wide/fast variants manage, never the addend.
     """
     c = _c(col)
     return F.when(F.abs(c) < F.lit(SUB_TICK), F.lit(0.0)).otherwise(c).cast(DEC)

@@ -185,11 +185,15 @@ def spark_global(spark):
 # wide-hop domain: values whose SUM can cross the 9e12 guard in either
 # direction — mix huge addends (to 8e17) with ordinary ones so examples
 # land on both branches and near the boundary.
+# per-addend cap: dec_cast's cross-engine agreement holds for
+# |x| < 2^53 (see its docstring — above it Spark expands the exact
+# binary value while DuckDB parses the shortest repr); sums still cross
+# the 9e12 wide-hop guard with room to spare.
 wide_vals = st.one_of(
     st.floats(allow_nan=False, allow_infinity=False,
               min_value=-1e9, max_value=1e9, allow_subnormal=False),
     st.floats(allow_nan=False, allow_infinity=False,
-              min_value=-8e17, max_value=8e17, allow_subnormal=False),
+              min_value=-8.9e15, max_value=8.9e15, allow_subnormal=False),
     st.sampled_from([9e12, -9e12, 8.999999e12, 9.000001e12, 2.6e13]),
 )
 wide_rows = st.lists(
