@@ -132,10 +132,14 @@ def exact_double_wide(dec_col: Column) -> Column:
     hashes cannot move), and an nd=0 integer hop beyond it, extending
     the hard CAST_OVERFLOW ceiling from 9.2e12 to 2^63 ≈ 9.2e18.
 
-    Past 9e12 a double has under 1e-13 relative resolution anyway, so
-    rounding such a sum at 0 dp instead of 6 loses NOTHING the final
-    double could have represented — the two branches differ only in
-    which exact integer feeds the one int64→double rounding.
+    Past 9e12 the 0 dp branch CAN discard representable precision —
+    doubles hold fractional parts exactly up to 2^52 ≈ 4.5e15, so in the
+    [9e12, 4.5e15) band rounding at 0 dp instead of 6 drops up to 0.5
+    absolute (<6e-14 relative past the guard).  That loss is below
+    per-sum float nondeterminism at such magnitudes, is deterministic,
+    and is mirrored bit-for-bit by the DuckDB twin — the two branches
+    differ only in which exact integer feeds the one int64→double
+    rounding, so parity is unaffected.
 
     ANSI-hoisting safety (the CLAUDE.md CASE/WHEN trap): each branch's
     cast input is CLAMPED to its domain (the untaken branch sees 0), so

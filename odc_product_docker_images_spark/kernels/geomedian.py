@@ -213,7 +213,9 @@ def geomedian_objective_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     of (a) the per-band centroid — guaranteed even for a truncated run,
     Weiszfeld descends monotonically from its centroid start — and
     (b) the per-band coordinate-wise median, a feasible point the
-    converged optimum beats by definition (tol=1e-10, 200 iters).  The
+    converged optimum beats by definition (weiszfeld's tol=1e-10,
+    max_iter=1000 budget — raised from 200 when this very gate caught
+    one sf0.01 group still above the band median at 200 iters).  The
     oracle pins both booleans TRUE plus the exact group count.
 
     Shape: the audit pass computes per-band centroid and median as

@@ -1516,6 +1516,14 @@ def isotonic_fit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("prev").isNotNull() & (F.col("fitted") < F.col("prev")), 1
         ).otherwise(0)
     )
+    # Bare F.sum on doubles is safe HERE only because it feeds a
+    # slack-guarded boolean, and only within a bounded domain: the 1e-8·n
+    # slack grows linearly while worst-case partition-order summation
+    # error grows ~n²·eps (fitted ∈ [0,1], eps = 2^-52), so the bound
+    # crosses the slack around n ≈ 5e7 rows per fold.  Fixture folds top
+    # out ~6e5 at the 100x grain — two decades of headroom; a bigger
+    # fixture must scale the slack superlinearly (1e-8·n + eps·n·√n) or
+    # route the sums through det.dsum.
     mass_gap = F.abs(F.sum("fitted") - F.sum("y"))
     oob = F.sum(
         F.when((F.col("fitted") < 0.0) | (F.col("fitted") > 1.0), 1).otherwise(0)

@@ -168,9 +168,10 @@ class VersionedTable:
         # make file counts depend on which partition went empty instead of
         # on the data.  With empties dropped, every write's file count is
         # GREATEST(1, LEAST(n_files, rows)) — derivable by an oracle from
-        # row counts alone (round-robin spreads k rows over min(k, n)
-        # partitions when any input split carries >= n rows or k <= n;
-        # both fixture grains satisfy that).  An entirely-empty write
+        # row counts alone: repartitionByRange on the synthetic id gives
+        # RangePartitioner semantics — k distinct sampled ids become k
+        # distinct range bounds, so k <= n ids land in exactly k
+        # partitions and k > n ids fill all n.  An entirely-empty write
         # keeps ONE empty file as the schema carrier so read() of that
         # snapshot still has a schema source.  Footer row counts are
         # metadata-only reads (same pyarrow pass _file_stats already does).
