@@ -464,3 +464,59 @@ def scalar_geohash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coded.groupBy(gh.alias("geohash4")).agg(
         F.count(F.lit(1)).alias("n"), _davg("value", "avg_value")
     )
+
+
+@register(
+    "scalar_map_gate",
+    oracle="""
+        SELECT event_id,
+               event_type AS meta_type,
+               CAST(2 AS INTEGER) AS n_keys,
+               JSON_EXTRACT_STRING(props, '$.k') IS NOT NULL AS has_k,
+               TRUE AS json_roundtrip_ok
+        FROM events
+    """,
+)
+def scalar_map_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 quality gate — pins the ⊘rows-only ``scalar_map`` key's map
+    machinery through engine-neutral projections, so a map regression
+    flips a driver hash row (``scalar_map_canonical`` covers map ALGEBRA;
+    this covers the rows-only key's OWN output, serialization included):
+
+    - ``meta_type``: the value ``scalar_map`` read back out of its map
+      via ``element_at`` must equal the source ``event_type`` — a direct
+      cross-engine value, not a boolean.
+    - ``n_keys``: ``create_map`` of two literal keys always carries 2
+      entries (a NULL VALUE does not drop its key) — an algorithm fact,
+      not a storage fact, so the literal pin is scale-sound.
+    - ``has_k``: JSON extraction agreement between Spark's
+      ``get_json_object`` and DuckDB's ``JSON_EXTRACT_STRING`` on the
+      same props column (both NULL for missing paths).
+    - ``json_roundtrip_ok``: ``from_json(to_json(map))`` must restore
+      the exact entries — Spark 4's ``to_json`` KEEPS null-valued map
+      entries (``"k":null``), verified empirically, so the restored size
+      equals ``n_keys`` and every lookup null-safe-equals the source.
+
+    Shape: the production key's projection joined back to the events
+    scan on event_id — one equi-join, no aggregation; all comparisons
+    are codegen'd expressions (``from_json`` is JVM-side)."""
+    sm = scalar_map(spark, sf_dir)
+    ev = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").alias("src_k"),
+    )
+    m2 = F.from_json("meta_json", "map<string,string>")
+    j = sm.join(ev, "event_id")
+    rt_ok = (
+        F.element_at(m2, F.lit("type")).eqNullSafe(F.col("event_type"))
+        & F.element_at(m2, F.lit("k")).eqNullSafe(F.col("src_k"))
+        & (F.size(F.map_keys(m2)) == F.col("n_keys"))
+    )
+    return j.select(
+        "event_id",
+        "meta_type",
+        "n_keys",
+        F.col("src_k").isNotNull().alias("has_k"),
+        rt_ok.alias("json_roundtrip_ok"),
+    )

@@ -419,3 +419,89 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _jpeg_gate_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    c = _dct_mat()
+    q = np.asarray(_QTABLE, dtype=np.float64).reshape(8, 8)
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            w, h, px = _decode_jpeg(_pack_jpeg(int(d)))
+            img = _synth_image(int(d))
+            # straight-through reference: the encoder's OWN quantized
+            # coefficients -> dequant -> matrix IDCT, bypassing Huffman /
+            # bitstream / zigzag entirely.  Equality with the full decode
+            # proves the entropy layer reproduced every coefficient.
+            qb = _quantized_blocks(img).astype(np.float64)
+            blocks = np.einsum("xu,buv,yv->bxy", c.T, qb * q, c.T)
+            want = np.clip(np.round(blocks + 128.0), 0, 255).astype(np.uint8)
+            want = (
+                want.reshape(h // 8, w // 8, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(h, w)
+            )
+            rows.append(
+                (
+                    int(d), w, h,
+                    bool(np.array_equal(px, want)),
+                    int(np.abs(px.astype(np.int64) - img.astype(np.int64)).max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "lossless", "max_err"],
+        )
+
+
+@register(
+    "jpeg_decode_gate",
+    oracle="""
+        SELECT doc_id,
+               CAST(16 AS INTEGER) AS width,
+               CAST(16 AS INTEGER) AS height,
+               TRUE AS entropy_lossless,
+               TRUE AS quant_error_bounded
+        FROM documents
+    """,
+)
+def jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 codec-quality gate — the ``sketch_error_gates`` pattern applied
+    to the ⊘rows-only JPEG decode, so a bitstream regression flips a
+    driver hash row: per asset, the full decode (marker walk → Huffman →
+    DC prediction → dezigzag → dequant → IDCT) must EXACTLY reproduce a
+    straight-through quant→dequant→IDCT reference built from the
+    encoder's own coefficient array — JPEG is lossy end-to-end but its
+    entropy layer is NOT, so any bit slip in the DHT parse, byte
+    stuffing, DC differential, or zigzag breaks pixel equality.  A
+    second boolean pins the LOSSY half: with the flat q=16 table the
+    per-pixel quantization error is bounded by 2q (measured corpus max
+    is ≤ 32; the DCT's worst-case bound is q·Σ|basis| ≫ observed, so
+    the 2q band is an empirical pin of THIS encoder, asserted per-asset
+    not per-corpus).
+
+    The pinned 16×16 dims are module constants of the synthetic packer
+    (``_W``/``_H``) — data-independent algorithm facts, not storage
+    facts, so literal pins are sound at any fixture scale.  Same
+    zero-shuffle Arrow map shape as the decode key itself; the gate's
+    pytest twin (tests/test_r5_ops.py) keeps the deeper negative cases
+    (progressive SOF raises, stuffed-byte presence)."""
+    dc = load(spark, sf_dir, "documents")
+    audited = (
+        dc.select("doc_id")
+        .repartition(32, "doc_id")
+        .mapInPandas(
+            _jpeg_gate_batches,
+            schema="doc_id long, width int, height int,"
+            " lossless boolean, max_err long",
+        )
+    )
+    return audited.select(
+        "doc_id",
+        "width",
+        "height",
+        F.col("lossless").alias("entropy_lossless"),
+        (F.col("max_err") <= F.lit(32)).alias("quant_error_bounded"),
+    )

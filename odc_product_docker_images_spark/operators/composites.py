@@ -269,3 +269,81 @@ def stream_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # stream_stream_join moved to streaming/stream_joins.py (graduated to a
 # full value-hash oracle in round 3).
+
+
+# catalog_gate's oracle: one COUNT(*) subquery per fixture table.  The
+# n_columns / has_time_axis literals are DECLARED-SCHEMA constants (the
+# schema registry is versioned code, not data), not storage facts — the
+# fixture generator emits the same columns at every scale.
+_CATALOG_GATE_ORACLE = " UNION ALL ".join(
+    f"SELECT '{t}' AS table_name,"
+    f" (SELECT COUNT(*) FROM {t}) AS n_rows,"
+    f" CAST({nc} AS INTEGER) AS n_columns,"
+    f" {str(ts).upper()} AS has_time_axis,"
+    f" TRUE AS schema_match"
+    for t, nc, ts in [
+        ("customer", 5, False), ("documents", 5, False),
+        ("embeddings", 3, False), ("events", 6, True),
+        ("lineitem", 11, True), ("nation", 3, False),
+        ("orders", 6, True), ("part", 6, False),
+        ("region", 2, False), ("supplier", 4, False),
+    ]
+)
+
+
+@register("catalog_gate", oracle=_CATALOG_GATE_ORACLE)
+def catalog_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 quality gate — pins the ⊘rows-only ``catalog_tables`` key's
+    enumeration against the fixture ON DISK, so a catalog drift flips a
+    driver hash row: for every declared table the catalog must (a) exist
+    in the fixture and agree on column count and time-axis flag
+    (``schema_match``, computed from the LOADED parquet schema at
+    plan-build time — schema introspection, not data movement), and
+    (b) the engine's scan of it must return the row count DuckDB sees on
+    the same files — a direct cross-engine value that exercises
+    ``io.load``'s full normalization path (the events nanos handling)
+    over all ten tables at once.
+
+    Shape: a 10-branch union of single-row count aggregates broadcast-
+    joined to the 10-row local catalog frame — each branch is one
+    column-pruned count-star scan (footer-only for parquet count
+    pushdown); no wide shuffle anywhere."""
+    from functools import reduce
+
+    from .. import schemas
+
+    cat = catalog_tables(spark, sf_dir)
+    parts = []
+    for name in sorted(schemas.TABLES):
+        df = load(spark, sf_dir, name)
+        # timestamp-FAMILY match: the fixture ships lineitem/orders time
+        # columns as micros with isAdjustedToUTC=false, which Spark reads
+        # as TIMESTAMP_NTZ — value-identical to the declared TIMESTAMP
+        # under the pinned UTC session zone (only events needs an actual
+        # normalization, for nanos).  The time-AXIS fact is type-family
+        # level, not physical-annotation level.
+        n_ts = sum(
+            1
+            for f in df.schema.fields
+            if f.dataType.typeName().startswith("timestamp")
+        )
+        parts.append(
+            df.agg(F.count(F.lit(1)).cast("long").alias("n_rows")).select(
+                F.lit(name).alias("table_name"),
+                "n_rows",
+                F.lit(len(df.columns)).alias("actual_cols"),
+                F.lit(n_ts > 0).alias("actual_time_axis"),
+            )
+        )
+    actual = reduce(lambda a, b: a.unionByName(b), parts)
+    j = actual.join(F.broadcast(cat), "table_name")
+    return j.select(
+        "table_name",
+        "n_rows",
+        "n_columns",
+        "has_time_axis",
+        (
+            (F.col("actual_cols") == F.col("n_columns"))
+            & (F.col("actual_time_axis") == F.col("has_time_axis"))
+        ).alias("schema_match"),
+    )

@@ -125,7 +125,7 @@ _MODULES = [
     "odc_product_docker_images_spark.textvec.nb",
 ]
 
-# Round-10 grading window: the driver grades ~the first 50 keys in
+# Round-11 grading window: the driver grades ~the first 50 keys in
 # ``queries()`` dict order.  ``all_queries()`` yields these keys first (in
 # this order), then every other registered key in registration order.
 #
@@ -133,13 +133,11 @@ _MODULES = [
 # round; forgetting to rotate burns the whole grading budget on
 # re-confirms, which r6/r7 proved):
 #   1 flagship
-#   + new r9 keys (new keys ALWAYS enter, per CLAUDE.md)
+#   + new r11 keys (new keys ALWAYS enter, per CLAUDE.md)
 #   + re-grades whose code/oracle changed this round (listed in
 #     WINDOW_REGRADES so the stale-window guard can exempt them)
-#   + the 6 rows-only keys that have NEVER been windowed (first driver
-#     rows-check; verdict r8 "What's missing" #2)
 #   + rotation slots = the OLDEST never-driver-graded full-oracle keys,
-#     in R9-defer order.
+#     in defer-list order.
 # Derive "never graded" from the CORRECTNESS_r*.json files, never from
 # memory (r5 produced no artifacts at all).
 #
@@ -148,65 +146,48 @@ _MODULES = [
 # STRICTLY BEFORE this as "already graded" — the r8 guard globbed every
 # CORRECTNESS_r*.json including the round's own deposit, so it turned red
 # the moment the driver graded (VERDICT r8 "What's wrong" #1).
-WINDOW_ROUND = 10
+WINDOW_ROUND = 11
 # Keys intentionally re-windowed although they carry a prior driver row —
-# their code AND oracle changed this round.  r10 is PURE backlog drain
-# (VERDICT r9 task #1): no re-grades.  (`table_compaction`'s oracle was
-# rewritten r10 — file-count pins are now data-derived — but its VALUES
-# at every graded grain are byte-identical to the r3 row, verified at
-# sf0.01/degen/10x, so it does not burn a re-grade slot; the r9
-# re-grades changed graded values, this change only widens the grains
-# the oracle survives.)
+# their code AND oracle changed this round.  r11 carries none: the window
+# is 4 new gate keys + pure backlog drain (VERDICT r10 tasks #1/#5); the
+# 3 re-grades wanted (udtf_chunk_text, table_merge_upsert,
+# table_change_feed — code changed r5, rows predate it) are DEFERRED to
+# r12 together with the last 10 backlog keys (13 slots total ends the
+# backlog era).
 WINDOW_REGRADES: set[str] = set()
 GRADING_WINDOW = [
     # -- flagship: stays driver-graded every round --
     "agg_multi_stat",
-    # -- rotation: the 49 OLDEST never-driver-graded full-oracle keys
-    #    (derived fresh from CORRECTNESS_r1..r9 vs the 386-key registry:
-    #    101 never-graded, all full-oracle; backlog after this round = 52).
-    # pre-r6c stragglers (r2-r5 cohorts, the oldest debt — 35 keys):
-    "source_csv_roundtrip", "source_jsonl_roundtrip",
-    "source_fixed_width_roundtrip", "scalar_variant",
-    "table_schema_evolution", "table_vacuum", "table_restore",
-    "table_clone_shallow", "table_constraint_check", "profile_table",
-    "proj_unpivot_bands", "proj_crs_roundtrip", "regrid_pyramid",
-    "window_ewma", "window_streak", "window_despike",
-    "window_seasonal_zscore", "udf_arrow_map", "udtf_dynamic_schema",
-    "sql_frontend", "join_interval_overlap",
-    "join_nearest_neighbor", "composite_q18_shape",
-    "agg_percentile_composite", "agg_mad_1d", "raster_morph_close",
-    "sim_kmeans_step", "sim_quantize_pq", "sim_ann_pq_adc",
-    "sim_rerank_adc_exact", "multimodal_png_decode",
-    "multimodal_image_resize", "sample_stratified", "dedup_boilerplate",
-    "graph_pagerank_step",
-    # displaced r9 rotation slots (r6d cohort, next-oldest — first 11):
-    "ml_confusion_metrics", "raster_slope_aspect", "agg_medoid_composite",
-    "agg_winsorized_mean", "sample_bottomk_hash", "graph_hits_step",
-    "text_readability", "geo_idw_interpolate", "agg_ljung_box",
-    "raster_flow_direction", "raster_hillshade",
-    # new r10 keys (CLAUDE.md: new keys ALWAYS enter in their creation
-    # round) — the three oracle-pinned quality gates that close the
-    # remaining ⊘rows-only blind spots (approx-percentile rank bound,
-    # Weiszfeld objective optimality, PAVA fit properties):
-    "sketch_quantile_gate", "geomedian_objective_gate", "isotonic_fit_gate",
-    # R11 DEFER LIST — never driver-graded oracled keys still waiting
+    # -- new r11 keys: the four oracle-pinned quality gates that close
+    #    the last gate-less rows-only blind spots (JPEG entropy-layer
+    #    losslessness, zlib round-trip/bounds, map serialization
+    #    round-trip, catalog-vs-fixture schema+rowcount):
+    "jpeg_decode_gate", "compression_gate", "scalar_map_gate",
+    "catalog_gate",
+    # -- rotation: the 45 OLDEST never-driver-graded full-oracle keys
+    #    (derived fresh from CORRECTNESS_r1..r10 vs the 389-key registry:
+    #    55 never-graded; backlog after this round = 10).
+    # rest of the displaced-r9 cohort (oldest):
+    "table_bloom_skipping", "graph_label_prop_step", "agg_spatial_moran",
+    "text_collocations_pmi", "agg_abc_classification",
+    "agg_bitmap_distinct", "agg_stl_lite", "window_rolling_corr",
+    "agg_hurst_rs", "sim_matryoshka_prefix",
+    # r6d tail, defer-list order (first 35):
+    "ml_naive_bayes", "profile_parquet_footers", "forecast_croston",
+    "agg_price_index", "agg_ks_by_group_fdr", "agg_cmh_test",
+    "table_content_checksum", "agg_kruskal_wallis", "agg_spearman_corr",
+    "ml_decision_stump", "agg_cohens_kappa", "agg_lorenz_points",
+    "agg_wilcoxon_signed_rank", "agg_cronbach_alpha",
+    "ml_platt_scaling_step", "graph_kcore_step", "agg_tost_equivalence",
+    "agg_breusch_pagan", "agg_runs_test", "agg_theil_index",
+    "agg_hill_tail", "text_js_divergence", "text_burstiness",
+    "agg_overdispersion", "agg_iptw_ate", "ml_auc_delong_se",
+    "text_mattr", "agg_sprt_decision", "agg_adf_test",
+    "graph_assortativity", "agg_new_vs_returning", "composite_q10_shape",
+    "agg_entropy_by_group", "agg_capture_recapture", "ml_ndcg_at_k",
+    # R12 DEFER LIST — never driver-graded oracled keys still waiting
     # (all pass local parity; next rotation starts here, oldest first):
-    #   rest of the displaced-r9 cohort: table_bloom_skipping,
-    #     graph_label_prop_step, agg_spatial_moran, text_collocations_pmi,
-    #     agg_abc_classification, agg_bitmap_distinct, agg_stl_lite,
-    #     window_rolling_corr, agg_hurst_rs, sim_matryoshka_prefix,
-    #   r6d tail: ml_naive_bayes, profile_parquet_footers,
-    #     forecast_croston, agg_price_index, agg_ks_by_group_fdr,
-    #     agg_cmh_test, table_content_checksum, agg_kruskal_wallis,
-    #     agg_spearman_corr, ml_decision_stump, agg_cohens_kappa,
-    #     agg_lorenz_points, agg_wilcoxon_signed_rank, agg_cronbach_alpha,
-    #     ml_platt_scaling_step, graph_kcore_step, agg_tost_equivalence,
-    #     agg_breusch_pagan, agg_runs_test, agg_theil_index, agg_hill_tail,
-    #     text_js_divergence, text_burstiness, agg_overdispersion,
-    #     agg_iptw_ate, ml_auc_delong_se, text_mattr, agg_sprt_decision,
-    #     agg_adf_test, graph_assortativity, agg_new_vs_returning,
-    #     composite_q10_shape, agg_entropy_by_group, agg_capture_recapture,
-    #     ml_ndcg_at_k, agg_odds_ratio_mh, agg_cohort_decay_fit,
+    #   r6d tail (last 10): agg_odds_ratio_mh, agg_cohort_decay_fit,
     #     ml_recall_at_k, text_winnowing, agg_interevent_burstiness,
     #     agg_apdex_daily, agg_gumbel_fit, window_record_highs,
     #     agg_srm_check, window_mix_drift

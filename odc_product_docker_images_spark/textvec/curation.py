@@ -473,3 +473,90 @@ def text_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, raw_bytes long, deflate_bytes long,"
         " ratio double, decile int",
     )
+
+
+@register(
+    "compression_gate",
+    oracle="""
+        SELECT doc_id,
+               STRLEN(text) AS raw_bytes,
+               TRUE AS raw_match,
+               TRUE AS deflate_match,
+               TRUE AS roundtrip_exact,
+               TRUE AS within_bound,
+               TRUE AS decile_consistent
+        FROM documents
+    """,
+)
+def compression_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 codec-quality gate — the ``sketch_error_gates`` pattern applied
+    to the ⊘rows-only ``text_compression_ratio`` key, so a zlib-path
+    regression flips a driver hash row.  DEFLATE output bytes are not
+    SQL-expressible, but these properties are pinnable per document:
+
+    - ``raw_bytes``: the UTF-8 byte length the production key divides by
+      must equal the oracle's STRLEN(text) — a direct cross-engine value,
+      not a boolean (Spark octet semantics vs DuckDB byte semantics).
+    - ``deflate_match``: an INDEPENDENT audit pass recompresses with the
+      same pinned (level=6, stdlib zlib) call and must reproduce the
+      production key's byte count — catches a level/strategy drift.
+    - ``roundtrip_exact``: zlib.decompress(compress(text)) == text bytes —
+      the losslessness contract itself.
+    - ``within_bound``: compressed size within zlib's published
+      compressBound envelope n + (n>>12) + (n>>14) + (n>>25) + 13.
+    - ``decile_consistent``: the production decile equals the audit's
+      recomputation of min(9, int(ratio·10)) — computed IN the audit
+      kernel with the identical float expression, so the comparison is
+      bitwise, not a reimplementation in SQL float semantics.
+
+    Shape: the production map pass joined to one audit map pass on
+    doc_id — two Arrow passes and one equi-join shuffle; gate cost is
+    ~2× the key's cost, on the smallest fixture table."""
+    import pandas as pd
+
+    base = text_compression_ratio(spark, sf_dir)
+    dc = load(spark, sf_dir, "documents")
+
+    def audit(batches):
+        import zlib
+
+        for pdf in batches:
+            raws, comps, rts, decs = [], [], [], []
+            for t in pdf["text"]:
+                raw = t.encode("utf-8")
+                c = zlib.compress(raw, 6)
+                raws.append(len(raw))
+                comps.append(len(c))
+                rts.append(zlib.decompress(c) == raw)
+                # identical float expression to the production key
+                # (empty text: production pins ratio=1.0 -> min(9, 10) = 9)
+                decs.append(min(9, int(len(c) / len(raw) * 10)) if raw else 9)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "a_raw": raws,
+                    "a_comp": comps,
+                    "a_rt": rts,
+                    "a_dec": decs,
+                }
+            )
+
+    aud = dc.select("doc_id", "text").mapInPandas(
+        audit, schema="doc_id long, a_raw long, a_comp long, a_rt boolean, a_dec int"
+    )
+    bound = (
+        F.col("a_raw")
+        + F.shiftright("a_raw", 12)
+        + F.shiftright("a_raw", 14)
+        + F.shiftright("a_raw", 25)
+        + F.lit(13)
+    )
+    return base.join(aud, "doc_id").select(
+        "doc_id",
+        F.col("a_raw").alias("raw_bytes"),
+        (F.col("raw_bytes") == F.col("a_raw")).alias("raw_match"),
+        (F.col("deflate_bytes") == F.col("a_comp")).alias("deflate_match"),
+        F.col("a_rt").alias("roundtrip_exact"),
+        (F.col("a_comp") <= bound).alias("within_bound"),
+        (F.col("decile") == F.col("a_dec")).alias("decile_consistent"),
+    )

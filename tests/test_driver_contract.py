@@ -75,39 +75,37 @@ def test_grading_window_holds_showcase_surface():
     missing = must_be_graded - set(window)
     assert not missing, f"showcase keys fell out of the grading window: {missing}"
     # LITERAL composition pin (not derived from GRADING_WINDOW, which would
-    # be tautological): the full r10 window, so a registry edit can't
-    # silently drop a slot or re-submit an already-graded key.  r10 is
-    # PURE backlog drain: flagship + the 49 oldest never-driver-graded
-    # full-oracle keys (VERDICT r9 task #1).
+    # be tautological): the full r11 window, so a registry edit can't
+    # silently drop a slot or re-submit an already-graded key.  r11 =
+    # flagship + the 4 new gate keys + the 45 oldest never-driver-graded
+    # full-oracle keys (VERDICT r10 tasks #1/#5).
     literal_pin = {
         "agg_multi_stat",  # flagship, every round
-        # pre-r6c stragglers (r2-r5 cohorts, oldest debt — 35 keys)
-        "source_csv_roundtrip", "source_jsonl_roundtrip",
-        "source_fixed_width_roundtrip", "scalar_variant",
-        "table_schema_evolution", "table_vacuum", "table_restore",
-        "table_clone_shallow", "table_constraint_check", "profile_table",
-        "proj_unpivot_bands", "proj_crs_roundtrip", "regrid_pyramid",
-        "window_ewma", "window_streak", "window_despike",
-        "window_seasonal_zscore", "udf_arrow_map", "udtf_dynamic_schema",
-        "sql_frontend", "join_interval_overlap",
-        "join_nearest_neighbor", "composite_q18_shape",
-        "agg_percentile_composite", "agg_mad_1d", "raster_morph_close",
-        "sim_kmeans_step", "sim_quantize_pq", "sim_ann_pq_adc",
-        "sim_rerank_adc_exact", "multimodal_png_decode",
-        "multimodal_image_resize", "sample_stratified",
-        "dedup_boilerplate", "graph_pagerank_step",
-        # displaced r9 rotation slots (r6d cohort — first 11)
-        "ml_confusion_metrics", "raster_slope_aspect",
-        "agg_medoid_composite", "agg_winsorized_mean",
-        "sample_bottomk_hash", "graph_hits_step", "text_readability",
-        "geo_idw_interpolate", "agg_ljung_box", "raster_flow_direction",
-        "raster_hillshade",
-        # new r10 oracle-pinned quality gates (new keys always enter)
-        "sketch_quantile_gate", "geomedian_objective_gate",
-        "isotonic_fit_gate",
+        # new r11 oracle-pinned quality gates (new keys always enter)
+        "jpeg_decode_gate", "compression_gate", "scalar_map_gate",
+        "catalog_gate",
+        # rest of the displaced-r9 cohort (oldest debt — 10 keys)
+        "table_bloom_skipping", "graph_label_prop_step",
+        "agg_spatial_moran", "text_collocations_pmi",
+        "agg_abc_classification", "agg_bitmap_distinct", "agg_stl_lite",
+        "window_rolling_corr", "agg_hurst_rs", "sim_matryoshka_prefix",
+        # r6d tail, defer-list order (first 35)
+        "ml_naive_bayes", "profile_parquet_footers", "forecast_croston",
+        "agg_price_index", "agg_ks_by_group_fdr", "agg_cmh_test",
+        "table_content_checksum", "agg_kruskal_wallis",
+        "agg_spearman_corr", "ml_decision_stump", "agg_cohens_kappa",
+        "agg_lorenz_points", "agg_wilcoxon_signed_rank",
+        "agg_cronbach_alpha", "ml_platt_scaling_step", "graph_kcore_step",
+        "agg_tost_equivalence", "agg_breusch_pagan", "agg_runs_test",
+        "agg_theil_index", "agg_hill_tail", "text_js_divergence",
+        "text_burstiness", "agg_overdispersion", "agg_iptw_ate",
+        "ml_auc_delong_se", "text_mattr", "agg_sprt_decision",
+        "agg_adf_test", "graph_assortativity", "agg_new_vs_returning",
+        "composite_q10_shape", "agg_entropy_by_group",
+        "agg_capture_recapture", "ml_ndcg_at_k",
     }
     missing_literal = literal_pin - set(window)
-    assert not missing_literal, f"r10 pin violated: {missing_literal}"
+    assert not missing_literal, f"r11 pin violated: {missing_literal}"
     # No already-graded key (other than the flagship and this round's
     # declared re-grades) occupies a slot — the r7 failure mode was
     # burning the grading budget on re-confirms.  "Already graded" means

@@ -3004,3 +3004,44 @@ def test_r10_quality_gate_shapes(spark):
     assert C.scan_count(df) == 1
     assert "Join" not in plan
     C.assert_no_python_row_path(df)
+
+
+def test_r11_quality_gate_shapes(spark):
+    """r11 gate keys: jpeg_decode_gate is one Arrow map pass over one
+    scan (the decode key's own shape); compression_gate is two Arrow
+    passes over the documents scan closed by ONE equi-join;
+    scalar_map_gate is an events self-equi-join of pure codegen'd
+    expressions (from_json/get_json_object are JVM-side — no Python
+    stage at all); catalog_gate is a 10-branch union of count-star scans
+    broadcast-joined to the 10-row local catalog."""
+    from odc_product_docker_images_spark.functions.scalars import scalar_map_gate
+    from odc_product_docker_images_spark.multimodal.jpeg import jpeg_decode_gate
+    from odc_product_docker_images_spark.operators.composites import catalog_gate
+    from odc_product_docker_images_spark.textvec.curation import compression_gate
+
+    df = jpeg_decode_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 1
+    assert "Join" not in plan
+    C.assert_no_python_row_path(df)
+
+    df = compression_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 2
+    assert "CartesianProduct" not in plan
+    C.assert_no_python_row_path(df)
+
+    df = scalar_map_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert C.scan_count(df) == 2
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan  # whole gate stays in codegen
+    C.assert_no_python_row_path(df)
+
+    df = catalog_gate(spark, SF)
+    plan = C.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin ") == 1
+    assert "CartesianProduct" not in plan
+    # (the 10-row local catalog frame scans as a Python-sourced RDD —
+    # fixed-size metadata, not a per-row Python stage over data)
+    C.assert_no_python_row_path(df)

@@ -1,0 +1,145 @@
+"""r11 quality-gate keys — behavior + SENSITIVITY tests.
+
+The four r11 gates convert the last gate-less rows-only keys
+(multimodal_jpeg_decode, text_compression_ratio, scalar_map,
+catalog_tables) into driver-hashable rows.  Parity proves each gate is
+GREEN; these tests prove each gate is SHARP — that the boolean actually
+flips when the audited property breaks (a gate that can't fail guards
+nothing).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from conftest import SF_DIR
+
+
+def test_jpeg_gate_green_and_sensitive(spark):
+    from odc_product_docker_images_spark.multimodal import jpeg as J
+    from odc_product_docker_images_spark.multimodal.jpeg import jpeg_decode_gate
+
+    rows = jpeg_decode_gate(spark, SF_DIR).collect()
+    n_docs = pq.read_metadata(f"{SF_DIR}/documents.parquet").num_rows
+    assert len(rows) == n_docs
+    assert all(r["entropy_lossless"] for r in rows)
+    assert all(r["quant_error_bounded"] for r in rows)
+    assert all((r["width"], r["height"]) == (16, 16) for r in rows)
+
+    # SENSITIVITY: corrupt one byte inside the entropy-coded segment —
+    # the decode must either raise (bitstream desync) or produce pixels
+    # that no longer match the straight-through reference, i.e. the
+    # gate's lossless boolean cannot stay vacuously true.
+    payload = bytearray(J._pack_jpeg(7))
+    sos = bytes(payload).find(b"\xff\xda")
+    assert sos > 0
+    hit = 0
+    for off in range(sos + 20, sos + 26):  # deep in the entropy stream
+        tampered = bytearray(payload)
+        tampered[off] ^= 0x55
+        if bytes(tampered) == bytes(payload):
+            continue
+        try:
+            _w, _h, px = J._decode_jpeg(bytes(tampered))
+        except Exception:
+            hit += 1  # desync raised: the gate key would error loudly
+            continue
+        _w0, _h0, px0 = J._decode_jpeg(bytes(payload))
+        if not np.array_equal(px, px0):
+            hit += 1
+    assert hit > 0
+
+
+def test_compression_gate_green_and_sensitive(spark):
+    import zlib
+
+    from odc_product_docker_images_spark.textvec.curation import compression_gate
+
+    rows = compression_gate(spark, SF_DIR).collect()
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    assert len(rows) == len(docs)
+    for r in rows:
+        assert r["raw_match"] and r["deflate_match"] and r["roundtrip_exact"]
+        assert r["within_bound"] and r["decile_consistent"]
+    byid = {d.doc_id: d.text for _, d in docs.iterrows()}
+    for r in rows[:20]:
+        assert r["raw_bytes"] == len(byid[r["doc_id"]].encode("utf-8"))
+
+    # SENSITIVITY: a level drift (the exact regression the gate exists
+    # to catch) changes the byte count on this corpus for some doc, so
+    # deflate_match would flip.
+    diff = sum(
+        len(zlib.compress(t.encode(), 1)) != len(zlib.compress(t.encode(), 6))
+        for t in docs["text"]
+    )
+    assert diff > 0
+
+
+def test_scalar_map_gate_green(spark):
+    from odc_product_docker_images_spark.functions.scalars import scalar_map_gate
+
+    rows = scalar_map_gate(spark, SF_DIR).collect()
+    n_ev = pq.read_metadata(f"{SF_DIR}/events.parquet").num_rows
+    assert len(rows) == n_ev
+    assert all(r["json_roundtrip_ok"] for r in rows)
+    assert all(r["n_keys"] == 2 for r in rows)
+    assert {r["meta_type"] for r in rows} <= {
+        "view", "click", "purchase", "signup", "error",
+    }
+
+
+def test_scalar_map_gate_sensitive_to_dropped_entry(spark):
+    """If Spark's to_json ever started DROPPING null-valued map entries
+    (the documented failure mode the gate pins against), the restored
+    size would undercount n_keys and json_roundtrip_ok would flip: prove
+    the expression distinguishes a 1-entry JSON from the 2-entry map."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, '{"type":"view"}', "view", 2)],  # k entry dropped
+        "event_id long, meta_json string, meta_type string, n_keys int",
+    )
+    m2 = F.from_json("meta_json", "map<string,string>")
+    ok = df.select(
+        (F.size(F.map_keys(m2)) == F.col("n_keys")).alias("ok")
+    ).collect()[0]["ok"]
+    assert ok is False
+
+
+def test_catalog_gate_green_against_footers(spark):
+    from odc_product_docker_images_spark import schemas
+    from odc_product_docker_images_spark.operators.composites import catalog_gate
+
+    rows = {r["table_name"]: r for r in catalog_gate(spark, SF_DIR).collect()}
+    assert set(rows) == set(schemas.TABLES)
+    for t, st in schemas.TABLES.items():
+        r = rows[t]
+        assert r["schema_match"], t
+        assert r["n_columns"] == len(st.fields), t
+        assert r["n_rows"] == pq.read_metadata(f"{SF_DIR}/{t}.parquet").num_rows, t
+    assert rows["lineitem"]["has_time_axis"]
+    assert not rows["region"]["has_time_axis"]
+
+
+def test_catalog_gate_sensitive_to_schema_drift(spark):
+    """schema_match must actually compare: a catalog row claiming the
+    wrong column count fails the join-side comparison."""
+    from pyspark.sql import functions as F
+
+    cat = spark.createDataFrame(
+        [("region", 99, False)],
+        "table_name string, n_columns int, has_time_axis boolean",
+    )
+    actual = spark.createDataFrame(
+        [("region", 2, False)],
+        "table_name string, actual_cols int, actual_time_axis boolean",
+    )
+    j = actual.join(F.broadcast(cat), "table_name").select(
+        (
+            (F.col("actual_cols") == F.col("n_columns"))
+            & (F.col("actual_time_axis") == F.col("has_time_axis"))
+        ).alias("schema_match")
+    )
+    assert j.collect()[0]["schema_match"] is False

@@ -32,6 +32,8 @@ AUDIT = [
     "graph_pagerank_step", "graph_pagerank_loop", "graph_kcore_loop", "graph_label_prop_loop", "sim_kmeans_loop", "text_lm_trigram", "sim_ann_recall", "source_tile_scan_tiff", "sim_ivf_pq_funnel", "graph_hits_loop", "ml_pca_power_loop", "ml_platt_scaling_loop", "ml_gmm_em_loop", "dedup_minhash_recall", "sketch_error_gates", "agg_geomedian_mads", "agg_mad_1d",
     "graph_bfs_loop",
     "sketch_quantile_gate", "geomedian_objective_gate", "isotonic_fit_gate",
+    "jpeg_decode_gate", "compression_gate", "scalar_map_gate",
+    "catalog_gate",
     "agg_jarque_bera", "agg_durbin_watson", "agg_levene_bf", "agg_ccf_lags",
     "agg_periodogram", "agg_cooks_distance", "ml_pr_auc",
     "ml_brier_decomposition", "ml_mcnemar_test", "sim_binary_quantize",
