@@ -28,7 +28,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.det import dround, dsum, sql_dround, sql_dsum
+from ..functions.det import (
+    dround,
+    dsum,
+    dsum_wide,
+    sql_dround,
+    sql_dsum,
+    sql_dsum_wide,
+)
 from ..io import load
 from ..registry import register
 
@@ -196,9 +203,9 @@ def _cramer(col_replaced: int | None) -> str:
                    {sql_dsum('l_quantity * l_quantity', 'sx1x1')},
                    {sql_dsum('l_discount * l_discount', 'sx2x2')},
                    {sql_dsum('l_quantity * l_discount', 'sx1x2')},
-                   {sql_dsum('l_extendedprice', 'sy')},
-                   {sql_dsum('l_quantity * l_extendedprice', 'sx1y')},
-                   {sql_dsum('l_discount * l_extendedprice', 'sx2y')}
+                   {sql_dsum_wide('l_extendedprice', 'sy')},
+                   {sql_dsum_wide('l_quantity * l_extendedprice', 'sx1y')},
+                   {sql_dsum_wide('l_discount * l_extendedprice', 'sx2y')}
             FROM lineitem
         )
         SELECT CAST(n AS BIGINT) AS n_rows,
@@ -233,9 +240,15 @@ def ml_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(q * q, "sx1x1"),
         dsum(d * d, "sx2x2"),
         dsum(q * d, "sx1x2"),
-        dsum(y, "sy"),
-        dsum(q * y, "sx1y"),
-        dsum(d * y, "sx2y"),
+        # the y block rides the WIDE hop (hop-domain audit): the GLOBAL
+        # grain puts Σ qty·price at 8.1e13 by 100x (the agg_weighted_mean
+        # overflow family, one decade past the nd=6 int64 domain) and
+        # Σ price past 9.2e12 by ~290x; bit-identical in-domain, so no
+        # graded hash moves.  The x-only sums stay narrow: qty²-scale
+        # sums cross only around ~18,000x (SCALING.md hop-domain table).
+        dsum_wide(y, "sy"),
+        dsum_wide(q * y, "sx1y"),
+        dsum_wide(d * y, "sx2y"),
     )
     return s.select(
         F.col("n").cast("bigint").alias("n_rows"),
