@@ -1328,23 +1328,25 @@ def agg_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(COUNT(*) OVER () AS BIGINT) AS n
             FROM per_user
         ), stats AS (
-            SELECT n, rx, ry,
-                   {sql_exact_double("SUM(" + sql_dec_cast("rx") + ") OVER ()")}
-                       / (COUNT(*) OVER ()) AS mx,
-                   {sql_exact_double("SUM(" + sql_dec_cast("ry") + ") OVER ()")}
-                       / (COUNT(*) OVER ()) AS my
+            SELECT n,
+                   rx / CAST(n AS DOUBLE)
+                     - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)) AS dx,
+                   ry / CAST(n AS DOUBLE)
+                     - (CAST(n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+                       / (CAST(2.0 AS DOUBLE) * CAST(n AS DOUBLE)) AS dy
             FROM ranked
         )
         SELECT CAST(MAX(n) AS BIGINT) AS n_users,
                {sql_dround(
                    "(" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(rx - mx) * (ry - my)") + ")"
+                       "SUM(" + sql_dec_cast("dx * dy") + ")", 10
                    )
                    + ") / NULLIF(SQRT((" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(rx - mx) * (rx - mx)") + ")"
+                       "SUM(" + sql_dec_cast("dx * dx") + ")", 10
                    )
                    + ") * (" + sql_exact_double(
-                       "SUM(" + sql_dec_cast("(ry - my) * (ry - my)") + ")"
+                       "SUM(" + sql_dec_cast("dy * dy") + ")", 10
                    )
                    + ")), CAST(0.0 AS DOUBLE))"
                )} AS spearman_rho
@@ -1356,8 +1358,21 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     and event count — the monotone-association companion to
     ``agg_corr``'s Pearson (robust to the heavy-tailed spend
     distribution Pearson is hostage to).  Tie-averaged ranks via
-    RANK() + (ties−1)/2 — exact .5-grid doubles on both engines; the
-    rank-Pearson reduction rides decimal sums and rounds 6 dp.
+    RANK() + (ties−1)/2 — exact .5-grid doubles on both engines.
+
+    Scale-proof moment form (the r11 100x slice found the raw form's
+    CAST_OVERFLOW at 150k users): centered RANK sums grow ~n³/12 —
+    2.8e14 at the 100x grain, 8e25 at a 1e9-user deployment — hostile
+    to ANY integer hop.  So the reduction runs on NORMALIZED ranks
+    u = r/n (O(1) measures; centered sums ~n/12, inside the nd=10 hop
+    domain — 2^63/10^10 ≈ 9.2e8, n/12 form holds to n ≈ 1.1e10 users;
+    nd=10 not 8 because DuckDB's DECIMAL(17,8) hop is int64-backed and
+    its scaled multiply overflows, while DECIMAL(19,10) rides int128), centered on the EXACT closed-form mean
+    (n+1)/(2n): tie-averaged ranks preserve the permutation total
+    n(n+1)/2, so no mean pass is needed at all — the two whole-table
+    mean windows of the raw form are gone.  rho is invariant under the
+    per-variable rescale; both engines run the identical double
+    expressions, so the change is parity-neutral by construction.
 
     Corpus work is the per-user aggregate; ranking runs on the
     #users-row table (small-side windows by the documented convention —
@@ -1383,28 +1398,16 @@ def agg_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ry"),
         F.count(F.lit(1)).over(wall).cast("long").alias("n"),
     )
+    nd = F.col("n").cast("double")
+    mu = (nd + F.lit(1.0)) / (F.lit(2.0) * nd)
     stats = ranked.select(
         "n",
-        "rx",
-        "ry",
-        (
-            exact_double(F.sum(dec_cast("rx")).over(wall))
-            / F.count(F.lit(1)).over(wall)
-        ).alias("mx"),
-        (
-            exact_double(F.sum(dec_cast("ry")).over(wall))
-            / F.count(F.lit(1)).over(wall)
-        ).alias("my"),
+        (F.col("rx") / nd - mu).alias("dx"),
+        (F.col("ry") / nd - mu).alias("dy"),
     )
-    sxy = exact_double(
-        F.sum(dec_cast((F.col("rx") - F.col("mx")) * (F.col("ry") - F.col("my"))))
-    )
-    sxx = exact_double(
-        F.sum(dec_cast((F.col("rx") - F.col("mx")) * (F.col("rx") - F.col("mx"))))
-    )
-    syy = exact_double(
-        F.sum(dec_cast((F.col("ry") - F.col("my")) * (F.col("ry") - F.col("my"))))
-    )
+    sxy = exact_double(F.sum(dec_cast(F.col("dx") * F.col("dy"))), 10)
+    sxx = exact_double(F.sum(dec_cast(F.col("dx") * F.col("dx"))), 10)
+    syy = exact_double(F.sum(dec_cast(F.col("dy") * F.col("dy"))), 10)
     return stats.agg(
         F.max("n").cast("long").alias("n_users"),
         dround(

@@ -143,3 +143,30 @@ def test_catalog_gate_sensitive_to_schema_drift(spark):
         ).alias("schema_match")
     )
     assert j.collect()[0]["schema_match"] is False
+
+
+def test_spearman_normalized_rank_form_matches_pandas(spark):
+    """r11 rewrote agg_spearman_corr onto normalized ranks u = r/n with
+    the closed-form mean (n+1)/(2n) after the 100x slice found the raw
+    rank-moment form's CAST_OVERFLOW (centered rank sums grow ~n^3/12).
+    rho is invariant under the per-variable rescale — pin the value
+    against pandas' own tie-aware Spearman, independently of both
+    engines' pipelines."""
+    import pandas as pd
+
+    from odc_product_docker_images_spark.operators.stats_tests import (
+        agg_spearman_corr,
+    )
+
+    row = agg_spearman_corr(spark, SF_DIR).collect()[0]
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    per_user = ev.groupby("user_id").agg(
+        tv=("value", lambda s: round(s.sum(), 6)), ne=("value", "size")
+    )
+    # tie-averaged ranks + Pearson = Spearman (scipy is not installed,
+    # so rank explicitly; pandas' default corr is Pearson, scipy-free)
+    rx = per_user["tv"].rank(method="average")
+    ry = per_user["ne"].rank(method="average")
+    want = rx.corr(ry)
+    assert row["n_users"] == len(per_user)
+    assert abs(row["spearman_rho"] - want) < 1e-6
