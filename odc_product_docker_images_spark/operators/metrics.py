@@ -37,12 +37,14 @@ from ..functions.det import (
     dround,
     dsum,
     dsum_fast,
-    sql_davg,
     exact_double,
+    exact_double_wide,
+    sql_davg,
     sql_dec_cast,
     sql_dround,
     sql_dsum,
     sql_exact_double,
+    sql_exact_double_wide,
 )
 from ..io import load
 from ..registry import register
@@ -1307,12 +1309,12 @@ def agg_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM lineitem GROUP BY l_partkey
         ), ranked AS (
             SELECT l_partkey, rev,
-                   {sql_exact_double(
+                   {sql_exact_double_wide(
                        "SUM(" + sql_dec_cast("rev")
                        + ") OVER (ORDER BY rev DESC, l_partkey"
                        " ROWS UNBOUNDED PRECEDING)"
                    )} AS cum_rev,
-                   {sql_exact_double("SUM(" + sql_dec_cast("rev") + ") OVER ()")}
+                   {sql_exact_double_wide("SUM(" + sql_dec_cast("rev") + ") OVER ()")}
                        AS total_rev
             FROM part_rev
         ), classed AS (
@@ -1358,8 +1360,12 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("nrev", "l_partkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # the cumulative prefix reaches GLOBAL revenue in its last cell —
+    # past the nd=6 hop at ~290x (hop-domain audit) — so the whole
+    # prefix/offset/total chain rides the WIDE hop; bit-identical
+    # in-domain, no graded hash moves
     loc = rp.withColumn(
-        "local_cum", exact_double(F.sum(dec_cast("rev")).over(wloc))
+        "local_cum", exact_double_wide(F.sum(dec_cast("rev")).over(wloc))
     )
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     wall_p = Window.orderBy("pid").rowsBetween(
@@ -1371,10 +1377,12 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "off",
             F.coalesce(
-                exact_double(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)
+                exact_double_wide(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)
             ),
         )
-        .withColumn("total_rev", exact_double(F.sum(dec_cast("prev")).over(wall_p)))
+        .withColumn(
+            "total_rev", exact_double_wide(F.sum(dec_cast("prev")).over(wall_p))
+        )
         .select("pid", "off", "total_rev")
     )
     share = dround(
@@ -1424,20 +1432,20 @@ _PI_BASE, _PI_CURR = 1995, 2000
         )
         SELECT CAST(COUNT(*) AS BIGINT) AS n_parts,
                {sql_dround(
-                   "(" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q0") + ")")
-                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q0") + ")")
+                   "(" + sql_exact_double_wide("SUM(" + sql_dec_cast("p1 * q0") + ")")
+                   + ") / (" + sql_exact_double_wide("SUM(" + sql_dec_cast("p0 * q0") + ")")
                    + ")"
                )} AS laspeyres,
                {sql_dround(
-                   "(" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q1") + ")")
-                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q1") + ")")
+                   "(" + sql_exact_double_wide("SUM(" + sql_dec_cast("p1 * q1") + ")")
+                   + ") / (" + sql_exact_double_wide("SUM(" + sql_dec_cast("p0 * q1") + ")")
                    + ")"
                )} AS paasche,
                {sql_dround(
-                   "SQRT(((" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q0") + ")")
-                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q0") + ")")
-                   + ")) * ((" + sql_exact_double("SUM(" + sql_dec_cast("p1 * q1") + ")")
-                   + ") / (" + sql_exact_double("SUM(" + sql_dec_cast("p0 * q1") + ")")
+                   "SQRT(((" + sql_exact_double_wide("SUM(" + sql_dec_cast("p1 * q0") + ")")
+                   + ") / (" + sql_exact_double_wide("SUM(" + sql_dec_cast("p0 * q0") + ")")
+                   + ")) * ((" + sql_exact_double_wide("SUM(" + sql_dec_cast("p1 * q1") + ")")
+                   + ") / (" + sql_exact_double_wide("SUM(" + sql_dec_cast("p0 * q1") + ")")
                    + ")))"
                )} AS fisher
         FROM both_p
@@ -1483,10 +1491,13 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         "q0",
         "q1",
     )
-    s10 = exact_double(F.sum(dec_cast(F.col("p1") * F.col("q0"))))
-    s00 = exact_double(F.sum(dec_cast(F.col("p0") * F.col("q0"))))
-    s11 = exact_double(F.sum(dec_cast(F.col("p1") * F.col("q1"))))
-    s01 = exact_double(F.sum(dec_cast(F.col("p0") * F.col("q1"))))
+    # 1-cell basket sums at year-slice-revenue scale: WIDE hop (the
+    # hop-domain audit's ~3000x crossing — cheap insurance, bit-identical
+    # in-domain)
+    s10 = exact_double_wide(F.sum(dec_cast(F.col("p1") * F.col("q0"))))
+    s00 = exact_double_wide(F.sum(dec_cast(F.col("p0") * F.col("q0"))))
+    s11 = exact_double_wide(F.sum(dec_cast(F.col("p1") * F.col("q1"))))
+    s01 = exact_double_wide(F.sum(dec_cast(F.col("p0") * F.col("q1"))))
     return both_p.agg(
         F.count(F.lit(1)).cast("long").alias("n_parts"),
         dround(s10 / s00).alias("laspeyres"),
@@ -1505,12 +1516,12 @@ def agg_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT rev,
                    ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS rk,
                    CAST(COUNT(*) OVER () AS BIGINT) AS n,
-                   {sql_exact_double(
+                   {sql_exact_double_wide(
                        "SUM(" + sql_dec_cast("rev")
                        + ") OVER (ORDER BY rev, o_custkey"
                        " ROWS UNBOUNDED PRECEDING)"
                    )} AS cum_rev,
-                   {sql_exact_double(
+                   {sql_exact_double_wide(
                        "SUM(" + sql_dec_cast("rev") + ") OVER ()"
                    )} AS tot_rev
             FROM per_cust
@@ -1547,8 +1558,9 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rev", "o_custkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # cumulative-revenue prefix: WIDE hop, same rationale as the ABC key
     loc = rp.withColumn("lrk", F.count(F.lit(1)).over(w_loc)).withColumn(
-        "lcum", exact_double(F.sum(dec_cast("rev")).over(w_loc))
+        "lcum", exact_double_wide(F.sum(dec_cast("rev")).over(w_loc))
     )
     woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     wall_p = Window.orderBy("pid").rowsBetween(
@@ -1560,10 +1572,12 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk_off", F.coalesce(F.sum("pn").over(woff), F.lit(0)))
         .withColumn(
             "cum_off",
-            F.coalesce(exact_double(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)),
+            F.coalesce(
+                exact_double_wide(F.sum(dec_cast("prev")).over(woff)), F.lit(0.0)
+            ),
         )
         .withColumn("n", F.sum("pn").over(wall_p).cast("long"))
-        .withColumn("tot", exact_double(F.sum(dec_cast("prev")).over(wall_p)))
+        .withColumn("tot", exact_double_wide(F.sum(dec_cast("prev")).over(wall_p)))
         .select("pid", "rk_off", "cum_off", "n", "tot")
     )
     ranked = loc.join(F.broadcast(offsets), "pid").select(
@@ -1594,7 +1608,7 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             GROUP BY c.c_nationkey, o.o_custkey
         ), tot AS (
             SELECT CAST(COUNT(*) AS BIGINT) AS n,
-                   {sql_exact_double("SUM(" + sql_dec_cast("x") + ")")} AS sx
+                   {sql_exact_double_wide("SUM(" + sql_dec_cast("x") + ")")} AS sx
             FROM cust
         ), terms AS (
             SELECT nation, x,
@@ -1606,7 +1620,7 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), within AS (
             SELECT nation,
                    CAST(COUNT(*) AS BIGINT) AS n_g,
-                   {sql_exact_double("SUM(" + sql_dec_cast("x") + ")")} AS sx_g,
+                   {sql_exact_double_wide("SUM(" + sql_dec_cast("x") + ")")} AS sx_g,
                    MAX(n) AS n, MAX(sx) AS sx
             FROM terms GROUP BY nation
         )
@@ -1649,7 +1663,8 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # three consumers: totals, per-row terms, group rollup
     tot = cust.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
-        exact_double(F.sum(dec_cast("x"))).alias("sx"),
+        # global customer-revenue sum: WIDE hop (crosses nd=6 at ~420x)
+        exact_double_wide(F.sum(dec_cast("x"))).alias("sx"),
     )
     terms = cust.crossJoin(F.broadcast(tot)).select(
         "nation",
@@ -1668,7 +1683,7 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     within = terms.groupBy("nation").agg(
         F.count(F.lit(1)).cast("long").alias("n_g"),
-        exact_double(F.sum(dec_cast("x"))).alias("sx_g"),
+        exact_double_wide(F.sum(dec_cast("x"))).alias("sx_g"),
         F.max("n").alias("n"),
         F.max("sx").alias("sx"),
     )
