@@ -193,6 +193,11 @@ GRADING_WINDOW = [
     #     agg_srm_check, window_mix_drift
     #   re-grades wanted (code changed r5, old rows exist):
     #     udtf_chunk_text, table_merge_upsert, table_change_feed
+    #   (table_incremental_join + source_fixed_width_roundtrip changed
+    #   code in r11 — 100x finds: derived insert-key offset, int64-proof
+    #   field widths — but their VALUES at every graded grain are
+    #   byte-identical (verified sf0.01/degen/10x), the table_compaction
+    #   r10 precedent: no re-grade slot burned.)
     #   (+ any keys added after this comment — check COVERAGE.md vs
     #   CORRECTNESS_r* row history.)
 ]

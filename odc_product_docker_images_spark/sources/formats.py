@@ -125,9 +125,16 @@ def source_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate and oracle as the CSV/JSONL keys: a one-byte offset slip
     or a truncated float breaks the value hash."""
     out = str(_TMP / f"fw_{uuid.uuid4().hex[:8]}")
+    # Field widths are int64-PROOF: Spark's lpad silently TRUNCATES a
+    # value longer than the field (the r11 100x slice caught an 8-char
+    # user_id field collapsing 150k 9-digit replica ids into 27k
+    # distinct — a silent-wrong-answer class, not an error).  20 chars
+    # holds any long (19 digits + sign); 26 holds any shortest-repr
+    # double (max 24).  A width a value can exceed is the fixed-width
+    # format's own fixed-literal-cap trap.
     line = F.concat(
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-        F.lpad(F.col("user_id").cast("string"), 8, "0"),
+        F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        F.lpad(F.col("user_id").cast("string"), 20, "0"),
         F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
         F.rpad(F.col("value").cast("string"), 26, " "),
     )
@@ -136,10 +143,10 @@ def source_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).text(out)
     back = spark.read.text(out).select(F.col("value").alias("line"))
     parsed = back.select(
-        F.substring("line", 1, 12).cast("long").alias("event_id"),
-        F.substring("line", 13, 8).cast("long").alias("user_id"),
-        F.timestamp_micros(F.substring("line", 21, 20).cast("long")).alias("ts"),
-        F.trim(F.substring("line", 41, 26)).cast("double").alias("value"),
+        F.substring("line", 1, 20).cast("long").alias("event_id"),
+        F.substring("line", 21, 20).cast("long").alias("user_id"),
+        F.timestamp_micros(F.substring("line", 41, 20).cast("long")).alias("ts"),
+        F.trim(F.substring("line", 61, 26)).cast("double").alias("value"),
     )
     return _verify(parsed)
 

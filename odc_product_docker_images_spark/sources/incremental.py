@@ -129,7 +129,12 @@ def table_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
                    END AS price
             FROM orders
             UNION ALL
-            SELECT o_orderkey + 10000000, o_custkey, o_totalprice * 2
+            -- insert keys are DERIVED (max+1 offset): a literal offset
+            -- collided with the 100x replica's own PK-shift stride, so
+            -- the "inserts" silently became updates on the merge side
+            -- while this recompute appended them (r11 100x find)
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1 FROM orders),
+                   o_custkey, o_totalprice * 2
             FROM orders WHERE o_orderkey < 200
         )
         SELECT c.c_mktsegment AS segment,
@@ -189,8 +194,15 @@ def table_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("val.price") + 100.5).alias("price"),
         ).alias("val"),
     )
-    ins = od.where(F.col("o_orderkey") < 200).select(
-        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+    # data-derived insert-key offset (max+1): guarantees genuinely-new
+    # keys at ANY fixture scale — the literal 10M offset was exactly the
+    # scale replicas' PK-shift stride, so at 100x the inserts keyed onto
+    # EXISTING rows and the merge absorbed them as updates (r11 find).
+    # The view's aggregates don't depend on key VALUES, so in-domain
+    # results (and the r7 driver hash) are unchanged.
+    off = od.agg((F.max("o_orderkey") + F.lit(1)).alias("off"))
+    ins = od.where(F.col("o_orderkey") < 200).crossJoin(F.broadcast(off)).select(
+        (F.col("o_orderkey") + F.col("off")).alias("o_orderkey"),
         F.struct(
             F.col("val.custkey").alias("custkey"),
             (F.col("val.price") * 2).alias("price"),

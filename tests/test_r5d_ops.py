@@ -392,9 +392,11 @@ def test_mmr_matches_independent_greedy(spark):
 
 
 def test_fixed_width_lines_have_constant_width(spark):
-    """Every emitted line must be exactly 66 bytes (12+8+20+26) — the
-    fixed-width contract itself — and one sampled line must parse back
-    to its source row byte-for-byte."""
+    """Every emitted line must be exactly 86 bytes (20+20+20+26) — the
+    fixed-width contract itself (int64-proof widths since the r11 100x
+    slice caught the 8-char user_id field silently truncating 9-digit
+    replica ids) — and one sampled line must parse back to its source
+    row byte-for-byte."""
     import glob
 
     from odc_product_docker_images_spark.sources.formats import (
@@ -410,14 +412,14 @@ def test_fixed_width_lines_have_constant_width(spark):
     for f in glob.glob(new[-1] + "/*.txt"):
         with open(f) as fh:
             lines += [ln.rstrip("\n") for ln in fh]
-    assert lines and all(len(ln) == 66 for ln in lines)
+    assert lines and all(len(ln) == 86 for ln in lines)
     ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
     ev = ev[ev["event_id"] % 5 == 0]
     ln = lines[0]
-    eid = int(ln[0:12])
+    eid = int(ln[0:20])
     row = ev[ev["event_id"] == eid].iloc[0]
-    assert int(ln[12:20]) == row["user_id"]
-    assert float(ln[40:66].strip()) == row["value"]
+    assert int(ln[20:40]) == row["user_id"]
+    assert float(ln[60:86].strip()) == row["value"]
 
 
 def test_subtree_rollup_matches_independent_python(spark):
