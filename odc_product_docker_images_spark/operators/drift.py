@@ -146,3 +146,136 @@ def profile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             - exact_double(F.sum(dec_cast("p_cand")).over(wcdf))
         ).alias("cdf_gap"),
     )
+
+
+# -- embedding-drift monitor (r11): PSI over int8 code histograms ----------
+#
+# The vector-store twin of profile_drift_psi: an ANN index stores int8
+# codes (sim_quantize_int8's max-abs symmetric scheme), so the cheapest
+# always-on drift monitor is a histogram of the CODES the index actually
+# holds — no float math per vector beyond the quantizer the store already
+# runs.  Reference slice = even vec_id, candidate = odd; 16 bins of code
+# width 16 over [-128, 127].
+
+_EB_NBINS = 16
+_EB_SMOOTH_NUM = 0.5
+_EB_SMOOTH_DEN = float(_EB_NBINS) * 0.5  # 8.0
+
+_EP_REF = "((n_ref + CAST(0.5 AS DOUBLE)) / (tot_ref + CAST(8.0 AS DOUBLE)))"
+_EP_CAND = "((n_cand + CAST(0.5 AS DOUBLE)) / (tot_cand + CAST(8.0 AS DOUBLE)))"
+
+
+@register(
+    "profile_embedding_drift",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   LIST_TRANSFORM(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ), scaled AS (
+            SELECT vec_id, e,
+                   127.0 / LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) AS s
+            FROM v
+        ), codes AS (
+            SELECT vec_id,
+                   UNNEST(LIST_TRANSFORM(e, x -> FLOOR(x * s + 0.5))) AS code
+            FROM scaled
+        ), b AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((code + 128) / 16) AS BIGINT),
+                         0), {_EB_NBINS - 1}) AS bin,
+                   CAST(vec_id % 2 = 0 AS INTEGER) AS is_ref
+            FROM codes
+        ), c0 AS (
+            SELECT bin,
+                   SUM(is_ref) AS n_ref,
+                   SUM(1 - is_ref) AS n_cand
+            FROM b GROUP BY bin
+        ), c AS (
+            SELECT CAST(sp.i AS BIGINT) AS bin,
+                   COALESCE(n_ref, 0) AS n_ref,
+                   COALESCE(n_cand, 0) AS n_cand
+            FROM RANGE(0, {_EB_NBINS}) sp(i) LEFT JOIN c0 ON c0.bin = sp.i
+        ), t AS (
+            SELECT bin, n_ref, n_cand,
+                   CAST(SUM(n_ref) OVER () AS DOUBLE) AS tot_ref,
+                   CAST(SUM(n_cand) OVER () AS DOUBLE) AS tot_cand
+            FROM c
+        )
+        SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               {_EP_REF} AS p_ref,
+               {_EP_CAND} AS p_cand,
+               {sql_dround(f"({_EP_REF} - {_EP_CAND}) * LN({_EP_REF} / {_EP_CAND})", 6)}
+                 AS psi_contrib
+        FROM t
+    """,
+)
+def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3+/§4+: embedding-drift monitor — PSI over int8 quantization-code
+    histograms (composes ``sim_quantize_int8``'s max-abs code scheme with
+    ``profile_drift_psi``'s smoothed-PSI form).  Even vec_id = reference
+    slice, odd = candidate; per 16-wide code bin: slice counts, smoothed
+    probabilities, PSI contribution (sum over rows = the drift score a
+    pipeline thresholds before trusting a pre-built ANN index on new data).
+
+    Spark-first/100 TB shape: the quantizer is pure array codegen inside
+    the scan (zero shuffle, identical to the storage path the index build
+    already runs); the explode fans out dims×vectors rows but the ONLY
+    shuffle is the 16-bin grouped count with map-side partials — the
+    shuffle carries ≤|bins| rows per task regardless of corpus size, and
+    the spine/window tier runs on a 16-row table.  Determinism: codes are
+    exact small-integer doubles (IEEE mul/add/floor, the quantize.py
+    bridge), bin math is exact, counts are integers, smoothing constants
+    are exact binary (0.5/8.0), so probabilities are exact IEEE divides;
+    LN is the one libm op, absorbed by dround(6)."""
+    em = load(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    df = em.select("vec_id", e.alias("e"))
+    s = 127.0 / F.array_max(F.transform(F.col("e"), F.abs))
+    df = df.withColumn("s", s)
+    code = F.transform(F.col("e"), lambda x: F.floor(x * F.col("s") + 0.5).cast("double"))
+    codes = df.select("vec_id", F.explode(code).alias("code"))
+    b = codes.select(
+        F.least(
+            F.greatest(
+                F.floor((F.col("code") + F.lit(128)) / F.lit(16)).cast("bigint"),
+                F.lit(0),
+            ),
+            F.lit(_EB_NBINS - 1),
+        ).alias("bin"),
+        (F.col("vec_id") % 2 == 0).cast("int").alias("is_ref"),
+    )
+    c0 = b.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cand"),
+    )
+    spine = spark.range(_EB_NBINS).select(F.col("id").cast("bigint").alias("bin"))
+    c = (
+        F.broadcast(spine)
+        .join(c0, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = c.select(
+        "bin",
+        "n_ref",
+        "n_cand",
+        F.sum("n_ref").over(wall).cast("double").alias("tot_ref"),
+        F.sum("n_cand").over(wall).cast("double").alias("tot_cand"),
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.col("tot_ref") + F.lit(8.0))
+    p_cand = (F.col("n_cand") + F.lit(0.5)) / (F.col("tot_cand") + F.lit(8.0))
+    return t.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        p_ref.alias("p_ref"),
+        p_cand.alias("p_cand"),
+        dround((p_ref - p_cand) * F.log(p_ref / p_cand), 6).alias("psi_contrib"),
+    )

@@ -198,6 +198,10 @@ GRADING_WINDOW = [
     #   field widths — but their VALUES at every graded grain are
     #   byte-identical (verified sf0.01/degen/10x), the table_compaction
     #   r10 precedent: no re-grade slot burned.)
+    #   NEW in r11 AFTER the window was frozen at 50 (VERDICT r10 #7's
+    #   optional surface, built in the continuation session — full
+    #   oracles, parity-green at sf0.01, replica-tested):
+    #     profile_embedding_drift, shard_manifest_checksum
     #   (+ any keys added after this comment — check COVERAGE.md vs
     #   CORRECTNESS_r* row history.)
 ]

@@ -252,6 +252,92 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shard_manifest_oracle() -> str:
+    # deferred import keeps module init order irrelevant (bloom is also
+    # a registry module; the helper is pure string formatting)
+    from ..sources.bloom import _sql_hex_to_int
+
+    return f"""
+        WITH w AS (
+            SELECT doc_id, LEN(STRING_SPLIT(text, ' ')) AS n_tokens,
+                   MD5(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tokens, h,
+                   SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+            FROM w
+        ), x AS (
+            SELECT CAST(start_tok // {_SHARD_TOKENS} AS BIGINT) AS shard_id,
+                   doc_id, n_tokens,
+                   {_sql_hex_to_int("h")} AS w1,
+                   {_sql_hex_to_int("SUBSTR(h, 9)")} AS w2
+            FROM c
+        )
+        SELECT shard_id, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS tok_sum,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc,
+               CAST(BIT_XOR(w1) AS BIGINT) AS checksum_a,
+               CAST(BIT_XOR(w2) AS BIGINT) AS checksum_b
+        FROM x GROUP BY shard_id
+    """
+
+
+@register(
+    "shard_manifest_checksum",
+    oracle=_shard_manifest_oracle(),
+)
+def shard_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/S7++ compose (r11): the cross-shard MANIFEST a training job
+    verifies before reading packed shards — ``shard_pack``'s token-budget
+    assignment extended with a per-shard order-insensitive content
+    checksum (``table_content_checksum``'s XOR-fold of per-row md5 words
+    over a canonical ``doc_id|text`` encoding).  One row per shard:
+    doc/token counts, doc-id range, and two 32-bit checksum words — any
+    single changed/dropped/duplicated document flips its shard's row.
+
+    Scale shape: identical to shard_pack — the global token prefix sum is
+    DISTRIBUTED (range partition by doc_id, parallel within-partition
+    cumsum, broadcast per-partition offsets; no single-task global
+    window), and the checksum is an XOR so it map-side combines inside
+    the same per-shard hash aggregate.  Cross-engine exactness rides the
+    md5-hex and integer-fold bridges established by
+    table_content_checksum (sources/bloom.py)."""
+    dc = load(spark, sf_dir, "documents")
+    h = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    w = dc.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        h.alias("h"),
+    ).repartitionByRange(32, "doc_id")
+    w = w.withColumn("pid", F.spark_partition_id())
+    within = Window.partitionBy("pid").orderBy("doc_id")
+    w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
+    off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        w.groupBy("pid")
+        .agg(F.sum("n_tokens").alias("ptot"))
+        .withColumn("off", F.coalesce(F.sum("ptot").over(off_w), F.lit(0)))
+        .select("pid", "off")
+    )
+    start = F.col("off") + F.col("local_cum") - F.col("n_tokens")
+    packed = w.join(F.broadcast(offsets), "pid").select(
+        "doc_id",
+        "n_tokens",
+        F.floor(start / _SHARD_TOKENS).cast("bigint").alias("shard_id"),
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("w1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("w2"),
+    )
+    return packed.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("tok_sum"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.expr("bit_xor(w1)").cast("long").alias("checksum_a"),
+        F.expr("bit_xor(w2)").cast("long").alias("checksum_b"),
+    )
+
+
 _CC_ROUNDS = 6  # ≥ near-dup component diameter (measured ≤3 at sf0.1; cliques in practice)
 
 

@@ -170,3 +170,99 @@ def test_spearman_normalized_rank_form_matches_pandas(spark):
     want = rx.corr(ry)
     assert row["n_users"] == len(per_user)
     assert abs(row["spearman_rho"] - want) < 1e-6
+
+
+def test_embedding_drift_matches_numpy_replica(spark):
+    """r11 new-surface key: PSI over int8 quantization-code histograms.
+    Replicate the full pipeline (max-abs int8 quantize -> 16-wide code
+    bins -> even/odd slice counts -> smoothed PSI) in numpy, independent
+    of both engines, and compare every output cell."""
+    from odc_product_docker_images_spark.operators.drift import (
+        profile_embedding_drift,
+    )
+
+    rows = {
+        r["bin"]: r
+        for r in profile_embedding_drift(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == list(range(16))
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    e = np.stack(emb["embedding"].map(np.asarray).to_numpy()).astype(np.float64)
+    s = 127.0 / np.abs(e).max(axis=1, keepdims=True)
+    code = np.floor(e * s + 0.5)
+    bins = np.clip(np.floor((code + 128) / 16).astype(np.int64), 0, 15)
+    is_ref = (emb["vec_id"].to_numpy() % 2 == 0)[:, None]
+    n_ref = np.bincount(bins[np.broadcast_to(is_ref, bins.shape)], minlength=16)
+    n_cand = np.bincount(bins[~np.broadcast_to(is_ref, bins.shape)], minlength=16)
+    p_ref = (n_ref + 0.5) / (n_ref.sum() + 8.0)
+    p_cand = (n_cand + 0.5) / (n_cand.sum() + 8.0)
+    psi = (p_ref - p_cand) * np.log(p_ref / p_cand)
+    for b in range(16):
+        r = rows[b]
+        assert r["n_ref"] == n_ref[b] and r["n_cand"] == n_cand[b]
+        assert r["p_ref"] == pytest.approx(p_ref[b], abs=1e-15)
+        assert r["psi_contrib"] == pytest.approx(psi[b], abs=1e-6)
+    # both slices draw from the same fixture distribution: total PSI must
+    # read "no drift" (industry threshold for action is 0.1-0.25)
+    assert sum(r["psi_contrib"] for r in rows.values()) < 0.05
+
+
+def test_shard_manifest_matches_python_replica_and_flips(spark):
+    """r11 new-surface key: per-shard XOR-fold content checksum over the
+    shard_pack assignment.  Replicate in pure Python (hashlib md5 over
+    the canonical doc_id|text encoding, token-prefix shard assignment),
+    compare every shard row, then verify a single-document edit flips
+    exactly its shard's checksum words in the replica fold."""
+    import hashlib
+
+    from odc_product_docker_images_spark.textvec.curation import (
+        shard_manifest_checksum,
+        shard_pack,
+    )
+
+    got = {r["shard_id"]: r for r in shard_manifest_checksum(spark, SF_DIR).collect()}
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    docs = docs.sort_values("doc_id").reset_index(drop=True)
+    n_tok = docs["text"].str.split(" ").map(len).to_numpy(dtype=np.int64)
+    start = np.concatenate([[0], np.cumsum(n_tok)[:-1]])
+    shard = start // 2000
+
+    def words(doc_id, text):
+        h = hashlib.md5(f"{doc_id}|{text}".encode()).hexdigest()
+        return int(h[:8], 16), int(h[8:16], 16)
+
+    want = {}
+    for sid in np.unique(shard):
+        m = shard == sid
+        sub = docs[m]
+        xa = xb = 0
+        for did, txt in zip(sub["doc_id"], sub["text"]):
+            w1, w2 = words(did, txt)
+            xa ^= w1
+            xb ^= w2
+        want[int(sid)] = (
+            int(m.sum()), int(n_tok[m].sum()),
+            int(sub["doc_id"].min()), int(sub["doc_id"].max()), xa, xb,
+        )
+    assert sorted(got) == sorted(want)
+    for sid, (nd, ts, fd, ld, xa, xb) in want.items():
+        r = got[sid]
+        assert (r["n_docs"], r["tok_sum"], r["first_doc"], r["last_doc"]) == (nd, ts, fd, ld)
+        assert (r["checksum_a"], r["checksum_b"]) == (xa, xb)
+
+    # manifest grain agrees with shard_pack's (same assignment rule)
+    sp = {r["shard_id"]: r for r in shard_pack(spark, SF_DIR).collect()}
+    assert sorted(sp) == sorted(got)
+    for sid, r in got.items():
+        assert (r["n_docs"], r["tok_sum"]) == (sp[sid]["n_docs"], sp[sid]["tok_sum"])
+
+    # SENSITIVITY: editing one document flips its shard's checksum words
+    did0, txt0 = int(docs["doc_id"].iloc[0]), docs["text"].iloc[0]
+    w1, w2 = words(did0, txt0)
+    w1e, w2e = words(did0, txt0 + " tampered")
+    sid0 = int(shard[0])
+    assert (want[sid0][4] ^ w1 ^ w1e, want[sid0][5] ^ w2 ^ w2e) != (
+        want[sid0][4], want[sid0][5],
+    )

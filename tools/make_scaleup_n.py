@@ -32,6 +32,15 @@ def main() -> None:
 
     copies = int(sys.argv[sys.argv.index("--copies") + 1]) if "--copies" in sys.argv else 100
     name = sys.argv[sys.argv.index("--out") + 1] if "--out" in sys.argv else f"sf1x{copies}"
+    # --tables lineitem,orders: replicate ONLY these; every other table is
+    # symlinked at 1x so the parity harness still binds all ten views.
+    # Use for TARGETED probes (e.g. the >9.2e12 wide-hop activation grain,
+    # where only the revenue-bearing facts need the fan-out) — keys reading
+    # a symlinked table would silently run at 1x, so a targeted fixture is
+    # only valid for the keys it was built for.
+    only: set[str] | None = None
+    if "--tables" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--tables") + 1].split(","))
     out = REPO / ".tmp" / name
     out.mkdir(parents=True, exist_ok=True)
 
@@ -40,6 +49,10 @@ def main() -> None:
 
     def replicate(table: str, keycols: list[str], parts: int) -> None:
         dst = out / f"{table}.parquet"
+        if only is not None and table not in only:
+            if not dst.exists():
+                os.symlink(f"{SRC}/{table}.parquet", dst)
+            return
         if (dst / "_SUCCESS").exists():
             return
         # repartition the 1x BASE before the fan-out (the repo's own
@@ -69,7 +82,10 @@ def main() -> None:
     # documents: token suffix per replica kills cross-replica Jaccard while
     # keeping within-replica near-dup structure exactly the base corpus's.
     ddst = out / "documents.parquet"
-    if not (ddst / "_SUCCESS").exists():
+    if only is not None and "documents" not in only:
+        if not ddst.exists():
+            os.symlink(f"{SRC}/documents.parquet", ddst)
+    elif not (ddst / "_SUCCESS").exists():
         dc = load(spark, SRC, "documents")
         n_docs = 5000  # sf0.1 corpus size; offsets keep doc_id unique
         suffixed = F.regexp_replace(
@@ -93,7 +109,10 @@ def main() -> None:
     # keeps within-replica cosines bit-comparable, cross-replica cosines
     # collapse toward 0.
     edst = out / "embeddings.parquet"
-    if not (edst / "_SUCCESS").exists():
+    if only is not None and "embeddings" not in only:
+        if not edst.exists():
+            os.symlink(f"{SRC}/embeddings.parquet", edst)
+    elif not (edst / "_SUCCESS").exists():
         em = load(spark, SRC, "embeddings")
         n_vecs = 2000
         flip = F.zip_with(
@@ -115,7 +134,8 @@ def main() -> None:
         )
 
     for t in ["documents", "embeddings", "lineitem", "events"]:
-        print(t, spark.read.parquet(str(out / f"{t}.parquet")).count())
+        if only is None or t in only:
+            print(t, spark.read.parquet(str(out / f"{t}.parquet")).count())
 
 
 if __name__ == "__main__":
