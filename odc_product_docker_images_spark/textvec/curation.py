@@ -224,10 +224,19 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window is the semantic twin; partition boundaries cannot
     change the result."""
     dc = load(spark, sf_dir, "documents")
+    # persisted: the offsets rollup and the packed stream BOTH read this
+    # frame — without the pin, each branch re-executes the range exchange
+    # and AQE may coalesce the two executions' partitions differently
+    # (column pruning can diverge the branch plans), so spark_partition_id
+    # stops being consistent between them and the offsets join scrambles
+    # the assignment (caught by shard_manifest_checksum at the 10x grain:
+    # its extra md5 column broke the exchange reuse this key silently
+    # relied on).  Same pin as every other prefix-sum site (agg_gini,
+    # behavior.py, metrics.py).
     w = dc.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
     ).repartitionByRange(32, "doc_id")
-    w = w.withColumn("pid", F.spark_partition_id())
+    w = w.withColumn("pid", F.spark_partition_id()).persist()
     within = Window.partitionBy("pid").orderBy("doc_id")
     w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
     # per-partition totals → exclusive prefix over the (≤32-row) table
@@ -305,12 +314,16 @@ def shard_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_content_checksum (sources/bloom.py)."""
     dc = load(spark, sf_dir, "documents")
     h = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.col("text")))
+    # persisted: offsets rollup + packed stream both read this frame; the
+    # md5 column makes the two branches' pruned schemas DIFFER, so exchange
+    # reuse cannot rescue an unpinned pid here (it flipped nondeterministic
+    # at 10x before the pin — see shard_pack's annotation).
     w = dc.select(
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         h.alias("h"),
     ).repartitionByRange(32, "doc_id")
-    w = w.withColumn("pid", F.spark_partition_id())
+    w = w.withColumn("pid", F.spark_partition_id()).persist()
     within = Window.partitionBy("pid").orderBy("doc_id")
     w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
     off_w = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)

@@ -3045,3 +3045,41 @@ def test_r11_quality_gate_shapes(spark):
     # (the 10-row local catalog frame scans as a Python-sourced RDD —
     # fixed-size metadata, not a per-row Python stage over data)
     C.assert_no_python_row_path(df)
+
+
+def test_embedding_drift_shuffles_bins_not_vectors(spark):
+    """Embedding drift (r11): quantize + explode stay map-side in the scan
+    stage; the 16-bin hash-agg is the only corpus shuffle; the bin spine
+    broadcasts; no SMJ, no Python."""
+    from odc_product_docker_images_spark.operators.drift import (
+        profile_embedding_drift,
+    )
+
+    df = profile_embedding_drift(spark, SF)
+    assert C.scan_count(df) == 1
+    C.assert_no_python_row_path(df)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin " not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_shard_manifest_keeps_shard_pack_plan_shape(spark):
+    """Shard manifest (r11): same distributed-prefix-sum shape as
+    shard_pack — the per-partition offset table joins back as a
+    BROADCAST, never a corpus-wide SMJ; no global single-task corpus
+    window (the only unpartitioned window is over the ≤32-row offsets
+    table); no Python."""
+    from odc_product_docker_images_spark.textvec.curation import (
+        shard_manifest_checksum,
+        shard_pack,
+    )
+
+    df = shard_manifest_checksum(spark, SF)
+    C.assert_broadcast_join(df)
+    C.assert_no_python_row_path(df)
+    plan = C.formatted_plan(df)
+    assert "SortMergeJoin " not in plan
+    assert "CartesianProduct" not in plan
+    # plan shape matches the established shard_pack pattern: equal
+    # exchange counts (the checksum folds into the SAME per-shard agg)
+    assert C.exchange_count(df) == C.exchange_count(shard_pack(spark, SF))
