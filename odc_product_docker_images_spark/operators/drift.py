@@ -279,3 +279,136 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_cand.alias("p_cand"),
         dround((p_ref - p_cand) * F.log(p_ref / p_cand), 6).alias("psi_contrib"),
     )
+
+
+# -- snapshot-drift monitor (r11): PSI between versioned-table snapshots --
+#
+# The storage-side compose: lakehouse stacks run distribution checks
+# BETWEEN table snapshots ("did the append move the value distribution?")
+# — expectations-on-commit.  v0 = the base events table; commit 1 appends
+# a value-shifted cohort (value × 1.5, an exact binary multiply), so v1's
+# distribution genuinely drifts and the monitor reads BOTH snapshots
+# through their manifests (time travel feeding the quality gate).
+
+_SD_PSI_REF = "((n_ref + CAST(0.5 AS DOUBLE)) / (tot_ref + CAST(5.0 AS DOUBLE)))"
+_SD_PSI_CAND = "((n_cand + CAST(0.5 AS DOUBLE)) / (tot_cand + CAST(5.0 AS DOUBLE)))"
+
+
+@register(
+    "table_snapshot_drift",
+    oracle=f"""
+        WITH ref AS (
+            SELECT value FROM events
+        ), cand AS (
+            SELECT value FROM events
+            UNION ALL
+            SELECT value * CAST(1.5 AS DOUBLE) FROM events
+        ), b AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR(value / CAST({_BW!r} AS DOUBLE))
+                       AS BIGINT), 0), {_NBINS - 1}) AS bin,
+                   1 AS is_ref
+            FROM ref
+            UNION ALL
+            SELECT LEAST(GREATEST(CAST(FLOOR(value / CAST({_BW!r} AS DOUBLE))
+                       AS BIGINT), 0), {_NBINS - 1}) AS bin,
+                   0 AS is_ref
+            FROM cand
+        ), c0 AS (
+            SELECT bin,
+                   SUM(is_ref) AS n_ref,
+                   SUM(1 - is_ref) AS n_cand
+            FROM b GROUP BY bin
+        ), c AS (
+            SELECT CAST(sp.i AS BIGINT) AS bin,
+                   COALESCE(n_ref, 0) AS n_ref,
+                   COALESCE(n_cand, 0) AS n_cand
+            FROM RANGE(0, {_NBINS}) sp(i) LEFT JOIN c0 ON c0.bin = sp.i
+        ), t AS (
+            SELECT bin, n_ref, n_cand,
+                   CAST(SUM(n_ref) OVER () AS DOUBLE) AS tot_ref,
+                   CAST(SUM(n_cand) OVER () AS DOUBLE) AS tot_cand
+            FROM c
+        )
+        SELECT bin, CAST(n_ref AS BIGINT) AS n_ref,
+               CAST(n_cand AS BIGINT) AS n_cand,
+               {_SD_PSI_REF} AS p_ref,
+               {_SD_PSI_CAND} AS p_cand,
+               {sql_dround(f"({_SD_PSI_REF} - {_SD_PSI_CAND}) * LN({_SD_PSI_REF} / {_SD_PSI_CAND})", 6)}
+                 AS psi_contrib
+        FROM t
+    """,
+)
+def table_snapshot_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7+/§4+ compose (r11): snapshot-to-snapshot drift — write events as
+    versioned-table v0, append a value-shifted cohort (×1.5) as v1, then
+    PSI the value distribution of v0 (reference) against v1 (candidate),
+    reading BOTH snapshots through their manifests (``table_time_travel``
+    feeding ``profile_drift_psi``'s smoothed form).  The expectations-on-
+    commit check a lakehouse runs before publishing an append.
+
+    Scale shape: the two snapshot reads are manifest-planned parquet
+    scans; binning is map-side; the only shuffle is the |bins|-row
+    grouped count (map-side partials), and the spine/total tier runs on
+    a 10-row table.  Determinism: 1.5 is an exact binary double so the
+    shifted cohort's values are exact IEEE products; bin math, counts,
+    and smoothing are exact as in profile_drift_psi; LN absorbed by
+    dround(6)."""
+    from ..sources.versioned import _fresh_table
+
+    ev = load(spark, sf_dir, "events").select("event_id", "value")
+    t = _fresh_table("snapdrift")
+    t.write(ev, mode="overwrite", n_files=4)
+    t.write(
+        ev.select("event_id", (F.col("value") * F.lit(1.5)).alias("value")),
+        n_files=4,
+    )
+    versions = t.versions()
+    ref = t.read(spark, versions[0]).select("value")
+    cand = t.read(spark, versions[-1]).select("value")
+
+    def binned(df: DataFrame, is_ref: int) -> DataFrame:
+        return df.select(
+            F.least(
+                F.greatest(
+                    F.floor(F.col("value") / F.lit(_BW)).cast("bigint"), F.lit(0)
+                ),
+                F.lit(_NBINS - 1),
+            ).alias("bin"),
+            F.lit(is_ref).alias("is_ref"),
+        )
+
+    b = binned(ref, 1).unionByName(binned(cand, 0))
+    c0 = b.groupBy("bin").agg(
+        F.sum("is_ref").alias("n_ref"),
+        F.sum(F.lit(1) - F.col("is_ref")).alias("n_cand"),
+    )
+    spine = spark.range(_NBINS).select(F.col("id").cast("bigint").alias("bin"))
+    c = (
+        F.broadcast(spine)
+        .join(c0, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cand", F.lit(0)).alias("n_cand"),
+        )
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t2 = c.select(
+        "bin",
+        "n_ref",
+        "n_cand",
+        F.sum("n_ref").over(wall).cast("double").alias("tot_ref"),
+        F.sum("n_cand").over(wall).cast("double").alias("tot_cand"),
+    )
+    p_ref = (F.col("n_ref") + F.lit(0.5)) / (F.col("tot_ref") + F.lit(5.0))
+    p_cand = (F.col("n_cand") + F.lit(0.5)) / (F.col("tot_cand") + F.lit(5.0))
+    return t2.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cand").cast("bigint").alias("n_cand"),
+        p_ref.alias("p_ref"),
+        p_cand.alias("p_cand"),
+        dround((p_ref - p_cand) * F.log(p_ref / p_cand), 6).alias("psi_contrib"),
+    )

@@ -201,7 +201,8 @@ GRADING_WINDOW = [
     #   NEW in r11 AFTER the window was frozen at 50 (VERDICT r10 #7's
     #   optional surface, built in the continuation session — full
     #   oracles, parity-green at sf0.01, replica-tested):
-    #     profile_embedding_drift, shard_manifest_checksum
+    #     profile_embedding_drift, shard_manifest_checksum,
+    #     table_snapshot_drift
     #   (+ any keys added after this comment — check COVERAGE.md vs
     #   CORRECTNESS_r* row history.)
 ]

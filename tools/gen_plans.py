@@ -54,7 +54,8 @@ AUDIT = [
     "join_polygon_zone", "proj_crs_roundtrip", "dedup_substring_spans",
     "data_mix_temperature", "window_seasonal_zscore",
     "multimodal_image_resize", "agg_resample_ohlc", "profile_drift_psi",
-    "profile_embedding_drift", "shard_manifest_checksum", "agg_funnel_steps",
+    "profile_embedding_drift", "shard_manifest_checksum",
+    "table_snapshot_drift", "agg_funnel_steps",
     "agg_retention_cohort", "proj_unpivot_bands", "profile_skew_keys",
     "stream_ohlc_bars", "sim_mmr_rerank", "graph_subtree_rollup", "agg_gini",
     "join_bloom_prefilter", "join_partition_pruned", "agg_ttest_welch",
