@@ -12,6 +12,7 @@ from __future__ import annotations
 import argparse
 import decimal
 import math
+import os
 import sys
 import time
 from pathlib import Path
@@ -93,7 +94,18 @@ def main() -> int:
     import __spark_entry__ as ent
     from odc_product_docker_images_spark.session import get_spark
 
-    spark = get_spark("parity-check")
+    # the harness COLLECTS full outputs for hashing — the 100x per-row
+    # keys return 15-60M rows, past the 1g maxResultSize default that the
+    # engine-side sessions keep.  Parity-only override (bench keeps the
+    # measured default config); raise SPARK_DRIVER_MEM too for those runs.
+    spark = get_spark(
+        "parity-check",
+        extra_conf={
+            "spark.driver.maxResultSize": os.environ.get(
+                "SPARK_GRAFT_MAX_RESULT", "8g"
+            )
+        },
+    )
     con = duck_con(args.sf_dir)
     qs = ent.queries()
     oracles = ent.oracle_sql()
