@@ -174,7 +174,8 @@ _EP_CAND = "((n_cand + CAST(0.5 AS DOUBLE)) / (tot_cand + CAST(8.0 AS DOUBLE)))"
             FROM embeddings
         ), scaled AS (
             SELECT vec_id, e,
-                   127.0 / LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))) AS s
+                   127.0 / NULLIF(LIST_MAX(LIST_TRANSFORM(e, x -> ABS(x))),
+                                  CAST(0.0 AS DOUBLE)) AS s
             FROM v
         ), codes AS (
             SELECT vec_id,
@@ -231,7 +232,11 @@ def profile_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     em = load(spark, sf_dir, "embeddings")
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     df = em.select("vec_id", e.alias("e"))
-    s = 127.0 / F.array_max(F.transform(F.col("e"), F.abs))
+    # NULLIF guard (r12, ADVICE): an all-zero embedding would raise
+    # DIVIDE_BY_ZERO under ANSI on the Spark side while DuckDB yields inf;
+    # NULL flows identically through code/bin on both sides and activates
+    # only on exact zero, so standard-grain hashes never move.
+    s = 127.0 / F.nullif(F.array_max(F.transform(F.col("e"), F.abs)), F.lit(0.0))
     df = df.withColumn("s", s)
     code = F.transform(F.col("e"), lambda x: F.floor(x * F.col("s") + 0.5).cast("double"))
     codes = df.select("vec_id", F.explode(code).alias("code"))
