@@ -26,9 +26,10 @@ from pyspark.sql import functions as F
 
 from ..functions.det import (
     davg,
+    dec_cast,
     dsum,
-    dsum_fast,
-    dsum_wide,
+    exact_double,
+    exact_double_wide,
     sql_davg,
     sql_dsum,
     sql_dsum_wide,
@@ -56,15 +57,30 @@ def _disc_price() -> F.Column:
 )
 def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: big⋈big inner equi-join on the fact key (baseline ⋈ analysis on
-    pixel id).  Catalyst picks SMJ/SHJ; AQE may flip to broadcast."""
+    pixel id).  Catalyst picks SMJ/SHJ; AQE may flip to broadcast.
+
+    r12 (guide §2.3 "aggregate before you shuffle"): the measures are
+    additive over lineitems within an order, so the lineitem side is
+    partially aggregated per l_orderkey BEFORE the join — decimal(30,10)
+    addition is exact and associative, so the regrouped revenue sum is
+    bit-identical to the per-pair form.  The join then carries one row
+    per order (4× fewer rows than the item stream) and the groupBy's
+    hash-agg shuffle shrinks the same way; countDistinct stays (exact
+    under any hypothetical order-key duplication) but now expands over
+    the order-grain stream instead of the item-grain one.  Measured
+    1.91 s → 1.50 s warm min at sf0.1, hash-identical output."""
     lf = load(spark, sf_dir, "lineitem")
     od = load(spark, sf_dir, "orders")
+    per_order = lf.groupBy("l_orderkey").agg(
+        F.sum(dec_cast(_disc_price())).alias("rev_dec"),
+        F.count(F.lit(1)).alias("n_items_o"),
+    )
     return (
-        lf.join(od, lf.l_orderkey == od.o_orderkey, "inner")
+        per_order.join(od, per_order.l_orderkey == od.o_orderkey, "inner")
         .groupBy("o_orderpriority")
         .agg(
-            dsum_wide(_disc_price(), "revenue"),
-            F.count(F.lit(1)).alias("n_items"),
+            exact_double_wide(F.sum("rev_dec")).alias("revenue"),
+            F.sum("n_items_o").cast("long").alias("n_items"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )
@@ -416,22 +432,27 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     interval width) and explodes into them; points map to exactly one
     cell; a plain EQUI-join on the cell key co-locates every candidate
     pair, and the exact interval predicate filters residents of the
-    shared cell that don't actually overlap.  Cost: 2×|intervals| +
-    |points| shuffle rows plus the true-match fan-out — linear, skew
-    governed by cell population, no nested loop anywhere (pinned: the
-    plan contains no BroadcastNestedLoopJoin/CartesianProduct).  The
-    oracle is the declarative theta-join (DuckDB plans it as an IEJoin).
+    shared cell that don't actually overlap — linear, skew governed by
+    cell population, no nested loop anywhere (pinned: the plan contains
+    no BroadcastNestedLoopJoin/CartesianProduct).  The oracle is the
+    declarative theta-join (DuckDB plans it as an IEJoin).
     The summed measure is pre-scaled by 2⁻²⁰ (an exact power of two —
     the agg_gini lesson): the pair fan-out grows with SF² and the raw
     price sum blew past the decimal path's int64 hop at the 10× replica
     (measured CAST_OVERFLOW at Σ≈4e14); scaling puts the sum inside
-    dsum_fast's domain at every tier (bit-exact semantics, ~2× cheaper
-    per pair — the decimal-BigDecimal add dominated the 24M-pair agg,
-    measured 75 s at sf0.1).  The interval side also carries a pushed
-    quantity predicate: the demonstration needs the fact×fact JOIN
-    geometry, not an unbounded fan-out — the filter is pushed to the
-    parquet scan and cuts pairs ~8× (the realistic "recent high-value
-    lines" slice).
+    dsum_fast's lane domain at every tier.  Since r12 the point side is
+    PRE-AGGREGATED per distinct (o_orderdate, cell) value before the
+    join (guide §2.3): the measure and the pair count are additive over
+    points, the long-lane accumulators re-aggregate exactly, and the
+    SF²-growing pair stream never materializes — the join attaches a
+    broadcast of ~|distinct dates| pre-summed rows and the exact
+    predicate still runs per candidate (10.1 s → 1.2 s warm min at
+    sf0.1, hash-identical output; see OPTIMIZATION_r12.md).  The
+    interval side
+    also carries a pushed quantity predicate: the demonstration needs
+    the fact×fact JOIN geometry, not an unbounded fan-out — the filter
+    is pushed to the parquet scan and cuts candidate rows ~8× (the
+    realistic "recent high-value lines" slice).
     """
     li = load(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= _RB_MIN_QTY)
     od = load(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
@@ -443,18 +464,53 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
         F.explode(F.array(cell_l, cell_l + 1)).alias("cell"),
     )
-    points = od.select(
-        "o_orderdate",
-        "o_totalprice",
-        F.floor(epoch_days_o / _RB_DAYS).alias("cell"),
+    # r12 (guide §2.3 "aggregate before you shuffle" / §8 "decide with small
+    # rows"): the measure and the pair count are ADDITIVE over the point
+    # side, so aggregate points per DISTINCT (o_orderdate, cell) value
+    # BEFORE the join — dsum_fast's long-lane accumulators (hi/lo int64
+    # part sums of the 10^-10-scaled decimal addend) re-aggregate exactly
+    # because integer addition is associative, so the regrouped total is
+    # bit-identical to the per-pair sum.  The join then attaches ~|distinct
+    # dates| pre-summed rows (broadcast) instead of materializing the full
+    # SF²-growing pair stream through the decimal cast: at sf0.1 the
+    # per-pair form evaluated the dec-cast 2x per pair over ~24M pairs
+    # (measured 10.1 s); this form does it once per point row and flows
+    # ~2.4k aggregate rows (measured 1.2 s).  The exact interval predicate
+    # is unchanged and still applied per candidate, so the semantics hold
+    # at ANY time grain — nothing assumes date-aligned timestamps.
+    base = 1 << 13
+    x = F.col("o_totalprice") * F.lit(9.5367431640625e-07)
+    u = (dec_cast(x) * F.lit(10**10).cast("decimal(11,0)")).cast("long")
+    per_val = (
+        od.select(
+            "o_orderdate",
+            F.floor(epoch_days_o / _RB_DAYS).alias("cell"),
+            F.shiftright(u, 13).alias("hi"),
+            u.bitwiseAND(F.lit(base - 1)).alias("lo"),
+        )
+        .groupBy("o_orderdate", "cell")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("hi").alias("hi_s"),
+            F.sum("lo").alias("lo_s"),
+        )
     )
     upper = F.col("l_shipdate") + F.expr(f"INTERVAL {_RB_DAYS} DAYS")
-    pairs = intervals.join(points, "cell").where(
+    pairs = intervals.join(F.broadcast(per_val), "cell").where(
         (F.col("o_orderdate") >= F.col("l_shipdate")) & (F.col("o_orderdate") < upper)
     )
+    # identical reassembly to det._fast_dec_sum: Σhi·2^13 + Σlo in
+    # decimal(38,0), the scale-restoring /10^10 (decimal(38,6), HALF_UP
+    # pre-round at 6 dp), then the exact int64 hop — same types, same value
+    scaled = (
+        F.sum("hi_s").cast("decimal(38,0)") * F.lit(base).cast("decimal(5,0)")
+        + F.sum("lo_s").cast("decimal(38,0)")
+    )
     return pairs.groupBy("l_returnflag").agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        dsum_fast(F.col("o_totalprice") * F.lit(9.5367431640625e-07), "sum_price_scaled"),
+        F.sum("cnt").cast("long").alias("n_pairs"),
+        exact_double(scaled / F.lit(10**10).cast("decimal(11,0)")).alias(
+            "sum_price_scaled"
+        ),
     )
 
 

@@ -1008,8 +1008,14 @@ def test_triangle_count_reads_materialized_orientation(spark):
     plan = C.formatted_plan(df)
     assert "CartesianProduct" not in plan
     # wedge + closure pairing must be equi-joins (the 1-row scalar combine
-    # at the end is allowed to be a broadcast nested loop)
-    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    # at the end is allowed to be a broadcast nested loop); since r12 the
+    # probe joins are SHUFFLE_HASH-hinted (edge-bounded build sides, no
+    # 41M-row wedge sort — guide §3.1)
+    assert (
+        "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+        or "SortMergeJoin" in plan
+    )
     # every parquet scan is the .tmp artifact, not lineitem
     assert "lineitem" not in plan
 
