@@ -1122,7 +1122,9 @@ def test_holt_kernel_is_arrow_grouped_single_shuffle(spark):
 
     df = forecast_holt(spark, SF)
     plan = C.formatted_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    # r12: the kernel is applyInArrow (FlatMapGroupsInArrow) — the
+    # per-group pandas conversion was ~75% of the key's wall time
+    assert "FlatMapGroupsInArrow" in plan
     assert "BatchEvalPython" not in plan
     assert C.exchange_count(df) == 1
 
@@ -1312,7 +1314,7 @@ def test_holt_winters_is_one_series_shuffle(spark):
     plan = C.formatted_plan(df)
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
-    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+    assert "FlatMapGroupsInArrow" in plan  # r12 applyInArrow kernel
 
 
 def test_bootstrap_ci_shuffles_replicate_cells_only(spark):
@@ -1426,7 +1428,7 @@ def test_kalman_is_one_series_shuffle(spark):
     plan = C.formatted_plan(df)
     assert C.scan_count(df) == 1
     assert C.exchange_count(df) <= 1
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan  # r12 applyInArrow kernel
 
 
 def test_delete_vectors_read_is_broadcast_anti_join(spark):
@@ -2187,7 +2189,7 @@ def test_croston_is_one_shuffle_arrow_kernel(spark):
 
     df = forecast_croston(spark, SF)
     plan = C.formatted_plan(df)
-    assert "FlatMapGroupsInPandas" in plan
+    assert "FlatMapGroupsInArrow" in plan  # r12 applyInArrow kernel
     assert C.scan_count(df) == 1
     assert "BatchEvalPython" not in plan
 

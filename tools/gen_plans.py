@@ -117,6 +117,8 @@ def main() -> None:
             py.append("MapInPandas")
         if "FlatMapGroupsInPandas" in plan:
             py.append("applyInPandas")
+        if "FlatMapGroupsInArrow" in plan:
+            py.append("applyInArrow")
         if "FlatMapCoGroupsInPandas" in plan:
             py.append("cogroup")
         if "ArrowEvalPythonUDTF" in plan:
