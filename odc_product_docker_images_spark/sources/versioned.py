@@ -92,6 +92,14 @@ class VersionedTable:
     def _file_stats(self, relname: str) -> dict[str, list[float]]:
         """Per-file min/max for ``stat_cols`` from the parquet FOOTER —
         no data read, no Spark job; the same stats Delta harvests."""
+        return self._file_stats_for(relname, self.stat_cols)
+
+    def _file_stats_for(
+        self, relname: str, cols: list[str]
+    ) -> dict[str, list[float]]:
+        """Footer min/max for an explicit column list — lets merge() skip
+        files on the merge key even when the table was created without
+        ``stat_cols`` (the footer carries the stats either way)."""
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(str(self.path / relname)).metadata
@@ -101,7 +109,7 @@ class VersionedTable:
             for c_i in range(rg.num_columns):
                 col = rg.column(c_i)
                 name = col.path_in_schema
-                if name not in self.stat_cols or col.statistics is None:
+                if name not in cols or col.statistics is None:
                     continue
                 # A row group can carry a statistics object WITHOUT min/max
                 # (e.g. an all-NULL chunk).  Storing None would make
@@ -237,30 +245,62 @@ class VersionedTable:
         survive the left_anti/union and silently break the snapshot's
         key-uniqueness invariant that read_where/merge callers rely on.
         """
-        n_updates = updates.count()
-        n_distinct = updates.select(key).distinct().count()
-        if n_updates != n_distinct:
+        # ONE pass over updates for the uniqueness check AND the key range
+        # (r12: was two separate count jobs; the range feeds file skipping
+        # below).  count_distinct here is exact — no approx form.
+        chk = updates.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_distinct(F.col(key)).alias("nd"),
+            F.min(key).alias("lo"),
+            F.max(key).alias("hi"),
+        ).collect()[0]  # 1-row planning metadata, same class as `touched`
+        if chk["n"] != chk["nd"]:
             raise ValueError(
                 f"merge updates must be unique on {key!r}: "
-                f"{n_updates} rows but {n_distinct} distinct keys"
+                f"{chk['n']} rows but {chk['nd']} distinct keys"
             )
-        current = self.read(spark)
-        # Which files hold a matched key?  File names are snapshot METADATA
-        # (bounded by file count, never row count) — collecting them is the
-        # same driver-side planning every table format's MERGE does.
-        touched_rows = (
-            current.withColumn("_f", F.input_file_name())
-            .join(updates.select(key).hint("broadcast"), key, "left_semi")
-        )
-        touched = {
-            r["_f"] for r in touched_rows.select("_f").distinct().collect()  # metadata-only
-        }
+        prev = self._manifest(self.latest_version())["files"]
+        # File skipping on the merge key (r12, guide §6.2 / the Delta MERGE
+        # mechanic): a file whose footer [min,max] on ``key`` misses the
+        # updates' [lo,hi] range cannot contain a matched key, so it is
+        # untouched by construction and never enters the discovery scan.
+        # Footer stats are exact for numeric/integer columns; non-numeric
+        # keys (or files without stats) stay candidates — conservative, so
+        # the touched set is IDENTICAL to the full-scan form.
+        def _numeric(x) -> bool:
+            return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+        candidates = prev
+        if chk["n"] > 0 and _numeric(chk["lo"]) and _numeric(chk["hi"]):
+            candidates = []
+            for f in prev:
+                st = self._file_stats_for(f, [key]).get(key)
+                if st is None or not (_numeric(st[0]) and _numeric(st[1])):
+                    candidates.append(f)  # unstatted: stays a candidate
+                elif st[0] <= chk["hi"] and st[1] >= chk["lo"]:
+                    candidates.append(f)
+        elif chk["n"] == 0:
+            candidates = []
+        # Which candidate files hold a matched key?  File names are snapshot
+        # METADATA (bounded by file count, never row count) — collecting
+        # them is the same driver-side planning every table format's MERGE
+        # does.
+        if candidates:
+            cand_df = spark.read.parquet(*[str(self.path / f) for f in candidates])
+            touched_rows = (
+                cand_df.withColumn("_f", F.input_file_name())
+                .join(updates.select(key).hint("broadcast"), key, "left_semi")
+            )
+            touched = {
+                r["_f"] for r in touched_rows.select("_f").distinct().collect()  # metadata-only
+            }
+        else:
+            touched = set()
         # Normalize each touched URI to its manifest-relative name ONCE so
         # the manifest diff is O(|manifest|) set membership, not the
         # O(|manifest|·|touched|) endswith scan the r4 verdict flagged
         # (same hoist as the change-feed diff fix).
         touched_rel = {self._uri_to_relname(t) for t in touched}
-        prev = self._manifest(self.latest_version())["files"]
         untouched = [f for f in prev if f not in touched_rel]
         rewrite = [f for f in prev if f in touched_rel]
         if rewrite:
