@@ -97,8 +97,10 @@ def _mmr_oracle() -> str:
 @register("sim_mmr_rerank", oracle=_mmr_oracle())
 def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X3+: MMR diversified top-K — greedy λ-tradeoff picks over the
-    top-N relevance pool, unrolled into K plan stages (anti-join against
-    prior picks + max-sim aggregate + 1-row TakeOrdered each)."""
+    top-N relevance pool.  Relevance and pair cosines are computed and
+    dround(6)-rounded in Spark; the bounded greedy selection itself (≤N
+    rows, ≤N² sims) runs in one Arrow kernel (r12 — see the inline note
+    for the bit-identity argument vs the r5f unrolled-plan form)."""
     v = load(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("e")
     )
@@ -112,10 +114,9 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         dot = F.aggregate(F.zip_with(ea, eb, lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
         return dround(dot / (na * nb))
 
-    # persist the two shared subtrees: every unrolled step references the
-    # candidate pool and the pair table, and without materialization the
-    # plan re-computes the scoring sort O(K) times (the dedup_clusters
-    # iterative-propagation precedent)
+    # persist the candidate pool: both the pair table and the candidate
+    # collect re-read it, and without materialization the plan re-computes
+    # the scoring sort per consumer
     rel = (
         v.where(F.col("vec_id") != _PROBE)
         .crossJoin(F.broadcast(q))
@@ -128,38 +129,66 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = (
         a.join(b, F.col("ia") != F.col("ib"))
         .select("ia", "ib", cos(F.col("ea"), F.col("eb"), F.col("na"), F.col("nb")).alias("sim"))
-    ).persist()
-    cand = rel.select("vec_id", "rel")
+    )  # single consumer since r12 (the pair collect) — no persist needed
+    # r12 (guide §8 "decide with small rows"): the greedy selection runs
+    # over a pool BOUNDED at N=20 rows and its N·(N−1) pair sims — both
+    # dround(6)-rounded IN SPARK before any comparison, exactly as before.
+    # The K unrolled plan stages (anti-join + max-sim agg + 1-row
+    # TakeOrdered each, O(K²) re-planning, 401 Exchanges) are replaced by
+    # ONE Arrow kernel over the two collected arrays: the scoring
+    # arithmetic (λ·rel − (1−λ)·maxsim on the rounded doubles, same
+    # Python float literals, max is exact) and the (score desc, vec_id)
+    # tie-break are IDENTICAL IEEE ops on identical inputs, so the greedy
+    # trajectory — and every output bit — is unchanged (parity + the
+    # pytest replica re-verified).  The pair table never leaves Spark
+    # unrounded; nothing here grows with the corpus.
+    cand_arr = rel.select("vec_id", "rel").agg(
+        F.collect_list(F.struct("vec_id", "rel")).alias("cand")
+    )
+    pair_arr = p.agg(F.collect_list(F.struct("ia", "ib", "sim")).alias("pairs"))
+    one = cand_arr.crossJoin(F.broadcast(pair_arr))
 
-    picks: DataFrame | None = None
-    for k in range(1, _K + 1):
-        if picks is None:
-            pool = cand
-            maxsim = None
-        else:
-            pool = cand.join(picks.select("vec_id"), "vec_id", "left_anti")
-            maxsim = (
-                p.join(picks.select(F.col("vec_id").alias("ia")), "ia")
-                .groupBy("ib")
-                .agg(F.max("sim").alias("maxsim"))
-            )
-        if maxsim is not None:
-            pool = pool.join(maxsim, pool.vec_id == maxsim.ib, "left").drop("ib")
-        else:
-            pool = pool.withColumn("maxsim", F.lit(None).cast("double"))
-        score = F.lit(_LAM) * F.col("rel") - F.lit(1 - _LAM) * F.coalesce(
-            F.col("maxsim"), F.lit(0.0)
-        )
-        pick = (
-            pool.select(
-                F.lit(k).cast("int").alias("rank"),
-                "vec_id",
-                "rel",
-                score.alias("mmr_score"),
-            )
-            .orderBy(F.desc("mmr_score"), "vec_id")
-            .limit(1)
-        ).persist()  # each later step re-reads every prior pick: without
-        # this the unrolled DAG re-executes the pick chain O(K^2) times
-        picks = pick if picks is None else picks.unionByName(pick)
-    return picks
+    lam, one_minus_lam = _LAM, 1 - _LAM  # the exact doubles F.lit used
+    kk = _K
+
+    def mmr_greedy(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"rank": [], "vec_id": [], "rel": [], "mmr_score": []}
+            for _, row in pdf.iterrows():
+                cands = sorted(
+                    ((int(c["vec_id"]), float(c["rel"])) for c in row["cand"]),
+                    key=lambda t: t[0],
+                )
+                sims = {
+                    (int(e["ia"]), int(e["ib"])): float(e["sim"])
+                    for e in row["pairs"]
+                }
+                picked: list[int] = []
+                for k in range(1, kk + 1):
+                    best = None  # (score, vec_id, rel)
+                    for vid, rel_v in cands:
+                        if vid in picked:
+                            continue
+                        ms = [sims[(ia, vid)] for ia in picked if (ia, vid) in sims]
+                        maxsim = max(ms) if ms else 0.0
+                        score = lam * rel_v - one_minus_lam * maxsim
+                        if (
+                            best is None
+                            or score > best[0]
+                            or (score == best[0] and vid < best[1])
+                        ):
+                            best = (score, vid, rel_v)
+                    if best is None:
+                        break
+                    picked.append(best[1])
+                    out["rank"].append(k)
+                    out["vec_id"].append(best[1])
+                    out["rel"].append(best[2])
+                    out["mmr_score"].append(best[0])
+            yield pd.DataFrame(out)
+
+    return one.mapInPandas(
+        mmr_greedy, schema="rank int, vec_id long, rel double, mmr_score double"
+    )
