@@ -57,8 +57,8 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21: frequent-pair association rules u→v over order baskets:
     support = P(u,v), confidence = P(v|u), lift = P(u,v)/(P(u)P(v)).
     The min-support HAVING prunes infrequent pairs straight out of the
-    pair aggregation (map-side partial counts make the self-join fan-out
-    collapse before it shuffles twice); item marginals ride two equi-joins
+    pair aggregation (map-side partial counts collapse the per-basket
+    pair explode before it shuffles); item marginals ride two equi-joins
     against the item-count table; the basket total is a broadcast 1-row
     cross join.  All counts are exact integers; the three ratios take the
     decimal round path (quotients of small ints are the midpoint trap).
@@ -78,14 +78,39 @@ def agg_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(str(grid_path))
         )
     grid = spark.read.parquet(str(grid_path))
-    n = grid.agg(F.count_distinct("basket").cast("double").alias("n_baskets"))
-    items = grid.groupBy("item").agg(F.count(F.lit(1)).alias("c"))
-    a = grid.select("basket", F.col("item").alias("u"))
-    b = grid.select("basket", F.col("item").alias("v"))
+    # r12 (guide §2.1/§3.4): the pair stage was a basket self-join that
+    # consumed the grid TWICE and the item marginals re-aggregated once
+    # per join side — 5 grid scans per run.  Baskets are bounded (order
+    # line count), so pairs now explode from a per-basket sorted array;
+    # the persisted basket frame also serves the basket total (row count
+    # == COUNT(DISTINCT basket)) and the item marginals (explode + count
+    # == the per-item grid count).  Same exact integers everywhere.
+    baskets = (
+        grid.groupBy("basket")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+        .persist()
+    )
+    n = baskets.agg(F.count(F.lit(1)).cast("double").alias("n_baskets"))
+    items = (
+        baskets.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # grid rows are distinct → per-basket items strictly increasing; the
+    # index-aware transform pairs each u < v once (explicit 2-arg lambda,
+    # not the defaulted-param index trap).
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + F.lit(2), F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("u"), y.alias("v")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "basket")
-        .where(F.col("u") < F.col("v"))
-        .groupBy("u", "v")
+        baskets.select(F.explode(pair_structs).alias("e"))
+        .groupBy(F.col("e.u").alias("u"), F.col("e.v").alias("v"))
         .agg(F.count(F.lit(1)).alias("c_both"))
         .where(F.col("c_both") >= _MIN_SUPPORT)
     )

@@ -461,12 +461,30 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dst").alias("a"), F.col("src").alias("n"), F.col("deg_dst").alias("deg_a")
         )
     )
-    x = adj.where(F.col("deg_a") <= _LP_HUB_CAP).select("a", F.col("n").alias("b"))
-    y = adj.where(F.col("deg_a") <= _LP_HUB_CAP).select("a", F.col("n").alias("c"))
+    # r12 (guide §2.1/§3.4, the join_bipartite_projection move): the wedge
+    # stage was a self-join that consumed the capped adjacency TWICE —
+    # Catalyst re-planned the artifact scan + union per side.  Post-cap
+    # neighbor lists are ≤{_LP_HUB_CAP} rows ((a,n) unique → strictly
+    # increasing after sort), so wedges explode from a per-center sorted
+    # array instead: each b < c pair per center exactly once — identical
+    # multiset to the self-join, one scan, no join.
+    nbrs = (
+        adj.where(F.col("deg_a") <= _LP_HUB_CAP)
+        .groupBy("a")
+        .agg(F.sort_array(F.collect_list("n")).alias("ns"))
+    )
+    wedge_structs = F.flatten(
+        F.transform(
+            F.col("ns"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ns"), i + F.lit(2), F.size(F.col("ns"))),
+                lambda y: F.struct(x.alias("b"), y.alias("c")),
+            ),
+        )
+    )
     wedge = (
-        x.join(y, "a")
-        .where(F.col("b") < F.col("c"))
-        .groupBy("b", "c")
+        nbrs.select(F.explode(wedge_structs).alias("e"))
+        .groupBy(F.col("e.b").alias("b"), F.col("e.c").alias("c"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
     edges = oriented.select(
@@ -1487,7 +1505,15 @@ def join_bipartite_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     join shuffles on (no agg + join-back branch duplication); the cap
     predicate sits under the pairing join on both engines.  One
     distinct pass + one windowed filter + one equi-join + one pair
-    count; exact integers."""
+    count; exact integers.
+
+    r12 negative results (interleaved A/B, sf0.1, recorded so the next
+    round doesn't re-try): (a) per-part sorted-array pair EXPLODE (the
+    graph_link_prediction move) is 0.7 s/pass slower warm here — the
+    collect_list + nested-transform allocation exceeds the duplicated
+    subtree + BHJ probe cost at this fan-in, though it is ~6 s faster
+    cold; (b) ``capped.persist()`` is 3–4× slower (the InMemoryRelation
+    hides size stats, demoting the pairing BHJ to SMJ)."""
     li = load(spark, sf_dir, "lineitem")
     edges = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")

@@ -1033,15 +1033,19 @@ def test_lm_bigram_two_corpus_touches_only(spark):
 
 
 def test_assoc_rules_consumers_share_grid_artifact(spark):
-    """Pairs (both aliases), item marginals, and the basket total all read
-    the write-once grid artifact — no lineitem re-scan, no cartesian; the
-    1-row basket total rides a broadcast."""
+    """Pairs, item marginals, and the basket total all derive from the
+    write-once grid artifact — no lineitem re-scan, no cartesian; the
+    1-row basket total rides a broadcast.  r12: pairs explode from the
+    persisted per-basket array (a Generate node), never a basket
+    self-join — no SortMergeJoin anywhere in the plan."""
     from odc_product_docker_images_spark.operators.assoc import agg_assoc_rules
 
     df = agg_assoc_rules(spark, SF)
     plan = C.formatted_plan(df)
     assert "lineitem" not in plan
     assert "CartesianProduct" not in plan
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan
 
 
 def test_weighted_sample_is_one_stratum_window(spark):
@@ -1070,9 +1074,11 @@ def test_attribution_pairing_is_equi_join_one_window(spark):
 
 
 def test_link_prediction_caps_hubs_and_takes_ordered_topn(spark):
-    """Wedge centers must be degree-capped BEFORE the self-join (pushed
-    filter on deg), every scan reads the oriented artifact, and the top-N
-    must compile to TakeOrderedAndProject, not a global sort."""
+    """Wedge centers must be degree-capped BEFORE pairing (pushed filter
+    on deg), every scan reads the oriented artifact, and the top-N must
+    compile to TakeOrderedAndProject, not a global sort.  r12: wedges
+    explode from the per-center sorted neighbor array (Generate), never
+    an adjacency self-join — the anti/degree joins remain."""
     from odc_product_docker_images_spark.operators.graph import graph_link_prediction
 
     df = graph_link_prediction(spark, SF)
@@ -1080,6 +1086,7 @@ def test_link_prediction_caps_hubs_and_takes_ordered_topn(spark):
     assert "lineitem" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+    assert "Generate" in plan
 
 
 def test_chi_square_single_scan_cell_windows(spark):
