@@ -31,6 +31,31 @@ from . import schemas
 _NANOS_TS: dict[str, list[str]] = {"events": ["ts"]}
 
 
+def fanout(obj: SparkSession | DataFrame) -> int:
+    """Scale-adaptive partition count for explicit fan-out repartitions
+    (r12, guide §2.5 "derive partitioning from the environment, not a
+    constant"): ``defaultParallelism`` == the master's core count on
+    ``local[N]`` and total executor cores on a cluster, so the
+    single-file-input fan-outs and the distributed prefix-sum stages
+    track the box they run on instead of the literal 32 this VM happened
+    to have.  The driver's lower-core bench run gets fewer, fuller
+    partitions; a real cluster gets its own width; on this box the value
+    IS 32, so bench numbers stay comparable.
+
+    Result-invariance contract (why the count is a free parameter at
+    every call site): round-robin/hash fan-outs feed order-insensitive
+    aggregates or key-partitioned windows, and the
+    ``repartitionByRange`` + ``spark_partition_id`` prefix-sum sites
+    derive their global ranks as (local rank + per-pid offset) where the
+    offsets come from the ACTUAL pids of the materialized partitioning —
+    the reconstruction depends only on the global sort order, never on
+    how many range slices carried it.  Sites where a count feeds results
+    (bucketed-layout bucket counts, versioned-table file counts, stream
+    feed ntile) keep their literals and are NOT routed through here."""
+    spark = obj if isinstance(obj, SparkSession) else obj.sparkSession
+    return spark.sparkContext.defaultParallelism
+
+
 def fixture_tag(sf_dir: str, table: str = "lineitem") -> str:
     """Cache tag for write-once ``.tmp`` artifacts derived from a fixture
     table: sanitized ``sf_dir`` + a fingerprint of the table's parquet

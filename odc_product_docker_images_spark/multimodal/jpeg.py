@@ -37,7 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _W, _H = 16, 16  # synth raster dims (multiples of 8; 4 blocks per asset)
@@ -410,7 +410,7 @@ def multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = load(spark, sf_dir, "documents")
     return (
         dc.select("doc_id")
-        .repartition(32, "doc_id")
+        .repartition(fanout(spark), "doc_id")
         .mapInPandas(
             _jpeg_decode_batches,
             schema=(
@@ -491,7 +491,7 @@ def jpeg_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc = load(spark, sf_dir, "documents")
     audited = (
         dc.select("doc_id")
-        .repartition(32, "doc_id")
+        .repartition(fanout(spark), "doc_id")
         .mapInPandas(
             _jpeg_gate_batches,
             schema="doc_id long, width int, height int,"

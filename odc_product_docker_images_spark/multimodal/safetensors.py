@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _BATCH = 50  # vectors per safetensors blob
@@ -114,7 +114,7 @@ def multimodal_safetensors_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
     left-fold checksum rounded 6 dp — the LIST_SUM fold order)."""
     em = (
         load(spark, sf_dir, "embeddings")
-        .repartition(32, "vec_id")  # single-file input: parallelize the pack
+        .repartition(fanout(spark), "vec_id")  # single-file input: parallelize the pack
         .select("vec_id", "embedding")
         .withColumn("batch_id", F.floor(F.col("vec_id") / _BATCH).cast("bigint"))
     )

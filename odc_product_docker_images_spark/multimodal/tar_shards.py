@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _SHARD_DOCS = 50  # docs per shard (doc_id // _SHARD_DOCS)
@@ -108,7 +108,7 @@ def multimodal_tar_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle ever seeing a byte."""
     docs = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the pack
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the pack
         .select("doc_id", "text")
         .withColumn(
             "shard_id", F.floor(F.col("doc_id") / _SHARD_DOCS).cast("bigint")

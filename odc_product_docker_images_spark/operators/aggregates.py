@@ -34,7 +34,7 @@ from ..functions.det import (
     sql_exact_double,
     sql_exact_double_wide,
 )
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _DISC_PRICE = "l_extendedprice * (1 - l_discount)"
@@ -589,7 +589,7 @@ def agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = (
         load(spark, sf_dir, "lineitem")
         .select("l_returnflag", *sort_keys)
-        .repartitionByRange(32, "l_returnflag", *sort_keys)
+        .repartitionByRange(fanout(spark), "l_returnflag", *sort_keys)
         .withColumn("pid", F.spark_partition_id())
     ).persist()
     wloc = Window.partitionBy("pid", "l_returnflag").orderBy(*sort_keys)

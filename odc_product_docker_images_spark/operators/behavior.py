@@ -27,7 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dsum, sql_dsum
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 
@@ -64,7 +64,7 @@ def agg_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (
         load(spark, sf_dir, "events")
         .select("user_id", "ts", "event_id", "event_type")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     trans = (
@@ -112,7 +112,7 @@ def _global_rank(df: DataFrame, score_name: str, *sort_cols: str) -> DataFrame:
     prefix offsets from a tiny broadcast rollup (the ``agg_gini``
     pattern).  The input is persisted so the offsets rollup and the
     ranked stream see the same sampled range boundaries."""
-    rp = df.repartitionByRange(32, *sort_cols).withColumn(
+    rp = df.repartitionByRange(fanout(df), *sort_cols).withColumn(
         "pid", F.spark_partition_id()
     ).persist()  # two consumers (offsets + ranked stream) — annotated
     # tiny frame (≤32 rows): the no-partition windows are fine here, and

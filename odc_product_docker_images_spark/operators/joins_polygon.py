@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # Disjoint zones over the (value, user_id) domain; NO horizontal edges
@@ -108,7 +108,7 @@ def join_polygon_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repartition before the broadcast fan-out: the single-file fixture
     # is one partition, and the 11-edge multiply + parity partials would
     # otherwise run in a single serialized task (CLAUDE.md rule)
-    ev = load(spark, sf_dir, "events").repartition(32).select(
+    ev = load(spark, sf_dir, "events").repartition(fanout(spark)).select(
         "event_id", F.col("value").alias("px"),
         F.col("user_id").cast("double").alias("py"), "value",
     )

@@ -33,7 +33,7 @@ from ..functions.det import (
     sql_dround,
     sql_exact_double,
 )
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _C = 25.0  # square cell size (the 5x5 exactness argument needs square)
@@ -118,7 +118,7 @@ def join_nearest_neighbor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_id") % 10 == 0)
         # single-file input -> one partition; repartition BEFORE the 25x
         # explode so candidate generation and the argmin agg parallelize
-        .repartition(32, "event_id")
+        .repartition(fanout(spark), "event_id")
     )
     off = F.array(*[F.lit(i) for i in range(-2, 3)])
     pts = (

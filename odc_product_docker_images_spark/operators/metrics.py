@@ -46,7 +46,7 @@ from ..functions.det import (
     sql_exact_double,
     sql_exact_double_wide,
 )
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 
@@ -569,7 +569,7 @@ def agg_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load(spark, sf_dir, "events")
         .select("event_type", "event_id", "value")
-        .repartition(32)  # single-file input: parallelize the explode+md5
+        .repartition(fanout(spark))  # single-file input: parallelize the explode+md5
     )
     reps = e.select(
         "*", F.explode(F.sequence(F.lit(-1), F.lit(_BOOT_R - 1))).alias("r")
@@ -829,7 +829,7 @@ def ml_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = (
         load(spark, sf_dir, "events")
         .select("event_type", "value", "event_id")
-        .repartitionByRange(32, "value", "event_id")
+        .repartitionByRange(fanout(spark), "value", "event_id")
         .withColumn("pid", F.spark_partition_id())
     ).persist()
     wloc = Window.partitionBy("pid").orderBy("value", "event_id")
@@ -916,7 +916,7 @@ def agg_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     rp = (
         load(spark, sf_dir, "events")
         .select("event_type", "value", "event_id")
-        .repartitionByRange(32, "value", "event_id")
+        .repartitionByRange(fanout(spark), "value", "event_id")
         .withColumn("pid", F.spark_partition_id())
     ).persist()
     wloc = Window.partitionBy("pid").orderBy("value", "event_id")
@@ -1014,7 +1014,7 @@ def ml_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     two IEEE divides — unrounded."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize windows
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize windows
         .select(
             "event_id",
             (F.col("event_type") == "purchase").cast("int").alias("y"),
@@ -1188,7 +1188,7 @@ def agg_skyline_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").alias("x"),
             F.col("l_discount").alias("y"),
         )
-        .repartitionByRange(32, F.desc("x"), F.asc("y"), F.asc("pid"))
+        .repartitionByRange(fanout(spark), F.desc("x"), F.asc("y"), F.asc("pid"))
         .withColumn("pid_part", F.spark_partition_id())
     ).persist()
     wloc = (
@@ -1352,7 +1352,7 @@ def agg_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rp = (
         part_rev.withColumn("nrev", -F.col("rev"))
-        .repartitionByRange(32, "nrev", "l_partkey")
+        .repartitionByRange(fanout(spark), "nrev", "l_partkey")
         .withColumn("pid", F.spark_partition_id())
     ).persist()  # two consumers (ranked rows + offsets rollup), parts-sized
     wloc = (
@@ -1550,7 +1550,7 @@ def agg_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = load(spark, sf_dir, "orders")
     per_cust = od.groupBy("o_custkey").agg(dsum("o_totalprice", "rev"))
     rp = (
-        per_cust.repartitionByRange(32, "rev", "o_custkey")
+        per_cust.repartitionByRange(fanout(spark), "rev", "o_custkey")
         .withColumn("pid", F.spark_partition_id())
     ).persist()  # rank + offsets rollup both consume it (customers-sized)
     w_loc = (

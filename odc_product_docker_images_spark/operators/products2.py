@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # NBR analog on the fixture bands: nir ~ l_extendedprice, swir ~ l_quantity*800
@@ -130,7 +130,7 @@ def product_phenology(spark: SparkSession, sf_dir: str) -> DataFrame:
     extrema — both engines compare identical doubles."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             F.col("user_id").alias("pixel"),
             F.unix_timestamp("ts").alias("sec"),

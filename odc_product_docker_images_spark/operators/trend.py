@@ -36,7 +36,7 @@ from ..functions.det import (
     sql_dsum,
     sql_dsum_wide,
 )
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # variance of S under H0, no tie correction: n(n-1)(2n+5)/18
@@ -98,7 +98,7 @@ def agg_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts").alias("sec"),
             "value",
         )
-        .repartition(32, "user_id")  # single-file input: parallelize the join
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the join
     )
     a, b = e.alias("a"), e.alias("b")
     pairs = a.join(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _WET = 245.0  # same threshold family as the raster mask keys
@@ -231,7 +231,7 @@ def window_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = F.col("event_type") != "error"
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
@@ -318,7 +318,7 @@ def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     op is an exact small-integer divide under FLOOR."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
@@ -402,7 +402,7 @@ def agg_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic end to end."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
@@ -498,7 +498,7 @@ def window_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     carried operands; the median element is carried bit-exact."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
@@ -578,7 +578,7 @@ def window_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ratio is one IEEE subtract-divide — unrounded."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
@@ -659,7 +659,7 @@ def agg_spc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup reuses the user partitioning — one Exchange total (pinned)."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize windows
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize windows
         .select(
             "user_id",
             "event_id",

@@ -66,9 +66,13 @@ def prep(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # a default-200-partition host session runs 200-task stages for every
-    # tiny stateful micro-batch; size to the local core budget instead
+    # tiny stateful micro-batch; size to the local core budget instead —
+    # the driver contract's $SPARK_GRAFT_CPUS when set, else the actual
+    # master width (r12: was a literal 32 fallback tuned to this VM)
     spark.conf.set(
-        "spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_CPUS", "32")
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_CPUS")
+        or str(spark.sparkContext.defaultParallelism),
     )
     # single-file fixtures need small splits to feed all cores (see get_spark)
     spark.conf.set("spark.sql.files.maxPartitionBytes", "16m")

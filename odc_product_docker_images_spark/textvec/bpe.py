@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # Offline-trained on sf0.01 documents (24 merges; see module docstring).
@@ -84,7 +84,7 @@ def text_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     parallel, which is exactly why it belongs in a map pass, not a UDF
     per row.  At 100 TB: linear scan, zero exchange; a vocab-id emission
     variant would add one broadcast of the subword→id dict."""
-    docs = load(spark, sf_dir, "documents").repartition(32).select("doc_id", "text")
+    docs = load(spark, sf_dir, "documents").repartition(fanout(spark)).select("doc_id", "text")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -122,7 +122,7 @@ def _rank_pairs(pairs: DataFrame, top_n: int) -> DataFrame:
 def _word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         load(spark, sf_dir, "documents")
-        .repartition(32)
+        .repartition(fanout(spark))
         .select(F.explode(F.split("text", " ")).alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 from .shingle import _shingles
 from .pipeline import _KNUTH, _bucket, _sql_bucket
@@ -74,7 +74,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   dedup_minhash 64-lambda pathology).
     base = (
         dc.where(F.size(F.split("text", " ")) >= 3)
-        .repartition(32)
+        .repartition(fanout(spark))
         .select(
             "doc_id",
             "source",
@@ -121,7 +121,7 @@ def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus by construction, so at 100 TB it broadcasts and the train
     side never shuffles."""
     dc = load(spark, sf_dir, "documents")
-    ex = dc.repartition(32).select(
+    ex = dc.repartition(fanout(spark)).select(
         "doc_id",
         "source",
         (_bucket() < 5).alias("is_eval"),
@@ -235,7 +235,7 @@ def shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     # behavior.py, metrics.py).
     w = dc.select(
         "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-    ).repartitionByRange(32, "doc_id")
+    ).repartitionByRange(fanout(spark), "doc_id")
     w = w.withColumn("pid", F.spark_partition_id()).persist()
     within = Window.partitionBy("pid").orderBy("doc_id")
     w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
@@ -322,7 +322,7 @@ def shard_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
         h.alias("h"),
-    ).repartitionByRange(32, "doc_id")
+    ).repartitionByRange(fanout(spark), "doc_id")
     w = w.withColumn("pid", F.spark_partition_id()).persist()
     within = Window.partitionBy("pid").orderBy("doc_id")
     w = w.withColumn("local_cum", F.sum("n_tokens").over(within))
@@ -408,9 +408,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive transitive closure."""
     dc = load(spark, sf_dir, "documents")
     ex = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .repartition(fanout(spark), "sh")
     )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inter = (
@@ -505,9 +505,9 @@ def dedup_ngram_dfcap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded shingles, reusing the same Exchange as the join."""
     dc = load(spark, sf_dir, "documents")
     ex0 = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .repartition(fanout(spark), "sh")
     )
     df_w = Window.partitionBy("sh")
     ex = ex0.withColumn("df", F.count(F.lit(1)).over(df_w)).where(

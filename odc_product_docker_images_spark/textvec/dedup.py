@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 from .pipeline import _AUDIT_N0_DOC, _AUDIT_N0_VEC, audit_gate, sql_audit_gate
 from .shingle import _shingles
@@ -91,9 +91,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by the JOIN key so the self-join reuses ONE Exchange for both sides
     # and needs no further shuffle; the size agg re-shuffles by doc_id
     ex = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .repartition(fanout(spark), "sh")
     )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -160,9 +160,9 @@ def dedup_minhash(
     #   runs exactly once and both groupBys need no further shuffle — do
     #   NOT replace with checkpoint/persist (measured slower).
     ex = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "doc_id")
+        .repartition(fanout(spark), "doc_id")
     )
     return _minhash_pairs_from_ex(ex)
 
@@ -243,7 +243,7 @@ def dedup_minhash_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-partition scan (see text_repetition)
     sh = (
         dc.where(F.size(F.split("text", " ")) >= 3)
-        .repartition(32)
+        .repartition(fanout(spark))
         .select("doc_id", _shingles().alias("shs"))
     )
     tf = HashingTF(inputCol="shs", outputCol="features", numFeatures=1 << 18, binary=True)
@@ -478,11 +478,11 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # consumer add its own Exchange (sh for the truth join, doc_id for
     # the signature aggs) on top of the cache.
     ex_base = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
         .persist()
     )
-    ex = ex_base.repartition(32, "sh")
+    ex = ex_base.repartition(fanout(spark), "sh")
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
     inter = (
@@ -510,7 +510,7 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # EXACTLY the production candidate set restricted to slice×slice
     # pairs — the semi-join below can never use an out-of-slice
     # candidate anyway.
-    cand = _minhash_pairs_from_ex(ex_base.repartition(32, "doc_id")).select(
+    cand = _minhash_pairs_from_ex(ex_base.repartition(fanout(spark), "doc_id")).select(
         "doc_a", "doc_b"
     )
     hits = truth.join(cand, ["doc_a", "doc_b"], "left_semi").agg(

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 from .shingle import _shingles
 
@@ -79,7 +79,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming ≤ 3 verification, full value oracle (see module docstring for
     the exact-recall argument)."""
     dc = load(spark, sf_dir, "documents")
-    tok = dc.repartition(32).select(
+    tok = dc.repartition(fanout(spark)).select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     th = tok.select("doc_id", F.substring(F.md5("tok"), 1, 16).alias("h"))
@@ -164,9 +164,9 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     B'."""
     dc = load(spark, sf_dir, "documents")
     ex = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .repartition(fanout(spark), "sh")
     )
     sz = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a, b = ex.alias("a"), ex.alias("b")
@@ -234,9 +234,9 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-checked end to end."""
     dc = load(spark, sf_dir, "documents")
     ex = (
-        dc.repartition(32)
+        dc.repartition(fanout(spark))
         .select("doc_id", F.explode(_shingles()).alias("sh"))
-        .repartition(32, "sh")
+        .repartition(fanout(spark), "sh")
     )
     a, b = ex.alias("a"), ex.alias("b")
     cand = (

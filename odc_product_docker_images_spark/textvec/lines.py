@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _W = 8  # tokens per span
@@ -36,7 +36,7 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → its non-overlapping 8-token spans (one row per span)."""
     # single-file input -> one partition; repartition BEFORE the span
     # explode so the fan-out and the df-join probe side parallelize
-    dc = load(spark, sf_dir, "documents").repartition(32, "doc_id")
+    dc = load(spark, sf_dir, "documents").repartition(fanout(spark), "doc_id")
     toks = F.split(F.col("text"), " ")
     n_chunks = F.ceil(F.size(toks) / F.lit(_W)).cast("long")
     return (

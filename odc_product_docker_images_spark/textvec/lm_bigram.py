@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _K = 0.5  # add-k smoothing mass
@@ -67,7 +67,7 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, equi-join co-partitioned on the bigram — nothing quadratic,
     nothing driver-side."""
     dc = load(spark, sf_dir, "documents")
-    toks = dc.repartition(32).select(
+    toks = dc.repartition(fanout(spark)).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
@@ -218,7 +218,7 @@ def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     table outgrows a broadcast — the shuffle join is the correct plan
     and the gate falls back to it."""
     dc = load(spark, sf_dir, "documents")
-    toks = dc.repartition(32).select(
+    toks = dc.repartition(fanout(spark)).select(
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")

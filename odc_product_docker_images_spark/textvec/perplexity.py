@@ -12,7 +12,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import davg, sql_davg
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 
@@ -56,7 +56,7 @@ def text_perplexity_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab is small; nothing here is quadratic and the token stream is
     touched exactly twice (fit + score), both times sharded."""
     dc = load(spark, sf_dir, "documents")
-    toks = dc.repartition(32).select("doc_id", F.explode(_toks()).alias("w"))
+    toks = dc.repartition(fanout(spark)).select("doc_id", F.explode(_toks()).alias("w"))
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
     # total token count = Σc over the VOCAB (a global window on the small
     # aggregated side) — deriving it from `toks` with a separate agg

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # Knuth multiplicative hash on the doc key: deterministic, engine-identical
@@ -293,7 +293,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = _bucket()
     toks = F.split(F.col("text"), " ")
 
-    sh8 = dc.where(F.size(F.split("text", " ")) >= 8).repartition(32).select(
+    sh8 = dc.where(F.size(F.split("text", " ")) >= 8).repartition(fanout(spark)).select(
         "doc_id",
         (_bucket() >= 5).alias("is_train"),
         F.explode(F.array_distinct(_shingles(k=8, distinct=False))).alias("sh"),
@@ -330,7 +330,7 @@ def curation_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
     scored = (
         dc.where(b >= 5)
-        .repartition(32)
+        .repartition(fanout(spark))
         .select(
             "doc_id",
             "lang",

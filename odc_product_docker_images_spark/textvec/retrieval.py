@@ -13,7 +13,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.det import dround, sql_dround
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 # Probe query: one hot term + two mid-frequency terms from the fixture
@@ -88,7 +88,7 @@ def text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     those rounded addends (absent terms contribute literal 0.0), never an
     order-sensitive SUM over doubles; avgdl is an exact-integer divide."""
     dc = load(spark, sf_dir, "documents")
-    toks = dc.repartition(32).select(
+    toks = dc.repartition(fanout(spark)).select(
         "doc_id", F.explode(F.split(F.col("text"), " ")).alias("w")
     )
     per_doc = toks.groupBy("doc_id").agg(
@@ -187,7 +187,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toks = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the explode
         .select("doc_id", F.explode(_toks()).alias("token"))
     )
     tf = toks.groupBy("token", "doc_id").agg(F.count(F.lit(1)).alias("tf"))

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 from .pipeline import _AUDIT_N0_VEC, sql_audit_gate
 
@@ -170,7 +170,7 @@ def sim_topk_cosine_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
     index, cosine as a zip_with fold, window top-k.  Everything stays in
     JVM codegen — the fallback when Arrow/pandas is unavailable."""
     n = with_norm(load(spark, sf_dir, "embeddings"))
-    a = n.repartition(32).alias("a")
+    a = n.repartition(fanout(spark)).alias("a")
     b = F.broadcast(n).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
@@ -261,7 +261,7 @@ def sim_ann_lsh(
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if audit_pct is not None:
         em = em.where(audit_gate("vec_id", em.count(), audit_pct, _AUDIT_N0_VEC))
-    sig = em.repartition(32).mapInPandas(
+    sig = em.repartition(fanout(spark)).mapInPandas(
         _lsh_bucket_batches,
         schema="vec_id long, table int, bucket int, uv array<double>",
     )
@@ -339,7 +339,7 @@ def sim_label_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity check the fixture's ``label`` column exists for."""
     em = load(spark, sf_dir, "embeddings")
     n = with_norm(em).join(em.select("vec_id", "label"), "vec_id")
-    a, b = n.repartition(32).alias("a"), F.broadcast(n).alias("b")
+    a, b = n.repartition(fanout(spark)).alias("a"), F.broadcast(n).alias("b")
     cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (F.col("a.nrm") * F.col("b.nrm"))
     w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("nbr_id"))
     top = (

@@ -34,7 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _W = 8  # window width in tokens (the corpus's 8-gram convention)
@@ -97,7 +97,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc removal ledger the Lee et al. pipeline acts on."""
     docs = (
         load(spark, sf_dir, "documents")
-        .repartition(32)
+        .repartition(fanout(spark))
         .select("doc_id", F.split("text", " ").alias("toks"))
         .withColumn("n_tok", F.size("toks"))
     )

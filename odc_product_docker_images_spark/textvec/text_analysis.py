@@ -23,7 +23,7 @@ from ..functions.det import (
     sql_dsum,
     sql_exact_double,
 )
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 
@@ -469,7 +469,7 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands."""
     tf = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the explode
         .select("doc_id", F.explode(_toks()).alias("token"))
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -554,7 +554,7 @@ def text_keyphrase_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
     path."""
     toks = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the explode
         .select("doc_id", F.posexplode(_toks()).alias("pos0", "w"))
         .select("doc_id", "w", (F.col("pos0") + 1).alias("pos"))
     )
@@ -646,7 +646,7 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) % _FH_BUCKETS
     cells = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the explode
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the explode
         .select("doc_id", F.explode(_toks()).alias("w"))
         .groupBy("doc_id", bucket.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("c"))

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import fanout, load
 from ..registry import register
 
 _N_TARGETS = 97  # distinct canonical URLs carved out of the doc space
@@ -152,7 +152,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = (
         load(spark, sf_dir, "documents")
-        .repartition(32, "doc_id")  # single-file input: parallelize the map
+        .repartition(fanout(spark), "doc_id")  # single-file input: parallelize the map
         .select("doc_id", _canonicalize(raw).alias("canonical_url"))
     )
     return d.groupBy("canonical_url").agg(
@@ -214,7 +214,7 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction."""
     e = (
         load(spark, sf_dir, "events")
-        .repartition(32, "user_id")  # single-file input: parallelize the window
+        .repartition(fanout(spark), "user_id")  # single-file input: parallelize the window
         .select(
             "user_id",
             "event_id",
