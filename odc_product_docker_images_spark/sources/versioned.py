@@ -100,10 +100,13 @@ class VersionedTable:
         """Footer min/max for an explicit column list — lets merge() skip
         files on the merge key even when the table was created without
         ``stat_cols`` (the footer carries the stats either way)."""
+        import math
+
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(str(self.path / relname)).metadata
         out: dict[str, list[float]] = {}
+        statted: dict[str, int] = {}  # row groups with usable min/max per col
         for rg_i in range(md.num_row_groups):
             rg = md.row_group(rg_i)
             for c_i in range(rg.num_columns):
@@ -112,19 +115,33 @@ class VersionedTable:
                 if name not in cols or col.statistics is None:
                     continue
                 # A row group can carry a statistics object WITHOUT min/max
-                # (e.g. an all-NULL chunk).  Storing None would make
-                # plan_files crash on None < lo — leave the column unstatted
-                # for this file instead (unstatted files are always kept).
+                # (an all-NULL chunk, or a float chunk whose writer omitted
+                # stats because it saw NaN).  Such a chunk can still hold
+                # matchable values, so a partial range would UNDERSTATE the
+                # file and let pruning skip real matches — a file is only
+                # statted when EVERY row group contributed (checked below).
                 if not col.statistics.has_min_max:
                     continue
                 lo, hi = col.statistics.min, col.statistics.max
                 if lo is None or hi is None:
                     continue
+                # NaN bounds poison every <=/>= comparison downstream
+                # (always False → file wrongly skipped); treat as unstatted.
+                if any(isinstance(x, float) and math.isnan(x) for x in (lo, hi)):
+                    continue
+                statted[name] = statted.get(name, 0) + 1
                 if name in out:
                     out[name] = [min(out[name][0], lo), max(out[name][1], hi)]
                 else:
                     out[name] = [lo, hi]
-        return out
+        # Drop columns any of whose row groups lacked usable stats: the
+        # merged range covers only part of the file, and both plan_files
+        # and merge() would prune on it as if it covered all rows.
+        return {
+            name: rng
+            for name, rng in out.items()
+            if statted.get(name, 0) == md.num_row_groups
+        }
 
     def _commit(self, files: list[str], operation: str) -> int:
         """Atomically publish a new snapshot listing ``files`` (relative)."""
@@ -267,8 +284,20 @@ class VersionedTable:
         # Footer stats are exact for numeric/integer columns; non-numeric
         # keys (or files without stats) stay candidates — conservative, so
         # the touched set is IDENTICAL to the full-scan form.
+        # NaN guard (r13): F.max over a double key containing NaN returns
+        # NaN (Spark sorts NaN greatest), and every `st <= NaN` comparison
+        # is False — the skip would drop files holding REAL matches (Spark
+        # joins treat NaN = NaN as equal, so NaN update keys do match NaN
+        # snapshot keys).  A NaN bound disables skipping entirely; the
+        # file side is covered by _file_stats_for's all-row-groups rule.
+        import math
+
         def _numeric(x) -> bool:
-            return isinstance(x, (int, float)) and not isinstance(x, bool)
+            return (
+                isinstance(x, (int, float))
+                and not isinstance(x, bool)
+                and not (isinstance(x, float) and math.isnan(x))
+            )
 
         candidates = prev
         if chk["n"] > 0 and _numeric(chk["lo"]) and _numeric(chk["hi"]):

@@ -157,13 +157,23 @@ def sim_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = {"rank": [], "vec_id": [], "rel": [], "mmr_score": []}
             for _, row in pdf.iterrows():
+                # NULL tolerance (r13 advice): a null embedding yields a
+                # null rel/sim; the pre-r12 unrolled plan's F.max/COALESCE
+                # silently ignored those rows, so the kernel must too —
+                # float(None) would raise.  No fixture carries nulls today
+                # (parity re-verified), this only pins the legacy behavior.
                 cands = sorted(
-                    ((int(c["vec_id"]), float(c["rel"])) for c in row["cand"]),
+                    (
+                        (int(c["vec_id"]), float(c["rel"]))
+                        for c in row["cand"]
+                        if c["rel"] is not None
+                    ),
                     key=lambda t: t[0],
                 )
                 sims = {
                     (int(e["ia"]), int(e["ib"])): float(e["sim"])
                     for e in row["pairs"]
+                    if e["sim"] is not None
                 }
                 picked: list[int] = []
                 for k in range(1, kk + 1):

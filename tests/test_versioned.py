@@ -95,6 +95,56 @@ def test_merge_is_file_level_copy_on_write(spark):
     assert t.read(spark, 0).count() == 1000
 
 
+def test_merge_nan_double_key_is_not_skipped(spark):
+    """r13 (r12 ADVICE item 1): a double merge key containing NaN must not
+    defeat the footer-stats file skip.  F.max over a NaN-bearing key
+    returns NaN (Spark sorts NaN greatest) and every `st <= NaN`
+    comparison is False — the pre-fix skip produced candidates=[] and
+    silently never rewrote matched rows, leaving DUPLICATE keys after the
+    merge.  Spark join equality treats NaN = NaN as equal, so a NaN
+    update key genuinely matches a NaN snapshot key and must replace it."""
+    t = _table()
+    base = spark.createDataFrame(
+        [(1.0, 10.0), (2.0, 20.0), (float("nan"), 30.0), (4.0, 40.0)],
+        "k double, v double",
+    )
+    t.write(base.coalesce(1), mode="overwrite")
+    upd = spark.createDataFrame([(float("nan"), -1.0)], "k double, v double")
+    t.merge(spark, upd, key="k")
+    rows = t.read(spark).collect()
+    assert len(rows) == 4, f"duplicate keys after NaN merge: {len(rows)} rows"
+    nan_vals = [r.v for r in rows if r.k != r.k]  # NaN != NaN in Python
+    assert nan_vals == [-1.0], f"NaN row not rewritten: {nan_vals}"
+    # normal-key updates still skip cleanly alongside NaN snapshot rows
+    upd2 = spark.createDataFrame([(2.0, -2.0)], "k double, v double")
+    t.merge(spark, upd2, key="k")
+    vals = {(r.k if r.k == r.k else "nan"): r.v for r in t.read(spark).collect()}
+    assert vals == {1.0: 10.0, 2.0: -2.0, "nan": -1.0, 4.0: 40.0}
+
+
+def test_file_stats_require_every_row_group():
+    """r13 (r12 ADVICE item 1): _file_stats_for must drop a column whose
+    min/max came from only SOME row groups (an all-NULL or stats-omitted
+    chunk can still hold matchable values after schema evolution) — a
+    partial range understates the file and would let pruning skip real
+    matches.  Columns with usable stats in every row group keep theirs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = _table()
+    (t.path / "data").mkdir(parents=True, exist_ok=True)
+    tbl = pa.table(
+        {
+            "k": pa.array([None, None, 5.0, 9.0], type=pa.float64()),
+            "full": pa.array([1.0, 2.0, 3.0, 4.0], type=pa.float64()),
+        }
+    )
+    pq.write_table(tbl, str(t.path / "data" / "part.parquet"), row_group_size=2)
+    st = t._file_stats_for("data/part.parquet", ["k", "full"])
+    assert "k" not in st, f"partial-row-group stats must not survive: {st}"
+    assert st.get("full") == [1.0, 4.0]
+
+
 def test_change_feed_reads_only_manifest_diff(spark):
     """CDC must be bounded by the rewritten volume: the feed plans ONLY
     files removed/added between the manifests (untouched files never enter
