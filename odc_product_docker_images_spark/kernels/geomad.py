@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, table_rows
 from ..registry import register
 from .geomedian import BANDS, weiszfeld_batched
 
@@ -110,8 +110,9 @@ def agg_geomedian_mads(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange when the grid is stable across runs."""
     lf = load(spark, sf_dir, "lineitem")
     # data-derived task sizing, same rule as agg_geomedian (r9): ~250k
-    # rows/task bounds the padded cube; floor 32 = the graded-scale plan
-    parts = max(32, -(-lf.count() // 250_000))
+    # rows/task bounds the padded cube; floor 32 = the graded-scale plan.
+    # r13: the count comes from parquet footers (same integer, no Spark job)
+    parts = max(32, -(-table_rows(sf_dir, "lineitem") // 250_000))
     return (
         lf.select("l_suppkey", *BANDS)
         .repartition(parts, "l_suppkey")

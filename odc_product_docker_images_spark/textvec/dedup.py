@@ -29,7 +29,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import fanout, load
+from ..io import fanout, load, table_rows
 from ..registry import register
 from .pipeline import _AUDIT_N0_DOC, _AUDIT_N0_VEC, audit_gate, sql_audit_gate
 from .shingle import _shingles
@@ -149,7 +149,10 @@ def dedup_minhash(
     At 100 TB: shuffle = shingle rows + n·B band rows; no n² anywhere."""
     dc = load(spark, sf_dir, "documents")
     if audit_pct is not None:
-        dc = dc.where(audit_gate("doc_id", dc.count(), audit_pct, _AUDIT_N0_DOC))
+        # gate count = PRE-filter table count = footer row count (r13, §5)
+        dc = dc.where(
+            audit_gate("doc_id", table_rows(sf_dir, "documents"), audit_pct, _AUDIT_N0_DOC)
+        )
     # Two deliberate repartitions around the shingle builder:
     # - BEFORE: the fixture is one parquet file = one partition, and the
     #   builder (concat_ws × positions + array_distinct + explode) is the
@@ -349,9 +352,11 @@ def dedup_embedding(
         # count-BOUNDED slice (r9b): pct rule at graded scales, absolute
         # ~pct%-of-_AUDIT_N0_VEC cap above them — a fixed-pct slice made
         # this quadratic truth kernel quadratic again at the 1000x tier
-        n_full = em.count()
+        n_full = table_rows(sf_dir, "embeddings")  # footer count (r13, §5)
         em = em.where(audit_gate("vec_id", n_full, audit_pct, _AUDIT_N0_VEC))
-    n = em.count()  # metadata-count (plus the slice filter when auditing)
+    # grid sizing: footer count in the production path; the audit path
+    # filtered above, so it keeps a Spark-side count of the slice
+    n = table_rows(sf_dir, "embeddings") if audit_pct is None else em.count()
     P = max(8, math.ceil(n / 2048))
     B = max(4, math.ceil(n / 4096))
     # SEPARATE load for the index side: when both cogroup children share one
@@ -471,7 +476,8 @@ def dedup_minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 1-row count broadcasts."""
     dc_full = load(spark, sf_dir, "documents")
     dc = dc_full.where(
-        audit_gate("doc_id", dc_full.count(), _AUDIT_PCT, _AUDIT_N0_DOC)
+        # gate count = raw table count = footer row count (r13, §5)
+        audit_gate("doc_id", table_rows(sf_dir, "documents"), _AUDIT_PCT, _AUDIT_N0_DOC)
     )
     # Shared sliced shingle build — the single most expensive projection
     # in either half; persist it round-robin-partitioned and let each

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import fanout, load
+from ..io import fanout, load, table_rows
 from ..registry import register
 from .pipeline import _AUDIT_N0_VEC, sql_audit_gate
 
@@ -93,7 +93,9 @@ def sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n = em.count()
+    # r13 (guide §5): grid sizing from parquet footers — same integer as
+    # em.count(), no Spark job (the count was ~0.2 s of this headline key)
+    n = table_rows(sf_dir, "embeddings")
     P = max(8, math.ceil(n / 2048))
     B = max(4, math.ceil(n / 4096))
     # separate scan for the index side — cogroup children sharing one base
@@ -260,7 +262,11 @@ def sim_ann_lsh(
 
     em = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     if audit_pct is not None:
-        em = em.where(audit_gate("vec_id", em.count(), audit_pct, _AUDIT_N0_VEC))
+        # gate count from footers: the gate takes the PRE-filter table
+        # count, which is exactly the footer row count (r13, guide §5)
+        em = em.where(
+            audit_gate("vec_id", table_rows(sf_dir, "embeddings"), audit_pct, _AUDIT_N0_VEC)
+        )
     sig = em.repartition(fanout(spark)).mapInPandas(
         _lsh_bucket_batches,
         schema="vec_id long, table int, bucket int, uv array<double>",
@@ -557,7 +563,7 @@ def sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical semi-join hits; IVF's is a sample-fit audit (see its
     # knob note).  At graded scales both sides stay FULL — byte-identical
     # to the r8/r9 behavior the driver hashed.
-    n_full = load(spark, sf_dir, "embeddings").count()
+    n_full = table_rows(sf_dir, "embeddings")  # footer count, no Spark job (r13)
     ann_audit = _ann_audit_pct(n_full)
     truth = (
         dedup_embedding(spark, sf_dir, audit_pct=_AUDIT_PCT)

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..io import load
+from ..io import load, table_rows
 from ..registry import register
 from .similarity import dot, with_norm
 
@@ -100,18 +100,26 @@ def sim_ann_ivf(
         # would cost more than the production query path being audited.
         from .pipeline import _AUDIT_N0_VEC, audit_gate
 
-        n = n.where(audit_gate("vec_id", n.count(), audit_pct, _AUDIT_N0_VEC))
+        # gate count = PRE-filter table count = footer row count (r13, §5)
+        n = n.where(
+            audit_gate("vec_id", table_rows(sf_dir, "embeddings"), audit_pct, _AUDIT_N0_VEC)
+        )
     unit = n.select(
         "vec_id",
         F.transform("embedding", lambda x: x.cast("double") / F.col("nrm")).alias("uv"),
     ).persist()
-    # Three consumers share `unit`: the sizing count, the k-means fit
-    # (Spark 4 ML re-executes the input DataFrame lineage on EVERY Lloyd
-    # iteration when it isn't cached — the uncached fit re-ran the scan +
-    # normalize ~25×; interleaved A/B at sf0.1: fit 4.4 s → 1.9 s, centers
-    # bit-identical since data and partitioning are unchanged), and the
-    # probe/assignment explode below.
-    n_vecs = unit.count()  # scalar action; sizes the fit sample + pins the cache
+    # Two consumers share `unit`: the k-means fit (Spark 4 ML re-executes
+    # the input DataFrame lineage on EVERY Lloyd iteration when it isn't
+    # cached — the uncached fit re-ran the scan + normalize ~25×;
+    # interleaved A/B at sf0.1: fit 4.4 s → 1.9 s, centers bit-identical
+    # since data and partitioning are unchanged) and the probe/assignment
+    # explode below; the fit's first job materializes the cache.
+    # r13 (guide §5): the sizing count is the footer row count in the
+    # production path (unit is a 1:1 projection of the table); the audit
+    # path filters first, so it keeps the Spark-side count.
+    n_vecs = (
+        table_rows(sf_dir, "embeddings") if audit_pct is None else unit.count()
+    )
     if n_vecs < 2:
         # degenerate corpus: no (vec_a < vec_b) pair can exist, and MLlib
         # KMeans hard-errors on k > points / k < 2 (found by the r8

@@ -21,9 +21,26 @@ PKG = Path(__file__).resolve().parent.parent / "odc_product_docker_images_spark"
 def test_fanout_tracks_default_parallelism(spark):
     from odc_product_docker_images_spark.io import fanout
 
+    # local[N]: defaultParallelism (32) >= the test session's shuffle
+    # width (8), so the r13 floor changes nothing here
     assert fanout(spark) == spark.sparkContext.defaultParallelism
     df = spark.range(1)
     assert fanout(df) == spark.sparkContext.defaultParallelism
+
+
+def test_fanout_floors_at_shuffle_width(spark):
+    """r13 (r12 ADVICE): under dynamic allocation defaultParallelism can
+    reflect a nearly-empty cluster at plan-build time; the configured
+    shuffle width is the floor.  Simulated by raising the conf above the
+    local core count."""
+    from odc_product_docker_images_spark.io import fanout
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "123")
+        assert fanout(spark) == max(spark.sparkContext.defaultParallelism, 123)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def test_no_literal_fanout_repartitions():
