@@ -269,21 +269,42 @@ def _fast_dec_sum(col: Column | str) -> Column:
       this path narrows nothing that the final conversion didn't already
     Use :func:`dsum` when addends can exceed the band (it holds ~1e20).
     """
+    hi, lo = fast_sum_parts(col)
+    return fast_sum_reassemble(F.sum(hi), F.sum(lo))
+
+
+def fast_sum_parts(col: Column | str) -> tuple[Column, Column]:
+    """Per-ROW (hi, lo) int64 lanes of the 10^-10-scaled decimal addend —
+    the :func:`_fast_dec_sum` split exported for sites that need to
+    re-aggregate partial lane sums across a join/regroup
+    (``join_range_bucket``): integer addition is associative, so summing
+    the lanes in any grouping and reassembling with
+    :func:`fast_sum_reassemble` is bit-identical to the one-shot sum.
+    r13 (r12 ADVICE): the constants (2^13 base, 10^10 scale, the
+    decimal typing) previously lived duplicated in joins.py — any drift
+    would have silently broken the claimed oracle bit-identity."""
     base = 1 << 13
     xd = dec_cast(col)
     u = (xd * F.lit(10**10).cast("decimal(11,0)")).cast("long")
     lo = u.bitwiseAND(F.lit(base - 1))
     hi = F.shiftright(u, 13)
-    scaled = F.sum(hi).cast("decimal(38,0)") * F.lit(base).cast(
+    return hi, lo
+
+
+def fast_sum_reassemble(hi_sum: Column, lo_sum: Column) -> Column:
+    """Reassemble summed :func:`fast_sum_parts` lanes into the exact
+    total: Σhi·2^13 + Σlo in decimal(38,0), then the scale-restoring
+    /10^10.  Spark's precision-loss adjustment types
+    decimal(38,0)/decimal(11,0) as decimal(38,6), so this divide lands at
+    SCALE 6, HALF_UP — it pre-rounds the total at 6 dp.  That is
+    bit-identical to the decimal path ONLY because the final
+    exact_double(·, nd=6) applies the same idempotent half-up round;
+    dsum_fast/davg_fast therefore pin nd == 6 (any other nd would
+    double-round and silently diverge from dsum and the DuckDB oracle)."""
+    base = 1 << 13
+    scaled = hi_sum.cast("decimal(38,0)") * F.lit(base).cast(
         "decimal(5,0)"
-    ) + F.sum(lo).cast("decimal(38,0)")
-    # scaled == total·10^10 exactly, but Spark's precision-loss adjustment
-    # types decimal(38,0)/decimal(11,0) as decimal(38,6), so this divide
-    # lands at SCALE 6, HALF_UP — it pre-rounds the total at 6 dp.  That is
-    # bit-identical to the decimal path ONLY because the final
-    # exact_double(·, nd=6) applies the same idempotent half-up round;
-    # dsum_fast/davg_fast therefore pin nd == 6 (any other nd would
-    # double-round and silently diverge from dsum and the DuckDB oracle).
+    ) + lo_sum.cast("decimal(38,0)")
     return scaled / F.lit(10**10).cast("decimal(11,0)")
 
 

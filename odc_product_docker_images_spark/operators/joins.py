@@ -30,6 +30,8 @@ from ..functions.det import (
     dsum,
     exact_double,
     exact_double_wide,
+    fast_sum_parts,
+    fast_sum_reassemble,
     sql_davg,
     sql_dsum,
     sql_dsum_wide,
@@ -478,15 +480,17 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~2.4k aggregate rows (measured 1.2 s).  The exact interval predicate
     # is unchanged and still applied per candidate, so the semantics hold
     # at ANY time grain — nothing assumes date-aligned timestamps.
-    base = 1 << 13
     x = F.col("o_totalprice") * F.lit(9.5367431640625e-07)
-    u = (dec_cast(x) * F.lit(10**10).cast("decimal(11,0)")).cast("long")
+    # r13 (r12 ADVICE): the hi/lo lane split now comes from det.py's
+    # exported fast_sum_parts/fast_sum_reassemble — one home for the
+    # constants the bit-identity claim depends on; identical expressions
+    hi, lo = fast_sum_parts(x)
     per_val = (
         od.select(
             "o_orderdate",
             F.floor(epoch_days_o / _RB_DAYS).alias("cell"),
-            F.shiftright(u, 13).alias("hi"),
-            u.bitwiseAND(F.lit(base - 1)).alias("lo"),
+            hi.alias("hi"),
+            lo.alias("lo"),
         )
         .groupBy("o_orderdate", "cell")
         .agg(
@@ -499,16 +503,12 @@ def join_range_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = intervals.join(F.broadcast(per_val), "cell").where(
         (F.col("o_orderdate") >= F.col("l_shipdate")) & (F.col("o_orderdate") < upper)
     )
-    # identical reassembly to det._fast_dec_sum: Σhi·2^13 + Σlo in
-    # decimal(38,0), the scale-restoring /10^10 (decimal(38,6), HALF_UP
-    # pre-round at 6 dp), then the exact int64 hop — same types, same value
-    scaled = (
-        F.sum("hi_s").cast("decimal(38,0)") * F.lit(base).cast("decimal(5,0)")
-        + F.sum("lo_s").cast("decimal(38,0)")
-    )
+    # identical reassembly to det._fast_dec_sum (shared helper): Σhi·2^13
+    # + Σlo in decimal(38,0), the scale-restoring /10^10 (decimal(38,6),
+    # HALF_UP pre-round at 6 dp), then the exact int64 hop
     return pairs.groupBy("l_returnflag").agg(
         F.sum("cnt").cast("long").alias("n_pairs"),
-        exact_double(scaled / F.lit(10**10).cast("decimal(11,0)")).alias(
+        exact_double(fast_sum_reassemble(F.sum("hi_s"), F.sum("lo_s"))).alias(
             "sum_price_scaled"
         ),
     )
