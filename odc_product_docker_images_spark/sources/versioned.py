@@ -262,6 +262,20 @@ class VersionedTable:
         survive the left_anti/union and silently break the snapshot's
         key-uniqueness invariant that read_where/merge callers rely on.
         """
+        # r13 (guide §5.4): ``updates`` has THREE sequential consumers —
+        # the uniqueness/range aggregate, the discovery semi-join, and the
+        # rewrite union — and Spark lineage re-executes the caller's
+        # update-derivation subtree per consumer (table_incremental_join's
+        # updates embed a max()-offset cross join: three full re-derivations
+        # per merge).  Pin it for the duration of the merge; unpersisted in
+        # the finally below.
+        updates = updates.persist()
+        try:
+            return self._merge_pinned(spark, updates, key)
+        finally:
+            updates.unpersist()
+
+    def _merge_pinned(self, spark: SparkSession, updates: DataFrame, key: str) -> int:
         # ONE pass over updates for the uniqueness check AND the key range
         # (r12: was two separate count jobs; the range feeds file skipping
         # below).  count_distinct here is exact — no approx form.
@@ -333,9 +347,14 @@ class VersionedTable:
         untouched = [f for f in prev if f not in touched_rel]
         rewrite = [f for f in prev if f in touched_rel]
         if rewrite:
+            # same broadcast pin as the discovery semi-join: the cached
+            # updates' InMemoryRelation hides size stats from the planner
+            # (r12 bipartite lesson: silent broadcast→SMJ demotion), and
+            # the update KEY set is the side both joins already commit to
+            # broadcasting at any supported merge size
             keep = (
                 spark.read.parquet(*[str(self.path / f) for f in rewrite])
-                .join(updates.select(key), key, "left_anti")
+                .join(updates.select(key).hint("broadcast"), key, "left_anti")
             )
             rewritten = keep.unionByName(updates)
         else:
