@@ -71,10 +71,19 @@ def text_lm_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # r13 (guide §5.4 / VERDICT item 2): the bigram stream has TWO
+    # consumers (model type counts + the scoring join) and lineage
+    # re-ran the corpus scan + tokenize + lag window per consumer —
+    # 2 corpus scans by design until now.  Persisting the (doc_id, w1,
+    # w2) stream makes it ONE pass; an exchange-reuse form was rejected
+    # because per-branch column pruning silently breaks reuse (the r11
+    # shard_pack hazard).  Interleaved A/B at sf0.1 (2 rounds): 1.57 →
+    # 1.33 s warm min (trigram 2.45 → 1.70; see OPTIMIZATION_r13.md).
     bg = (
         toks.withColumn("w1", F.lag("w").over(wdoc))
         .where(F.col("w1").isNotNull())
         .select("doc_id", "w1", F.col("w").alias("w2"))
+        .persist()
     )
     types = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
     wctx = Window.partitionBy("w1")
@@ -222,11 +231,14 @@ def text_lm_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "w")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    # r13: same single-pass move as text_lm_bigram — tg feeds the model
+    # build AND the scoring join; the persist cuts the corpus scans 2 → 1
     tg = (
         toks.withColumn("w1", F.lag("w", 2).over(wdoc))
         .withColumn("w2", F.lag("w", 1).over(wdoc))
         .where(F.col("w1").isNotNull())
         .select("doc_id", "w1", "w2", F.col("w").alias("w3"))
+        .persist()
     )
     t3 = (
         tg.groupBy("w1", "w2", "w3")
