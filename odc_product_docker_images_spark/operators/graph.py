@@ -258,14 +258,21 @@ def graph_pagerank_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _oriented_edge_path(sf_dir: str) -> Path:
+    return (
+        Path(__file__).resolve().parents[2]
+        / ".tmp"
+        / f"tri_oriented_{fixture_tag(sf_dir)}"
+    )
+
+
 def _oriented_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-once oriented co-purchase edge artifact (src, dst, deg_src,
     deg_dst): parts sharing an order, each undirected edge oriented from
     its (deg, id)-lesser endpoint.  Shared by the triangle and
     link-prediction keys — the derivation (self-join + two degree joins)
     re-plans per consumer otherwise (first cut: 18 static scans)."""
-    tag = fixture_tag(sf_dir)
-    edge_path = Path(__file__).resolve().parents[2] / ".tmp" / f"tri_oriented_{tag}"
+    edge_path = _oriented_edge_path(sf_dir)
     if not (edge_path / "_SUCCESS").exists():
         lf = load(spark, sf_dir, "lineitem")
         a = lf.select("l_orderkey", F.col("l_partkey").alias("u"))
@@ -361,6 +368,13 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     # O(wedges·log) sort of the 41M-row wedge stream (sf0.1) on the probe
     # side.  Same rows out, join strategy only: measured 8.2 s → 3.4 s
     # warm min at sf0.1.
+    # r13 negative result (VERDICT item 4): the node-iterator form —
+    # per-apex sorted adjacency array + index-pair explode replacing this
+    # self-join — was implemented, parity-PASSed, and measured 2.4×
+    # SLOWER (7.63 vs 3.17 s interleaved warm min at sf0.1): collect_list
+    # + nested-transform struct materialization loses to the streamed
+    # hash probe even with the O(√E) orientation bound, the same
+    # arithmetic as the r12 join_bipartite_projection negative.  REVERTED.
     o2 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("c"), F.col("deg_dst").alias("deg_c")
     ).hint("shuffle_hash")
@@ -368,6 +382,12 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c"))
     )
     wedges = o1.join(o2, "a").where(b_first)
+    # r13 second negative result: BROADCASTING the closure edges (to keep
+    # the 41M-row wedge stream from being hash-exchanged at all) also
+    # measured SLOWER — 5.0–5.1 vs 3.1–3.3 s interleaved warm min: the
+    # generic 2-key broadcast hash relation costs more per wedge probe
+    # than the shuffled build, and the 1.2M-row broadcast build is not
+    # free.  Both rewrites REVERTED; the r12 SHJ form stands.
     closure = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c")).hint(
         "shuffle_hash"
     )
